@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Transitive closure over a parent→child edge set (SURVEY §2 A7/A8/A10).
+  *
+  * The reference walks an in-memory span forest recursively
+  * (`composable_logs/opentelemetry_helpers.py:295-308`, `:433-451`). Spark has
+  * no `WITH RECURSIVE`, so closure is a driver-controlled iterative join to a
+  * fixpoint. Each iteration extends the deepest frontier by one hop, so the
+  * number of shuffles equals the forest depth — span trees are ≤ ~6 deep, and
+  * the depth bound (not edge count) is what survives a 100 TB scale-up.
+  *
+  * Frontier DataFrames are persisted per-iteration and unpersisted as soon as
+  * the next frontier materializes, so peak storage is two frontier levels, not
+  * the whole closure.
+  */
+object Closure {
+
+  /** All (ancestor, descendant, depth) pairs reachable via parent→child edges.
+    *
+    * @param edges   DataFrame with columns (parentCol, childCol)
+    * @param maxIter hard bound on depth (cycles in malformed input terminate)
+    */
+  def transitiveClosure(
+      edges: DataFrame,
+      parentCol: String = "parent",
+      childCol: String = "child",
+      maxIter: Int = 30): DataFrame = {
+    val e = edges.select(
+      col(parentCol).as("ancestor"),
+      col(childCol).as("descendant")).persist(StorageLevel.MEMORY_AND_DISK)
+    e.count() // materialize once; reused every iteration
+
+    var acc = e.withColumn("depth", lit(1))
+    var frontier = acc.persist(StorageLevel.MEMORY_AND_DISK)
+    var frontierCount = frontier.count()
+    var iter = 1
+    while (frontierCount > 0 && iter < maxIter) {
+      val next = frontier.as("f")
+        .join(e.as("e"), col("f.descendant") === col("e.ancestor"))
+        .select(
+          col("f.ancestor").as("ancestor"),
+          col("e.descendant").as("descendant"),
+          (col("f.depth") + 1).as("depth"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      frontierCount = next.count()
+      frontier.unpersist(blocking = false)
+      if (frontierCount > 0) acc = acc.union(next)
+      frontier = next
+      iter += 1
+    }
+    frontier.unpersist(blocking = false)
+    acc
+  }
+
+  /** Descendant node set reachable from `roots` (single column "id"),
+    * mirroring `Spans.bound_under` (ref `opentelemetry_helpers.py:433-443`).
+    * Returns one column "id"; set `inclusive` to keep the roots themselves
+    * (`bound_inclusive`, `:445-451`).
+    */
+  def descendantsOf(
+      edges: DataFrame,
+      roots: DataFrame,
+      parentCol: String = "parent",
+      childCol: String = "child",
+      inclusive: Boolean = false,
+      maxIter: Int = 30): DataFrame = {
+    val e = edges.select(col(parentCol).as("p"), col(childCol).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    val r = roots.select(col(roots.columns.head).as("id"))
+
+    var acc = if (inclusive) r else r.limit(0)
+    var frontier = r.persist(StorageLevel.MEMORY_AND_DISK)
+    var n = frontier.count()
+    var iter = 0
+    while (n > 0 && iter < maxIter) {
+      val next = frontier.join(e, col("id") === col("p"))
+        .select(col("c").as("id")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      n = next.count()
+      frontier.unpersist(blocking = false)
+      if (n > 0) acc = acc.union(next).distinct()
+      frontier = next
+      iter += 1
+    }
+    frontier.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    acc
+  }
+}

@@ -1,0 +1,513 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Closure}
+
+/** SURVEY §2 Group D (+A7/A9/B7 shapes) as oracle-checked queries over the
+  * `/root/testdata` fixtures.
+  *
+  * Determinism rules (the driver hash-compares against DuckDB):
+  *  - money aggregates run in DECIMAL(18,2) (exact in both engines) and are
+  *    cast to double once at the end — no float-summation-order drift;
+  *  - quantities are integral doubles → summed then cast to BIGINT;
+  *  - every ORDER BY / window has a unique tie-break column;
+  *  - no libm-dependent functions (exp/ln/trig) in checked outputs.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** TPC-H Q1-shaped pricing summary: filter → hash aggregate with partial
+    * (map-side) aggregation; the scan reads only the 7 referenced columns
+    * and the shipdate predicate is pushed to parquet. (D7, D2)
+    */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount"))
+          * dec(lit(1.0) + col("l_tax"))).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+
+  private val pricingSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) * CAST(1.0 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+      | COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Star join: fact×fact shuffle join on orderkey, then the whole dimension
+    * chain (customer⋈nation⋈region) broadcast to every executor — at 100 TB
+    * the fact tables shuffle once, dimensions never do. (D3)
+    */
+  def revenueByNation(s: SparkSession, d: String): DataFrame = {
+    val dims = Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val revenueByNationSql =
+    """SELECT r_name, n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  /** Top-k: orderBy+limit plans as TakeOrderedAndProject — per-partition
+    * heaps then a k-row merge on the driver, never a global sort. (D11) */
+  def topOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  private val topOrdersSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** Semi ⊕ anti join: customers with a finished order but no open order.
+    * Both sides plan as broadcast semi/anti joins of the orders projection.
+    * (D4) */
+  def semiAntiCustomers(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    Tables.customer(s, d)
+      .join(o.filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(o.filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  private val semiAntiCustomersSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin
+
+  /** Distinct aggregation: exact count-distinct expands to a two-phase
+    * aggregate; keeps one shuffle per distinct column set. (D8) */
+  def distinctCounts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+
+  private val distinctCountsSql =
+    """SELECT l_returnflag,
+      | COUNT(DISTINCT l_partkey) AS n_parts,
+      | COUNT(DISTINCT l_suppkey) AS n_supps,
+      | COUNT(DISTINCT l_orderkey) AS n_orders,
+      | COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Ranking window: top-3 orders per customer. Same shape as the
+    * reference's last-write-wins reader (B7/D10). */
+  def topOrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  private val topOrdersPerCustomerSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      | FROM orders) WHERE rn <= 3""".stripMargin
+
+  /** Running total (analytic window, decimal-exact cumulative sum). (D10) */
+  def runningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("run_total", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("run_total"))
+  }
+
+  private val runningTotalSql =
+    """SELECT o_custkey, o_orderkey,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |   PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+      |FROM orders""".stripMargin
+
+  /** lag/lead deltas over the events stream table. (D10) */
+  def eventDeltas(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("delta", col("value") - col("prev_value"))
+      .select(col("event_id"), col("user_id"), col("value"), col("prev_value"), col("delta"))
+  }
+
+  private val eventDeltasSql =
+    """SELECT event_id, user_id, value,
+      | LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value,
+      | value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS delta
+      |FROM events""".stripMargin
+
+  /** ROLLUP hierarchy totals. (D9) */
+  def rollupQuantities(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  private val rollupQuantitiesSql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** CUBE over order status × priority. (D9) */
+  def cubeOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+
+  private val cubeOrdersSql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Set operators: INTERSECT ∖ EXCEPT on customer key sets. (D12) */
+  def setOpsCustkeys(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val oo = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+    f.intersect(oo).except(p).withColumnRenamed("o_custkey", "custkey")
+  }
+
+  private val setOpsCustkeysSql =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin
+
+  /** String function battery over part. (D13) */
+  def stringFns(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_upper"),
+      substring(col("p_type"), 1, 5).as("type_prefix"),
+      concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+      length(col("p_name")).as("name_len"),
+      regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+      size(split(col("p_name"), " ")).as("n_words"))
+
+  private val stringFnsSql =
+    """SELECT p_partkey,
+      | UPPER(p_name) AS name_upper,
+      | SUBSTR(p_type, 1, 5) AS type_prefix,
+      | CONCAT_WS('-', p_brand, p_type) AS brand_type,
+      | LENGTH(p_name) AS name_len,
+      | REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS name_novowel,
+      | LEN(STRING_SPLIT(p_name, ' ')) AS n_words
+      |FROM part""".stripMargin
+
+  /** Date/time battery: extraction + truncation over orders. (D14) */
+  def dateFns(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderdate")).as("last_date"))
+
+  private val dateFnsSql =
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+      | CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+      | COUNT(*) AS n, MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
+  /** Math battery — only IEEE-deterministic functions (sqrt, floor, ceil,
+    * abs, pmod); no libm-implementation-defined exp/ln. (D15) */
+  def mathFns(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      sqrt(col("l_quantity")).as("sqrt_qty"),
+      floor(col("l_extendedprice") / 100).cast("long").as("price_h"),
+      ceil(col("l_discount") * 100).cast("long").as("disc_pct"),
+      abs(col("l_quantity") - lit(25.0)).as("qty_dev"),
+      pmod(col("l_orderkey"), lit(7)).as("key_mod"))
+
+  private val mathFnsSql =
+    """SELECT l_orderkey, l_linenumber,
+      | SQRT(l_quantity) AS sqrt_qty,
+      | CAST(FLOOR(l_extendedprice / 100) AS BIGINT) AS price_h,
+      | CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct,
+      | ABS(l_quantity - 25.0) AS qty_dev,
+      | l_orderkey % 7 AS key_mod
+      |FROM lineitem""".stripMargin
+
+  /** Range (interval) join: pairs of events of the same user within 30
+    * minutes. Equi-key on user_id keeps it a hash join with a residual range
+    * predicate — no O(n²) cross product at scale. (D5, C6 overlap algebra) */
+  def rangeJoinEvents(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val a = e.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+    val b = e.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+      col("ts").as("b_ts"))
+    a.join(b,
+      col("user_id") === col("b_user") &&
+        col("a_id") < col("b_id") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private val rangeJoinEventsSql =
+    """SELECT a.user_id AS user_id, COUNT(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      |GROUP BY a.user_id""".stripMargin
+
+  /** As-of join via the union+window operator: each purchase event gets the
+    * most recent prior non-purchase event of the same user. (D6) */
+  def asofPriorEvent(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val others = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("src_id"),
+        col("value").as("src_value"))
+    AsOfJoin.asOf(purchases, others, "user_id", "ts", "ts",
+      Seq("src_id", "src_value"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_src_id").as("prior_event_id"),
+        col("asof_src_value").as("prior_value"))
+  }
+
+  private val asofPriorEventSql =
+    """SELECT p.event_id AS event_id, p.user_id AS user_id,
+      | (SELECT o.event_id FROM events o
+      |   WHERE o.user_id = p.user_id AND o.event_type <> 'purchase' AND o.ts <= p.ts
+      |   ORDER BY o.ts DESC, o.event_id DESC LIMIT 1) AS prior_event_id,
+      | (SELECT o.value FROM events o
+      |   WHERE o.user_id = p.user_id AND o.event_type <> 'purchase' AND o.ts <= p.ts
+      |   ORDER BY o.ts DESC, o.event_id DESC LIMIT 1) AS prior_value
+      |FROM events p WHERE p.event_type = 'purchase'""".stripMargin
+
+  /** Transitive closure over a synthetic binary-tree hierarchy (per-user
+    * event rank rn, parent = rn/2) — the Spark side runs the iterative
+    * frontier join from [[Closure]]; the oracle is a recursive CTE. This is
+    * the A7 subtree-selection kernel on oracle-checkable data. */
+  def closureTree(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val ranked = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("rn", row_number().over(w))
+    val parents = ranked.select(col("user_id").as("p_user"),
+      col("event_id").as("parent"), col("rn").as("p_rn"))
+    val edges = ranked.filter(col("rn") > 1)
+      .join(parents,
+        col("user_id") === col("p_user") &&
+          col("p_rn") === floor(col("rn") / 2).cast("int"))
+      .select(col("parent"), col("event_id").as("child"))
+    Closure.transitiveClosure(edges)
+      .select(col("ancestor"), col("descendant"), col("depth"))
+  }
+
+  private val closureTreeSql =
+    """WITH RECURSIVE ev AS (
+      | SELECT event_id, user_id,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+      | FROM events),
+      |edges AS (
+      | SELECT p.event_id AS parent, c.event_id AS child
+      | FROM ev c JOIN ev p ON c.user_id = p.user_id AND p.rn = c.rn // 2
+      | WHERE c.rn > 1),
+      |closure AS (
+      | SELECT parent AS ancestor, child AS descendant, 1 AS depth FROM edges
+      | UNION ALL
+      | SELECT c.ancestor, e.child, c.depth + 1
+      | FROM closure c JOIN edges e ON e.parent = c.descendant)
+      |SELECT ancestor, descendant, CAST(depth AS INT) AS depth FROM closure""".stripMargin
+
+  /** Last-write-wins dedup (the reference's legacy reader policy, B7):
+    * keep the latest event per (user, type) via a desc ranking window. */
+  def lastWriteWins(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+  }
+
+  private val lastWriteWinsSql =
+    """SELECT user_id, event_type, event_id, value FROM (
+      | SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |   ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      |WHERE rn = 1""".stripMargin
+
+  /** Anti-join root detection (A9 shape): parts that never appear in any
+    * lineitem. */
+  def neverOrderedParts(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .join(Tables.lineitem(s, d),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"))
+
+  private val neverOrderedPartsSql =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin
+
+  /** Array functions over tokenized documents. (D16) */
+  def arrayFns(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("words")).as("n_words"),
+        size(array_distinct(col("words"))).as("n_distinct"),
+        element_at(col("words"), 1).as("first_word"),
+        element_at(col("words"), -1).as("last_word"))
+
+  private val arrayFnsSql =
+    """SELECT doc_id,
+      | LEN(STRING_SPLIT(text, ' ')) AS n_words,
+      | LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_distinct,
+      | STRING_SPLIT(text, ' ')[1] AS first_word,
+      | STRING_SPLIT(text, ' ')[-1] AS last_word
+      |FROM documents""".stripMargin
+
+  /** JSON extraction from the events.props payload column. (D17) */
+  def jsonFns(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+
+  private val jsonFnsSql =
+    """SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Correlated scalar aggregate via join: each order vs its customer's
+    * average order value (self-join aggregate shape). (D7+D3) */
+  def aboveCustomerAvg(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val avgs = o.groupBy(col("o_custkey").as("ck"))
+      .agg((sum(dec(col("o_totalprice"))).cast("double") / count(lit(1)))
+        .as("avg_price"))
+    o.join(avgs, col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_above"))
+  }
+
+  private val aboveCustomerAvgSql =
+    """WITH avgs AS (
+      | SELECT o_custkey AS ck,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+      | FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey, COUNT(*) AS n_above
+      |FROM orders JOIN avgs ON o_custkey = ck
+      |WHERE o_totalprice > avg_price
+      |GROUP BY o_custkey""".stripMargin
+
+  /** Union of branded subsets with a tag column. (D12) */
+  def unionTagged(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val hi = o.filter(col("o_totalprice") > 300000)
+      .select(col("o_orderkey"), lit("high").as("bucket"))
+    val lo = o.filter(col("o_totalprice") < 50000)
+      .select(col("o_orderkey"), lit("low").as("bucket"))
+    hi.unionByName(lo)
+  }
+
+  private val unionTaggedSql =
+    """SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_totalprice > 300000
+      |UNION ALL
+      |SELECT o_orderkey, 'low' AS bucket FROM orders WHERE o_totalprice < 50000""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d07_agg_pricing" -> pricingSummary _,
+    "d03_join_revenue_by_nation" -> revenueByNation _,
+    "d11_topk_orders" -> topOrders _,
+    "d04_semi_anti_customers" -> semiAntiCustomers _,
+    "d08_distinct_counts" -> distinctCounts _,
+    "d10_window_topk_per_customer" -> topOrdersPerCustomer _,
+    "d10_window_running_total" -> runningTotal _,
+    "d10_window_lag_delta" -> eventDeltas _,
+    "d09_rollup_quantities" -> rollupQuantities _,
+    "d09_cube_orders" -> cubeOrders _,
+    "d12_setops_custkeys" -> setOpsCustkeys _,
+    "d13_string_fns" -> stringFns _,
+    "d14_date_fns" -> dateFns _,
+    "d15_math_fns" -> mathFns _,
+    "d05_range_join_events" -> rangeJoinEvents _,
+    "d06_asof_prior_event" -> asofPriorEvent _,
+    "a7_closure_tree" -> closureTree _,
+    "b7_last_write_wins" -> lastWriteWins _,
+    "a9_anti_join_roots" -> neverOrderedParts _,
+    "d16_array_fns" -> arrayFns _,
+    "d17_json_fns" -> jsonFns _,
+    "d07_above_customer_avg" -> aboveCustomerAvg _,
+    "d12_union_tagged" -> unionTagged _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d07_agg_pricing" -> pricingSummarySql,
+    "d03_join_revenue_by_nation" -> revenueByNationSql,
+    "d11_topk_orders" -> topOrdersSql,
+    "d04_semi_anti_customers" -> semiAntiCustomersSql,
+    "d08_distinct_counts" -> distinctCountsSql,
+    "d10_window_topk_per_customer" -> topOrdersPerCustomerSql,
+    "d10_window_running_total" -> runningTotalSql,
+    "d10_window_lag_delta" -> eventDeltasSql,
+    "d09_rollup_quantities" -> rollupQuantitiesSql,
+    "d09_cube_orders" -> cubeOrdersSql,
+    "d12_setops_custkeys" -> setOpsCustkeysSql,
+    "d13_string_fns" -> stringFnsSql,
+    "d14_date_fns" -> dateFnsSql,
+    "d15_math_fns" -> mathFnsSql,
+    "d05_range_join_events" -> rangeJoinEventsSql,
+    "d06_asof_prior_event" -> asofPriorEventSql,
+    "a7_closure_tree" -> closureTreeSql,
+    "b7_last_write_wins" -> lastWriteWinsSql,
+    "a9_anti_join_roots" -> neverOrderedPartsSql,
+    "d16_array_fns" -> arrayFnsSql,
+    "d17_json_fns" -> jsonFnsSql,
+    "d07_above_customer_avg" -> aboveCustomerAvgSql,
+    "d12_union_tagged" -> unionTaggedSql
+  )
+}
