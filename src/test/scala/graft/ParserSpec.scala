@@ -1,0 +1,159 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.SpanModel
+import graft.parser.SpanParser
+import SpanFixtures._
+
+/** Parser-layer tests (SURVEY §2 Group B) over a hand-built workflow span
+  * tree shaped like the reference's recorded runs (§3.2). */
+class ParserSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** A 2-task workflow: top → (task1 → guard1 → call1 → value+artefact,
+    * task2 → guard2 → call2(error)), plus dependency spans task1→task2. */
+  def workflowSpans = Seq(
+    span("dag-top-span", "0xtop", None,
+      start = "2021-01-01T00:00:00.000000Z", end = "2021-01-01T00:00:20.000000Z",
+      attrs = Map("workflow.env" -> "xyz")),
+    span("execute-task", "0xt1", Some("0xtop"),
+      start = "2021-01-01T00:00:01.000000Z", end = "2021-01-01T00:00:10.000000Z",
+      attrs = Map("workflow.env" -> "xyz", "task.id" -> "ingest",
+        "task.type" -> "python", "task.num_cpus" -> 1, "task.timeout_s" -> -1),
+      status = "OK"),
+    span("timeout-guard", "0xg1", Some("0xt1"),
+      start = "2021-01-01T00:00:01.100000Z", end = "2021-01-01T00:00:09.900000Z",
+      status = "OK"),
+    span("call-python-function", "0xc1", Some("0xg1"),
+      start = "2021-01-01T00:00:01.200000Z", end = "2021-01-01T00:00:09.800000Z",
+      status = "OK"),
+    span("named-value", "0xv1", Some("0xc1"),
+      start = "2021-01-01T00:00:02.000000Z", end = "2021-01-01T00:00:02.100000Z",
+      attrs = Map("name" -> "accuracy", "type" -> "float",
+        "encoding" -> "json", "content_encoded" -> "0.98"),
+      status = "OK"),
+    span("artefact", "0xa1", Some("0xc1"),
+      start = "2021-01-01T00:00:03.000000Z", end = "2021-01-01T00:00:03.100000Z",
+      attrs = Map("name" -> "README.md", "type" -> "utf-8",
+        "encoding" -> "utf-8", "content_encoded" -> "foobar123"),
+      status = "OK"),
+    span("execute-task", "0xt2", Some("0xtop"),
+      start = "2021-01-01T00:00:11.000000Z", end = "2021-01-01T00:00:19.000000Z",
+      attrs = Map("workflow.env" -> "xyz", "task.id" -> "train",
+        "task.type" -> "python", "task.num_cpus" -> 2, "task.timeout_s" -> 10.5),
+      status = "ERROR", statusDesc = Some("Failure")),
+    span("task-dependency", "0xd1", Some("0xt2"),
+      start = "2021-01-01T00:00:11.100000Z", end = "2021-01-01T00:00:11.200000Z",
+      attrs = Map("from_task_span_id" -> "0xt1", "to_task_span_id" -> "0xt2")),
+    span("timeout-guard", "0xg2", Some("0xt2"),
+      start = "2021-01-01T00:00:11.300000Z", end = "2021-01-01T00:00:18.900000Z",
+      status = "ERROR", statusDesc = Some("Failure")),
+    span("call-python-function", "0xc2", Some("0xg2"),
+      start = "2021-01-01T00:00:11.400000Z", end = "2021-01-01T00:00:18.800000Z",
+      status = "ERROR", statusDesc = Some("Failure"),
+      events = Seq(exceptionEvent("train failed!"))))
+
+  def withLinks = workflowSpans.map {
+    case s if s.context.span_id == "0xt2" =>
+      s.copy(links = Seq(graft.model.SpanLinkRow(
+        graft.model.SpanContextRow("0xabc123", "0xt1", "[]"),
+        Map("type" -> "\"task-dependency\""))))
+    case s => s
+  }
+
+  test("B1/B2 dependency extraction agree (attr + link forms)") {
+    val df = SpanModel.toDF(spark, withLinks)
+    assert(SpanParser.extractTaskDependencies(df) == Set(("0xt1", "0xt2")))
+    assert(SpanParser.extractTaskDependenciesFromLinks(df) == Set(("0xt1", "0xt2")))
+  }
+
+  test("B3/B4 parseSpans: workflow + task summaries") {
+    val s = SpanParser.parseSpans(SpanModel.toDF(spark, withLinks))
+
+    assert(s.attributes == Map("workflow.env" -> "xyz"))
+    assert(s.spanId.startsWith("NO-TOP-SPAN--TEMP")) // uuid fallback (B4)
+    assert(s.timing == graft.parser.Timing(
+      "2021-01-01T00:00:00.000000Z", "2021-01-01T00:00:20.000000Z"))
+    assert(s.taskDependencies == Set(("0xt1", "0xt2")))
+    assert(!s.isSuccess)
+
+    assert(s.taskRuns.map(_.taskId) == Seq("ingest", "train")) // start order
+    val ingest = s.taskRuns.head
+    assert(ingest.spanId == "0xt1")
+    assert(ingest.parentSpanId == s.spanId)
+    assert(ingest.isSuccess)
+    assert(ingest.attributes == Map(
+      "workflow.env" -> "xyz", "task.id" -> "ingest", "task.type" -> "python",
+      "task.num_cpus" -> 1L, "task.timeout_s" -> -1L))
+    assert(ingest.timing.durationS == 9.0)
+    assert(ingest.loggedValues == Map(
+      "accuracy" -> graft.parser.LoggedValueContent("float", 0.98)))
+    assert(ingest.loggedArtifacts.map(_.name) == Seq("README.md"))
+    assert(ingest.getArtifact("README.md").content == "foobar123")
+
+    val train = s.taskRuns(1)
+    assert(train.isFailure)
+    assert(train.exceptions.size == 1)
+    val exc = train.exceptions.head
+    assert(exc("attributes").asInstanceOf[Map[String, Any]]("exception.message")
+      == "train failed!")
+    assert(train.attributes("task.timeout_s") == 10.5)
+  }
+
+  test("B5 notebook.html artifact derivation") {
+    val withNb = workflowSpans :+ span("artefact", "0xnb", Some("0xc1"),
+      start = "2021-01-01T00:00:04.000000Z", end = "2021-01-01T00:00:04.100000Z",
+      attrs = Map("name" -> "notebook.ipynb", "type" -> "utf-8",
+        "encoding" -> "utf-8", "content_encoded" -> "{\"cells\": []}"),
+      status = "OK")
+    val s = SpanParser.parseSpans(SpanModel.toDF(spark, withNb))
+    val names = s.taskRuns.head.loggedArtifacts.map(_.name)
+    assert(names == Seq("README.md", "notebook.ipynb", "notebook.html"))
+    assert(s.taskRuns.head.getArtifact("notebook.html")
+      .content.asInstanceOf[String].contains("cells"))
+  }
+
+  test("B6 duplicate named value rejected") {
+    val dup = workflowSpans :+ span("named-value", "0xv2", Some("0xc1"),
+      start = "2021-01-01T00:00:05.000000Z", end = "2021-01-01T00:00:05.100000Z",
+      attrs = Map("name" -> "accuracy", "type" -> "int",
+        "encoding" -> "json", "content_encoded" -> "1"),
+      status = "OK")
+    val e = intercept[Exception](
+      SpanParser.parseSpans(SpanModel.toDF(spark, dup)))
+    assert(e.getMessage.contains("accuracy has been logged multiple times"))
+  }
+
+  test("B6 non-OK payload spans are ignored") {
+    val failed = workflowSpans :+ span("named-value", "0xv3", Some("0xc1"),
+      start = "2021-01-01T00:00:06.000000Z", end = "2021-01-01T00:00:06.100000Z",
+      attrs = Map("name" -> "partial", "type" -> "int",
+        "encoding" -> "json", "content_encoded" -> "1"),
+      status = "ERROR")
+    val s = SpanParser.parseSpans(SpanModel.toDF(spark, failed))
+    assert(!s.taskRuns.head.loggedValues.contains("partial"))
+  }
+
+  test("workflow.workflow_run_id becomes the top span id (B4)") {
+    val tagged = workflowSpans.map {
+      case s if s.name == "dag-top-span" =>
+        s.copy(attributes = s.attributes +
+          ("workflow.workflow_run_id" -> "\"0xrun42\""))
+      case s => s
+    }
+    val s = SpanParser.parseSpans(SpanModel.toDF(spark, tagged))
+    assert(s.spanId == "0xrun42")
+    assert(s.taskRuns.forall(_.parentSpanId == "0xrun42"))
+  }
+
+  test("B9 taskRunsDF flat view") {
+    val df = SpanParser.taskRunsDF(SpanModel.toDF(spark, workflowSpans))
+    val rows = df.orderBy("start_time").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("task_id") == "ingest")
+    assert(rows(0).getAs[Boolean]("is_success"))
+    assert(!rows(1).getAs[Boolean]("is_success"))
+    assert(rows(1).getAs[Long]("n_exceptions") == 1L)
+  }
+}

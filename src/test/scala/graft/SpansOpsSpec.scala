@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.SpanModel
+import graft.spans.SpansOps._
+import SpanFixtures._
+
+/** Ports of the reference's Spans/UDT semantics tests
+  * (`tests/test_composable_logs/test_opentelemetry_helpers.py:85-263`,
+  * `tests/.../opentelemetry_helpers/test_spans.py`). Forest under test:
+  *
+  *        1            10
+  *        |  \
+  *        2    6
+  *      / | \
+  *     3  4  5
+  */
+class SpansOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def forest = Seq(
+    span("root", "0x1", None, start = "2021-01-01T00:00:01.000000Z"),
+    span("mid", "0x2", Some("0x1"), start = "2021-01-01T00:00:02.000000Z"),
+    span("leaf", "0x3", Some("0x2"), start = "2021-01-01T00:00:03.000000Z"),
+    span("leaf", "0x4", Some("0x2"), start = "2021-01-01T00:00:04.000000Z"),
+    span("leaf", "0x5", Some("0x2"), start = "2021-01-01T00:00:05.000000Z"),
+    span("side", "0x6", Some("0x1"), start = "2021-01-01T00:00:06.000000Z"),
+    span("other-root", "0x10", None, start = "2021-01-01T00:00:00.500000Z"))
+
+  def df = SpanModel.toDF(spark, forest)
+
+  test("A1 filterNested: top-level, struct path, attribute map path") {
+    assert(df.filterNested(Seq("name"), "leaf").count() == 3)
+    val d2 = SpanModel.toDF(spark, Seq(
+      span("s", "0x1", status = "OK"),
+      span("s", "0x2", status = "ERROR")))
+    assert(d2.filterNested(Seq("status", "status_code"), "OK").count() == 1)
+    val d3 = SpanModel.toDF(spark, Seq(
+      span("s", "0x1", attrs = Map("task.id" -> "ingest")),
+      span("s", "0x2", attrs = Map("task.id" -> "train")),
+      span("s", "0x3")))
+    assert(d3.filterNested(Seq("attributes", "task.id"), "ingest").count() == 1)
+    // missing path ⇒ row dropped, not error
+    assert(d3.filterNested(Seq("attributes", "nope"), "x").count() == 0)
+  }
+
+  test("A2 sortByStartTime") {
+    val ids = df.sortByStartTime().select("context.span_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(ids == Seq("0x10", "0x1", "0x2", "0x3", "0x4", "0x5", "0x6"))
+    val rev = df.sortByStartTime(reverse = true).select("context.span_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(rev == ids.reverse)
+  }
+
+  test("A3 containsSpanId") {
+    assert(df.containsSpanId("0x4"))
+    assert(!df.containsSpanId("0x99"))
+  }
+
+  test("A4 attributesUnion with prefix filter and conflict detection") {
+    val d = SpanModel.toDF(spark, Seq(
+      span("a", "0x1", attrs = Map("task.id" -> "t1", "workflow.env" -> "xyz")),
+      span("b", "0x2", attrs = Map("task.num_cpus" -> 2, "other" -> "zzz")),
+      span("c", "0x3", attrs = Map("workflow.env" -> "xyz"))))
+    assert(d.attributesUnion() == Map(
+      "task.id" -> "t1", "workflow.env" -> "xyz",
+      "task.num_cpus" -> 2L, "other" -> "zzz"))
+    assert(d.attributesUnion(Some(Set("workflow."))) == Map("workflow.env" -> "xyz"))
+    assert(d.attributesUnion(Some(Set("task.", "workflow."))) ==
+      Map("task.id" -> "t1", "task.num_cpus" -> 2L, "workflow.env" -> "xyz"))
+
+    val conflict = SpanModel.toDF(spark, Seq(
+      span("a", "0x1", attrs = Map("k" -> "v1")),
+      span("b", "0x2", attrs = Map("k" -> "v2"))))
+    val e = intercept[IllegalArgumentException](conflict.attributesUnion())
+    assert(e.getMessage.contains("Encountered key=k with different values"))
+  }
+
+  test("A5 exceptionEvents") {
+    val d = SpanModel.toDF(spark, Seq(
+      span("a", "0x1", events = Seq(exceptionEvent("boom"))),
+      span("b", "0x2", events = Seq(exceptionEvent("bang"), exceptionEvent("pow"))),
+      span("c", "0x3")))
+    assert(d.exceptionEvents().count() == 3)
+  }
+
+  test("A6/A9 edges and roots") {
+    assert(df.spanEdges().count() == 5)
+    val roots = df.rootSpans().select("context.span_id")
+      .collect().map(_.getString(0)).toSet
+    assert(roots == Set("0x1", "0x10"))
+  }
+
+  test("A7 boundUnder / boundInclusive") {
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("context.span_id").collect().map(_.getString(0)).toSet
+    assert(ids(df.boundUnder("0x1")) == Set("0x2", "0x3", "0x4", "0x5", "0x6"))
+    assert(ids(df.boundInclusive("0x2")) == Set("0x2", "0x3", "0x4", "0x5"))
+    assert(ids(df.boundUnder("0x3")) == Set.empty)
+    assert(ids(df.boundInclusive("0x10")) == Set("0x10"))
+  }
+
+  test("A8 containsPath incl. intermediate nodes") {
+    assert(df.containsPath("0x1", "0x2"))
+    assert(df.containsPath("0x1", "0x3"))
+    assert(df.containsPath("0x1", "0x2", "0x3"))
+    assert(!df.containsPath("0x3", "0x4"))
+    assert(!df.containsPath("0x5", "0x1"))
+    assert(!df.containsPath("0x1", "0x10"))
+  }
+
+  test("A10 graphEquals") {
+    assert(df.graphEquals(SpanModel.toDF(spark, forest.reverse)))
+    assert(!df.graphEquals(SpanModel.toDF(spark, forest.tail)))
+  }
+
+  test("D1 JSONL round-trip through SpanSource") {
+    val sink = new graft.exec.SpanSink
+    forest.foreach(sink.add)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-spans")
+    sink.writeJsonl(s"$tmp/spans.txt")
+    val back = graft.spans.SpanSource.readJsonl(spark, s"$tmp/spans.txt")
+    assert(back.count() == forest.size)
+    assert(back.graphEquals(df))
+    val attrs = SpanModel.toDF(spark, Seq(
+      span("a", "0x1", attrs = Map("task.id" -> "t1", "task.num_cpus" -> 2))))
+    val sink2 = new graft.exec.SpanSink
+    attrs.collect() // noop, just materialize
+    sink2.add(span("a", "0x1", attrs = Map("task.id" -> "t1", "task.num_cpus" -> 2)))
+    sink2.writeJsonl(s"$tmp/spans2.txt")
+    val back2 = graft.spans.SpanSource.readJsonl(spark, s"$tmp/spans2.txt")
+    assert(back2.attributesUnion() == Map("task.id" -> "t1", "task.num_cpus" -> 2L))
+  }
+}
