@@ -1,0 +1,148 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY §2 Group I, I1/I2): exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash-banded. Everything is shuffle-scalable —
+  * no driver-side collection on the data path; candidate generation is
+  * always blocked (by hash, shingle, band, or prefix) so the quadratic
+  * all-pairs comparison never materializes at 100 TB.
+  */
+object Dedup {
+
+  /** I1 — exact dedup by content hash: one hash-partitioned aggregation.
+    * Returns one row per distinct content with the representative (minimum)
+    * id and the duplicate count. */
+  def exactDedupGroups(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("representative_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Drop exact duplicates, keeping the minimum-id row per content hash. */
+  def exactDedup(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(contentCol))).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Distinct character n-gram shingles of a text column (empty array for
+    * texts shorter than n). */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** I2a — n-gram Jaccard near-dup pairs: explode shingles, block on the
+    * shingle (only pairs sharing ≥1 shingle are compared), count shared
+    * shingles, compute |A∩B| / (|A|+|B|−|A∩B|). `maxShingleFreq` drops
+    * ultra-common shingles (stopword blocks) — the skew guard that keeps
+    * the blow-up bounded on skewed corpora. */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      threshold: Double = 0.5,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    val shingled = df.select(
+      col(idCol).as("doc"),
+      charShingles(col(textCol), n).as("shingles"))
+    val sizes = shingled.select(col("doc"), size(col("shingles")).as("n_sh"))
+    var exploded = shingled.select(col("doc"), explode(col("shingles")).as("sh"))
+    maxShingleFreq.foreach { cap =>
+      val freq = exploded.groupBy("sh").agg(count(lit(1)).as("f"))
+        .filter(col("f") <= cap).select("sh")
+      exploded = exploded.join(freq, "sh")
+    }
+    val b = exploded.select(col("doc").as("doc_b"), col("sh"))
+    val shared = exploded.join(b, Seq("sh"))
+      .filter(col("doc") < col("doc_b"))
+      .groupBy(col("doc"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes, Seq("doc"))
+      .join(sizes.select(col("doc").as("doc_b"), col("n_sh").as("n_sh_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_shared").cast("double") /
+          (col("n_sh") + col("n_sh_b") - col("n_shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc").as("doc_a"), col("doc_b"), col("n_shared"),
+        col("jaccard"))
+  }
+
+  /** MinHash signature column: k independent hash functions
+    * `h_i(s) = (a_i·xxhash64(s) + b_i) mod p` folded with min over the
+    * shingle set. Computed entirely inside one projection (no explode, no
+    * shuffle) — nested `transform`s over (hash index × shingles). */
+  def minHashSignature(shingles: Column, k: Int = 64): Column = {
+    val p = 2147483647L // 2^31 - 1
+    transform(sequence(lit(0), lit(k - 1)), i => {
+      val a = i * 2 + 1
+      val b = pmod(i * lit(2654435761L), lit(p))
+      array_min(transform(shingles,
+        s => pmod(a * pmod(xxhash64(s), lit(p)) + b, lit(p))))
+    })
+  }
+
+  /** I2b — MinHash+LSH candidate pairs: signatures → `nBands` band hashes →
+    * explode → self-join per (band index, band hash). Two docs are
+    * candidates iff at least one band matches; with k=64, r=4 the usual
+    * S-curve applies. Band blocking keeps the join linear in corpus size. */
+  def minHashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5,
+      k: Int = 64,
+      nBands: Int = 16): DataFrame = {
+    val r = k / nBands
+    val sigs = df.select(
+      col(idCol).as("doc"),
+      minHashSignature(charShingles(col(textCol), shingleN), k).as("sig"))
+      .filter(size(col("sig")) > 0)
+    val bands = sigs.select(col("doc"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+        j => hash(concat_ws(",", slice(col("sig"), j * r + 1, lit(r))), j)))
+        .as(Seq("band_idx", "band_hash")))
+    val other = bands.select(col("doc").as("doc_b"),
+      col("band_idx"), col("band_hash"))
+    bands.join(other, Seq("band_idx", "band_hash"))
+      .filter(col("doc") < col("doc_b"))
+      .select(col("doc").as("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Estimated Jaccard from two MinHash signatures (fraction of equal
+    * components). */
+  def minHashSimilarity(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))
+      .cast("double") / size(sigA).cast("double")
+
+  /** I2c — SimHash near-dup pairs: banded blocking on 16-bit chunks of the
+    * 64-bit fingerprint (two docs within Hamming distance 3 share at least
+    * one of 4 chunks), then exact Hamming verification. */
+  def simHashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"),
+      TextAnalysis.simHash(col(textCol)).as("sim"))
+    val chunks = sh.select(col("doc"), col("sim"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        j => call_function("shiftright", col("sim"), j * 16).bitwiseAND(65535)))
+        .as(Seq("chunk_idx", "chunk")))
+    val other = chunks.select(col("doc").as("doc_b"), col("sim").as("sim_b"),
+      col("chunk_idx"), col("chunk"))
+    chunks.join(other, Seq("chunk_idx", "chunk"))
+      .filter(col("doc") < col("doc_b"))
+      .select(col("doc").as("doc_a"), col("doc_b"),
+        TextAnalysis.hammingDist(col("sim"), col("sim_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY §2 Group I, I3):
+  * brute-force cosine top-k as the exactness baseline, LSH-bucketed
+  * (random-hyperplane) search as the scale path. Dot products via
+  * `zip_with` + `aggregate` — pure codegen'd expressions, no UDFs.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns (double math). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b,
+      (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Integer-quantized embedding (`floor(x · 10^6)` per component): exact
+    * integer dot products → bit-identical results across engines, used by
+    * the oracle-checked queries. Quantization error at 1e-6 is far below
+    * float32 input precision. */
+  def quantize(a: Column): Column =
+    transform(a, x => floor(x.cast("double") * 1000000d).cast("long"))
+
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b).cast("double") /
+      (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
+
+  /** I3a — brute-force cosine top-k neighbors for each query vector.
+    * The corpus side is broadcast when it fits (queries stream past it);
+    * for corpus >> memory use [[lshTopK]] instead. */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      broadcastCorpus: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+    val pairs = q.join(if (broadcastCorpus) broadcast(c) else c,
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosineQ(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
+    * a fixed integer mix mapped into [-1, 1). No data dependence, no RNG
+    * state — every executor derives the same planes. */
+  private def planeComponent(j: Int, i: Column): Column = {
+    val mixed = hash(lit(j), i).cast("long")
+    (mixed % 10007L).cast("double") / 10007.0
+  }
+
+  /** Sign-bucket id for LSH table `table`: `nPlanes` random-hyperplane sign
+    * bits packed into a long. Vectors in the same bucket are cosine-close
+    * with probability (1 − θ/π)^nPlanes. */
+  def lshBucket(vec: Column, nPlanes: Int = 12, table: Int = 0): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(nPlanes - 1)), j => j),
+      lit(0L),
+      (acc, j) => {
+        val dot = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x.cast("double") *
+              ((hash(lit(table), j.cast("int"), i).cast("long") % 10007L)
+                .cast("double") / 10007.0)),
+          lit(0.0), (a, x) => a + x)
+        acc + when(dot >= 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(lit(0L))
+      })
+
+  /** I3b — LSH-bucketed ANN: `nTables` independent hyperplane tables; a
+    * pair is a candidate if it collides in ANY table (IVF-style recall
+    * boost: 1 − (1−p)^T), then exact cosine + top-k within candidates.
+    * The per-table bucket join is linear in corpus size — that is the scale
+    * path; brute force is the recall baseline. */
+  def lshTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      nPlanes: Int = 8,
+      nTables: Int = 4): DataFrame = {
+    val b = df.select(
+      (Seq(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv")) ++
+        (0 until nTables).map(t =>
+          lshBucket(col(vecCol), nPlanes, t).as(s"bucket_$t"))): _*)
+    val buckets = b.select(col("query_id"), col("qv"),
+      posexplode(array((0 until nTables).map(t => col(s"bucket_$t")): _*))
+        .as(Seq("table_idx", "bucket")))
+    val other = buckets.select(col("query_id").as("neighbor_id"),
+      col("qv").as("cv"), col("table_idx"), col("bucket"))
+    val pairs = buckets.join(other, Seq("table_idx", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
+      .distinct() // a pair colliding in several tables counts once
+      .withColumn("cos_sim", cosineQ(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §2 Group I,
+  * I5): language ID, quality scoring, token counting, fingerprinting. All
+  * pure column expressions (whole-stage-codegen'd, no UDFs) so they run at
+  * scan speed over 100 TB of documents.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, " +"))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation —
+    * a deterministic proxy for subword tokenizers. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Mean word length (0.0 for empty docs); integer-exact numerator and
+    * denominator, one deterministic double division. */
+  def meanWordLength(text: Column): Column = {
+    val words = split(text, " +")
+    val totalLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    when(size(words) > 0, totalLen.cast("double") / size(words).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", "")))
+        .cast("double") / length(text).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Per-language stopword hit count: occurrences of any of the language's
+    * marker words, counted via the length delta of removing them. */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column = {
+    val pattern = stopwords.map(w => s"\\b$w\\b").mkString("|")
+    size(regexp_extract_all(lower(text), lit(pattern), lit(0)))
+  }
+
+  /** Tiny deterministic stopword tables for the heuristic language ID. */
+  val stopwordTable: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "mit", "von", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "dans", "une"),
+    "es" -> Seq("el", "la", "de", "que", "los", "es", "en", "una"))
+
+  /** Heuristic language ID: the language with the most stopword hits;
+    * `und` (undetermined) when no list scores above zero. Ties break to the
+    * alphabetically-first language code (chained CASE priority), mirrored
+    * exactly by the CASE WHEN in the oracle SQL. */
+  def langId(text: Column): Column = {
+    val langs = stopwordTable.toSeq.sortBy(_._1)
+    val hits = langs.map { case (code, ws) => code -> stopwordHits(text, ws) }
+    val anyHit = hits.map(_._2).reduce(_ + _) > 0
+    // chained first-match: lang i wins when its hits are >= every later
+    // lang's hits — equivalent to argmax with alphabetical tie-break
+    val winner = hits.zipWithIndex.foldRight(lit("und")) {
+      case (((code, h), i), elseCol) =>
+        val laterCols = hits.drop(i + 1).map(_._2)
+        val isMax = laterCols.foldLeft(lit(true))((acc, other) => acc && h >= other)
+        when(isMax, lit(code)).otherwise(elseCol)
+    }
+    when(anyHit, winner).otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: penalizes very short docs, high
+    * punctuation density, and missing stopwords. Integer-ratio based —
+    * deterministic across engines. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(
+      stopwordHits(text, stopwordTable.values.flatten.toSeq).cast("double") / 10.0,
+      lit(1.0))
+    (lenScore + punctPenalty + stopScore) / 3.0
+  }
+
+  /** Document fingerprint: polynomial rolling hash over character codes,
+    * `h = (h*31 + code) mod (2^31-1)` — the order-sensitive fold the
+    * reference-style content addressing needs, expressible in both Spark
+    * (`aggregate`) and the DuckDB oracle (`list_reduce`). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 2147483647L)
+
+  /** 64-bit SimHash over whitespace tokens: per-bit ±1 votes from
+    * xxhash64(word), sign-aggregated, packed to a long. Pure expressions. */
+  def simHash(text: Column): Column = {
+    val hashes = transform(split(text, " +"), w => xxhash64(w))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          i => when(call_function("shiftright", h, i).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))),
+        (a, b) => a + b))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two packed 64-bit SimHashes. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -3,9 +3,217 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** SURVEY §2 Group I — LLM-data-pipeline operators (placeholder: populated
-  * alongside graft.llm). */
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** SURVEY §2 Group I — LLM-data-pipeline operators as oracle-checked
+  * queries over `documents` / `embeddings`.
+  *
+  * Oracle notes: cosine queries run on integer-quantized embeddings
+  * (`floor(x·10^6)` per component) so dot products are exact integers in
+  * both engines — float-summation order can never flip a hash compare.
+  * MinHash/SimHash/LSH queries depend on Spark's xxhash64/murmur3 and get
+  * rows-only checks (no DuckDB equivalent); their semantics are covered by
+  * LlmSpec instead.
+  */
 object LlmOps {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  /** I1 — exact dedup groups by content hash. */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDedupGroups(Tables.documents(s, d), "doc_id", "text")
+
+  private val dedupExactSql =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS representative_id,
+      | COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** I2a — char-5-gram Jaccard near-dup pairs (threshold 0.5). The
+    * frequency cap (1000) is the skew guard; inactive at oracle scale. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 5, threshold = 0.5, maxShingleFreq = Some(1000))
+
+  private val ngramJaccardSql =
+    """WITH sh AS (
+      | SELECT doc_id, unnest(list_distinct([substr(text,i,5) for i in range(1, length(text)-5+2)])) AS s
+      | FROM documents WHERE length(text) >= 5),
+      |freq AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+      |shf AS (SELECT doc_id, sh.s FROM sh JOIN freq ON sh.s = freq.s),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |shared AS (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      | FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_shared,
+      | CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
+      |FROM shared
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.5""".stripMargin
+
+  /** I2b — MinHash+LSH candidate pairs (rows-only: xxhash64-dependent). */
+  def minhashCandidates(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashCandidates(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** I2c — SimHash near-dup pairs (rows-only: xxhash64-dependent). */
+  def simhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 10)
+
+  /** I3a — brute-force cosine top-5 neighbors per embedding. */
+  def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
+  }
+
+  private val cosineTopKSql =
+    """WITH q AS (
+      | SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS v
+      | FROM embeddings),
+      |flat AS (SELECT vec_id, unnest(v) AS e, generate_subscripts(v,1) AS i FROM q),
+      |norms AS (SELECT vec_id, SUM(e*e) AS nrm FROM flat GROUP BY 1),
+      |dots AS (
+      | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.e*b.e) AS dot
+      | FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      | SELECT query_id, neighbor_id,
+      |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cos_sim,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) DESC,
+      |      neighbor_id ASC) AS rank
+      | FROM dots
+      | JOIN norms na ON na.vec_id = query_id
+      | JOIN norms nb ON nb.vec_id = neighbor_id)
+      |WHERE rank <= 5""".stripMargin
+
+  /** I3b — LSH-bucketed ANN top-k (rows-only: murmur3-hash buckets). */
+  def lshAnn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.lshTopK(e, "vec_id", "embedding", k = 5, nPlanes = 8)
+  }
+
+  /** I5a — heuristic language ID. */
+  def langId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("pred_lang"))
+
+  private def stopwordPattern(code: String): String =
+    TextAnalysis.stopwordTable(code).map(w => s"\\b$w\\b").mkString("|")
+
+  private val langIdSql = {
+    def hits(code: String) =
+      s"len(regexp_extract_all(lower(text), '${stopwordPattern(code)}'))"
+    val Seq(de, en, es, fr) = Seq("de", "en", "es", "fr").map(hits)
+    s"""SELECT doc_id,
+       | CASE WHEN $de + $en + $es + $fr = 0 THEN 'und'
+       |  WHEN $de >= $en AND $de >= $es AND $de >= $fr THEN 'de'
+       |  WHEN $en >= $es AND $en >= $fr THEN 'en'
+       |  WHEN $es >= $fr THEN 'es'
+       |  ELSE 'fr' END AS pred_lang
+       |FROM documents""".stripMargin
+  }
+
+  /** I5b — quality scoring (length, punctuation, stopword signals). */
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_text"),
+      TextAnalysis.tokenCount(col("text")).as("n_words"),
+      TextAnalysis.meanWordLength(col("text")).as("mean_word_len"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+
+  private val qualityScoreSql = {
+    val allStop = TextAnalysis.stopwordTable.values.flatten.toSeq
+      .map(w => s"\\b$w\\b").mkString("|")
+    s"""SELECT doc_id,
+       | LENGTH(text) AS n_chars_text,
+       | LEN(regexp_split_to_array(text, ' +')) AS n_words,
+       | CASE WHEN LEN(regexp_split_to_array(text, ' +')) > 0 THEN
+       |   CAST(LIST_SUM([LENGTH(w) FOR w IN regexp_split_to_array(text, ' +')]) AS DOUBLE)
+       |     / LEN(regexp_split_to_array(text, ' +')) ELSE 0.0 END AS mean_word_len,
+       | CASE WHEN LENGTH(text) > 0 THEN
+       |   CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |     / LENGTH(text) ELSE 0.0 END AS punct_ratio,
+       | (LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)
+       |  + (1.0 - LEAST((CASE WHEN LENGTH(text) > 0 THEN
+       |      CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |        / LENGTH(text) ELSE 0.0 END) * 5.0, 1.0))
+       |  + LEAST(CAST(len(regexp_extract_all(lower(text), '$allStop')) AS DOUBLE) / 10.0, 1.0)
+       | ) / 3.0 AS quality
+       |FROM documents""".stripMargin
+  }
+
+  /** I5c — token counting: whitespace + BPE-ish regex. */
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+      TextAnalysis.regexTokenCount(col("text")).as("re_tokens"))
+
+  private val tokenCountsSql =
+    """SELECT doc_id,
+      | LEN(regexp_split_to_array(text, ' +')) AS ws_tokens,
+      | LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens
+      |FROM documents""".stripMargin
+
+  /** I5d — rolling-hash document fingerprint (order-sensitive fold). */
+  def fingerprints(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+
+  private val fingerprintsSql =
+    """SELECT doc_id,
+      | list_reduce([CAST(ascii(substr(text, i, 1)) AS BIGINT) for i in range(1, length(text)+1)],
+      |   (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+      |FROM documents""".stripMargin
+
+  /** I4 — multimodal metadata extraction over binary payload columns (the
+    * deterministic stub codec; plumbing is the point — see
+    * graft.llm.Multimodal). */
+  def multimodalMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.docsAsMedia(Tables.documents(s, d)).select(
+      col("media_id"),
+      col("mime"),
+      octet_length(col("payload")).as("n_bytes"),
+      (lit(64) + octet_length(col("payload")) % 577).as("fake_width"),
+      // floor() on both sides: DuckDB CAST(double AS INT) rounds, Spark
+      // truncates — integer-div via floor is unambiguous in both
+      (lit(64) + floor(octet_length(col("payload")) / lit(7)).cast("int") % 431)
+        .as("fake_height"),
+      md5(col("payload")).as("checksum"))
+
+  private val multimodalMetaSql =
+    """SELECT doc_id AS media_id,
+      | 'application/octet-stream' AS mime,
+      | octet_length(encode(text)) AS n_bytes,
+      | 64 + octet_length(encode(text)) % 577 AS fake_width,
+      | 64 + CAST(FLOOR(octet_length(encode(text)) / 7) AS INT) % 431 AS fake_height,
+      | md5(text) AS checksum
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i1_dedup_exact" -> dedupExact _,
+    "i2_ngram_jaccard" -> ngramJaccard _,
+    "i2_minhash_lsh_candidates" -> minhashCandidates _,
+    "i2_simhash_pairs" -> simhashPairs _,
+    "i3_cosine_topk" -> cosineTopK _,
+    "i3_lsh_ann_topk" -> lshAnn _,
+    "i5_lang_id" -> langId _,
+    "i5_quality_score" -> qualityScore _,
+    "i5_token_counts" -> tokenCounts _,
+    "i5_fingerprints" -> fingerprints _,
+    "i4_multimodal_meta" -> multimodalMeta _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "i1_dedup_exact" -> dedupExactSql,
+    "i2_ngram_jaccard" -> ngramJaccardSql,
+    "i3_cosine_topk" -> cosineTopKSql,
+    "i5_lang_id" -> langIdSql,
+    "i5_quality_score" -> qualityScoreSql,
+    "i5_token_counts" -> tokenCountsSql,
+    "i5_fingerprints" -> fingerprintsSql,
+    "i4_multimodal_meta" -> multimodalMetaSql
+  )
 }

@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Semantic tests for the Group I operators whose hash functions have no
+  * DuckDB oracle (MinHash/SimHash/LSH), plus the multimodal plumbing. */
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again!"), // near-dup of 0
+    (2L, "completely different content about spark query engines at scale"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (4L, "le chat noir dort dans la maison pres de la fenetre tranquille")
+  ).toDF("doc_id", "text")
+
+  test("I1 exact dedup keeps min-id representative") {
+    val groups = Dedup.exactDedupGroups(docs, "doc_id", "text")
+    assert(groups.count() == 4) // 0 and 3 collapse
+    val rep = groups.filter(col("n_copies") === 2).head()
+    assert(rep.getAs[Long]("representative_id") == 0L)
+    val deduped = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(deduped.count() == 4)
+    assert(deduped.filter(col("doc_id") === 3).count() == 0)
+  }
+
+  test("I2 ngram jaccard finds near-dups, not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 3L))) // exact dup ⇒ jaccard 1.0
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("I2 minhash LSH candidates superset of true near-dups; estimate sane") {
+    val cands = Dedup.minHashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(cands.contains((0L, 3L)))
+    assert(cands.contains((0L, 1L)))
+    // signature similarity of exact dups is 1.0
+    val sigs = docs.select(col("doc_id"),
+      Dedup.minHashSignature(Dedup.charShingles(col("text"), 5)).as("sig"))
+    val s0 = sigs.filter(col("doc_id") === 0).head().getSeq[Long](1)
+    val s3 = sigs.filter(col("doc_id") === 3).head().getSeq[Long](1)
+    val s2 = sigs.filter(col("doc_id") === 2).head().getSeq[Long](1)
+    assert(s0 == s3)
+    val est02 = s0.zip(s2).count { case (a, b) => a == b } / 64.0
+    assert(est02 < 0.3)
+  }
+
+  test("I2 simhash: identical docs hamming 0, near-dups close, others far") {
+    val sh = docs.select(col("doc_id"), TextAnalysis.simHash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L)))
+  }
+
+  test("I3 LSH ANN recall vs brute force on real embeddings") {
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val ann = Similarity.lshTopK(e, "vec_id", "embedding", k = 3,
+      nPlanes = 4, nTables = 8)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    // single-table sign-LSH recall at 4 planes is ~(1-θ/π)^4 ≈ 0.15 for
+    // near-orthogonal vectors; 8 tables lift it to ~1-(1-p)^8 ≈ 0.7
+    val hits = brute.count { case (q, n) => ann.get(q).contains(n) }
+    assert(ann.nonEmpty)
+    assert(hits.toDouble / brute.size > 0.4, s"recall ${hits.toDouble / brute.size}")
+  }
+
+  test("I3 cosine matches quantized cosine closely") {
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val both = a.join(b, col("ia") < col("ib"))
+      .select(
+        Similarity.cosine(col("va"), col("vb")).as("exact"),
+        Similarity.cosineQ(Similarity.quantize(col("va")),
+          Similarity.quantize(col("vb"))).as("quant"))
+      .collect()
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-4)
+    }
+  }
+
+  test("I4 multimodal: stub decode plumbing produces stable schema + features") {
+    val media = Multimodal.docsAsMedia(
+      docs.withColumnRenamed("doc_id", "doc_id").select(col("doc_id"), col("text")))
+    val out = Multimodal.extractFeatures(media, dim = 8)
+    assert(out.schema.fieldNames.toSeq.containsSlice(
+      Seq("width", "height", "n_channels", "duration_ms", "features")))
+    val rows = out.collect()
+    assert(rows.forall(_.getSeq[Float](out.schema.fieldIndex("features")).size == 8))
+    // deterministic: same payload ⇒ same features
+    val f0 = rows.find(_.getLong(0) == 0L).get.getSeq[Float](out.schema.fieldIndex("features"))
+    val f3 = rows.find(_.getLong(0) == 3L).get.getSeq[Float](out.schema.fieldIndex("features"))
+    assert(f0 == f3)
+  }
+
+  test("I5 language id picks stopword-matching language") {
+    val en = Seq((1L, "the cat and the dog is in the house with all of them"))
+      .toDF("doc_id", "text")
+    val fr = Seq((2L, "le chat est dans la maison et les oiseaux dans une cage"))
+      .toDF("doc_id", "text")
+    assert(en.select(TextAnalysis.langId(col("text"))).head().getString(0) == "en")
+    assert(fr.select(TextAnalysis.langId(col("text"))).head().getString(0) == "fr")
+    val none = Seq((3L, "zzz qqq www")).toDF("doc_id", "text")
+    assert(none.select(TextAnalysis.langId(col("text"))).head().getString(0) == "und")
+  }
+}
