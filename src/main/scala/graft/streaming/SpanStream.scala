@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Group H — Structured-Streaming surface over the span JSONL append
+  * pattern (SURVEY §2 Group H; the reference is batch-only and papers over
+  * flush latency with sleeps, `opentelemetry_helpers.py:534-537` — a
+  * watermark models that lateness honestly).
+  *
+  * The streaming schema reads attribute values as plain strings (Spark's
+  * JSON source coerces scalars); streaming aggregations only touch
+  * name/time/status columns, so the typed attribute codec is not needed on
+  * this path.
+  */
+object SpanStream {
+
+  /** Streaming-friendly span schema (envelope columns only). */
+  val streamSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("context", StructType(Seq(
+      StructField("trace_id", StringType),
+      StructField("span_id", StringType),
+      StructField("trace_state", StringType)))),
+    StructField("parent_id", StringType),
+    StructField("kind", StringType),
+    StructField("start_time", StringType),
+    StructField("end_time", StringType),
+    StructField("status", StructType(Seq(
+      StructField("status_code", StringType),
+      StructField("description", StringType)))),
+    StructField("attributes", MapType(StringType, StringType))))
+
+  /** H1 — live span tailing: stream-read a directory of span JSONL files. */
+  def readSpanStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(streamSchema)
+      .json(dir)
+      .withColumn("start_ts", to_timestamp(col("start_time")))
+      .withColumn("end_ts", to_timestamp(col("end_time")))
+
+  /** H4 — watermarked view: spans arrive when they END (flush delay), so
+    * lateness is bounded by the exporter flush interval. */
+  def withLateness(spans: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    spans.withWatermark("end_ts", lateness)
+
+  /** H2 — tumbling/sliding task-throughput windows: completed task spans
+    * per window × status. */
+  def taskThroughput(
+      spans: DataFrame,
+      windowLen: String = "1 minute",
+      slide: Option[String] = None): DataFrame = {
+    val w = slide match {
+      case Some(s) => window(col("end_ts"), windowLen, s)
+      case None => window(col("end_ts"), windowLen)
+    }
+    withLateness(spans)
+      .filter(col("name") === "execute-task")
+      .groupBy(w, col("status.status_code").as("status_code"))
+      .agg(count(lit(1)).as("n_tasks"),
+        sum(unix_micros(col("end_ts")) - unix_micros(col("start_ts")))
+          .as("total_us"))
+  }
+
+  /** H3 — session windows per trace: one session per burst of span arrivals
+    * within `gap` of each other. */
+  def traceSessions(spans: DataFrame, gap: String = "30 seconds"): DataFrame =
+    withLateness(spans)
+      .groupBy(session_window(col("end_ts"), gap), col("context.trace_id").as("trace_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("status.status_code") === "ERROR", 1).otherwise(0))
+          .as("n_errors"))
+
+  // ---- H5: stateful per-trace run-status accumulator ----
+
+  case class SpanEvent(
+      trace_id: String,
+      name: String,
+      status_code: String,
+      end_time: String)
+
+  case class RunStatus(
+      trace_id: String,
+      n_tasks: Long,
+      n_errors: Long,
+      last_end_time: String,
+      finished: Boolean)
+
+  /** H5 — `flatMapGroupsWithState` accumulator keyed by trace: counts task
+    * spans and errors as they stream in, emits an updated status row per
+    * batch, finalizes when the `dag-top-span` end arrives. */
+  def runStatusStream(spans: DataFrame): Dataset[RunStatus] = {
+    val spark = spans.sparkSession
+    import spark.implicits._
+    spans
+      .select(col("context.trace_id").as("trace_id"), col("name"),
+        col("status.status_code").as("status_code"), col("end_time"))
+      .as[SpanEvent]
+      .groupByKey(_.trace_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout())(updateRunStatus)
+  }
+
+  private[streaming] def updateRunStatus(
+      traceId: String,
+      events: Iterator[SpanEvent],
+      state: GroupState[RunStatus]): Iterator[RunStatus] = {
+    var s = state.getOption.getOrElse(RunStatus(traceId, 0L, 0L, "", finished = false))
+    events.foreach { e =>
+      val isTask = e.name == "execute-task"
+      s = s.copy(
+        n_tasks = s.n_tasks + (if (isTask) 1 else 0),
+        n_errors = s.n_errors +
+          (if (isTask && e.status_code == "ERROR") 1 else 0),
+        last_end_time =
+          if (e.end_time != null && e.end_time > s.last_end_time) e.end_time
+          else s.last_end_time,
+        finished = s.finished || e.name == "dag-top-span")
+    }
+    state.update(s)
+    Iterator.single(s)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exec.{Engine, SpanRecorder}
+import graft.streaming.SpanStream
+
+/** Streaming-surface tests (SURVEY §2 Group H): drive file-source streams
+  * from real engine runs through memory sinks synchronously. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Run two small DAGs and dump their spans as two JSONL files (the
+    * append-style layout the reference produces). */
+  def spanDir: String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val engine = new Engine(spark, 4)
+    val ok = engine.task("ok_task")(_ => 1)
+    SpanRecorder.record(engine) { engine.runDag(ok(Nil), Map()) }
+    engine.sink.writeJsonl(s"$dir/run1.jsonl")
+    engine.sink.clear()
+    val bad = engine.task("bad_task")(_ => throw new Exception("stream-boom"))
+    SpanRecorder.record(engine) { engine.runDag(bad(Nil), Map()) }
+    engine.sink.writeJsonl(s"$dir/run2.jsonl")
+    dir
+  }
+
+  test("H1/H2/H4 tailing + windowed task throughput with watermark") {
+    val dir = spanDir
+    val stream = SpanStream.readSpanStream(spark, dir)
+    assert(stream.isStreaming)
+    val q = SpanStream.taskThroughput(stream, "1 minute")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("throughput").start()
+    try {
+      q.processAllAvailable()
+      // append mode only emits closed windows; check state via complete mode
+    } finally q.stop()
+
+    val q2 = SpanStream.taskThroughput(stream, "1 minute")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("throughput_c").start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.sql(
+        "select status_code, sum(n_tasks) n from throughput_c group by 1")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows.getOrElse("OK", 0L) == 1L)
+      assert(rows.getOrElse("ERROR", 0L) == 1L)
+    } finally q2.stop()
+  }
+
+  test("H3 session windows per trace") {
+    val dir = spanDir
+    val q = SpanStream.traceSessions(SpanStream.readSpanStream(spark, dir), "30 seconds")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("select trace_id, n_spans, n_errors from sessions").collect()
+      assert(rows.length == 2) // two traces (two runs)
+      assert(rows.map(_.getLong(1)).sum >= 6) // ≥3 spans per run
+      assert(rows.map(_.getLong(2)).sum >= 1) // the failed task
+    } finally q.stop()
+  }
+
+  test("H5 stateful run-status accumulator finalizes on dag-top-span") {
+    val dir = spanDir
+    val q = SpanStream.runStatusStream(SpanStream.readSpanStream(spark, dir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("runstatus").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """select trace_id, max(n_tasks) n_tasks, max(n_errors) n_errors,
+          |  bool_or(finished) finished
+          |from runstatus group by 1""".stripMargin)
+        .collect()
+      assert(rows.length == 2)
+      assert(rows.forall(_.getAs[Boolean]("finished")))
+      assert(rows.map(_.getAs[Long]("n_tasks")).sum == 2L)
+      assert(rows.map(_.getAs[Long]("n_errors")).sum == 1L)
+    } finally q.stop()
+  }
+}
