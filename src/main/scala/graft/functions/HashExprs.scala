@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sketch kernels as single Catalyst expressions (SURVEY §4.2).
+  *
+  * The higher-order-function formulation (`transform`/`aggregate` lambdas)
+  * evaluates one Catalyst dispatch per (hash index × element): ~19k
+  * interpreted steps per row for k=64 × 300 shingles. These expressions run
+  * the whole kernel as one tight JVM loop per row — the xxhash64 matches
+  * Spark's builtin (XXH64, seed 42). `CodegenFallback` breaks whole-stage
+  * codegen only for the projection computing the sketch; the loop itself is
+  * compiled JVM code, which is what matters at 100 TB.
+  */
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    // one xxhash per shingle, folded to [0, P)
+    val hmods = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUTF8String(s, 42L)
+      hmods(i) = ((h % P) + P) % P
+      i += 1
+    }
+    val sig = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val a = 2L * j + 1
+      val b = ((j * 2654435761L) % P + P) % P
+      var mn = Long.MaxValue
+      var t = 0
+      while (t < n) {
+        val v = (a * hmods(t) + b) % P
+        if (v < mn) mn = v
+        t += 1
+      }
+      sig(j) = mn
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over a token array: per-bit ±1 votes from xxhash64(token),
+  * packed to a long — one loop per row. */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUTF8String(s, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashExprs {
+  def minHashSig(shingles: Column, k: Int): Column =
+    Bridge.column(MinHashSigExpr(Bridge.expression(shingles), k))
+
+  def simHash64(tokens: Column): Column =
+    Bridge.column(SimHash64Expr(Bridge.expression(tokens)))
+}

@@ -36,6 +36,24 @@ object Dedup {
         i => text.substr(i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Distinct word n-gram shingles: far more selective than char shingles
+    * on natural text (frequency ~ vocab^-n), which keeps the Jaccard
+    * blocking join linear without an aggressive frequency cap.
+    *
+    * Built zip-style over shifted copies of ONE split array — the
+    * `element_at(split(text), i+j)` formulation inlines a fresh `split`
+    * into every element access (n splits per shingle, interpreted), which
+    * profiled 100× slower. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = split(text, " +")
+    // fold: grams_1 = words; grams_k = zip_with(grams_{k-1}, drop(words,k-1), concat)
+    val grams = (1 until n).foldLeft(words)((acc, k) =>
+      zip_with(acc, slice(words, lit(k + 1), greatest(size(words) - k, lit(0))),
+        (a, b) => concat_ws(" ", a, b)))
+    when(size(words) >= n, array_distinct(slice(grams, lit(1), size(words) - (n - 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** I2a — n-gram Jaccard near-dup pairs: explode shingles, block on the
     * shingle (only pairs sharing ≥1 shingle are compared), count shared
     * shingles, compute |A∩B| / (|A|+|B|−|A∩B|). `maxShingleFreq` drops
@@ -47,12 +65,23 @@ object Dedup {
       textCol: String,
       n: Int = 5,
       threshold: Double = 0.5,
-      maxShingleFreq: Option[Int] = None): DataFrame = {
+      maxShingleFreq: Option[Int] = None,
+      shingler: (Column, Int) => Column = charShingles): DataFrame = {
+    // exchange barrier: the shingle array is referenced by four plan
+    // branches (sizes ×2, both join sides, the frequency filter); without
+    // it CollapseProject inlines the shingling into every branch and the
+    // scan+shingle work runs 4×. ReuseExchange dedupes the barrier subtree.
     val shingled = df.select(
       col(idCol).as("doc"),
-      charShingles(col(textCol), n).as("shingles"))
+      shingler(col(textCol), n).as("shingles"))
+      .repartition(col("doc"))
     val sizes = shingled.select(col("doc"), size(col("shingles")).as("n_sh"))
-    var exploded = shingled.select(col("doc"), explode(col("shingles")).as("sh"))
+    // shingles become 64-bit hashes before the blocking join: halves the
+    // shuffle width and makes the join key compare a long compare
+    // (collision probability ~2^-64 per pair — far below float noise)
+    var exploded = shingled.select(col("doc"),
+      explode(col("shingles")).as("sh_str"))
+      .select(col("doc"), xxhash64(col("sh_str")).as("sh"))
     maxShingleFreq.foreach { cap =>
       val freq = exploded.groupBy("sh").agg(count(lit(1)).as("f"))
         .filter(col("f") <= cap).select("sh")
@@ -77,16 +106,11 @@ object Dedup {
   /** MinHash signature column: k independent hash functions
     * `h_i(s) = (a_i·xxhash64(s) + b_i) mod p` folded with min over the
     * shingle set. Computed entirely inside one projection (no explode, no
-    * shuffle) — nested `transform`s over (hash index × shingles). */
-  def minHashSignature(shingles: Column, k: Int = 64): Column = {
-    val p = 2147483647L // 2^31 - 1
-    transform(sequence(lit(0), lit(k - 1)), i => {
-      val a = i * 2 + 1
-      val b = pmod(i * lit(2654435761L), lit(p))
-      array_min(transform(shingles,
-        s => pmod(a * pmod(xxhash64(s), lit(p)) + b, lit(p))))
-    })
-  }
+    * shuffle) by the fused [[graft.functions.MinHashSigExpr]] kernel — the
+    * nested-`transform` formulation re-dispatched per (hash × shingle) and
+    * was 500× slower at sf0.1. */
+  def minHashSignature(shingles: Column, k: Int = 64): Column =
+    graft.functions.HashExprs.minHashSig(shingles, k)
 
   /** I2b — MinHash+LSH candidate pairs: signatures → `nBands` band hashes →
     * explode → self-join per (band index, band hash). Two docs are
@@ -100,10 +124,28 @@ object Dedup {
       k: Int = 64,
       nBands: Int = 16): DataFrame = {
     val r = k / nBands
-    val sigs = df.select(
-      col(idCol).as("doc"),
-      minHashSignature(charShingles(col(textCol), shingleN), k).as("sig"))
-      .filter(size(col("sig")) > 0)
+    // two exchange barriers: the first spreads the docs across cores (a
+    // small parquet file scans as ONE partition, which would run the
+    // signature kernel single-threaded); the second materializes the
+    // signatures so the two self-join branches (ReuseExchange) don't
+    // recompute them.
+    // Exchange sandwich around the signature kernel:
+    //  - the FIRST exchange spreads docs across cores (a small parquet file
+    //    scans as one partition; the kernel is ~0.7 ms/doc and would run
+    //    single-threaded below it);
+    //  - the SECOND exchange materializes signatures once for the two
+    //    self-join branches (ReuseExchange dedupes it).
+    // The length prefilter replaces `size(sig) > 0`, which would be
+    // predicate-pushed below both exchanges and re-inline the kernel into
+    // the scan.
+    // (round-robin then hash: two IDENTICAL repartitions would be merged
+    // by CollapseRepartition, collapsing the sandwich)
+    val sigs = df.select(col(idCol).as("doc"), col(textCol).as("text"))
+      .filter(length(col(textCol)) >= shingleN)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc"),
+        minHashSignature(charShingles(col("text"), shingleN), k).as("sig"))
+      .repartition(col("doc"))
     val bands = sigs.select(col("doc"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         j => hash(concat_ws(",", slice(col("sig"), j * r + 1, lit(r))), j)))
@@ -132,6 +174,7 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val sh = df.select(col(idCol).as("doc"),
       TextAnalysis.simHash(col(textCol)).as("sim"))
+      .repartition(col("doc")) // barrier: compute the sketch exactly once
     val chunks = sh.select(col("doc"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(3)),
         j => call_function("shiftright", col("sim"), j * 16).bitwiseAND(65535)))

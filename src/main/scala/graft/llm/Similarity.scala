@@ -30,8 +30,11 @@ object Similarity {
   def quantize(a: Column): Column =
     transform(a, x => floor(x.cast("double") * 1000000d).cast("long"))
 
+  /** Exact integer dot product — native codegen'd expression
+    * ([[graft.functions.LongArrayDot]]); the `zip_with`+`aggregate`
+    * formulation pays one interpreted dispatch per element per pair. */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.ArrayOps.longArrayDot(a, b)
 
   def cosineQ(a: Column, b: Column): Column =
     dotQ(a, b).cast("double") /
@@ -47,11 +50,16 @@ object Similarity {
       vecCol: String,
       k: Int = 5,
       broadcastCorpus: Boolean = true): DataFrame = {
+    // norms computed ONCE per vector before the join (cosineQ inline would
+    // recompute both self-dots for every one of the |Q|×|C| pairs)
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
     val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(dotQ(col("cv"), col("cv")).cast("double")))
     val pairs = q.join(if (broadcastCorpus) broadcast(c) else c,
         col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", cosineQ(col("qv"), col("cv")))
+      .withColumn("cos_sim",
+        dotQ(col("qv"), col("cv")).cast("double") / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))
@@ -100,16 +108,20 @@ object Similarity {
       (Seq(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv")) ++
         (0 until nTables).map(t =>
           lshBucket(col(vecCol), nPlanes, t).as(s"bucket_$t"))): _*)
-    val buckets = b.select(col("query_id"), col("qv"),
+      .withColumn("qn", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
+      .repartition(col("query_id")) // barrier: buckets + norm computed once
+    val buckets = b.select(col("query_id"), col("qv"), col("qn"),
       posexplode(array((0 until nTables).map(t => col(s"bucket_$t")): _*))
         .as(Seq("table_idx", "bucket")))
     val other = buckets.select(col("query_id").as("neighbor_id"),
-      col("qv").as("cv"), col("table_idx"), col("bucket"))
+      col("qv").as("cv"), col("qn").as("cn"), col("table_idx"), col("bucket"))
     val pairs = buckets.join(other, Seq("table_idx", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("neighbor_id"), col("cv"), col("cn"))
       .distinct() // a pair colliding in several tables counts once
-      .withColumn("cos_sim", cosineQ(col("qv"), col("cv")))
+      .withColumn("cos_sim",
+        dotQ(col("qv"), col("cv")).cast("double") / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))

@@ -90,21 +90,11 @@ object TextAnalysis {
       (acc, x) => (acc * 31 + x) % 2147483647L)
 
   /** 64-bit SimHash over whitespace tokens: per-bit ±1 votes from
-    * xxhash64(word), sign-aggregated, packed to a long. Pure expressions. */
-  def simHash(text: Column): Column = {
-    val hashes = transform(split(text, " +"), w => xxhash64(w))
-    val votes = aggregate(
-      hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          i => when(call_function("shiftright", h, i).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))),
-        (a, b) => a + b))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * xxhash64(word), sign-aggregated, packed to a long. One fused kernel
+    * per row ([[graft.functions.SimHash64Expr]]) — the lambda formulation
+    * cost ~64 interpreted dispatches per token. */
+  def simHash(text: Column): Column =
+    graft.functions.HashExprs.simHash64(split(text, " +"))
 
   /** Hamming distance between two packed 64-bit SimHashes. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

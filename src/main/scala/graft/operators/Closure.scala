@@ -56,6 +56,55 @@ object Closure {
     acc
   }
 
+  /** Partitioned tree closure (SURVEY §7.4.1's scale mitigation): when the
+    * edge set is partitionable by a key (trace_id, user_id, tenant...) and
+    * each group is a bounded forest, compute the closure with ONE shuffle
+    * and an in-memory ancestor walk per group — no per-depth iteration.
+    * Each node emits its ancestor chain, so work is proportional to the
+    * output size O(nodes × depth). Falls back to [[transitiveClosure]] for
+    * unpartitionable edge sets.
+    *
+    * Ids are BIGINT; columns in: (keyCol, parentCol, childCol); out:
+    * (ancestor, descendant, depth).
+    */
+  def treeClosureGrouped(
+      edges: DataFrame,
+      keyCol: String,
+      parentCol: String = "parent",
+      childCol: String = "child",
+      maxDepth: Int = 100000): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(
+      col(keyCol).cast("long"),
+      col(parentCol).cast("long"),
+      col(childCol).cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parentOf = scala.collection.mutable.LongMap.empty[Long]
+        it.foreach { case (_, p, c) => parentOf(c) = p }
+        val nodes = parentOf.keysIterator.toArray
+        nodes.iterator.flatMap { node =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          var cur = node
+          var depth = 0
+          var continue = true
+          while (continue && depth < maxDepth) {
+            parentOf.get(cur) match {
+              case Some(p) =>
+                depth += 1
+                out += ((p, node, depth))
+                cur = p
+              case None => continue = false
+            }
+          }
+          out
+        }
+      }
+      .toDF("ancestor", "descendant", "depth")
+  }
+
   /** (root, descendant) pairs for every root in `roots` (single column
     * "id"), labeling each reachable node with the root it came from. A node
     * under two roots appears once per root — exactly the semantics of the

@@ -26,16 +26,21 @@ object LlmOps {
       | COUNT(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
-  /** I2a — char-5-gram Jaccard near-dup pairs (threshold 0.5). The
-    * frequency cap (1000) is the skew guard; inactive at oracle scale. */
+  /** I2a — word-3-gram Jaccard near-dup pairs (threshold 0.5). Word
+    * shingles are selective enough (~vocab^-3 frequency) that the blocking
+    * join stays linear; the frequency cap (1000) remains as the skew guard
+    * for pathological corpora. Mirrored in the oracle's HAVING clause. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
-      n = 5, threshold = 0.5, maxShingleFreq = Some(1000))
+      n = 3, threshold = 0.5, maxShingleFreq = Some(1000),
+      shingler = Dedup.wordShingles)
 
   private val ngramJaccardSql =
-    """WITH sh AS (
-      | SELECT doc_id, unnest(list_distinct([substr(text,i,5) for i in range(1, length(text)-5+2)])) AS s
-      | FROM documents WHERE length(text) >= 5),
+    """WITH ws AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM documents),
+      |sh AS (
+      | SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |   for i in range(1, len(w) - 1)])) AS s
+      | FROM ws WHERE len(w) >= 3),
       |freq AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
       |shf AS (SELECT doc_id, sh.s FROM sh JOIN freq ON sh.s = freq.s),
       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),

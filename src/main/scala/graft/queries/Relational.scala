@@ -324,22 +324,24 @@ object Relational {
       |FROM events p WHERE p.event_type = 'purchase'""".stripMargin
 
   /** Transitive closure over a synthetic binary-tree hierarchy (per-user
-    * event rank rn, parent = rn/2) — the Spark side runs the iterative
-    * frontier join from [[Closure]]; the oracle is a recursive CTE. This is
-    * the A7 subtree-selection kernel on oracle-checkable data. */
+    * event rank rn, parent = rn/2) — the A7 subtree-selection kernel on
+    * oracle-checkable data; the oracle is a recursive CTE. The edge set is
+    * partitionable by user, so the Spark side uses the one-shuffle grouped
+    * walk ([[Closure.treeClosureGrouped]]); the generic iterative
+    * [[Closure.transitiveClosure]] (exercised by the span ops + specs)
+    * remains the fallback for unpartitionable graphs. */
   def closureTree(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
     val ranked = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("ts"))
       .withColumn("rn", row_number().over(w))
-    val parents = ranked.select(col("user_id").as("p_user"),
-      col("event_id").as("parent"), col("rn").as("p_rn"))
     val edges = ranked.filter(col("rn") > 1)
-      .join(parents,
+      .join(ranked.select(col("user_id").as("p_user"),
+        col("event_id").as("parent"), col("rn").as("p_rn")),
         col("user_id") === col("p_user") &&
           col("p_rn") === floor(col("rn") / 2).cast("int"))
-      .select(col("parent"), col("event_id").as("child"))
-    Closure.transitiveClosure(edges)
+      .select(col("user_id"), col("parent"), col("event_id").as("child"))
+    Closure.treeClosureGrouped(edges, "user_id")
       .select(col("ancestor"), col("descendant"), col("depth"))
   }
 
