@@ -247,6 +247,15 @@ final class Engine(
       else Success(results.collect { case Success(tr) => tr.result })
     }
 
+  /** A logging handle parented at an explicit traceparent — the shim path
+    * used by the MLflow protocol adapter (F2), mirroring
+    * `get_task_context(P={"_opentelemetry_traceparent": ...})`. */
+  def loggerFor(traceparent: String): TaskContext = {
+    val ctx = SpanContext.fromTraceparent(traceparent)
+    new TaskContext(this,
+      Map("_opentelemetry_traceparent" -> traceparent), ctx)
+  }
+
   /** Single-sink convenience: unwraps the one result (`wrappers.py:426-427`). */
   def runDag(dag: Node, workflowParameters: Map[String, Any]): Try[Any] =
     runDag(Seq(dag), workflowParameters).map(Errors.one(_))

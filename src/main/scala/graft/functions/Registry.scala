@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** D18 — the UDF/UDAF surface, exposed both as Scala APIs and as SQL
+  * functions so `spark.sql(...)` users reach every custom kernel.
+  */
+object Registry {
+
+  /** A4 as a reusable typed Aggregator (SURVEY §4.2.2): attribute-union
+    * with conflict detection over (key, value) pairs, producing the exact
+    * reference error message on a key bound to two distinct values
+    * (`opentelemetry_helpers.py:483-487`). */
+  class AttrUnionAggregator
+      extends Aggregator[(String, String), Map[String, String], Map[String, String]] {
+    override def zero: Map[String, String] = Map.empty
+
+    private def put(m: Map[String, String], k: String, v: String): Map[String, String] =
+      m.get(k) match {
+        case Some(existing) if existing != v =>
+          throw new IllegalArgumentException(
+            s"Encountered key=$k with different values $existing and $v")
+        case _ => m + (k -> v)
+      }
+
+    override def reduce(b: Map[String, String], a: (String, String)): Map[String, String] =
+      put(b, a._1, a._2)
+    override def merge(b1: Map[String, String], b2: Map[String, String]): Map[String, String] =
+      b2.foldLeft(b1) { case (acc, (k, v)) => put(acc, k, v) }
+    override def finish(r: Map[String, String]): Map[String, String] = r
+    override def bufferEncoder: Encoder[Map[String, String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, String]]()
+    override def outputEncoder: Encoder[Map[String, String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, String]]()
+  }
+
+  /** Register the engine's custom functions for SQL use. */
+  def registerAll(spark: SparkSession): Unit = {
+    // scalar codec (C1/C2) as SQL functions
+    spark.udf.register("graft_encode_type",
+      (s: String) => graft.model.SerializedData.encode(s).tpe)
+    spark.udf.register("graft_decode_utf8",
+      (t: String, e: String, c: String) =>
+        graft.model.SerializedData(t, e, c).decode().toString)
+    // time fns (C3)
+    spark.udf.register("graft_iso8601_to_epoch_us",
+      (s: String) => graft.model.TimeFns.iso8601ToEpochUs(s))
+    spark.udf.register("graft_iso8601_to_epoch_ms",
+      (s: String) => graft.model.TimeFns.iso8601ToEpochMs(s))
+    // sketch kernels (native expressions, full codegen/fused)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_long_dot", exprs => LongArrayDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64", exprs => SimHash64Expr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig", exprs => MinHashSigExpr(exprs(0), 64), "built-in")
+  }
+}

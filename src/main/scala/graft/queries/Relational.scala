@@ -199,6 +199,23 @@ object Relational {
       | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** GROUPING SETS (D9, SQL surface): per-flag totals, per-status totals,
+    * and the grand total in one pass. */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+  }
+
+  private val groupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
   /** Set operators: INTERSECT ∖ EXCEPT on customer key sets. (D12) */
   def setOpsCustkeys(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
@@ -472,6 +489,7 @@ object Relational {
     "d10_window_lag_delta" -> eventDeltas _,
     "d09_rollup_quantities" -> rollupQuantities _,
     "d09_cube_orders" -> cubeOrders _,
+    "d09_grouping_sets" -> groupingSets _,
     "d12_setops_custkeys" -> setOpsCustkeys _,
     "d13_string_fns" -> stringFns _,
     "d14_date_fns" -> dateFns _,
@@ -498,6 +516,7 @@ object Relational {
     "d10_window_lag_delta" -> eventDeltasSql,
     "d09_rollup_quantities" -> rollupQuantitiesSql,
     "d09_cube_orders" -> cubeOrdersSql,
+    "d09_grouping_sets" -> groupingSetsSql,
     "d12_setops_custkeys" -> setOpsCustkeysSql,
     "d13_string_fns" -> stringFnsSql,
     "d14_date_fns" -> dateFnsSql,

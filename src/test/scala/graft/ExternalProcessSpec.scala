@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import scala.util.Failure
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exec.{Engine, ExternalProcessTask, SpanRecorder}
+import graft.model.SpanModel
+import graft.parser.SpanParser
+
+/** E8 external-process task tests — ports of the reference's notebook task
+  * contracts (`test_ok_notebook.py`, `test_always_fail.py`,
+  * `test_stuck_notebook.py`): filename-stem task id, P injection,
+  * partial-output-on-failure, nothing-on-timeout. */
+class ExternalProcessSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def script(name: String, body: String): Path = {
+    val dir = Files.createTempDirectory("graft-scripts")
+    val p = dir.resolve(name)
+    Files.write(p, s"#!/bin/sh\n$body\n".getBytes(StandardCharsets.UTF_8))
+    p
+  }
+
+  def run(engine: Engine, node: graft.exec.Node) = {
+    val spans = SpanRecorder.record(engine) { engine.runDag(node) }
+    SpanParser.parseSpans(SpanModel.toDF(spark, spans))
+  }
+
+  test("ok script: stem task id, jupytext type, output artifact, P injection") {
+    val engine = new Engine(spark, 4)
+    val sh = script("ingest-data.sh", """echo "variable_a=$P_JSON"""")
+    val t = ExternalProcessTask.make(engine, sh, Seq("/bin/sh", sh.toString),
+      parameters = Map("task.variant" -> "a"))
+    val s = run(engine, t(Nil))
+    val r = s.taskRuns.head
+    assert(r.taskId == "ingest-data")
+    assert(r.attributes("task.type") == "jupytext")
+    assert(r.isSuccess)
+    val out = r.getArtifact("output.txt").content.asInstanceOf[String]
+    assert(out.contains(""""task.variant": "a""""))
+    assert(out.contains(""""task.id": "ingest-data""""))
+    assert(out.contains("_opentelemetry_traceparent"))
+  }
+
+  test("failing script: artifact still logged (partial output), task failed") {
+    val engine = new Engine(spark, 4)
+    val sh = script("always-fail.sh", "echo partial-result; exit 3")
+    val t = ExternalProcessTask.make(engine, sh, Seq("/bin/sh", sh.toString))
+    var result: scala.util.Try[Any] = null
+    val spans = SpanRecorder.record(engine) { result = engine.runDag(t(Nil)) }
+    result match {
+      case Failure(e) => assert(e.getMessage.contains("exit code 3"))
+      case other => fail(s"$other")
+    }
+    val s = SpanParser.parseSpans(SpanModel.toDF(spark, spans))
+    val r = s.taskRuns.head
+    assert(r.isFailure)
+    assert(r.getArtifact("output.txt").content == "partial-result\n")
+  }
+
+  test("stuck script: timeout kill, no artifact, process reaped") {
+    val engine = new Engine(spark, 4)
+    val sh = script("stuck.sh", "sleep 1000")
+    val t = ExternalProcessTask.make(engine, sh, Seq("/bin/sh", sh.toString),
+      timeoutS = Some(0.5))
+    var result: scala.util.Try[Any] = null
+    val spans = SpanRecorder.record(engine) { result = engine.runDag(t(Nil)) }
+    result match {
+      case Failure(e) => assert(e.getMessage ==
+        "Timeout error: execution did not finish within timeout limit.")
+      case other => fail(s"$other")
+    }
+    val s = SpanParser.parseSpans(SpanModel.toDF(spark, spans))
+    assert(s.taskRuns.head.loggedArtifacts.isEmpty)
+    Thread.sleep(300) // destroyForcibly is async
+    import scala.sys.process._
+    val pat = sh.getParent.toString + "/[s]tuck.sh" // bracket: avoid pgrep self-match
+    val leftover = Seq("/bin/sh", "-c", s"pgrep -f '$pat' || true").!!
+    assert(leftover.trim.isEmpty, s"process leaked: $leftover")
+  }
+
+  test("ipynb artifact name triggers the parser's html derivation (B5)") {
+    val engine = new Engine(spark, 4)
+    val sh = script("render-nb.sh", """echo '{"cells": []}'""")
+    val t = ExternalProcessTask.make(engine, sh, Seq("/bin/sh", sh.toString),
+      artifactName = "notebook.ipynb")
+    val s = run(engine, t(Nil))
+    val names = s.taskRuns.head.loggedArtifacts.map(_.name)
+    assert(names == Seq("notebook.ipynb", "notebook.html"))
+  }
+}

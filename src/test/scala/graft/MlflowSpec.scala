@@ -1,0 +1,135 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exec.{Engine, SpanRecorder, TaskContext}
+import graft.mlflow.MlflowShim
+import graft.model.SpanModel
+import graft.parser.SpanParser
+
+/** F2 MLflow-shim contract tests — port of
+  * `tests/test_mlflow_server/test_connection.py:36-210`: stringification
+  * table, tags prefix, metric floats, nested-run rejection, 501 catch-all,
+  * parallel-task isolation, artifact bytes. */
+class MlflowSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def basicAuth(user: String): String =
+    "Basic " + Base64.getEncoder.encodeToString(
+      s"$user:${MlflowShim.ServerPassword}".getBytes(StandardCharsets.UTF_8))
+
+  test("translator: stringification table, tags, metrics, nested rejection") {
+    val logged = scala.collection.mutable.ArrayBuffer.empty[(String, String, Any)]
+    val tr = new MlflowShim.Translator(
+      (tp, k, v) => logged += ((tp, k, v)),
+      (tp, k, v) => logged += ((tp, k, v)),
+      (tp, k, v) => logged += ((tp, k, v)),
+      "http://x/artifacts")
+
+    val tp = "00-aa-bb-01"
+    // params arrive stringified by the MLflow client: "x"→"x", 123→"123",
+    // 123.4→"123.4", [1,2,3]→"[1, 2, 3]" (FIXTURES.md §5)
+    for ((k, v) <- Seq(("s", "x"), ("i", "123"), ("f", "123.4"), ("l", "[1, 2, 3]"))) {
+      val r = tr.handle("POST", "/api/2.0/mlflow/runs/log-parameter", tp,
+        s"""{"run_uuid": "r", "run_id": "r", "key": "$k", "value": "$v"}""")
+      assert(r == MlflowShim.Ok(Map.empty))
+    }
+    assert(logged.toList == List(
+      (tp, "s", "x"), (tp, "i", "123"), (tp, "f", "123.4"), (tp, "l", "[1, 2, 3]")))
+    logged.clear()
+
+    tr.handle("POST", "/api/2.0/mlflow/runs/set-tag", tp,
+      """{"run_uuid": "r", "run_id": "r", "key": "env", "value": "ci"}""")
+    assert(logged.toList == List((tp, "tags.env", "ci")))
+    logged.clear()
+
+    tr.handle("POST", "/api/2.0/mlflow/runs/log-metric", tp,
+      """{"run_uuid": "r", "run_id": "r", "key": "acc", "value": 0.98, "timestamp": 1, "step": 7}""")
+    assert(logged.toList == List((tp, "acc", 0.98))) // step/timestamp dropped
+    logged.clear()
+
+    tr.handle("POST", "/api/2.0/mlflow/runs/log-batch", tp,
+      """{"run_id": "r", "params": [{"key": "a", "value": "1"}, {"key": "b", "value": "2"}]}""")
+    assert(logged.toList == List((tp, "a", "1"), (tp, "b", "2")))
+
+    val nested = tr.handle("POST", "/api/2.0/mlflow/runs/create", tp,
+      """{"tags": [{"key": "mlflow.parentRunId", "value": "xyz"}]}""")
+    assert(nested == MlflowShim.Err(501,
+      "POST /api/2.0/mlflow/runs/create --- nested runs are not supported"))
+
+    val created = tr.handle("POST", "/api/2.0/mlflow/runs/create", tp, "{}")
+    created match {
+      case MlflowShim.Ok(m) =>
+        val info = m("run").asInstanceOf[collection.Map[String, Any]]("info")
+          .asInstanceOf[collection.Map[String, Any]]
+        assert(info("run_id") == tp)
+        assert(info("artifact_uri").toString.endsWith(s"/$tp/"))
+      case other => fail(s"$other")
+    }
+
+    assert(tr.handle("POST", "/api/2.0/mlflow/unknown", tp, "{}")
+      .isInstanceOf[MlflowShim.Err])
+  }
+
+  test("HTTP round-trip: logs attach to the right task, parallel isolation") {
+    val engine = new Engine(spark, 4)
+    val server = MlflowShim.start(engine)
+    val port = server.getAddress.getPort
+    val client = HttpClient.newHttpClient()
+
+    def post(path: String, tp: String, body: String): Int = {
+      val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Authorization", basicAuth(tp))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+      client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode()
+    }
+
+    try {
+      // two parallel tasks, each logging via the shim with its own traceparent
+      val t1 = engine.task("ml_task_1")(_ => {
+        val tp = TaskContext.get.parameters("_opentelemetry_traceparent").toString
+        assert(post("/api/2.0/mlflow/runs/log-parameter", tp,
+          """{"run_uuid": "r", "run_id": "r", "key": "shared-name", "value": "from-1"}""") == 200)
+        assert(post("/api/2.0/mlflow/runs/log-metric", tp,
+          """{"run_uuid": "r", "run_id": "r", "key": "m", "value": 1.5, "timestamp": 0, "step": 0}""") == 200)
+        1
+      })
+      val t2 = engine.task("ml_task_2")(_ => {
+        val tp = TaskContext.get.parameters("_opentelemetry_traceparent").toString
+        assert(post("/api/2.0/mlflow/runs/log-parameter", tp,
+          """{"run_uuid": "r", "run_id": "r", "key": "shared-name", "value": "from-2"}""") == 200)
+        // artifact over HTTP PUT
+        val req = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/artifacts/$tp/out/result.bin"))
+          .header("Authorization", basicAuth(tp))
+          .PUT(HttpRequest.BodyPublishers.ofByteArray(Array[Byte](1, 2, 3))).build()
+        assert(client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
+        2
+      })
+      val spans = SpanRecorder.record(engine) {
+        assert(engine.runDag(Seq(t1(Nil), t2(Nil)), Map()).isSuccess)
+      }
+      val s = SpanParser.parseSpans(SpanModel.toDF(spark, spans))
+      val r1 = s.taskRuns.find(_.taskId == "ml_task_1").get
+      val r2 = s.taskRuns.find(_.taskId == "ml_task_2").get
+      assert(r1.loggedValues("shared-name").content == "from-1")
+      assert(r1.loggedValues("m").content == 1.5)
+      assert(r2.loggedValues("shared-name").content == "from-2")
+      assert(r2.getArtifact("out/result.bin").content
+        .asInstanceOf[Array[Byte]].toSeq == Seq[Byte](1, 2, 3))
+
+      // wrong password → config error; unknown endpoint → 501
+      val bad = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/status"))
+        .header("Authorization", "Basic " + Base64.getEncoder.encodeToString(
+          "u:wrong".getBytes(StandardCharsets.UTF_8))).GET().build()
+      assert(client.send(bad, HttpResponse.BodyHandlers.ofString()).statusCode() == 500)
+      assert(post("/api/2.0/mlflow/nope", "00-aa-bb-01", "{}") == 501)
+    } finally server.stop(0)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Registry
+import graft.model.SpanModel
+import graft.spans.LegacyReader
+import SpanFixtures._
+
+/** D18 (UDF/UDAF surface) + B7 (legacy last-write-wins reader) specs. */
+class RegistrySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("D18 SQL function registration: codec, time, sketch kernels") {
+    Registry.registerAll(spark)
+    val r = spark.sql(
+      """SELECT graft_encode_type('foo') AS t,
+        | graft_decode_utf8('utf-8', 'utf-8', 'bar') AS v,
+        | graft_iso8601_to_epoch_ms('2022-03-19T14:47:02.118432Z') AS ms,
+        | graft_long_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS dot,
+        | graft_simhash64(array('a', 'b')) AS sh,
+        | size(graft_minhash_sig(array('a', 'b'))) AS sig_len""".stripMargin).head()
+    assert(r.getAs[String]("t") == "utf-8")
+    assert(r.getAs[String]("v") == "bar")
+    assert(r.getAs[Long]("ms") == 1647701222118L)
+    assert(r.getAs[Long]("dot") == 32L)
+    assert(r.getAs[Int]("sig_len") == 64)
+  }
+
+  test("D18/A4 AttrUnionAggregator: union + conflict detection as a UDAF") {
+    val agg = new Registry.AttrUnionAggregator().toColumn
+    val ok = Seq(("a", "1"), ("b", "2"), ("a", "1")).toDS()
+      .select(agg).head()
+    assert(ok == Map("a" -> "1", "b" -> "2"))
+    val e = intercept[Exception] {
+      Seq(("a", "1"), ("a", "2")).toDS().select(agg).collect()
+    }
+    assert(e.getMessage.contains("Encountered key=a with different values") ||
+      Option(e.getCause).exists(_.getMessage
+        .contains("Encountered key=a with different values")))
+  }
+
+  test("B7 legacy reader: last write wins across duplicate names") {
+    val spans = Seq(
+      span("named-value", "0x1", start = "2021-01-01T00:00:01.000000Z",
+        attrs = Map("name" -> "metric", "type" -> "int",
+          "encoding" -> "json", "content_encoded" -> "1"), status = "OK"),
+      span("named-value", "0x2", start = "2021-01-01T00:00:05.000000Z",
+        attrs = Map("name" -> "metric", "type" -> "int",
+          "encoding" -> "json", "content_encoded" -> "2"), status = "OK"),
+      span("named-value", "0x3", start = "2021-01-01T00:00:03.000000Z",
+        attrs = Map("name" -> "other", "type" -> "utf-8",
+          "encoding" -> "utf-8", "content_encoded" -> "x"), status = "OK"),
+      span("artefact", "0x4", start = "2021-01-01T00:00:02.000000Z",
+        attrs = Map("name" -> "f.txt", "type" -> "utf-8",
+          "encoding" -> "utf-8", "content_encoded" -> "old"), status = "OK"),
+      span("artefact", "0x5", start = "2021-01-01T00:00:04.000000Z",
+        attrs = Map("name" -> "f.txt", "type" -> "utf-8",
+          "encoding" -> "utf-8", "content_encoded" -> "new"), status = "OK"))
+    val df = SpanModel.toDF(spark, spans)
+    assert(LegacyReader.getLoggedValues(df) == Map("metric" -> 2L, "other" -> "x"))
+    assert(LegacyReader.getLoggedArtifacts(df) == Map("f.txt" -> "new"))
+  }
+}
