@@ -19,6 +19,48 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     val only = args.headOption
     val explain = args.contains("--explain")
+    if (only.contains("parsebench")) {
+      // synthetic workflow: nTasks execute-task trees, each with guard +
+      // call + values/artifacts/dependency spans (the reference's shape)
+      import graft.model._
+      val nTasks = args.lift(1).map(_.toInt).getOrElse(2000)
+      val perTask = 20
+      def iso(i: Long) = TimeFns.toIso(java.time.Instant.ofEpochMilli(1700000000000L + i))
+      val spans = scala.collection.mutable.ArrayBuffer.empty[SpanRow]
+      def mk(name: String, sid: String, parent: Option[String], t: Long,
+          attrs: Map[String, Any] = Map.empty, status: String = "OK") =
+        SpanRow(name, SpanContextRow("0xt", sid, "[]"), parent, "SpanKind.INTERNAL",
+          iso(t), iso(t + 10), SpanStatusRow(status, None),
+          AttrCodec.renderMap(attrs), Nil, Nil, Map.empty)
+      spans += mk("dag-top-span", "0xtop", None, 0L,
+        Map("workflow.env" -> "bench"))
+      (0 until nTasks).foreach { t =>
+        val tid = f"0xtask$t%06d"
+        spans += mk("execute-task", tid, Some("0xtop"), t * 100L,
+          Map("task.id" -> s"task_$t", "task.type" -> "python",
+            "task.num_cpus" -> 1, "task.timeout_s" -> -1))
+        spans += mk("timeout-guard", s"$tid-g", Some(tid), t * 100L + 1)
+        spans += mk("call-python-function", s"$tid-c", Some(s"$tid-g"), t * 100L + 2)
+        (0 until perTask).foreach { v =>
+          spans += mk("named-value", f"$tid-v$v%03d", Some(s"$tid-c"), t * 100L + 3 + v,
+            Map("name" -> s"metric_$v", "type" -> "int",
+              "encoding" -> "json", "content_encoded" -> v.toString))
+        }
+      }
+      val total = spans.size
+      println(s"parsebench: $total spans, $nTasks tasks")
+      val df = SpanModel.toDF(spark, spans.toSeq)
+      df.count()
+      val t0 = System.nanoTime()
+      val summary = parser.SpanParser.parseSpans(df)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"parseSpans: $sec%.2f s, ${total / sec}%.0f spans/s, " +
+        s"${summary.taskRuns.size} task runs")
+      val t1 = System.nanoTime()
+      val n = parser.SpanParser.taskRunsDF(df).count()
+      println(f"taskRunsDF: ${(System.nanoTime() - t1) / 1e9}%.2f s ($n rows)")
+      spark.stop(); return
+    }
     if (only.contains("scratch")) {
       import org.apache.spark.sql.functions._
       val docs = queries.Tables.documents(spark, sfDir)

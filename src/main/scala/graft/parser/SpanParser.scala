@@ -48,8 +48,50 @@ object SpanParser {
       .toSet
 
   /** (task_span_id, span_id) ownership pairs: every span labeled with each
-    * `execute-task` ancestor (inclusive). */
+    * `execute-task` ancestor (inclusive).
+    *
+    * Spans are partitionable by trace (one workflow run per trace — the
+    * same bound the reference assumes by holding a run's spans in one
+    * list), so ownership is ONE shuffle + an in-memory ancestor walk per
+    * trace, not a per-depth iterative join. [[Closure.descendantsWithRoots]]
+    * remains the fallback for pathological single-trace volumes. */
   def taggedSpans(spans: DataFrame): DataFrame = {
+    val spark = spans.sparkSession
+    import spark.implicits._
+    spans
+      .select(col("context.trace_id").as("trace"),
+        col("context.span_id").as("sid"),
+        col("parent_id"),
+        (col("name") === "execute-task").as("is_task"))
+      .as[(String, String, Option[String], Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parentOf = scala.collection.mutable.HashMap.empty[String, String]
+        val isTask = scala.collection.mutable.HashSet.empty[String]
+        val ids = scala.collection.mutable.ArrayBuffer.empty[String]
+        it.foreach { case (_, sid, parent, task) =>
+          ids += sid
+          parent.foreach(p => parentOf(sid) = p)
+          if (task) isTask += sid
+        }
+        ids.iterator.flatMap { sid =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          var cur: String = sid
+          var steps = 0
+          while (cur != null && steps < 10000) {
+            if (isTask(cur)) out += ((cur, sid))
+            cur = parentOf.getOrElse(cur, null)
+            steps += 1
+          }
+          out
+        }
+      }
+      .toDF("task_span_id", "id")
+  }
+
+  /** Iterative-join variant of [[taggedSpans]] (no per-trace memory
+    * bound); used when a single trace exceeds executor memory. */
+  def taggedSpansIterative(spans: DataFrame): DataFrame = {
     val roots = spans.filterNested(Seq("name"), "execute-task")
       .select(col("context.span_id"))
     Closure.descendantsWithRoots(spans.spanEdges(), roots, inclusive = true)
