@@ -56,10 +56,14 @@ class EngineSpec extends AnyFunSuite {
     // span tree: execute-task → timeout-guard → call-python-function
     import graft.spans.SpansOps._
     val guards = df.filterNested(Seq("name"), "timeout-guard")
-      .select("context.span_id").collect().map(_.getString(0))
+      .select("context.span_id", "parent_id").collect()
+      .map(r => r.getString(0) -> r.getString(1))
     assert(guards.length == 3)
-    assert(df.containsPath(processRun.spanId, guards.head) ||
-      df.containsPath(in1Run.spanId, guards.head))
+    val processGuard = guards.find(_._2 == processRun.spanId).get._1
+    val processCall = df.filterNested(Seq("name"), "call-python-function")
+      .filterNested(Seq("parent_id"), processGuard)
+      .select("context.span_id").head().getString(0)
+    assert(df.containsPath(processRun.spanId, processGuard, processCall))
   }
 
   test("E4: upstream failure short-circuits, failed-downstream absent from logs") {
