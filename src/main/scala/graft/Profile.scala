@@ -23,7 +23,8 @@ object Profile {
       // synthetic workflow: nTasks execute-task trees, each with guard +
       // call + values/artifacts/dependency spans (the reference's shape)
       import graft.model._
-      val nTasks = args.lift(1).map(_.toInt).getOrElse(2000)
+      val nTasks = args.lift(1).flatMap(a => scala.util.Try(a.toInt).toOption)
+        .getOrElse(2000)
       val perTask = 20
       def iso(i: Long) = TimeFns.toIso(java.time.Instant.ofEpochMilli(1700000000000L + i))
       val spans = scala.collection.mutable.ArrayBuffer.empty[SpanRow]

@@ -62,7 +62,9 @@ object SpanParser {
       .select(col("context.trace_id").as("trace"),
         col("context.span_id").as("sid"),
         col("parent_id"),
-        (col("name") === "execute-task").as("is_task"))
+        // coalesce: a span with a null name (tolerated by SpanSource) must
+        // decode into the non-nullable Boolean, not crash the decode
+        coalesce(col("name") === "execute-task", lit(false)).as("is_task"))
       .as[(String, String, Option[String], Boolean)]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
@@ -76,12 +78,13 @@ object SpanParser {
         }
         ids.iterator.flatMap { sid =>
           val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          val visited = scala.collection.mutable.HashSet.empty[String]
           var cur: String = sid
-          var steps = 0
-          while (cur != null && steps < 10000) {
+          // visited-set terminates parent_id cycles in malformed input
+          // (the reference assumes acyclicity; we guard instead of spinning)
+          while (cur != null && visited.add(cur)) {
             if (isTask(cur)) out += ((cur, sid))
             cur = parentOf.getOrElse(cur, null)
-            steps += 1
           }
           out
         }
@@ -90,7 +93,9 @@ object SpanParser {
   }
 
   /** Iterative-join variant of [[taggedSpans]] (no per-trace memory
-    * bound); used when a single trace exceeds executor memory. */
+    * bound). NOT selected automatically — call it in place of
+    * [[taggedSpans]] when a single trace is too large for one executor's
+    * memory. */
   def taggedSpansIterative(spans: DataFrame): DataFrame = {
     val roots = spans.filterNested(Seq("name"), "execute-task")
       .select(col("context.span_id"))

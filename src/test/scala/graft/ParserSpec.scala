@@ -147,6 +147,40 @@ class ParserSpec extends AnyFunSuite {
     assert(s.taskRuns.forall(_.parentSpanId == "0xrun42"))
   }
 
+  test("ownership tagging: nested tasks, multiple traces, null names, " +
+    "cycles — grouped walk agrees with iterative variant") {
+    import graft.model.{SpanContextRow, SpanRow, SpanStatusRow}
+    // trace A: task t1 with NESTED task t2 under it (a span below t2 must
+    // be owned by BOTH); plus a null-name leaf; trace B: its own task.
+    val spansA = Seq(
+      span("execute-task", "0xt1", None, traceId = "0xA",
+        attrs = Map("task.id" -> "outer", "task.type" -> "python")),
+      span("execute-task", "0xt2", Some("0xt1"), traceId = "0xA",
+        attrs = Map("task.id" -> "inner", "task.type" -> "python")),
+      span("named-value", "0xleaf", Some("0xt2"), traceId = "0xA",
+        attrs = Map("name" -> "x", "type" -> "int", "encoding" -> "json",
+          "content_encoded" -> "1"), status = "OK"),
+      span("noname", "0xnull", Some("0xt1"), traceId = "0xA")
+        .copy(name = null),
+      span("execute-task", "0xt3", None, traceId = "0xB",
+        attrs = Map("task.id" -> "other", "task.type" -> "python")))
+    // malformed cycle: two spans pointing at each other
+    val cycle = Seq(
+      span("a", "0xc1", Some("0xc2"), traceId = "0xC"),
+      span("b", "0xc2", Some("0xc1"), traceId = "0xC"))
+    val df = graft.model.SpanModel.toDF(spark, spansA ++ cycle)
+
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val grouped = pairs(SpanParser.taggedSpans(df))
+    val iterative = pairs(SpanParser.taggedSpansIterative(df))
+    assert(grouped == iterative)
+    assert(grouped.contains(("0xt1", "0xleaf")) && grouped.contains(("0xt2", "0xleaf")))
+    assert(grouped.contains(("0xt1", "0xnull")))
+    assert(grouped.contains(("0xt3", "0xt3")))
+    assert(!grouped.exists(_._2 == "0xc1")) // cycle terminates, owns nothing
+  }
+
   test("B9 taskRunsDF flat view") {
     val df = SpanParser.taskRunsDF(SpanModel.toDF(spark, workflowSpans))
     val rows = df.orderBy("start_time").collect()
