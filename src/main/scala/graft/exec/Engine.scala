@@ -164,9 +164,12 @@ final class Engine(
 
       val bodyThread = new Thread(() => {
         // E5: CPU budget — the inner span only opens once `numCpus` permits
-        // are held, giving the reference's exclusion property.
-        cpuSemaphore.acquire(numCpus)
-        try {
+        // are held, giving the reference's exclusion property. A timeout
+        // interrupt during the queue wait exits quietly (no permits held).
+        val acquired =
+          try { cpuSemaphore.acquire(numCpus); true }
+          catch { case _: InterruptedException => false }
+        if (acquired) try {
           val result = tracer.withAmbient(guard) {
             val inner = tracer.startSpan("call-python-function")
             val ctx = new TaskContext(Engine.this,

@@ -53,7 +53,13 @@ object Closure {
       iter += 1
     }
     frontier.unpersist(blocking = false)
-    acc
+    // materialize the result before dropping the edge cache — otherwise the
+    // per-call persist of `e` accumulates across calls (containsPath calls
+    // this once per invocation)
+    val result = acc.persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    e.unpersist(blocking = false)
+    result
   }
 
   /** Partitioned tree closure (SURVEY §7.4.1's scale mitigation): when the
