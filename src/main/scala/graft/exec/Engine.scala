@@ -73,6 +73,10 @@ final class Engine(
     if (!timeoutS.forall(_ > 0))
       throw new IllegalArgumentException(
         "timeout_s should be positive of None (no timeout)")
+    if (numCpus <= 0 || numCpus > totalCpus)
+      throw new IllegalArgumentException(
+        s"num_cpus must be in [1, $totalCpus] (got $numCpus); a larger " +
+          "reservation than the engine's budget could never be scheduled")
     taskParameters.keys.foreach { k =>
       if (!(k.startsWith("task.") || k.startsWith("workflow.")))
         throw new IllegalArgumentException(
@@ -180,9 +184,14 @@ final class Engine(
               interruptOnCancel = true)
             val r = TaskContext.withContext(ctx) { Try(f(args)) }
             spark.sparkContext.clearJobGroup()
-            if (!killed.get()) {
-              logOutcome(inner, r, recordException = true)
-              inner.end() // a killed task's inner span is never exported
+            // synchronized with the kill path: a timeout firing between the
+            // flag check and end() must not let the inner span slip out
+            // ("a killed task's inner span is never exported")
+            killed.synchronized {
+              if (!killed.get()) {
+                logOutcome(inner, r, recordException = true)
+                inner.end()
+              }
             }
             r
           }
@@ -205,7 +214,7 @@ final class Engine(
           r
         } catch {
           case _: java.util.concurrent.TimeoutException =>
-            killed.set(true)
+            killed.synchronized { killed.set(true) }
             bodyThread.interrupt()
             spark.sparkContext.cancelJobGroup(taskSpanId)
             val failure = Failure(new Exception(

@@ -56,7 +56,14 @@ object ExternalProcessTask {
       cwd.foreach(d => pb.directory(d.toFile))
       pb.environment().put("P_JSON", Json.render(p))
 
-      val process = pb.start()
+      // temp-file cleanup must also cover a failed start (command not found)
+      val process =
+        try pb.start()
+        catch {
+          case e: Throwable =>
+            java.nio.file.Files.deleteIfExists(outFile)
+            throw e
+        }
       try {
         val exit = process.waitFor()
         val output = new String(

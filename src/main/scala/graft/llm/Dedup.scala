@@ -164,20 +164,27 @@ object Dedup {
     size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))
       .cast("double") / size(sigA).cast("double")
 
-  /** I2c — SimHash near-dup pairs: banded blocking on 16-bit chunks of the
-    * 64-bit fingerprint (two docs within Hamming distance 3 share at least
-    * one of 4 chunks), then exact Hamming verification. */
+  /** I2c — SimHash near-dup pairs: banded blocking on bit-chunks of the
+    * 64-bit fingerprint, then exact Hamming verification. The pigeonhole
+    * guarantee needs `maxHamming + 1` chunks (a pair within the radius must
+    * leave at least one chunk untouched), so the chunk count derives from
+    * the radius instead of being fixed. */
   def simHashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64): $maxHamming")
+    val nChunks = maxHamming + 1
+    val width = (64 + nChunks - 1) / nChunks // last chunk may be narrower
+    val mask = if (width >= 64) -1L else (1L << width) - 1
     val sh = df.select(col(idCol).as("doc"),
       TextAnalysis.simHash(col(textCol)).as("sim"))
       .repartition(col("doc")) // barrier: compute the sketch exactly once
     val chunks = sh.select(col("doc"), col("sim"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        j => call_function("shiftright", col("sim"), j * 16).bitwiseAND(65535)))
+      posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
+        j => call_function("shiftright", col("sim"), j * width).bitwiseAND(mask)))
         .as(Seq("chunk_idx", "chunk")))
     val other = chunks.select(col("doc").as("doc_b"), col("sim").as("sim_b"),
       col("chunk_idx"), col("chunk"))

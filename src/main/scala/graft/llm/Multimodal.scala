@@ -28,12 +28,19 @@ object Multimodal {
       StructField("duration_ms", LongType))))))
 
   /** STUB decode: deterministic pseudo-metadata from the payload bytes.
-    * A real implementation decodes the container header here. */
+    * A real implementation decodes the container header here. The geometry
+    * constants are shared with the i4 query + its oracle SQL (LlmOps) —
+    * one definition, three consumers. */
   object StubCodecs {
+    val SizeBase = 64
+    val WidthMod = 577
+    val HeightDiv = 7
+    val HeightMod = 431
+
     def decodeMeta(payload: Array[Byte]): (Int, Int, Int, Long) = {
       val n = payload.length
-      val w = 64 + (n % 577)
-      val h = 64 + ((n / 7) % 431)
+      val w = SizeBase + (n % WidthMod)
+      val h = SizeBase + ((n / HeightDiv) % HeightMod)
       (w, h, 3, n.toLong) // width, height, channels, fake duration
     }
 

@@ -67,14 +67,6 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
-    * a fixed integer mix mapped into [-1, 1). No data dependence, no RNG
-    * state — every executor derives the same planes. */
-  private def planeComponent(j: Int, i: Column): Column = {
-    val mixed = hash(lit(j), i).cast("long")
-    (mixed % 10007L).cast("double") / 10007.0
-  }
-
   /** Sign-bucket id for LSH table `table`: `nPlanes` random-hyperplane sign
     * bits packed into a long. Vectors in the same bucket are cosine-close
     * with probability (1 − θ/π)^nPlanes. */

@@ -84,10 +84,11 @@ object TextAnalysis {
     * reference-style content addressing needs, expressible in both Spark
     * (`aggregate`) and the DuckDB oracle (`list_reduce`). */
   def fingerprint(text: Column): Column =
-    aggregate(
-      transform(split(text, ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, x) => (acc * 31 + x) % 2147483647L)
+    when(length(text) === 0, lit(0L)) // empty text ⇒ 0 on both engines
+      .otherwise(aggregate(
+        transform(split(text, ""), ch => ascii(ch).cast("long")),
+        lit(0L),
+        (acc, x) => (acc * 31 + x) % 2147483647L))
 
   /** 64-bit SimHash over whitespace tokens: per-bit ±1 votes from
     * xxhash64(word), sign-aggregated, packed to a long. One fused kernel

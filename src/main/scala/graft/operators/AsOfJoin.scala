@@ -55,8 +55,12 @@ object AsOfJoin {
             lit(null).cast(left.schema(c).dataType).as(c))): _*))
 
     // Right rows sort before left rows at equal time (__side asc) so a right
-    // row at exactly left.time is visible to that left row.
-    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+    // row at exactly left.time is visible to that left row; the payload
+    // struct is the final tie-break so ties among right rows at the same
+    // timestamp resolve deterministically (to the max payload — the same
+    // pick as an ORDER BY time DESC, id DESC LIMIT 1 oracle).
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__side"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn(
       "__last", last(col("__payload"), ignoreNulls = true).over(w))

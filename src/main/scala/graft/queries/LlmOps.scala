@@ -169,33 +169,38 @@ object LlmOps {
 
   private val fingerprintsSql =
     """SELECT doc_id,
-      | list_reduce([CAST(ascii(substr(text, i, 1)) AS BIGINT) for i in range(1, length(text)+1)],
-      |   (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+      | CASE WHEN length(text) = 0 THEN 0 ELSE
+      |  list_reduce([CAST(ascii(substr(text, i, 1)) AS BIGINT) for i in range(1, length(text)+1)],
+      |   (acc, x) -> (acc * 31 + x) % 2147483647) END AS fp
       |FROM documents""".stripMargin
 
   /** I4 — multimodal metadata extraction over binary payload columns (the
     * deterministic stub codec; plumbing is the point — see
     * graft.llm.Multimodal). */
-  def multimodalMeta(s: SparkSession, d: String): DataFrame =
+  def multimodalMeta(s: SparkSession, d: String): DataFrame = {
+    import Multimodal.StubCodecs._
     Multimodal.docsAsMedia(Tables.documents(s, d)).select(
       col("media_id"),
       col("mime"),
       octet_length(col("payload")).as("n_bytes"),
-      (lit(64) + octet_length(col("payload")) % 577).as("fake_width"),
+      (lit(SizeBase) + octet_length(col("payload")) % WidthMod).as("fake_width"),
       // floor() on both sides: DuckDB CAST(double AS INT) rounds, Spark
       // truncates — integer-div via floor is unambiguous in both
-      (lit(64) + floor(octet_length(col("payload")) / lit(7)).cast("int") % 431)
-        .as("fake_height"),
+      (lit(SizeBase) + floor(octet_length(col("payload")) / lit(HeightDiv))
+        .cast("int") % HeightMod).as("fake_height"),
       md5(col("payload")).as("checksum"))
+  }
 
-  private val multimodalMetaSql =
-    """SELECT doc_id AS media_id,
-      | 'application/octet-stream' AS mime,
-      | octet_length(encode(text)) AS n_bytes,
-      | 64 + octet_length(encode(text)) % 577 AS fake_width,
-      | 64 + CAST(FLOOR(octet_length(encode(text)) / 7) AS INT) % 431 AS fake_height,
-      | md5(text) AS checksum
-      |FROM documents""".stripMargin
+  private val multimodalMetaSql = {
+    import Multimodal.StubCodecs._
+    s"""SELECT doc_id AS media_id,
+       | 'application/octet-stream' AS mime,
+       | octet_length(encode(text)) AS n_bytes,
+       | $SizeBase + octet_length(encode(text)) % $WidthMod AS fake_width,
+       | $SizeBase + CAST(FLOOR(octet_length(encode(text)) / $HeightDiv) AS INT) % $HeightMod AS fake_height,
+       | md5(text) AS checksum
+       |FROM documents""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i1_dedup_exact" -> dedupExact _,
