@@ -60,12 +60,25 @@ object Similarity {
         col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim",
         dotQ(col("qv"), col("cv")).cast("double") / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+    topKPerQuery(pairs, k)
   }
+
+  /** Per-query top-k via the bounded-heap aggregate
+    * ([[graft.functions.TopKByScore]]): map-side partial top-k means only k
+    * rows per query cross the shuffle — the window/row_number formulation
+    * shuffles and sorts every candidate pair. Tie-break (score DESC,
+    * neighbor ASC) matches the oracle's ROW_NUMBER ordering. */
+  private def topKPerQuery(pairs: DataFrame, k: Int): DataFrame =
+    pairs
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topKByScore(
+        struct(col("cos_sim").as("score"), col("neighbor_id").as("id")), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("query_id"),
+        col("entry.id").as("neighbor_id"),
+        col("entry.score").as("cos_sim"),
+        (col("pos") + 1).cast("int").as("rank"))
 
   /** Sign-bucket id for LSH table `table`: `nPlanes` random-hyperplane sign
     * bits packed into a long. Vectors in the same bucket are cosine-close
@@ -107,6 +120,9 @@ object Similarity {
         .as(Seq("table_idx", "bucket")))
     val other = buckets.select(col("query_id").as("neighbor_id"),
       col("qv").as("cv"), col("qn").as("cn"), col("table_idx"), col("bucket"))
+    // candidate sets per query are bucket-sized (tens), so the plain window
+    // top-k wins here; the heap aggregate pays off on the brute-force path
+    // where every query sees the whole corpus (measured both ways at sf0.1)
     val pairs = buckets.join(other, Seq("table_idx", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("qv"), col("qn"),
