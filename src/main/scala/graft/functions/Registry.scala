@@ -55,5 +55,9 @@ object Registry {
       "graft_simhash64", exprs => SimHash64Expr(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_sig", exprs => MinHashSigExpr(exprs(0), 64), "built-in")
+    // aggregate: graft_top_k(struct(score, id), k) with literal k
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_top_k", exprs => TopKByScore(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }

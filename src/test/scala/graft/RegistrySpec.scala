@@ -30,6 +30,21 @@ class RegistrySpec extends AnyFunSuite {
     assert(r.getAs[Int]("sig_len") == 64)
   }
 
+  test("D18 graft_top_k SQL aggregate: bounded heap, deterministic ties") {
+    Registry.registerAll(spark)
+    Seq((1L, 0.5, 10L), (1L, 0.9, 11L), (1L, 0.9, 12L), (1L, 0.1, 13L),
+      (2L, 0.7, 20L))
+      .toDF("q", "score", "id").createOrReplaceTempView("topk_in")
+    val rows = spark.sql(
+      """SELECT q, graft_top_k(struct(score, id), 2) AS top
+        |FROM topk_in GROUP BY q""".stripMargin)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getDouble(0), e.getLong(1))))
+      .toMap
+    assert(rows(1L) == Seq((0.9, 11L), (0.9, 12L))) // ties: lower id first
+    assert(rows(2L) == Seq((0.7, 20L)))
+  }
+
   test("D18/A4 AttrUnionAggregator: union + conflict detection as a UDAF") {
     val agg = new Registry.AttrUnionAggregator().toColumn
     val ok = Seq(("a", "1"), ("b", "2"), ("a", "1")).toDS()
