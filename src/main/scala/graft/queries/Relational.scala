@@ -125,6 +125,17 @@ object Relational {
       | COUNT(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Approximate count-distinct (HLL++, D8's approx variant): single-pass,
+    * fixed-size sketch state — the cardinality estimator that replaces
+    * exact distinct at 100 TB. Rows-only check (sketch implementations
+    * differ across engines by design). */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+
   /** Ranking window: top-3 orders per customer. Same shape as the
     * reference's last-write-wins reader (B7/D10). */
   def topOrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
@@ -484,6 +495,7 @@ object Relational {
     "d11_topk_orders" -> topOrders _,
     "d04_semi_anti_customers" -> semiAntiCustomers _,
     "d08_distinct_counts" -> distinctCounts _,
+    "d08_approx_distinct" -> approxDistinct _,
     "d10_window_topk_per_customer" -> topOrdersPerCustomer _,
     "d10_window_running_total" -> runningTotal _,
     "d10_window_lag_delta" -> eventDeltas _,
