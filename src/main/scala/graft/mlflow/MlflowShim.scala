@@ -118,6 +118,11 @@ object MlflowShim {
       if (idx <= 0 || idx == rest.length - 1)
         return Err(400, s"artifact path must be /artifacts/<traceparent>/<name>: $path")
       val (tp, name) = (rest.take(idx), rest.drop(idx + 1))
+      // artifact names flow into filesystem sinks later — reject absolute
+      // and traversal names at the protocol boundary (the reference's FTP
+      // server confined uploads to its home dir; the HTTP re-scope must too)
+      if (name.startsWith("/") || name.split("/").contains(".."))
+        return Err(400, s"artifact name rejected (absolute or traversal): $name")
       logBytes(tp, name, bytes)
       Ok(Map.empty)
     }
@@ -141,7 +146,12 @@ object MlflowShim {
     server.createContext("/", (exchange: HttpExchange) => {
       val result =
         try {
-          authTraceparent(exchange) match {
+          // /status is the unauthenticated readiness poll (protocol parity:
+          // the reference polls it with no credentials during startup)
+          if (exchange.getRequestMethod == "GET" &&
+            exchange.getRequestURI.getPath == "/status")
+            Ok(Map("status" -> "OK"))
+          else authTraceparent(exchange) match {
             case Left(err) => err
             case Right(traceparent) =>
               val method = exchange.getRequestMethod

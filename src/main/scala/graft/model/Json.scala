@@ -57,6 +57,7 @@ object Json {
     if (d.isNaN) "NaN"
     else if (d.isPosInfinity) "Infinity"
     else if (d.isNegInfinity) "-Infinity"
+    else if (d == 0.0 && 1.0 / d < 0) "-0.0" // Python repr keeps the sign
     else if (d == Math.floor(d) && Math.abs(d) < 1e16) s"${d.toLong}.0"
     else {
       val s = d.toString

@@ -60,7 +60,6 @@ object SerializedData {
     * UTF-8-encodes utf-8 content. */
   def decodedBinaryCol(tpe: Column, encoding: Column, content: Column): Column =
     when(tpe === "bytes" && encoding === "base64", unbase64(content))
-      .when(tpe === "utf-8" && encoding === "utf-8", encode(content, "UTF-8"))
       .otherwise(encode(content, "UTF-8"))
 
   /** Typed extraction columns (null when the tag does not match). */

@@ -91,7 +91,8 @@ object TimeFns {
 
   def isoToTimestampCol(c: Column): Column = to_timestamp(c)
   def isoToEpochUsCol(c: Column): Column = unix_micros(to_timestamp(c))
-  def isoToEpochMsCol(c: Column): Column = isoToEpochUsCol(c) / 1000
+  def isoToEpochMsCol(c: Column): Column =
+    floor(isoToEpochUsCol(c) / 1000).cast("long") // Column `/` is true division
   def durationSCol(startIso: Column, endIso: Column): Column =
     bround((isoToEpochUsCol(endIso) - isoToEpochUsCol(startIso)) / 1e6, 3)
 }

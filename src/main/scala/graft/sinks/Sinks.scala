@@ -136,6 +136,19 @@ object DirectoryTreeSink {
     p
   }
 
+  /** Resolve a user-controlled relative name under `base`, rejecting
+    * absolute names and any traversal that escapes the base. (Path.resolve
+    * DISCARDS the base for an absolute argument, and ".." segments resolve
+    * outward — both must be checked on the normalized result.) */
+  def resolveSafe(base: Path, name: String): Path = {
+    require(!java.nio.file.Paths.get(name).isAbsolute,
+      s"Absolute artifact name rejected: $name")
+    val resolved = base.resolve(name).normalize()
+    require(resolved.startsWith(base.normalize()),
+      s"Artifact name escapes its directory: $name")
+    resolved
+  }
+
   private def outcome(isSuccess: Boolean) = if (isSuccess) "OK" else "FAILED"
 
   def taskDirName(t: TaskRunSummary): String = Seq(
@@ -155,7 +168,7 @@ object DirectoryTreeSink {
       Render.writeText(safePath(taskDir.resolve("run-time-metadata.json")),
         Render.prettyJson(toOrdered(t.asDict)))
       t.loggedArtifacts.foreach { a =>
-        a.write(safePath(taskDir.resolve("artifacts").resolve(a.name)))
+        a.write(safePath(resolveSafe(taskDir.resolve("artifacts"), a.name)))
       }
     }
   }
@@ -191,7 +204,7 @@ object StaticDataSink {
         Render.prettyJson(DirectoryTreeSink.toOrdered(summary.asDict))))
 
     reportingArtifacts.foreach(a =>
-      a.write(wwwRoot.resolve(workflowDir).resolve(a.name)))
+      a.write(DirectoryTreeSink.resolveSafe(wwwRoot.resolve(workflowDir), a.name)))
 
     val workflowEntry = Map[String, Any](
       "parent_span_id" -> null,
@@ -207,7 +220,8 @@ object StaticDataSink {
       val metaArtifact = ArtifactContent("run-time-metadata.json", "utf-8",
         Render.prettyJson(DirectoryTreeSink.toOrdered(t.asDict)))
       val all = t.loggedArtifacts :+ metaArtifact
-      all.foreach(a => a.write(wwwRoot.resolve(taskDir).resolve(a.name)))
+      all.foreach(a =>
+        a.write(DirectoryTreeSink.resolveSafe(wwwRoot.resolve(taskDir), a.name)))
       Map[String, Any](
         "parent_span_id" -> summary.spanId,
         "span_id" -> t.spanId,

@@ -54,7 +54,7 @@ object SpanSource {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (zipPath, bytes) =>
-        extractSpansJson(bytes).toSeq.flatMap { text =>
+        extractSpansJson(bytes).flatMap { text =>
           Json.parse(text).asInstanceOf[Vector[Any]]
             .map(v => (zipPath, fromJsonValue(v)))
         }
@@ -63,21 +63,35 @@ object SpanSource {
       .select(col("source_zip"), col("span.*"))
   }
 
-  private[spans] def extractSpansJson(zipBytes: Array[Byte]): Option[String] = {
+  /** ALL members named `opentelemetry-spans.json` (at any directory level);
+    * a zip holding several runs' span files loses none of them. */
+  private[spans] def extractSpansJson(zipBytes: Array[Byte]): Seq[String] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(zipBytes))
     try {
       Iterator.continually(zin.getNextEntry)
         .takeWhile(_ != null)
-        .collectFirst {
-          case e if e.getName.endsWith("opentelemetry-spans.json") =>
+        .collect {
+          case e if e.getName == "opentelemetry-spans.json" ||
+              e.getName.endsWith("/opentelemetry-spans.json") =>
             new String(zin.readAllBytes(), StandardCharsets.UTF_8)
         }
+        .toList
     } finally zin.close()
   }
 
   def fromJsonText(spark: SparkSession, text: String): DataFrame = {
     val spans = Json.parse(text).asInstanceOf[Vector[Any]].map(fromJsonValue)
     SpanModel.toDF(spark, spans)
+  }
+
+  private def parseContext(v: Option[Any]): SpanContextRow = v match {
+    case Some(c: collection.Map[_, _]) =>
+      val cm = c.asInstanceOf[collection.Map[String, Any]]
+      SpanContextRow(
+        cm.get("trace_id").map(_.toString).orNull,
+        cm.get("span_id").map(_.toString).orNull,
+        cm.get("trace_state").map(_.toString).getOrElse("[]"))
+    case _ => SpanContextRow(null, null, "[]")
   }
 
   /** One parsed JSON object → SpanRow. Tolerates missing keys the way the
@@ -91,15 +105,7 @@ object SpanSource {
         mm.map { case (k, vv) => k.toString -> Json.render(vv) }.toMap
       case _ => Map.empty
     }
-    val ctx = m.get("context") match {
-      case Some(c: collection.Map[_, _]) =>
-        val cm = c.asInstanceOf[collection.Map[String, Any]]
-        SpanContextRow(
-          cm.get("trace_id").map(_.toString).orNull,
-          cm.get("span_id").map(_.toString).orNull,
-          cm.get("trace_state").map(_.toString).getOrElse("[]"))
-      case _ => SpanContextRow(null, null, "[]")
-    }
+    val ctx = parseContext(m.get("context"))
     val status = m.get("status") match {
       case Some(s: collection.Map[_, _]) =>
         val sm = s.asInstanceOf[collection.Map[String, Any]]
@@ -121,16 +127,8 @@ object SpanSource {
     val links = m.get("links") match {
       case Some(ls: Vector[_]) => ls.map { l =>
         val lm = l.asInstanceOf[collection.Map[String, Any]]
-        val lc = lm.get("context") match {
-          case Some(c: collection.Map[_, _]) =>
-            val cm = c.asInstanceOf[collection.Map[String, Any]]
-            SpanContextRow(
-              cm.get("trace_id").map(_.toString).orNull,
-              cm.get("span_id").map(_.toString).orNull,
-              cm.get("trace_state").map(_.toString).getOrElse("[]"))
-          case _ => SpanContextRow(null, null, "[]")
-        }
-        SpanLinkRow(lc, attrMap(lm.getOrElse("attributes", null)))
+        SpanLinkRow(parseContext(lm.get("context")),
+          attrMap(lm.getOrElse("attributes", null)))
       }
       case _ => Seq.empty
     }

@@ -124,12 +124,24 @@ class MlflowSpec extends AnyFunSuite {
       assert(r2.getArtifact("out/result.bin").content
         .asInstanceOf[Array[Byte]].toSeq == Seq[Byte](1, 2, 3))
 
-      // wrong password → config error; unknown endpoint → 501
-      val bad = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/status"))
+      // /status: unauthenticated readiness poll (reference parity)
+      val status = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/status")).GET().build()
+      assert(client.send(status, HttpResponse.BodyHandlers.ofString())
+        .statusCode() == 200)
+      // wrong password on a real endpoint → config error; unknown → 501
+      val bad = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/api/2.0/mlflow/runs/get"))
         .header("Authorization", "Basic " + Base64.getEncoder.encodeToString(
           "u:wrong".getBytes(StandardCharsets.UTF_8))).GET().build()
       assert(client.send(bad, HttpResponse.BodyHandlers.ofString()).statusCode() == 500)
       assert(post("/api/2.0/mlflow/nope", "00-aa-bb-01", "{}") == 501)
+      // traversal artifact names rejected at the protocol boundary
+      val evil = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/artifacts/00-aa-bb-01/a/../../x"))
+        .header("Authorization", basicAuth("00-aa-bb-01"))
+        .PUT(HttpRequest.BodyPublishers.ofByteArray(Array[Byte](1))).build()
+      assert(client.send(evil, HttpResponse.BodyHandlers.ofString()).statusCode() == 400)
     } finally server.stop(0)
   }
 }

@@ -62,6 +62,20 @@ class SinksSpec extends AnyFunSuite {
       DirectoryTreeSink.safePath(java.nio.file.Paths.get("relative/path")))
   }
 
+  test("artifact names cannot escape the sink directory (resolveSafe)") {
+    val base = java.nio.file.Paths.get("/tmp/www/artifacts")
+    // Path.resolve discards the base for absolute input; ".." walks out —
+    // both must be rejected on user-controlled artifact names
+    intercept[IllegalArgumentException](
+      DirectoryTreeSink.resolveSafe(base, "/etc/evil"))
+    intercept[IllegalArgumentException](
+      DirectoryTreeSink.resolveSafe(base, "a/../../../evil"))
+    assert(DirectoryTreeSink.resolveSafe(base, "sub/ok.txt")
+      .startsWith(base))
+    assert(DirectoryTreeSink.resolveSafe(base, "a/./b.txt").toString
+      == "/tmp/www/artifacts/a/b.txt")
+  }
+
   test("G2 Mermaid DAG rendering") {
     val dag = Mermaid.dagInputFile(summary, generateLinks = false)
     assert(dag.startsWith("graph LR"))
