@@ -57,7 +57,18 @@ object Registry {
       "graft_minhash_sig", exprs => MinHashSigExpr(exprs(0), 64), "built-in")
     // aggregate: graft_top_k(struct(score, id), k) with literal k
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_top_k", exprs => TopKByScore(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+      "graft_top_k", exprs => {
+        val kExpr = exprs(1)
+        val kVal = if (kExpr.foldable) kExpr.eval() else null
+        kVal match {
+          case n: Number if n.intValue() > 0 => TopKByScore(exprs(0), n.intValue())
+          case _ => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INVALID_PARAMETER_VALUE.INTEGER",
+            messageParameters = Map(
+              "parameter" -> "`k` (must be a positive integer literal)",
+              "functionName" -> "`graft_top_k`",
+              "invalidValue" -> kExpr.sql))
+        }
+      }, "built-in")
   }
 }

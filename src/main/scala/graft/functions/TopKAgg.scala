@@ -96,11 +96,16 @@ final class TopKBuffer(k: Int) {
 
   def size: Int = n
 
-  /** a is WORSE than b (should sit nearer the heap root). */
-  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-    sa < sb || (sa == sb && ia > ib)
+  /** a is WORSE than b (should sit nearer the heap root). Total order via
+    * Double.compare so -0.0/0.0 and (excluded) NaN can't break the heap
+    * invariant the way IEEE `<` would. */
+  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+    val c = java.lang.Double.compare(sa, sb)
+    c < 0 || (c == 0 && ia > ib)
+  }
 
   def add(score: Double, id: Long): Unit = {
+    if (score.isNaN) return // NaN (e.g. cosine of a zero vector) never ranks
     if (n < k) {
       scores(n) = score; ids(n) = id; n += 1
       siftUp(n - 1)
@@ -146,7 +151,10 @@ final class TopKBuffer(k: Int) {
 
   def sortedBestFirst(): Array[(Double, Long)] = {
     val arr = Array.tabulate(n)(i => (scores(i), ids(i)))
-    arr.sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+    arr.sortWith { (a, b) =>
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c > 0 else a._2 < b._2
+    }
   }
 }
 

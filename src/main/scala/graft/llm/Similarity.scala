@@ -40,6 +40,14 @@ object Similarity {
     dotQ(a, b).cast("double") /
       (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
 
+  /** Cosine from precomputed quantized vectors + norms, null on a zero
+    * vector: under ANSI mode (Spark 4 default) a bare `x / 0.0` raises
+    * DIVIDE_BY_ZERO and kills the whole query; a NaN would silently poison
+    * the top-k heap. Degenerate pairs are droppable, not fatal. */
+  private def safeCosine(qv: Column, cv: Column, qn: Column, cn: Column): Column =
+    when(qn * cn > 0d,
+      dotQ(qv, cv).cast("double") / (qn * cn)).otherwise(lit(null))
+
   /** I3a — brute-force cosine top-k neighbors for each query vector.
     * The corpus side is broadcast when it fits (queries stream past it);
     * for corpus >> memory use [[lshTopK]] instead. */
@@ -58,8 +66,8 @@ object Similarity {
       .withColumn("cn", sqrt(dotQ(col("cv"), col("cv")).cast("double")))
     val pairs = q.join(if (broadcastCorpus) broadcast(c) else c,
         col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim",
-        dotQ(col("qv"), col("cv")).cast("double") / (col("qn") * col("cn")))
+      .withColumn("cos_sim", safeCosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .filter(col("cos_sim").isNotNull)
     topKPerQuery(pairs, k)
   }
 
@@ -128,8 +136,8 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qn"),
         col("neighbor_id"), col("cv"), col("cn"))
       .distinct() // a pair colliding in several tables counts once
-      .withColumn("cos_sim",
-        dotQ(col("qv"), col("cv")).cast("double") / (col("qn") * col("cn")))
+      .withColumn("cos_sim", safeCosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .filter(col("cos_sim").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))

@@ -166,8 +166,10 @@ object Json {
             case 'b' => sb.append('\b')
             case 'f' => sb.append('\f')
             case 'u' =>
+              if (pos + 5 > s.length) fail("bad unicode escape")
               val hex = s.substring(pos + 1, pos + 5)
-              sb.append(Integer.parseInt(hex, 16).toChar)
+              try sb.append(Integer.parseInt(hex, 16).toChar)
+              catch { case _: NumberFormatException => fail("bad unicode escape") }
               pos += 4
             case other => fail(s"bad escape \\$other")
           }

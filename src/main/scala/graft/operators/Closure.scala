@@ -148,7 +148,11 @@ object Closure {
     }
     frontier.unpersist(blocking = false)
     e.unpersist(blocking = false)
-    acc
+    // The frontier is deduped per iteration only, so on DAG-shaped (diamond)
+    // edge sets a node reachable from the same root at TWO depths would be
+    // emitted twice; distinct() makes the generic fallback safe beyond the
+    // single-parent span forests of the primary path.
+    acc.distinct()
   }
 
   /** Descendant node set reachable from `roots` (single column "id"),

@@ -78,6 +78,23 @@ class LlmSpec extends AnyFunSuite {
     assert(hits.toDouble / brute.size > 0.4, s"recall ${hits.toDouble / brute.size}")
   }
 
+  test("I3 brute-force top-k: zero vector (NaN cosine) never ranks") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f)), // zero norm -> cos_sim = 0/0 = NaN
+      (4L, Array(0.8f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3)
+      .collect()
+    assert(top.forall(r => !r.getAs[Double]("cos_sim").isNaN))
+    // the zero vector is neither a neighbor of anyone nor a query with results
+    assert(top.forall(r => r.getAs[Long]("neighbor_id") != 3L))
+    assert(!top.exists(r => r.getAs[Long]("query_id") == 3L))
+    // the non-degenerate neighbors still rank fully
+    assert(top.count(r => r.getAs[Long]("query_id") == 1L) == 2)
+  }
+
   test("I3 cosine matches quantized cosine closely") {
     val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
     val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))

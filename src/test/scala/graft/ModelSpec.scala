@@ -44,6 +44,15 @@ class ModelSpec extends AnyFunSuite {
       SerializedData("int", "base64", "123").decode())
   }
 
+  test("Json parser fails cleanly on truncated/bad \\u escapes") {
+    // truncated input must raise the parser's own error, not
+    // StringIndexOutOfBoundsException (reachable from untrusted MLflow
+    // request bodies)
+    intercept[IllegalArgumentException](Json.parse("\"\\u12"))
+    intercept[IllegalArgumentException](Json.parse("\"\\uzzzz\""))
+    assert(Json.parse("\"\\u0041\"") == "A")
+  }
+
   test("Json renders Python-style") {
     assert(Json.render(Vector(1L, 2L, 3L)) == "[1, 2, 3]")
     assert(Json.render(scala.collection.immutable.ListMap("x" -> "y")) == """{"x": "y"}""")

@@ -45,6 +45,31 @@ class RegistrySpec extends AnyFunSuite {
     assert(rows(2L) == Seq((0.7, 20L)))
   }
 
+  test("D18 graft_top_k: NaN scores never rank; heap stays correct") {
+    Registry.registerAll(spark)
+    // NaN arriving during the initial heap fill must not block better
+    // entries (IEEE < is false both ways for NaN)
+    Seq((1L, Double.NaN, 9L), (1L, 0.2, 10L), (1L, 0.8, 11L), (1L, 0.5, 12L))
+      .toDF("q", "score", "id").createOrReplaceTempView("topk_nan")
+    val top = spark.sql(
+      """SELECT graft_top_k(struct(score, id), 2) AS top
+        |FROM topk_nan GROUP BY q""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(e => (e.getDouble(0), e.getLong(1)))
+    assert(top == Seq((0.8, 11L), (0.5, 12L)))
+  }
+
+  test("D18 graft_top_k rejects non-literal / null / non-positive k") {
+    Registry.registerAll(spark)
+    Seq((1L, 0.5, 10L)).toDF("q", "score", "id")
+      .createOrReplaceTempView("topk_badk")
+    for (k <- Seq("id", "NULL", "0", "-3")) {
+      val e = intercept[Exception](spark.sql(
+        s"SELECT graft_top_k(struct(score, id), $k) FROM topk_badk GROUP BY q"))
+      assert(e.getMessage.contains("graft_top_k"), s"k=$k: ${e.getMessage}")
+    }
+  }
+
   test("D18/A4 AttrUnionAggregator: union + conflict detection as a UDAF") {
     val agg = new Registry.AttrUnionAggregator().toColumn
     val ok = Seq(("a", "1"), ("b", "2"), ("a", "1")).toDS()

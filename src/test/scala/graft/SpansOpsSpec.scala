@@ -133,4 +133,17 @@ class SpansOpsSpec extends AnyFunSuite {
     val back2 = graft.spans.SpanSource.readJsonl(spark, s"$tmp/spans2.txt")
     assert(back2.attributesUnion() == Map("task.id" -> "t1", "task.num_cpus" -> 2L))
   }
+
+  test("A7 descendantsWithRoots dedups diamond DAGs (node at two depths)") {
+    import spark.implicits._
+    // a -> b -> d and a -> c -> d: d reachable from root a at depth 2 twice
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"))
+      .toDF("parent", "child")
+    val roots = Seq("a").toDF("id")
+    val out = graft.operators.Closure
+      .descendantsWithRoots(edges, roots)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.length == out.distinct.length, s"duplicate pairs: ${out.toSeq}")
+    assert(out.toSet == Set(("a", "a"), ("a", "b"), ("a", "c"), ("a", "d")))
+  }
 }
