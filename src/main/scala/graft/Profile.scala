@@ -62,6 +62,63 @@ object Profile {
       println(f"taskRunsDF: ${(System.nanoTime() - t1) / 1e9}%.2f s ($n rows)")
       spark.stop(); return
     }
+    if (only.contains("cosparts")) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      def time[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"  ${(System.nanoTime() - t0) / 1e9}%7.2f  $label"); r
+      }
+      val e = queries.Tables.embeddings(spark, sfDir)
+      time("warmup")(e.count())
+      val q = e.select(col("vec_id").as("query_id"),
+        llm.Similarity.quantize(col("embedding")).as("qv"))
+        .withColumn("qn", sqrt(functions.ArrayOps.longArrayDot(col("qv"), col("qv")).cast("double")))
+      val c = e.select(col("vec_id").as("neighbor_id"),
+        llm.Similarity.quantize(col("embedding")).as("cv"))
+        .withColumn("cn", sqrt(functions.ArrayOps.longArrayDot(col("cv"), col("cv")).cast("double")))
+      val pairs = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos_sim",
+          functions.ArrayOps.longArrayDot(col("qv"), col("cv")).cast("double") / (col("qn") * col("cn")))
+      time("pairs only (join+dot)")(pairs.count())
+      time("pairs only again")(pairs.count())
+      val slim = pairs.select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      time("slim pairs")(slim.count())
+      time("heap topk")(pairs.groupBy(col("query_id"))
+        .agg(functions.TopKAgg.topKByScore(
+          struct(col("cos_sim").as("score"), col("neighbor_id").as("id")), 5).as("top"))
+        .count())
+      time("heap topk on slim")(slim.groupBy(col("query_id"))
+        .agg(functions.TopKAgg.topKByScore(
+          struct(col("cos_sim").as("score"), col("neighbor_id").as("id")), 5).as("top"))
+        .count())
+      time("production bruteForceTopK")(
+        llm.Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5).count())
+      time("production again")(
+        llm.Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5).count())
+      val pairsW = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos_sim",
+          when(col("qn") * col("cn") > 0d,
+            functions.ArrayOps.longArrayDot(col("qv"), col("cv")).cast("double")
+              / (col("qn") * col("cn"))).otherwise(lit(null)))
+      time("when-pairs")(pairsW.count())
+      val fW = pairsW.filter(col("cos_sim").isNotNull)
+      time("when-pairs+filter")(fW.count())
+      time("heap topk when+filter")(fW.groupBy(col("query_id"))
+        .agg(functions.TopKAgg.topKByScore(
+          struct(col("cos_sim").as("score"), col("neighbor_id").as("id")), 5).as("top"))
+        .count())
+      val agged = fW.groupBy(col("query_id"))
+        .agg(functions.TopKAgg.topKByScore(
+          struct(col("cos_sim").as("score"), col("neighbor_id").as("id")), 5).as("top"))
+      time("topk + posexplode")(agged
+        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+        .select(col("query_id"), col("entry.id").as("neighbor_id"),
+          col("entry.score").as("cos_sim"),
+          (col("pos") + 1).cast("int").as("rank"))
+        .count())
+      spark.stop(); return
+    }
     if (only.contains("scratch")) {
       import org.apache.spark.sql.functions._
       val docs = queries.Tables.documents(spark, sfDir)
@@ -98,11 +155,16 @@ object Profile {
           println(s"==== $name")
           fn(spark, sfDir).explain("formatted")
         } else {
-          val t0 = System.nanoTime()
-          val n = try fn(spark, sfDir).count()
-          catch { case e: Throwable => println(s"$name FAILED: ${e.getMessage}"); -1L }
-          println(f"${(System.nanoTime() - t0) / 1e9}%8.2f  $name ($n rows)")
-          Console.flush()
+          // --twice re-runs each query in-session: run1−run2 ≈ plan+codegen
+          // overhead, run2 ≈ steady-state execution
+          val reps = if (args.contains("--twice")) 2 else 1
+          (1 to reps).foreach { rep =>
+            val t0 = System.nanoTime()
+            val n = try fn(spark, sfDir).count()
+            catch { case e: Throwable => println(s"$name FAILED: ${e.getMessage}"); -1L }
+            println(f"${(System.nanoTime() - t0) / 1e9}%8.2f  $name#$rep ($n rows)")
+            Console.flush()
+          }
         }
       }
     }

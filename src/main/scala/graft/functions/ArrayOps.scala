@@ -57,4 +57,14 @@ object ArrayOps {
   /** Exact integer dot product of two `ARRAY<BIGINT>` columns. */
   def longArrayDot(a: Column, b: Column): Column =
     Bridge.column(LongArrayDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Brute-force cosine top-k of a quantized vector against a broadcast
+    * corpus — see [[BroadcastTopKExpr]]. */
+  def broadcastTopK(
+      queryId: Column,
+      qv: Column,
+      corpus: org.apache.spark.broadcast.Broadcast[TopKCorpus],
+      k: Int): Column =
+    Bridge.column(BroadcastTopKExpr(
+      Bridge.expression(queryId), Bridge.expression(qv), corpus, k))
 }

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Immutable broadcast-side corpus for brute-force cosine top-k: quantized
+  * vectors in one flat long array (dim-strided) plus per-vector ids and
+  * precomputed norms. Built once on the driver, shipped to executors as a
+  * Spark broadcast — the same memory contract as a broadcast hash join.
+  */
+final class TopKCorpus(
+    val ids: Array[Long],
+    val flat: Array[Long], // row-major, ids.length × dim
+    val norms: Array[Double],
+    val dim: Int)
+    extends Serializable
+
+/** Per-row brute-force cosine top-k against a broadcast corpus
+  * (SURVEY §2 I3a). For each (query_id, quantized vector) input row this
+  * evaluates ALL corpus dot products in one tight primitive loop and
+  * returns the k best as `array<struct<score double, id bigint>>` (score
+  * DESC, id ASC; self-pairs and zero-norm pairs excluded).
+  *
+  * Replaces the broadcast-nested-loop-join → project → object-hash-aggregate
+  * pipeline: the join materializes |Q|×|C| wide rows and the typed aggregate
+  * pays per-row boxing + hash-map lookups, ~10× the cost of the dot products
+  * themselves. Scale shape is unchanged — queries stream, corpus broadcasts,
+  * no shuffle; for corpus > executor memory use the LSH path instead.
+  */
+case class BroadcastTopKExpr(
+    left: Expression, // query id (long)
+    right: Expression, // quantized vector (array<long>)
+    corpus: Broadcast[TopKCorpus],
+    k: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "broadcast_topk"
+
+  override def nullSafeEval(idAny: Any, vecAny: Any): Any = {
+    val queryId = idAny.asInstanceOf[Long]
+    val arr = vecAny.asInstanceOf[ArrayData]
+    val c = corpus.value
+    val dim = c.dim
+    val qv = arr.toLongArray()
+    var qdot = 0L
+    var i = 0
+    while (i < dim) { qdot += qv(i) * qv(i); i += 1 }
+    val qn = math.sqrt(qdot.toDouble)
+    val buf = new TopKBuffer(k)
+    if (qn > 0) {
+      val n = c.ids.length
+      var j = 0
+      while (j < n) {
+        if (c.ids(j) != queryId && c.norms(j) > 0) {
+          var dot = 0L
+          val base = j * dim
+          i = 0
+          while (i < dim) { dot += qv(i) * c.flat(base + i); i += 1 }
+          buf.add(dot.toDouble / (qn * c.norms(j)), c.ids(j))
+        }
+        j += 1
+      }
+    }
+    new GenericArrayData(buf.sortedBestFirst().map { case (s, id) =>
+      InternalRow(s, id): Any
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

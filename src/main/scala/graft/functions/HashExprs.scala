@@ -97,10 +97,63 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** All `nPlanes` random-hyperplane sign bits of one LSH table in a single
+  * pass over the vector, packed into a long. Plane weights are
+  * `(murmur3(table, plane, i) % 10007) / 10007.0` — bit-identical to the
+  * `hash()`-based higher-order-function formulation it replaces, which
+  * built a (planes × elements) interpreted-lambda tree per TABLE: ~2k
+  * Catalyst dispatches per row plus a plan so large that ANALYSIS time
+  * dominated the query at small scale.
+  */
+case class HyperplaneLshExpr(child: Expression, nPlanes: Int, table: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(nPlanes >= 1 && nPlanes <= 64, s"nPlanes must be in [1, 64]: $nPlanes")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_lsh"
+
+  @transient private lazy val elemIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val xs = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      xs(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val hTable = hashInt(table, 42)
+    var bits = 0L
+    var j = 0
+    while (j < nPlanes) {
+      val hPlane = hashInt(j, hTable)
+      var dot = 0.0
+      i = 0
+      while (i < n) {
+        val w = (hashInt(i, hPlane).toLong % 10007L).toDouble / 10007.0
+        dot += xs(i) * w
+        i += 1
+      }
+      if (dot >= 0) bits |= 1L << j
+      j += 1
+    }
+    bits
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExprs {
   def minHashSig(shingles: Column, k: Int): Column =
     Bridge.column(MinHashSigExpr(Bridge.expression(shingles), k))
 
   def simHash64(tokens: Column): Column =
     Bridge.column(SimHash64Expr(Bridge.expression(tokens)))
+
+  def hyperplaneLsh(vec: Column, nPlanes: Int, table: Int): Column =
+    Bridge.column(HyperplaneLshExpr(Bridge.expression(vec), nPlanes, table))
 }

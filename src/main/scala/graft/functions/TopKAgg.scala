@@ -40,11 +40,35 @@ case class TopKByScore(
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 
+  /** The struct child destructured, when statically possible: evaluating
+    * `CreateNamedStruct` allocates an InternalRow + boxed fields PER INPUT
+    * ROW, which dominates the update path on |Q|×|C| pair streams (the
+    * aggregate itself is only a couple of compares per row). */
+  @transient private lazy val fieldExprs: Option[(Expression, Expression)] =
+    child match {
+      case s: org.apache.spark.sql.catalyst.expressions.CreateNamedStruct
+          if s.valExprs.size == 2 => Some((s.valExprs(0), s.valExprs(1)))
+      case _ => None
+    }
+
   override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
-    val v = child.eval(input)
-    if (v != null) {
-      val row = v.asInstanceOf[InternalRow]
-      buffer.add(row.getDouble(0), row.getLong(1))
+    fieldExprs match {
+      case Some((scoreE, idE)) =>
+        val s = scoreE.eval(input)
+        if (s != null) {
+          val i = idE.eval(input)
+          if (i != null) {
+            buffer.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+          }
+        }
+      case None =>
+        val v = child.eval(input)
+        if (v != null) {
+          val row = v.asInstanceOf[InternalRow]
+          if (!row.isNullAt(0) && !row.isNullAt(1)) {
+            buffer.add(row.getDouble(0), row.getLong(1))
+          }
+        }
     }
     buffer
   }

@@ -188,11 +188,15 @@ object Dedup {
         .as(Seq("chunk_idx", "chunk")))
     val other = chunks.select(col("doc").as("doc_b"), col("sim").as("sim_b"),
       col("chunk_idx"), col("chunk"))
+    // hamming filter BEFORE the distinct: verification is a cheap bit-count
+    // per candidate, so cutting failures first shrinks the dedup shuffle
+    // (the wide-radius configs collide heavily — at radius 10 the 6-bit
+    // chunks have only 64 distinct values)
     chunks.join(other, Seq("chunk_idx", "chunk"))
       .filter(col("doc") < col("doc_b"))
       .select(col("doc").as("doc_a"), col("doc_b"),
         TextAnalysis.hammingDist(col("sim"), col("sim_b")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -58,17 +58,66 @@ object Similarity {
       vecCol: String,
       k: Int = 5,
       broadcastCorpus: Boolean = true): DataFrame = {
+    if (broadcastCorpus) return bruteForceTopKBroadcast(queries, corpus, idCol, vecCol, k)
     // norms computed ONCE per vector before the join (cosineQ inline would
     // recompute both self-dots for every one of the |Q|×|C| pairs)
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
       .withColumn("qn", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
     val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
       .withColumn("cn", sqrt(dotQ(col("cv"), col("cv")).cast("double")))
-    val pairs = q.join(if (broadcastCorpus) broadcast(c) else c,
-        col("query_id") =!= col("neighbor_id"))
+    val pairs = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", safeCosine(col("qv"), col("cv"), col("qn"), col("cn")))
       .filter(col("cos_sim").isNotNull)
     topKPerQuery(pairs, k)
+  }
+
+  /** Broadcast-corpus brute force: the corpus (quantized vectors + norms) is
+    * collected once and shipped as a Spark broadcast — the same memory
+    * contract as the broadcast hash join it replaces — and each query row
+    * computes its whole top-k in one fused kernel
+    * ([[graft.functions.BroadcastTopKExpr]]). No join, no shuffle, no
+    * aggregate: queries stream past the corpus exactly like the
+    * BroadcastNestedLoopJoin plan, minus |Q|×|C| row materialization. */
+  private def bruteForceTopKBroadcast(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val rows = corpus.select(col(idCol).cast("long"), quantize(col(vecCol)))
+      .collect()
+    val n = rows.length
+    val dim = if (n == 0) 0 else rows(0).getSeq[Long](1).size
+    val ids = new Array[Long](n)
+    val flat = new Array[Long](n * dim)
+    val norms = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      ids(j) = rows(j).getLong(0)
+      val v = rows(j).getSeq[Long](1)
+      require(v.size == dim, s"ragged embedding dim: ${v.size} != $dim")
+      var dot = 0L
+      var i = 0
+      while (i < dim) {
+        val x = v(i)
+        flat(j * dim + i) = x
+        dot += x * x
+        i += 1
+      }
+      norms(j) = math.sqrt(dot.toDouble)
+      j += 1
+    }
+    val bc = queries.sparkSession.sparkContext.broadcast(
+      new graft.functions.TopKCorpus(ids, flat, norms, dim))
+    val topExpr = graft.functions.ArrayOps.broadcastTopK(
+      col("query_id"), col("qv"), bc, k)
+    queries
+      .select(col(idCol).cast("long").as("query_id"), quantize(col(vecCol)).as("qv"))
+      .select(col("query_id"), posexplode(topExpr).as(Seq("pos", "entry")))
+      .select(col("query_id"),
+        col("entry.id").as("neighbor_id"),
+        col("entry.score").as("cos_sim"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Per-query top-k via the bounded-heap aggregate
@@ -90,20 +139,12 @@ object Similarity {
 
   /** Sign-bucket id for LSH table `table`: `nPlanes` random-hyperplane sign
     * bits packed into a long. Vectors in the same bucket are cosine-close
-    * with probability (1 − θ/π)^nPlanes. */
+    * with probability (1 − θ/π)^nPlanes. One fused kernel
+    * ([[graft.functions.HyperplaneLshExpr]]) — the `aggregate`/`zip_with`
+    * formulation built a (planes × elements) interpreted-lambda tree whose
+    * analysis time alone dominated the query. */
   def lshBucket(vec: Column, nPlanes: Int = 12, table: Int = 0): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(nPlanes - 1)), j => j),
-      lit(0L),
-      (acc, j) => {
-        val dot = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, i) => x.cast("double") *
-              ((hash(lit(table), j.cast("int"), i).cast("long") % 10007L)
-                .cast("double") / 10007.0)),
-          lit(0.0), (a, x) => a + x)
-        acc + when(dot >= 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(lit(0L))
-      })
+    graft.functions.HashExprs.hyperplaneLsh(vec, nPlanes, table)
 
   /** I3b — LSH-bucketed ANN: `nTables` independent hyperplane tables; a
     * pair is a candidate if it collides in ANY table (IVF-style recall
