@@ -67,4 +67,9 @@ object ArrayOps {
       k: Int): Column =
     Bridge.column(BroadcastTopKExpr(
       Bridge.expression(queryId), Bridge.expression(qv), corpus, k))
+
+  /** The nProbe nearest IVF cell indices of a vector — see
+    * [[NearestCellsExpr]]. */
+  def nearestCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    Bridge.column(NearestCellsExpr(Bridge.expression(vec), centroids, nProbe))
 }

@@ -79,3 +79,70 @@ case class BroadcastTopKExpr(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** The `nProbe` nearest IVF cells (by cosine, ties to the lower index) of a
+  * float/double vector against a small centroid table (SURVEY §2 I3c).
+  * Centroids ride along in the serialized expression — nList × dim doubles,
+  * a few KB; the corpus itself never leaves the executors. */
+case class NearestCellsExpr(
+    child: Expression,
+    centroids: Array[Array[Double]],
+    nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  @transient private lazy val norms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+  @transient private lazy val elemIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val xs = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      xs(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    var vn = 0.0
+    i = 0
+    while (i < n) { vn += xs(i) * xs(i); i += 1 }
+    vn = math.sqrt(vn)
+    val m = centroids.length
+    val scores = new Array[Double](m)
+    var c = 0
+    while (c < m) {
+      val cent = centroids(c)
+      var dot = 0.0
+      i = 0
+      while (i < n && i < cent.length) { dot += xs(i) * cent(i); i += 1 }
+      scores(c) = if (vn > 0 && norms(c) > 0) dot / (vn * norms(c))
+        else Double.NegativeInfinity
+      c += 1
+    }
+    val probes = math.min(nProbe, m)
+    val picked = new Array[Int](probes)
+    val used = new Array[Boolean](m)
+    var p = 0
+    while (p < probes) {
+      var best = -1
+      c = 0
+      while (c < m) {
+        if (!used(c) && (best < 0 || scores(c) > scores(best))) best = c
+        c += 1
+      }
+      used(best) = true
+      picked(p) = best
+      p += 1
+    }
+    new GenericArrayData(picked)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

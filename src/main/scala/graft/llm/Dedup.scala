@@ -164,6 +164,63 @@ object Dedup {
     size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))
       .cast("double") / size(sigA).cast("double")
 
+  /** I2d — embedding-cosine near-dup pairs: documents whose embedding
+    * cosine similarity meets `threshold` (quantized-integer dot products —
+    * bit-identical across engines, see [[Similarity.quantize]]).
+    *
+    * `blocked = false` is the exact all-pairs path: |corpus|² dot products
+    * via a broadcast join — the oracle-checkable baseline, usable when one
+    * side fits in memory. `blocked = true` routes candidate generation
+    * through hyperplane-LSH buckets first (linear in corpus size, the
+    * 100 TB path) and verifies candidates exactly — recall follows the
+    * (1 − θ/π)^planes collision curve, so it is a superset-of-threshold
+    * MISS-tolerant approximation, not an exact join. */
+  def embeddingNearDups(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      blocked: Boolean = false,
+      nPlanes: Int = 8,
+      nTables: Int = 4): DataFrame = {
+    def cosFilter(pairs: DataFrame): DataFrame = pairs
+      .withColumn("cos_sim",
+        when(col("qna") * col("qnb") > 0d,
+          graft.functions.ArrayOps.longArrayDot(col("qva"), col("qvb")).cast("double")
+            / (col("qna") * col("qnb"))).otherwise(lit(null)))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cos_sim"))
+    if (!blocked) {
+      val base = df.select(col(idCol).as("doc"), Similarity.quantize(col(vecCol)).as("qv"))
+        .withColumn("qn",
+          sqrt(graft.functions.ArrayOps.longArrayDot(col("qv"), col("qv")).cast("double")))
+      val a = base.select(col("doc").as("doc_a"), col("qv").as("qva"), col("qn").as("qna"))
+      val b = base.select(col("doc").as("doc_b"), col("qv").as("qvb"), col("qn").as("qnb"))
+      cosFilter(a.join(broadcast(b), col("doc_a") < col("doc_b")))
+    } else {
+      // same exchange-sandwich shape as lshTopK: features computed once
+      // behind a barrier, buckets exploded, equi-join per (table, bucket)
+      val feat = df.select(
+        (Seq(col(idCol).as("doc"), Similarity.quantize(col(vecCol)).as("qv")) ++
+          (0 until nTables).map(t =>
+            Similarity.lshBucket(col(vecCol), nPlanes, t).as(s"b_$t"))): _*)
+        .withColumn("qn",
+          sqrt(graft.functions.ArrayOps.longArrayDot(col("qv"), col("qv")).cast("double")))
+        .repartition(col("doc"))
+      val expl = feat.select(col("doc"), col("qv"), col("qn"),
+        posexplode(array((0 until nTables).map(t => col(s"b_$t")): _*))
+          .as(Seq("tbl", "bucket")))
+      val other = expl.select(col("doc").as("doc_b"), col("qv").as("qvb"),
+        col("qn").as("qnb"), col("tbl"), col("bucket"))
+      val cand = expl.join(other, Seq("tbl", "bucket"))
+        .filter(col("doc") < col("doc_b"))
+        .select(col("doc").as("doc_a"), col("qv").as("qva"), col("qn").as("qna"),
+          col("doc_b"), col("qvb"), col("qnb"))
+        .distinct() // a pair colliding in several tables counts once
+      cosFilter(cand)
+    }
+  }
+
   /** I2c — SimHash near-dup pairs: banded blocking on bit-chunks of the
     * 64-bit fingerprint, then exact Hamming verification. The pigeonhole
     * guarantee needs `maxHamming + 1` chunks (a pair within the radius must

@@ -146,6 +146,68 @@ object Similarity {
   def lshBucket(vec: Column, nPlanes: Int = 12, table: Int = 0): Column =
     graft.functions.HashExprs.hyperplaneLsh(vec, nPlanes, table)
 
+  /** I3c — IVF (inverted-file) ANN: a coarse centroid table partitions the
+    * corpus into `nList` cells (k-means-style Lloyd refinement, deterministic
+    * min-id init); each query probes its `nProbe` nearest cells and reranks
+    * exactly within them. Candidate generation is an equi-join on the cell
+    * id — linear in corpus size and naturally partitioned, the alternative
+    * scale path to [[lshTopK]] when cluster structure (not random planes)
+    * should drive recall. Centroids are tiny (nList × dim doubles) and ride
+    * along in the plan; the corpus never leaves the executors. */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      nList: Int = 16,
+      nProbe: Int = 4,
+      lloydIters: Int = 3): DataFrame = {
+    import graft.functions.ArrayOps.nearestCells
+    val feats = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // deterministic init: the nList lowest-id vectors
+    var centroids: Array[Array[Double]] = feats.orderBy(col("id")).limit(nList)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    // Lloyd: assign to nearest cell, recompute per-cell mean (element-wise,
+    // distributed via posexplode; only the nList × dim means come back)
+    (0 until lloydIters).foreach { _ =>
+      val assigned = feats.select(
+        element_at(nearestCells(col("v"), centroids, 1), 1).as("cell"),
+        posexplode(col("v")).as(Seq("i", "x")))
+      val means = assigned.groupBy(col("cell"), col("i"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("ms"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        val cell = r.getInt(0)
+        next(cell) = r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toArray
+      }
+      centroids = next // cells with no members keep their previous centroid
+    }
+    val corpusCells = df.select(col(idCol).cast("long").as("neighbor_id"),
+      quantize(col(vecCol)).as("cv"),
+      element_at(nearestCells(col(vecCol), centroids, 1), 1).as("cell"))
+      .withColumn("cn", sqrt(dotQ(col("cv"), col("cv")).cast("double")))
+      .repartition(col("cell")) // barrier: features + cell computed once
+    val queryProbes = df.select(col(idCol).cast("long").as("query_id"),
+      quantize(col(vecCol)).as("qv"),
+      explode(nearestCells(col(vecCol), centroids, nProbe)).as("cell"))
+      .withColumn("qn", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
+    val pairs = queryProbes.join(corpusCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", safeCosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .filter(col("cos_sim").isNotNull)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    // no distinct needed: each corpus vector lives in exactly ONE cell, so a
+    // (query, neighbor) pair can only arise from that single cell
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
   /** I3b — LSH-bucketed ANN: `nTables` independent hyperplane tables; a
     * pair is a candidate if it collides in ANY table (IVF-style recall
     * boost: 1 − (1−p)^T), then exact cosine + top-k within candidates.

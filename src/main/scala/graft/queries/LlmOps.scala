@@ -63,6 +63,40 @@ object LlmOps {
   def simhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 10)
 
+  /** I2d — embedding-cosine near-dup pairs (exact all-pairs; the
+    * LSH-blocked variant is LlmSpec-covered). The fixture embeddings are
+    * near-random (max pairwise cosine ≈ 0.6), so the "near-dup" threshold
+    * is set at the ~99.9th percentile of the pair distribution to exercise
+    * a non-trivial result set. */
+  def embeddingNearDups(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.35)
+
+  private val embeddingNearDupsSql =
+    """WITH q AS (
+      | SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS v
+      | FROM embeddings),
+      |flat AS (SELECT vec_id, unnest(v) AS e, generate_subscripts(v,1) AS i FROM q),
+      |norms AS (SELECT vec_id, sqrt(CAST(SUM(e*e) AS DOUBLE)) AS nrm FROM flat GROUP BY 1),
+      |dots AS (
+      | SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, SUM(a.e*b.e) AS dot
+      | FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      | CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS cos_sim
+      |FROM dots
+      |JOIN norms na ON na.vec_id = doc_a
+      |JOIN norms nb ON nb.vec_id = doc_b
+      |WHERE na.nrm * nb.nrm > 0
+      | AND CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) >= 0.35""".stripMargin
+
+  /** I3c — IVF-partitioned ANN top-k (rows-only: recall depends on the
+    * learned centroid table; exactness is spec-checked against brute
+    * force). */
+  def ivfAnn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.ivfTopK(e, "vec_id", "embedding", k = 5)
+  }
+
   /** I3a — brute-force cosine top-5 neighbors per embedding. */
   def cosineTopK(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
@@ -207,8 +241,10 @@ object LlmOps {
     "i2_ngram_jaccard" -> ngramJaccard _,
     "i2_minhash_lsh_candidates" -> minhashCandidates _,
     "i2_simhash_pairs" -> simhashPairs _,
+    "i2_embedding_neardup" -> embeddingNearDups _,
     "i3_cosine_topk" -> cosineTopK _,
     "i3_lsh_ann_topk" -> lshAnn _,
+    "i3_ivf_ann_topk" -> ivfAnn _,
     "i5_lang_id" -> langId _,
     "i5_quality_score" -> qualityScore _,
     "i5_token_counts" -> tokenCounts _,
@@ -219,6 +255,7 @@ object LlmOps {
   val oracles: Map[String, String] = Map(
     "i1_dedup_exact" -> dedupExactSql,
     "i2_ngram_jaccard" -> ngramJaccardSql,
+    "i2_embedding_neardup" -> embeddingNearDupsSql,
     "i3_cosine_topk" -> cosineTopKSql,
     "i5_lang_id" -> langIdSql,
     "i5_quality_score" -> qualityScoreSql,

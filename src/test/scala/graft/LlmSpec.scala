@@ -78,6 +78,33 @@ class LlmSpec extends AnyFunSuite {
     assert(hits.toDouble / brute.size > 0.4, s"recall ${hits.toDouble / brute.size}")
   }
 
+  test("I2 embedding near-dups: blocked (LSH) results are a subset of exact") {
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.35))
+    val blocked = pairs(Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.35,
+      blocked = true, nPlanes = 4, nTables = 8))
+    assert(exact.nonEmpty, "threshold 0.35 should produce some near-dup pairs")
+    assert(blocked.subsetOf(exact), "blocked path must never invent pairs")
+    assert(blocked.size.toDouble / exact.size > 0.3,
+      s"LSH recall ${blocked.size.toDouble / exact.size}")
+  }
+
+  test("I3 IVF ANN recall vs brute force on real embeddings") {
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", k = 1,
+      nList = 8, nProbe = 3)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val hits = brute.count { case (q, n) => ivf.get(q).contains(n) }
+    assert(ivf.nonEmpty)
+    // probing 3 of 8 cells: the true nearest neighbor shares the query's
+    // cell (or an adjacent probed one) most of the time
+    assert(hits.toDouble / brute.size > 0.5, s"recall ${hits.toDouble / brute.size}")
+  }
+
   test("I3 brute-force top-k: zero vector (NaN cosine) never ranks") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)),
