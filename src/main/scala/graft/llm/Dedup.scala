@@ -71,6 +71,9 @@ object Dedup {
     // branches (sizes ×2, both join sides, the frequency filter); without
     // it CollapseProject inlines the shingling into every branch and the
     // scan+shingle work runs 4×. ReuseExchange dedupes the barrier subtree.
+    // (UNPINNED width, unlike the sketch kernels: shingling is cheap and the
+    // downstream join pipeline benefits from AQE's runtime re-planning —
+    // pinning measured 3× slower end-to-end at sf0.1)
     val shingled = df.select(
       col(idCol).as("doc"),
       shingler(col(textCol), n).as("shingles"))
@@ -145,7 +148,7 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc"),
         minHashSignature(charShingles(col("text"), shingleN), k).as("sig"))
-      .repartition(col("doc"))
+      .repartition(Par.of(df), col("doc"))
     val bands = sigs.select(col("doc"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         j => hash(concat_ws(",", slice(col("sig"), j * r + 1, lit(r))), j)))
@@ -206,7 +209,7 @@ object Dedup {
             Similarity.lshBucket(col(vecCol), nPlanes, t).as(s"b_$t"))): _*)
         .withColumn("qn",
           sqrt(graft.functions.ArrayOps.longArrayDot(col("qv"), col("qv")).cast("double")))
-        .repartition(col("doc"))
+        .repartition(Par.of(df), col("doc"))
       val expl = feat.select(col("doc"), col("qv"), col("qn"),
         posexplode(array((0 until nTables).map(t => col(s"b_$t")): _*))
           .as(Seq("tbl", "bucket")))
@@ -238,7 +241,7 @@ object Dedup {
     val mask = if (width >= 64) -1L else (1L << width) - 1
     val sh = df.select(col(idCol).as("doc"),
       TextAnalysis.simHash(col(textCol)).as("sim"))
-      .repartition(col("doc")) // barrier: compute the sketch exactly once
+      .repartition(Par.of(df), col("doc")) // barrier: compute the sketch exactly once
     val chunks = sh.select(col("doc"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
         j => call_function("shiftright", col("sim"), j * width).bitwiseAND(mask)))

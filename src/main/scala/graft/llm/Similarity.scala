@@ -189,7 +189,7 @@ object Similarity {
       quantize(col(vecCol)).as("cv"),
       element_at(nearestCells(col(vecCol), centroids, 1), 1).as("cell"))
       .withColumn("cn", sqrt(dotQ(col("cv"), col("cv")).cast("double")))
-      .repartition(col("cell")) // barrier: features + cell computed once
+      .repartition(Par.of(df), col("cell")) // barrier: features + cell computed once
     val queryProbes = df.select(col(idCol).cast("long").as("query_id"),
       quantize(col(vecCol)).as("qv"),
       explode(nearestCells(col(vecCol), centroids, nProbe)).as("cell"))
@@ -225,7 +225,7 @@ object Similarity {
         (0 until nTables).map(t =>
           lshBucket(col(vecCol), nPlanes, t).as(s"bucket_$t"))): _*)
       .withColumn("qn", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
-      .repartition(col("query_id")) // barrier: buckets + norm computed once
+      .repartition(Par.of(df), col("query_id")) // barrier: buckets + norm computed once
     val buckets = b.select(col("query_id"), col("qv"), col("qn"),
       posexplode(array((0 until nTables).map(t => col(s"bucket_$t")): _*))
         .as(Seq("table_idx", "bucket")))
