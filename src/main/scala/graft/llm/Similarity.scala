@@ -173,16 +173,14 @@ object Similarity {
       val assigned = feats.select(
         element_at(nearestCells(col("v"), centroids, 1), 1).as("cell"),
         posexplode(col("v")).as(Seq("i", "x")))
+      // one aggregation; the nList × dim (cell, i, mean) triples come back
+      // directly — a second groupBy to assemble arrays would just add a
+      // shuffle for the driver's convenience
       val means = assigned.groupBy(col("cell"), col("i"))
         .agg(avg(col("x")).as("m"))
-        .groupBy(col("cell"))
-        .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("ms"))
         .collect()
       val next = centroids.map(_.clone())
-      means.foreach { r =>
-        val cell = r.getInt(0)
-        next(cell) = r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toArray
-      }
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
       centroids = next // cells with no members keep their previous centroid
     }
     val corpusCells = df.select(col(idCol).cast("long").as("neighbor_id"),

@@ -62,6 +62,62 @@ object Closure {
     result
   }
 
+  /** Generator emitting the full ancestor walk of one edge group:
+    * input `array<struct<parent bigint, child bigint>>`, output rows
+    * (ancestor, descendant, depth). Runs inside `Generate` directly on
+    * Tungsten rows — the typed `flatMapGroups` formulation it replaces paid
+    * a tuple encoder round-trip per edge AND an extra shuffle, because
+    * `groupByKey(_._1)` hides the grouping key inside a lambda where the
+    * planner can't see the existing hash partitioning. */
+  case class TreeClosureGen(
+      child: org.apache.spark.sql.catalyst.expressions.Expression,
+      maxDepth: Int = 100000)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.Generator
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+
+    override def elementSchema: StructType = StructType(Seq(
+      StructField("ancestor", LongType, nullable = false),
+      StructField("descendant", LongType, nullable = false),
+      StructField("depth", IntegerType, nullable = false)))
+
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val arr = child.eval(input)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = arr.numElements()
+      val parentOf = scala.collection.mutable.LongMap.empty[Long]
+      var i = 0
+      while (i < n) {
+        val e = arr.getStruct(i, 2)
+        parentOf(e.getLong(1)) = e.getLong(0)
+        i += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      parentOf.foreachKey { node =>
+        var cur = node
+        var depth = 0
+        var continue = true
+        val bound = math.min(maxDepth, parentOf.size + 1) // cycle bound
+        while (continue && depth < bound) {
+          parentOf.get(cur) match {
+            case Some(p) =>
+              depth += 1
+              out += InternalRow(p, node, depth)
+              cur = p
+            case None => continue = false
+          }
+        }
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(
+        newChild: org.apache.spark.sql.catalyst.expressions.Expression) =
+      copy(child = newChild)
+  }
+
   /** Partitioned tree closure (SURVEY §7.4.1's scale mitigation): when the
     * edge set is partitionable by a key (trace_id, user_id, tenant...) and
     * each group is a bounded forest, compute the closure with ONE shuffle
@@ -79,36 +135,18 @@ object Closure {
       parentCol: String = "parent",
       childCol: String = "child",
       maxDepth: Int = 100000): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    edges.select(
-      col(keyCol).cast("long"),
-      col(parentCol).cast("long"),
-      col(childCol).cast("long"))
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val parentOf = scala.collection.mutable.LongMap.empty[Long]
-        it.foreach { case (_, p, c) => parentOf(c) = p }
-        val nodes = parentOf.keysIterator.toArray
-        nodes.iterator.flatMap { node =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
-          var cur = node
-          var depth = 0
-          var continue = true
-          while (continue && depth < maxDepth) {
-            parentOf.get(cur) match {
-              case Some(p) =>
-                depth += 1
-                out += ((p, node, depth))
-                cur = p
-              case None => continue = false
-            }
-          }
-          out
-        }
-      }
-      .toDF("ancestor", "descendant", "depth")
+    import org.apache.spark.sql.graftbridge.Bridge
+    val grouped = edges.select(
+      col(keyCol).cast("long").as("k"),
+      col(parentCol).cast("long").as("p"),
+      col(childCol).cast("long").as("c"))
+      .groupBy(col("k"))
+      .agg(collect_list(struct(col("p"), col("c"))).as("es"))
+    // a Project containing a Generator is rewritten to Generate by the
+    // analyzer; the groupBy reuses any existing hash partitioning on the key
+    grouped.select(Bridge.column(
+      TreeClosureGen(Bridge.expression(col("es")), maxDepth)))
+      .select(col("ancestor"), col("descendant"), col("depth"))
   }
 
   /** (root, descendant) pairs for every root in `roots` (single column
