@@ -86,9 +86,11 @@ object Dedup {
       explode(col("shingles")).as("sh_str"))
       .select(col("doc"), xxhash64(col("sh_str")).as("sh"))
     maxShingleFreq.foreach { cap =>
-      val freq = exploded.groupBy("sh").agg(count(lit(1)).as("f"))
-        .filter(col("f") <= cap).select("sh")
-      exploded = exploded.join(freq, "sh")
+      // count-window instead of groupBy+semi-join: one shuffle on `sh`, and
+      // the blocking self-join right after it reuses that partitioning
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+      exploded = exploded.withColumn("__f", count(lit(1)).over(w))
+        .filter(col("__f") <= cap).drop("__f")
     }
     val b = exploded.select(col("doc").as("doc_b"), col("sh"))
     val shared = exploded.join(b, Seq("sh"))
