@@ -55,6 +55,25 @@ object Registry {
       "graft_simhash64", exprs => SimHash64Expr(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_sig", exprs => MinHashSigExpr(exprs(0), 64), "built-in")
+    // graft_hyperplane_lsh(vec, nPlanes, table) — literal plane/table ids
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hyperplane_lsh", exprs => {
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            name: String): Int = {
+          val v = if (e.foldable) e.eval() else null
+          v match {
+            case n: Number => n.intValue()
+            case _ => throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "INVALID_PARAMETER_VALUE.INTEGER",
+              messageParameters = Map(
+                "parameter" -> s"`$name` (must be an integer literal)",
+                "functionName" -> "`graft_hyperplane_lsh`",
+                "invalidValue" -> e.sql))
+          }
+        }
+        HyperplaneLshExpr(exprs(0),
+          intLit(exprs(1), "nPlanes"), intLit(exprs(2), "table"))
+      }, "built-in")
     // aggregate: graft_top_k(struct(score, id), k) with literal k
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_top_k", exprs => {

@@ -304,16 +304,18 @@ object Relational {
   /** Range (interval) join: pairs of events of the same user within 30
     * minutes. Equi-key on user_id keeps it a hash join with a residual range
     * predicate — no O(n²) cross product at scale. (D5, C6 overlap algebra) */
+  /** D5 — interval join via the binned range-join operator: equi-join on
+    * (user, 30-min time bucket) instead of user alone, so hot users never
+    * degenerate to an O(n²) residual scan inside one sort-merge group. */
   def rangeJoinEvents(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
     val a = e.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
     val b = e.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
       col("ts").as("b_ts"))
-    a.join(b,
-      col("user_id") === col("b_user") &&
-        col("a_id") < col("b_id") &&
-        col("b_ts") >= col("a_ts") &&
-        col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES"))
+    graft.operators.RangeJoin
+      .within(a, b, "user_id", "b_user", "a_ts", "b_ts",
+        windowMicros = 30L * 60 * 1000000)
+      .filter(col("a_id") < col("b_id"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
   }

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+/** The binned range join must agree with the naive residual-condition join
+  * on every bucket geometry: pairs inside one bucket, pairs straddling a
+  * bucket edge, and pairs exactly `window` apart (inclusive upper bound). */
+class RangeJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val W = 30L * 60 * 1000000 // 30 min in micros
+
+  private def events(rows: (Long, Long, Long)*) = // (user, id, offsetMicros)
+    rows.toSeq.toDF("user_id", "event_id", "off")
+      .withColumn("ts", timestamp_micros(lit(1700000000000000L) + col("off")))
+      .drop("off")
+
+  private def naive(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame) =
+    a.join(b, col("user_id") === col("b_user") &&
+      unix_micros(col("b_ts")) >= unix_micros(col("a_ts")) &&
+      unix_micros(col("b_ts")) <= unix_micros(col("a_ts")) + W)
+
+  test("D5 binned range join == naive join incl. bucket edges") {
+    val e = events(
+      (1L, 1L, 0L), // bucket 0
+      (1L, 2L, W / 2), // same bucket as 1
+      (1L, 3L, W - 1), // end of bucket, pairs with 1 and 2
+      (1L, 4L, W), // exactly window after id 1 — inclusive bound
+      (1L, 5L, 3 * W + 7), // far away, pairs with nothing before it
+      (2L, 6L, 0L), // other user: never pairs with user 1
+      (2L, 7L, W + 1)) // > window after 6 — excluded
+    val a = e.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+    val b = e.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+      col("ts").as("b_ts"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("a_id"), col("b_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val binned = pairs(graft.operators.RangeJoin
+      .within(a, b, "user_id", "b_user", "a_ts", "b_ts", W))
+    val expected = pairs(naive(a, b))
+    assert(binned == expected)
+    // sanity on the fixture itself: inclusive upper bound + self-pairs
+    assert(expected.contains((1L, 4L)))
+    assert(expected.contains((1L, 1L)))
+    assert(!expected.contains((6L, 7L)))
+    assert(!expected.exists { case (x, y) => x <= 5 && y >= 6 })
+  }
+
+  test("D5 binned range join emits each pair exactly once") {
+    val e = events((1L, 1L, 0L), (1L, 2L, W / 3), (1L, 3L, W + W / 3))
+    val a = e.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+    val b = e.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+      col("ts").as("b_ts"))
+    val out = graft.operators.RangeJoin
+      .within(a, b, "user_id", "b_user", "a_ts", "b_ts", W)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.size == out.distinct.size, s"duplicated pairs: $out")
+  }
+}

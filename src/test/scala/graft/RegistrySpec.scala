@@ -45,6 +45,22 @@ class RegistrySpec extends AnyFunSuite {
     assert(rows(2L) == Seq((0.7, 20L)))
   }
 
+  test("D18 graft_hyperplane_lsh matches the Column API kernel") {
+    Registry.registerAll(spark)
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(20)
+    e.createOrReplaceTempView("emb_lsh")
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_hyperplane_lsh(embedding, 8, 1) AS b FROM emb_lsh")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCol = e.select(col("vec_id"),
+      graft.llm.Similarity.lshBucket(col("embedding"), 8, 1).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaCol)
+    val err = intercept[Exception](spark.sql(
+      "SELECT graft_hyperplane_lsh(embedding, vec_id, 0) FROM emb_lsh"))
+    assert(err.getMessage.contains("graft_hyperplane_lsh"))
+  }
+
   test("D18 graft_top_k: NaN scores never rank; heap stays correct") {
     Registry.registerAll(spark)
     // NaN arriving during the initial heap fill must not block better
