@@ -67,39 +67,44 @@ object Dedup {
       threshold: Double = 0.5,
       maxShingleFreq: Option[Int] = None,
       shingler: (Column, Int) => Column = charShingles): DataFrame = {
-    // exchange barrier: the shingle array is referenced by four plan
-    // branches (sizes ×2, both join sides, the frequency filter); without
-    // it CollapseProject inlines the shingling into every branch and the
-    // scan+shingle work runs 4×. ReuseExchange dedupes the barrier subtree.
-    // (UNPINNED width, unlike the sketch kernels: shingling is cheap and the
-    // downstream join pipeline benefits from AQE's runtime re-planning —
-    // pinning measured 3× slower end-to-end at sf0.1)
+    import org.apache.spark.sql.expressions.Window
+    // exchange barrier: without it CollapseProject inlines the shingling
+    // into every consumer branch. (UNPINNED width, unlike the sketch
+    // kernels: shingling is cheap and the downstream join pipeline benefits
+    // from AQE's runtime re-planning — pinning measured 3× slower at sf0.1.)
     val shingled = df.select(
       col(idCol).as("doc"),
       shingler(col(textCol), n).as("shingles"))
       .repartition(col("doc"))
-    val sizes = shingled.select(col("doc"), size(col("shingles")).as("n_sh"))
     // shingles become 64-bit hashes before the blocking join: halves the
     // shuffle width and makes the join key compare a long compare
     // (collision probability ~2^-64 per pair — far below float noise)
-    var exploded = shingled.select(col("doc"),
+    val exploded = shingled.select(col("doc"),
       explode(col("shingles")).as("sh_str"))
       .select(col("doc"), xxhash64(col("sh_str")).as("sh"))
+    // per-doc shingle-set size rides along as a count-window over `doc`
+    // (reuses the barrier's partitioning) instead of a separate `sizes`
+    // branch — a branch would re-scan and re-shingle the corpus per side,
+    // since ReuseExchange can't dedupe across AQE's broadcast conversions
+    var withSizes = exploded.withColumn("n_sh_a",
+      count(lit(1)).over(Window.partitionBy(col("doc"))))
     maxShingleFreq.foreach { cap =>
       // count-window instead of groupBy+semi-join: one shuffle on `sh`, and
-      // the blocking self-join right after it reuses that partitioning
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-      exploded = exploded.withColumn("__f", count(lit(1)).over(w))
+      // the blocking self-join right after it reuses that partitioning.
+      // Sizes are computed BEFORE the cap (the oracle's denominator is the
+      // full shingle-set size).
+      val w = Window.partitionBy(col("sh"))
+      withSizes = withSizes.withColumn("__f", count(lit(1)).over(w))
         .filter(col("__f") <= cap).drop("__f")
     }
-    val b = exploded.select(col("doc").as("doc_b"), col("sh"))
-    val shared = exploded.join(b, Seq("sh"))
+    val b = withSizes.select(col("doc").as("doc_b"), col("sh"),
+      col("n_sh_a").as("n_sh_b"))
+    withSizes.join(b, Seq("sh"))
       .filter(col("doc") < col("doc_b"))
       .groupBy(col("doc"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(sizes, Seq("doc"))
-      .join(sizes.select(col("doc").as("doc_b"), col("n_sh").as("n_sh_b")), Seq("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("n_sh_a")).as("n_sh"), // constant per doc; min = that value
+        min(col("n_sh_b")).as("n_sh_b"))
       .withColumn("jaccard",
         col("n_shared").cast("double") /
           (col("n_sh") + col("n_sh_b") - col("n_shared")).cast("double"))
