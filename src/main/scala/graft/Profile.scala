@@ -150,7 +150,7 @@ object Profile {
       spark.stop(); return
     }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (only.forall(o => o == "--explain" || name.contains(o))) {
+      if (only.forall(o => o.startsWith("--") || name.contains(o))) {
         if (explain) {
           println(s"==== $name")
           fn(spark, sfDir).explain("formatted")

@@ -51,6 +51,10 @@ case class BroadcastTopKExpr(
     val c = corpus.value
     val dim = c.dim
     val qv = arr.toLongArray()
+    if (qv.length != dim && c.ids.length > 0) {
+      throw new IllegalArgumentException(
+        s"query vector dim ${qv.length} != corpus dim $dim (query id $queryId)")
+    }
     var qdot = 0L
     var i = 0
     while (i < dim) { qdot += qv(i) * qv(i); i += 1 }

@@ -58,14 +58,24 @@ object Similarity {
       vecCol: String,
       k: Int = 5,
       broadcastCorpus: Boolean = true): DataFrame = {
-    if (broadcastCorpus) return bruteForceTopKBroadcast(queries, corpus, idCol, vecCol, k)
+    // the fused broadcast kernel works on long ids; non-integral id columns
+    // (or disabled broadcast) take the join+aggregate path, which preserves
+    // the id type
+    import org.apache.spark.sql.types._
+    val idIsIntegral = queries.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (broadcastCorpus && idIsIntegral)
+      return bruteForceTopKBroadcast(queries, corpus, idCol, vecCol, k)
     // norms computed ONCE per vector before the join (cosineQ inline would
     // recompute both self-dots for every one of the |Q|×|C| pairs)
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
       .withColumn("qn", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
     val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
       .withColumn("cn", sqrt(dotQ(col("cv"), col("cv")).cast("double")))
-    val pairs = q.join(c, col("query_id") =!= col("neighbor_id"))
+    val pairs = q.join(if (broadcastCorpus) broadcast(c) else c,
+        col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", safeCosine(col("qv"), col("cv"), col("qn"), col("cn")))
       .filter(col("cos_sim").isNotNull)
     topKPerQuery(pairs, k)
@@ -77,7 +87,12 @@ object Similarity {
     * computes its whole top-k in one fused kernel
     * ([[graft.functions.BroadcastTopKExpr]]). No join, no shuffle, no
     * aggregate: queries stream past the corpus exactly like the
-    * BroadcastNestedLoopJoin plan, minus |Q|×|C| row materialization. */
+    * BroadcastNestedLoopJoin plan, minus |Q|×|C| row materialization.
+    *
+    * Note the corpus collect (and the broadcast) happens EAGERLY at
+    * DataFrame-construction time, like a prepared statement — plan-only
+    * inspection of the result also pays it, and the broadcast lives until
+    * the session drops it. */
   private def bruteForceTopKBroadcast(
       queries: DataFrame,
       corpus: DataFrame,
@@ -111,11 +126,14 @@ object Similarity {
       new graft.functions.TopKCorpus(ids, flat, norms, dim))
     val topExpr = graft.functions.ArrayOps.broadcastTopK(
       col("query_id"), col("qv"), bc, k)
+    // ids are long inside the kernel; cast back so the output schema matches
+    // the join path whatever integral type came in
+    val idType = queries.schema(idCol).dataType
     queries
       .select(col(idCol).cast("long").as("query_id"), quantize(col(vecCol)).as("qv"))
       .select(col("query_id"), posexplode(topExpr).as(Seq("pos", "entry")))
-      .select(col("query_id"),
-        col("entry.id").as("neighbor_id"),
+      .select(col("query_id").cast(idType).as("query_id"),
+        col("entry.id").cast(idType).as("neighbor_id"),
         col("entry.score").as("cos_sim"),
         (col("pos") + 1).cast("int").as("rank"))
   }
@@ -126,16 +144,27 @@ object Similarity {
     * shuffles and sorts every candidate pair. Tie-break (score DESC,
     * neighbor ASC) matches the oracle's ROW_NUMBER ordering. */
   private def topKPerQuery(pairs: DataFrame, k: Int): DataFrame =
-    pairs
-      .groupBy(col("query_id"))
-      .agg(graft.functions.TopKAgg.topKByScore(
-        struct(col("cos_sim").as("score"), col("neighbor_id").as("id")), k)
-        .as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
-      .select(col("query_id"),
-        col("entry.id").as("neighbor_id"),
-        col("entry.score").as("cos_sim"),
-        (col("pos") + 1).cast("int").as("rank"))
+    pairs.schema("neighbor_id").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        pairs
+          .groupBy(col("query_id"))
+          .agg(graft.functions.TopKAgg.topKByScore(
+            struct(col("cos_sim").as("score"), col("neighbor_id").as("id")), k)
+            .as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+          .select(col("query_id"),
+            col("entry.id").as("neighbor_id"),
+            col("entry.score").as("cos_sim"),
+            (col("pos") + 1).cast("int").as("rank"))
+      case _ =>
+        // the bounded-heap aggregate is long-id only; any other id type goes
+        // through the (slower, shuffle-every-pair) window formulation
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+        pairs.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+    }
 
   /** Sign-bucket id for LSH table `table`: `nPlanes` random-hyperplane sign
     * bits packed into a long. Vectors in the same bucket are cosine-close
@@ -166,7 +195,8 @@ object Similarity {
     val feats = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     // deterministic init: the nList lowest-id vectors
     var centroids: Array[Array[Double]] = feats.orderBy(col("id")).limit(nList)
-      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .collect()
+      .map(_.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
     // Lloyd: assign to nearest cell, recompute per-cell mean (element-wise,
     // distributed via posexplode; only the nList × dim means come back)
     (0 until lloydIters).foreach { _ =>

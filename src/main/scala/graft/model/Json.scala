@@ -168,8 +168,11 @@ object Json {
             case 'u' =>
               if (pos + 5 > s.length) fail("bad unicode escape")
               val hex = s.substring(pos + 1, pos + 5)
-              try sb.append(Integer.parseInt(hex, 16).toChar)
-              catch { case _: NumberFormatException => fail("bad unicode escape") }
+              // strict hex digits only — Integer.parseInt would also accept
+              // signed forms like "-004" and decode them to garbage
+              if (!hex.forall(c => Character.digit(c, 16) >= 0))
+                fail("bad unicode escape")
+              sb.append(Integer.parseInt(hex, 16).toChar)
               pos += 4
             case other => fail(s"bad escape \\$other")
           }

@@ -91,7 +91,12 @@ object Closure {
       var i = 0
       while (i < n) {
         val e = arr.getStruct(i, 2)
-        parentOf(e.getLong(1)) = e.getLong(0)
+        // a null parent or child is "no edge" (e.g. root rows whose
+        // parent_id is null) — skip rather than fabricate an edge to id 0,
+        // which is what a bare getLong on a null field would read
+        if (!e.isNullAt(0) && !e.isNullAt(1)) {
+          parentOf(e.getLong(1)) = e.getLong(0)
+        }
         i += 1
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]

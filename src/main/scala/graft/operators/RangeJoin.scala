@@ -47,15 +47,20 @@ object RangeJoin {
       .drop("__bkt", "__bkt_r")
   }
 
-  /** Convenience overload: window as a Column interval is not bucketable,
-    * so scale-minded callers pass an explicit duration. */
+  /** Convenience overload taking the window as a Duration. Key and
+    * timestamp column names must differ between the two sides (same-name
+    * references are ambiguous in a join condition). */
   def within(
       left: DataFrame,
       right: DataFrame,
-      key: String,
+      leftKey: String,
+      rightKey: String,
       leftTs: String,
       rightTs: String,
-      window: java.time.Duration): DataFrame =
-    within(left, right, key, key, leftTs, rightTs,
+      window: java.time.Duration): DataFrame = {
+    require(leftKey != rightKey && leftTs != rightTs,
+      s"left/right column names must differ: ($leftKey,$rightKey) ($leftTs,$rightTs)")
+    within(left, right, leftKey, rightKey, leftTs, rightTs,
       window.toNanos / 1000L)
+  }
 }

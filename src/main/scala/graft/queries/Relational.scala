@@ -301,11 +301,9 @@ object Relational {
       | l_orderkey % 7 AS key_mod
       |FROM lineitem""".stripMargin
 
-  /** Range (interval) join: pairs of events of the same user within 30
-    * minutes. Equi-key on user_id keeps it a hash join with a residual range
-    * predicate — no O(n²) cross product at scale. (D5, C6 overlap algebra) */
-  /** D5 — interval join via the binned range-join operator: equi-join on
-    * (user, 30-min time bucket) instead of user alone, so hot users never
+  /** D5 — interval join (pairs of events of the same user within 30
+    * minutes) via the binned range-join operator: equi-join on (user,
+    * 30-min time bucket) instead of user alone, so hot users never
     * degenerate to an O(n²) residual scan inside one sort-merge group. */
   def rangeJoinEvents(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)

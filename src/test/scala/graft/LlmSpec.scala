@@ -122,6 +122,18 @@ class LlmSpec extends AnyFunSuite {
     assert(top.count(r => r.getAs[Long]("query_id") == 1L) == 2)
   }
 
+  test("I3 brute-force top-k works with non-long (string) id columns") {
+    val vecs = Seq(
+      ("a", Array(1.0f, 0.0f)),
+      ("b", Array(0.9f, 0.1f)),
+      ("c", Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[String]("query_id") -> r.getAs[String]("neighbor_id"))
+      .toMap
+    assert(top("a") == "b" && top("b") == "a")
+  }
+
   test("I3 cosine matches quantized cosine closely") {
     val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
     val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))

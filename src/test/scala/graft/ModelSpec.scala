@@ -50,6 +50,9 @@ class ModelSpec extends AnyFunSuite {
     // request bodies)
     intercept[IllegalArgumentException](Json.parse("\"\\u12"))
     intercept[IllegalArgumentException](Json.parse("\"\\uzzzz\""))
+    // Integer.parseInt would accept signed "hex" like -004 — must fail
+    intercept[IllegalArgumentException](Json.parse("\"\\u-0041\""))
+    intercept[IllegalArgumentException](Json.parse("\"\\u+041x\""))
     assert(Json.parse("\"\\u0041\"") == "A")
   }
 

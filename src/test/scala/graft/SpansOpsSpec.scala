@@ -134,6 +134,17 @@ class SpansOpsSpec extends AnyFunSuite {
     assert(back2.attributesUnion() == Map("task.id" -> "t1", "task.num_cpus" -> 2L))
   }
 
+  test("A7 treeClosureGrouped ignores null-parent edges (roots)") {
+    import spark.implicits._
+    val edges = Seq((1L, Option.empty[Long], 10L), (1L, Some(10L), 11L),
+      (1L, Some(11L), 12L))
+      .toDF("k", "parent", "child")
+    val out = graft.operators.Closure.treeClosureGrouped(edges, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // no fabricated ancestor 0 rows; just the 10->11->12 chain
+    assert(out == Set((10L, 11L, 1), (10L, 12L, 2), (11L, 12L, 1)))
+  }
+
   test("A7 descendantsWithRoots dedups diamond DAGs (node at two depths)") {
     import spark.implicits._
     // a -> b -> d and a -> c -> d: d reachable from root a at depth 2 twice
