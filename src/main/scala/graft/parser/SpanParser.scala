@@ -141,10 +141,15 @@ object SpanParser {
     val pairs = taggedSpans(spans).persist(StorageLevel.MEMORY_AND_DISK)
     pairs.count()
 
+    // ONE ownership join, reused by all four extraction passes below (task
+    // attrs, exceptions, named values, artifacts) — re-deriving it per pass
+    // re-ran the join 4× even with both inputs cached
+    val owned = spans.join(pairs, col("context.span_id") === col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
     try {
       // Task-subtree attribute union with per-(task, key) conflict detection.
-      val taskAttrRows = spans
-        .join(pairs, col("context.span_id") === col("id"))
+      val taskAttrRows = owned
         .select(col("task_span_id"), explode(map_entries(col("attributes"))).as("kv"))
         .select(col("task_span_id"), col("kv.key").as("k"), col("kv.value").as("v"))
         .filter(col("k").startsWith("task."))
@@ -164,8 +169,7 @@ object SpanParser {
         }
 
       // Exceptions per task (deterministic order by emitting span's time).
-      val excRows = spans
-        .join(pairs, col("context.span_id") === col("id"))
+      val excRows = owned
         .select(col("task_span_id"), col("start_time"),
           col("context.span_id").as("sid"), explode(col("events")).as("e"))
         .filter(col("e.name") === "exception")
@@ -186,7 +190,7 @@ object SpanParser {
         }
 
       // B6 named values: exact attr key set + duplicate-name rejection.
-      val nvRows = payloadDF(spans, pairs, "named-value")
+      val nvRows = payloadFromOwned(owned, "named-value")
         .orderBy(col("start_time"), col("span_id")).collect()
       val taskValues: Map[String, Map[String, LoggedValueContent]] = nvRows
         .groupBy(_.getString(0))
@@ -210,7 +214,7 @@ object SpanParser {
         }
 
       // B5 artifacts (+ notebook.html derivation flatMap).
-      val artRows = payloadDF(spans, pairs, "artefact")
+      val artRows = payloadFromOwned(owned, "artefact")
         .orderBy(col("start_time"), col("span_id")).collect()
       val taskArtifacts: Map[String, Seq[ArtifactContent]] = artRows
         .groupBy(_.getString(0))
@@ -262,8 +266,20 @@ object SpanParser {
         attributes = workflowAttributes,
         taskRuns = taskRuns,
         taskDependencies = extractTaskDependencies(spans))
-    } finally pairs.unpersist(blocking = false)
+    } finally {
+      owned.unpersist(blocking = false)
+      pairs.unpersist(blocking = false)
+    }
   }
+
+  /** [[payloadDF]]'s filter applied to an already-materialized
+    * spans⋈ownership join. */
+  private def payloadFromOwned(owned: DataFrame, spanName: String): DataFrame =
+    owned
+      .filterNested(Seq("name"), spanName)
+      .filterNested(Seq("status", "status_code"), "OK")
+      .select(col("task_span_id"), col("context.span_id").as("span_id"),
+        col("start_time"), col("attributes"))
 
   /** B9-style flat task-run DataFrame (for sinks/relational queries over
     * many runs) — everything driver-sized stripped of artifact payloads. */
