@@ -73,6 +73,18 @@ object SpanStream {
         sum(when(col("status.status_code") === "ERROR", 1).otherwise(0))
           .as("n_errors"))
 
+  /** H6 — streaming exact dedup: drop re-delivered spans by span id within
+    * the watermark (at-least-once exporters re-flush on retry; state for a
+    * key is dropped once the watermark passes it, so state size is bounded
+    * by the lateness window, not the stream's lifetime — the property that
+    * matters on an unbounded 100 TB span feed). */
+  def dedupSpans(spans: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    withLateness(spans, lateness)
+      // dedup keys must be top-level columns; hoist the nested span id
+      .withColumn("span_id", col("context.span_id"))
+      .dropDuplicatesWithinWatermark("span_id" :: Nil)
+      .drop("span_id")
+
   // ---- H5: stateful per-trace run-status accumulator ----
 
   case class SpanEvent(

@@ -66,6 +66,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("H6 streaming dedup drops re-delivered spans within the watermark") {
+    val dir = spanDir
+    // simulate an at-least-once exporter: re-flush run1's spans verbatim
+    val first = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".jsonl")).minBy(_.getName)
+    Files.copy(first.toPath, new java.io.File(dir, "redelivered.jsonl").toPath)
+    val totalWithDups = spark.read.json(s"$dir/*.jsonl").count()
+    val q = SpanStream.dedupSpans(SpanStream.readSpanStream(spark, dir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("deduped").start()
+    try {
+      q.processAllAvailable()
+      val deduped = spark.sql("select * from deduped").count()
+      val distinctIds = spark.read.json(s"$dir/*.jsonl")
+        .select("context.span_id").distinct().count()
+      assert(totalWithDups > distinctIds) // the fixture really has dups
+      assert(deduped == distinctIds)
+    } finally q.stop()
+  }
+
   test("H5 stateful run-status accumulator finalizes on dag-top-span") {
     val dir = spanDir
     val q = SpanStream.runStatusStream(SpanStream.readSpanStream(spark, dir))
