@@ -97,6 +97,10 @@ object Dedup {
       withSizes = withSizes.withColumn("__f", count(lit(1)).over(w))
         .filter(col("__f") <= cap).drop("__f")
     }
+    // NOTE: the two self-join branches each evaluate the shingle+window
+    // subtree (ReuseExchange can't dedupe them once AQE converts one side
+    // to a broadcast). A localCheckpoint here measured no local gain and
+    // trades away lineage-replay fault recovery, so the recompute stays.
     val b = withSizes.select(col("doc").as("doc_b"), col("sh"),
       col("n_sh_a").as("n_sh_b"))
     withSizes.join(b, Seq("sh"))
