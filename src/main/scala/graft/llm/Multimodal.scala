@@ -79,6 +79,39 @@ object Multimodal {
       lit("application/octet-stream").as("mime"),
       encode(col("text"), "UTF-8").as("payload"))
 
+  /** I4c — payload resize (downscale stand-in): same per-partition batch
+    * shape as [[extractFeatures]]; output keeps the original columns with
+    * the payload replaced and the resize factor recorded. */
+  def resizePayloads(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"resize factor must be >= 1: $factor")
+    val spark = media.sparkSession
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val outSchema = StructType(
+      media.schema.fields.patch(payloadIdx,
+        Seq(StructField("payload", BinaryType, nullable = false)), 1) :+
+        StructField("resize_factor", IntegerType, nullable = false))
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val resized = StubCodecs.resize(r.getAs[Array[Byte]](payloadIdx), factor)
+        Row.fromSeq(r.toSeq.updated(payloadIdx, resized) :+ factor)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** I4d — frame sampling (video keyframe stand-in): one output row per
+    * sampled offset, exploded from each payload. */
+  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame = {
+    val offsets = udf((payload: Array[Byte]) =>
+      StubCodecs.sampleFrameOffsets(payload.length.toLong, everyMs))
+    media
+      .withColumn("frame_offset", explode(offsets(col("payload"))))
+      .withColumn("frame_idx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("media_id")).orderBy(col("frame_offset")))
+          .cast("int") - 1)
+  }
+
   /** Decode + feature-extract over per-partition batches (the
     * `mapInPandas`-equivalent shape in Scala: one iterator pass per
     * partition, vectorizable batch body). */

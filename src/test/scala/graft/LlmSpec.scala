@@ -163,6 +163,27 @@ class LlmSpec extends AnyFunSuite {
     assert(f0 == f3)
   }
 
+  test("I4 multimodal resize + frame sampling plumbing") {
+    val media = Multimodal.docsAsMedia(docs.select(col("doc_id"), col("text")))
+    val resized = Multimodal.resizePayloads(media, 3)
+    assert(resized.schema.fieldNames.contains("resize_factor"))
+    val byId = media.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](2)).toMap
+    resized.collect().foreach { r =>
+      val orig = byId(r.getLong(0))
+      val out = r.getAs[Array[Byte]](resized.schema.fieldIndex("payload"))
+      assert(out.length == (orig.length + 2) / 3) // every 3rd byte kept
+      assert(out.headOption == orig.headOption)
+    }
+    val frames = Multimodal.sampleFrames(media, everyMs = 10)
+    val f0 = frames.filter(col("media_id") === 0L)
+      .orderBy(col("frame_idx"))
+      .collect().map(r => r.getAs[Long]("frame_offset"))
+    assert(f0.nonEmpty && f0.length <= 32)
+    assert(f0.toSeq == f0.toSeq.sorted && f0.head == 0L)
+    // stride honored
+    assert(f0.toSeq.sliding(2).forall { case Seq(a, b) => b - a == 10; case _ => true })
+  }
+
   test("I5 language id picks stopword-matching language") {
     val en = Seq((1L, "the cat and the dog is in the house with all of them"))
       .toDF("doc_id", "text")
