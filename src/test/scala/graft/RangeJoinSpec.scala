@@ -50,6 +50,22 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!expected.exists { case (x, y) => x <= 5 && y >= 6 })
   }
 
+  test("skew-salted join matches the plain join on a hot-key dataset") {
+    // one hot key (90% of rows) + a long tail
+    val left = ((1 to 900).map(i => (1L, s"l$i")) ++
+      (1 to 100).map(i => (i.toLong + 1, s"t$i")))
+      .toDF("k", "lv")
+    val right = (1 to 50).map(i => (i.toLong, s"r$i")).toDF("rk", "rv")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("lv"), col("rv")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    val plain = rows(left.join(right, col("k") === col("rk")))
+    val salted = rows(graft.operators.SkewJoin
+      .saltedJoin(left, right, "k", "rk", buckets = 8))
+    assert(salted == plain)
+    assert(plain.count(_._1 == 1L) == 900) // the hot key really joined
+  }
+
   test("D5 binned range join emits each pair exactly once") {
     val e = events((1L, 1L, 0L), (1L, 2L, W / 3), (1L, 3L, W + W / 3))
     val a = e.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
