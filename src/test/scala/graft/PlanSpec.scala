@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the scale properties the queries rely on —
+  * predicate pushdown, column pruning, broadcast of small dimensions, and
+  * bucketed co-located joins — must be visible in the executed plan, not
+  * just assumed. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // finalize AQE so the executed plan is the real one
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters and projections reach the parquet scan") {
+    val df = graft.queries.Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 40)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val plan = executedPlan(df)
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThan(l_quantity"), plan)
+    // pruned read schema: only the two referenced columns are fetched
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      plan)
+  }
+
+  test("small dimension joins broadcast (d03 star join)") {
+    val plan = executedPlan(
+      graft.queries.Relational.revenueByNation(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-buckets")
+    val li = graft.queries.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val or = graft.queries.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"))
+    li.write.mode("overwrite")
+      .option("path", s"$warehouse/li_b")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_b")
+    or.write.mode("overwrite")
+      .option("path", s"$warehouse/or_b")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("or_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b")
+        .join(spark.table("or_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = executedPlan(joined)
+      assert(plan.contains("SortMergeJoin"), plan)
+      // co-located bucketed scans: no shuffle exchange anywhere in the plan
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS or_b")
+    }
+  }
+}
