@@ -148,56 +148,83 @@ object SpanParser {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     try {
-      // Task-subtree attribute union with per-(task, key) conflict detection.
-      val taskAttrRows = owned
+      // ONE extraction job: the four passes (task attributes, exceptions,
+      // named values, artifacts) are projected to a common shape, unioned,
+      // and collected together — separately they cost a job submission and
+      // a cluster-side orderBy shuffle each; the deterministic ordering the
+      // assembly needs is applied driver-side on the (driver-sized) rows.
+      // Columns: kind, task, o1, o2, m, n, t — see each branch.
+      val nullMap = lit(null).cast("map<string,string>")
+      val attrBranch = owned
         .select(col("task_span_id"), explode(map_entries(col("attributes"))).as("kv"))
-        .select(col("task_span_id"), col("kv.key").as("k"), col("kv.value").as("v"))
-        .filter(col("k").startsWith("task."))
-        .groupBy(col("task_span_id"), col("k"))
-        .agg(collect_set(col("v")).as("vs"))
-        .collect()
-      taskAttrRows.find(_.getSeq[String](2).size > 1).foreach { r =>
-        val vs = r.getSeq[String](2).map(AttrCodec.parse)
-        throw new IllegalArgumentException(
-          s"Encountered key=${r.getString(1)} with different values ${vs.head} and ${vs(1)}")
-      }
-      val taskAttrs: Map[String, Map[String, Any]] = taskAttrRows
-        .groupBy(_.getString(0))
-        .map { case (task, rows) =>
-          task -> rows.map(r =>
-            r.getString(1) -> AttrCodec.parse(r.getSeq[String](2).head)).toMap
-        }
-
-      // Exceptions per task (deterministic order by emitting span's time).
-      val excRows = owned
+        .select(lit("attr").as("kind"), col("task_span_id").as("task"),
+          col("kv.key").as("o1"), col("kv.value").as("o2"),
+          nullMap.as("m"), lit(null).cast("string").as("n"),
+          lit(null).cast("string").as("t"))
+        .filter(col("o1").startsWith("task."))
+      val excBranch = owned
         .select(col("task_span_id"), col("start_time"),
           col("context.span_id").as("sid"), explode(col("events")).as("e"))
         .filter(col("e.name") === "exception")
-        .orderBy(col("start_time"), col("sid"))
-        .select(col("task_span_id"), col("e.name"), col("e.timestamp"),
-          col("e.attributes"))
+        .select(lit("exc").as("kind"), col("task_span_id").as("task"),
+          col("start_time").as("o1"), col("sid").as("o2"),
+          col("e.attributes").as("m"), col("e.name").as("n"),
+          col("e.timestamp").as("t"))
+      def payloadBranch(kind: String, spanName: String) =
+        payloadFromOwned(owned, spanName)
+          .select(lit(kind).as("kind"), col("task_span_id").as("task"),
+            col("start_time").as("o1"), col("span_id").as("o2"),
+            col("attributes").as("m"), lit(null).cast("string").as("n"),
+            lit(null).cast("string").as("t"))
+      val extracted = attrBranch
+        .unionByName(excBranch)
+        .unionByName(payloadBranch("nv", "named-value"))
+        .unionByName(payloadBranch("art", "artefact"))
         .collect()
-      val taskExceptions: Map[String, Seq[Map[String, Any]]] = excRows
         .groupBy(_.getString(0))
+
+      // Task-subtree attribute union with per-(task, key) conflict detection.
+      val taskAttrs: Map[String, Map[String, Any]] = {
+        val byTaskKey = extracted.getOrElse("attr", Array.empty[Row])
+          .groupBy(r => (r.getString(1), r.getString(2)))
+        byTaskKey.find(_._2.map(_.getString(3)).distinct.size > 1).foreach {
+          case ((_, k), rows) =>
+            val vs = rows.map(_.getString(3)).distinct.map(AttrCodec.parse)
+            throw new IllegalArgumentException(
+              s"Encountered key=$k with different values ${vs.head} and ${vs(1)}")
+        }
+        byTaskKey.toSeq
+          .map { case ((task, k), rows) => (task, k, rows.head.getString(3)) }
+          .groupBy(_._1)
+          .map { case (task, entries) =>
+            task -> entries.map(e => e._2 -> AttrCodec.parse(e._3)).toMap
+          }
+      }
+
+      // Exceptions per task (deterministic order by emitting span's time).
+      val taskExceptions: Map[String, Seq[Map[String, Any]]] = extracted
+        .getOrElse("exc", Array.empty[Row])
+        .sortBy(r => (r.getString(2), r.getString(3)))
+        .groupBy(_.getString(1))
         .map { case (task, rows) =>
           task -> rows.toSeq.map { r =>
             Map[String, Any](
-              "name" -> r.getString(1),
-              "timestamp" -> r.getString(2),
+              "name" -> r.getString(5),
+              "timestamp" -> r.getString(6),
               "attributes" -> AttrCodec.parseMap(
-                r.getMap[String, String](3).toMap))
+                r.getMap[String, String](4).toMap))
           }
         }
 
       // B6 named values: exact attr key set + duplicate-name rejection.
-      val nvRows = payloadFromOwned(owned, "named-value")
-        .orderBy(col("start_time"), col("span_id")).collect()
-      val taskValues: Map[String, Map[String, LoggedValueContent]] = nvRows
-        .groupBy(_.getString(0))
+      val taskValues: Map[String, Map[String, LoggedValueContent]] = extracted
+        .getOrElse("nv", Array.empty[Row])
+        .sortBy(r => (r.getString(2), r.getString(3)))
+        .groupBy(_.getString(1))
         .map { case (task, rows) =>
           val seen = scala.collection.mutable.LinkedHashMap.empty[String, LoggedValueContent]
           rows.foreach { r =>
-            val attrs = r.getMap[String, String](3).toMap
+            val attrs = r.getMap[String, String](4).toMap
             require(attrs.keySet == Set("name", "type", "encoding", "content_encoded"),
               s"named-value span has unexpected attribute keys: ${attrs.keySet}")
             val parsed = AttrCodec.parseMap(attrs)
@@ -214,13 +241,13 @@ object SpanParser {
         }
 
       // B5 artifacts (+ notebook.html derivation flatMap).
-      val artRows = payloadFromOwned(owned, "artefact")
-        .orderBy(col("start_time"), col("span_id")).collect()
-      val taskArtifacts: Map[String, Seq[ArtifactContent]] = artRows
-        .groupBy(_.getString(0))
+      val taskArtifacts: Map[String, Seq[ArtifactContent]] = extracted
+        .getOrElse("art", Array.empty[Row])
+        .sortBy(r => (r.getString(2), r.getString(3)))
+        .groupBy(_.getString(1))
         .map { case (task, rows) =>
           task -> rows.toSeq.flatMap { r =>
-            val parsed = AttrCodec.parseMap(r.getMap[String, String](3).toMap)
+            val parsed = AttrCodec.parseMap(r.getMap[String, String](4).toMap)
             val name = parsed("name").asInstanceOf[String]
             val tpe = parsed("type").asInstanceOf[String]
             val content = SerializedData(tpe,
