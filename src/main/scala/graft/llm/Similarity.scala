@@ -190,28 +190,51 @@ object Similarity {
       k: Int = 5,
       nList: Int = 16,
       nProbe: Int = 4,
-      lloydIters: Int = 3): DataFrame = {
+      lloydIters: Int = 3,
+      maxTrainSample: Int = 65536): DataFrame = {
     import graft.functions.ArrayOps.nearestCells
     val feats = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    // deterministic init: the nList lowest-id vectors
-    var centroids: Array[Array[Double]] = feats.orderBy(col("id")).limit(nList)
+    // Sample-fit, full-assign (the standard IVF training shape): Lloyd runs
+    // driver-side over a bounded deterministic sample — one collect total
+    // instead of one assignment job per iteration; at 64k × 64 dims the
+    // sample is ~32 MB. Assignment of the FULL corpus stays distributed.
+    val sample: Array[Array[Double]] = feats.orderBy(col("id")).limit(maxTrainSample)
       .collect()
       .map(_.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
-    // Lloyd: assign to nearest cell, recompute per-cell mean (element-wise,
-    // distributed via posexplode; only the nList × dim means come back)
+    var centroids: Array[Array[Double]] = sample.take(nList).map(_.clone())
+    val cNorm = new Array[Double](nList)
+    def cosSim(x: Array[Double], c: Array[Double], cn: Double): Double = {
+      var dot = 0.0; var xn = 0.0; var i = 0
+      val n = math.min(x.length, c.length)
+      while (i < n) { dot += x(i) * c(i); xn += x(i) * x(i); i += 1 }
+      if (xn > 0 && cn > 0) dot / (math.sqrt(xn) * cn) else Double.NegativeInfinity
+    }
     (0 until lloydIters).foreach { _ =>
-      val assigned = feats.select(
-        element_at(nearestCells(col("v"), centroids, 1), 1).as("cell"),
-        posexplode(col("v")).as(Seq("i", "x")))
-      // one aggregation; the nList × dim (cell, i, mean) triples come back
-      // directly — a second groupBy to assemble arrays would just add a
-      // shuffle for the driver's convenience
-      val means = assigned.groupBy(col("cell"), col("i"))
-        .agg(avg(col("x")).as("m"))
-        .collect()
-      val next = centroids.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      centroids = next // cells with no members keep their previous centroid
+      var ci = 0
+      while (ci < nList) {
+        cNorm(ci) = math.sqrt(centroids(ci).map(x => x * x).sum); ci += 1
+      }
+      val sums = Array.fill(nList)(new Array[Double](
+        if (sample.isEmpty) 0 else sample(0).length))
+      val counts = new Array[Long](nList)
+      sample.foreach { x =>
+        var best = 0; var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < nList) {
+          val s = cosSim(x, centroids(c), cNorm(c))
+          if (s > bestScore) { bestScore = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < math.min(x.length, sums(best).length)) {
+          sums(best)(i) += x(i); i += 1
+        }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old // empty cells keep their previous centroid
+        else sums(c).map(_ / counts(c))
+      }
     }
     val corpusCells = df.select(col(idCol).cast("long").as("neighbor_id"),
       quantize(col(vecCol)).as("cv"),
