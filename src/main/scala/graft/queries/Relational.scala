@@ -408,15 +408,21 @@ object Relational {
 
   /** Anti-join root detection (A9 shape): parts that never appear in any
     * lineitem. */
+  /** Anti join with a filtered right side: parts never ordered in bulk
+    * (quantity ≥ 48). The unfiltered variant is trivially empty at every
+    * fixture SF (all parts are ordered), which would make the oracle a
+    * zero-row no-op rather than a real anti-join check. */
   def neverOrderedParts(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)
-      .join(Tables.lineitem(s, d),
+      .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 48),
         col("p_partkey") === col("l_partkey"), "left_anti")
       .select(col("p_partkey"), col("p_name"))
 
   private val neverOrderedPartsSql =
     """SELECT p_partkey, p_name FROM part
-      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_partkey = p_partkey AND l_quantity >= 48)""".stripMargin
 
   /** Array functions over tokenized documents. (D16) */
   def arrayFns(s: SparkSession, d: String): DataFrame =
