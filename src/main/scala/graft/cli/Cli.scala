@@ -36,10 +36,16 @@ object CliSpark {
   * expand a span log into a directory tree + Mermaid inputs. */
 object LogParserCli {
   def main(args: Array[String]): Unit = {
+    val spark = CliSpark.session()
+    try run(args, spark) finally spark.stop()
+  }
+
+  /** The CLI body, session-agnostic (testable without stopping a shared
+    * session). */
+  def run(args: Array[String], spark: SparkSession): Unit = {
     val a = CliSpark.parseArgs(args)
     val inputFile = a.getOrElse("input_span_file",
       sys.error("--input_span_file required"))
-    val spark = CliSpark.session()
 
     val spans =
       if (inputFile.endsWith(".json")) SpanSource.readJsonArray(spark, inputFile)
@@ -61,7 +67,6 @@ object LogParserCli {
         Mermaid.dagInputFile(summary, generateLinks = false))
     }
     println(" - Done")
-    spark.stop()
   }
 }
 
@@ -72,12 +77,18 @@ object LogParserCli {
   * scan; offline, the zip cache directory IS the source. */
 object StaticDataCli {
   def main(args: Array[String]): Unit = {
+    val spark = CliSpark.session()
+    try run(args, spark) finally spark.stop()
+  }
+
+  /** The CLI body, session-agnostic (testable without stopping a shared
+    * session). */
+  def run(args: Array[String], spark: SparkSession): Unit = {
     val a = CliSpark.parseArgs(args)
     val zipGlob = a.getOrElse("zip_cache_dir",
       sys.error("--zip_cache_dir required (directory or glob of run zips)"))
     val wwwRoot = Paths.get(a.getOrElse("output_www_root_directory",
       sys.error("--output_www_root_directory required")))
-    val spark = CliSpark.session()
 
     val glob = if (zipGlob.endsWith(".zip")) zipGlob else s"$zipGlob/*.zip"
     val all = SpanSource.readZips(spark, glob).cache()
@@ -92,6 +103,5 @@ object StaticDataCli {
     }
     StaticDataSink.writeStaticData(entries.toSeq, wwwRoot)
     println("Done")
-    spark.stop()
   }
 }
