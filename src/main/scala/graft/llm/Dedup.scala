@@ -85,30 +85,31 @@ object Dedup {
     // per-doc shingle-set size rides along as a count-window over `doc`
     // (reuses the barrier's partitioning) instead of a separate `sizes`
     // branch — a branch would re-scan and re-shingle the corpus per side,
-    // since ReuseExchange can't dedupe across AQE's broadcast conversions
-    var withSizes = exploded.withColumn("n_sh_a",
+    // since ReuseExchange can't dedupe across AQE's broadcast conversions.
+    // Sizes are computed BEFORE the frequency cap (the oracle's denominator
+    // is the full shingle-set size).
+    val withSizes = exploded.withColumn("n_sh_a",
       count(lit(1)).over(Window.partitionBy(col("doc"))))
-    maxShingleFreq.foreach { cap =>
-      // count-window instead of groupBy+semi-join: one shuffle on `sh`, and
-      // the blocking self-join right after it reuses that partitioning.
-      // Sizes are computed BEFORE the cap (the oracle's denominator is the
-      // full shingle-set size).
-      val w = Window.partitionBy(col("sh"))
-      withSizes = withSizes.withColumn("__f", count(lit(1)).over(w))
-        .filter(col("__f") <= cap).drop("__f")
-    }
-    // NOTE: the two self-join branches each evaluate the shingle+window
-    // subtree (ReuseExchange can't dedupe them once AQE converts one side
-    // to a broadcast). A localCheckpoint here measured no local gain and
-    // trades away lineage-replay fault recovery, so the recompute stays.
-    val b = withSizes.select(col("doc").as("doc_b"), col("sh"),
-      col("n_sh_a").as("n_sh_b"))
-    withSizes.join(b, Seq("sh"))
-      .filter(col("doc") < col("doc_b"))
-      .groupBy(col("doc"), col("doc_b"))
+    // group-and-pair instead of a self-join: collect the docs of each
+    // shingle and emit unordered pairs with a double explode. ONE evaluation
+    // of the shingle pipeline (the self-join's two branches each recomputed
+    // it — ReuseExchange can't dedupe across AQE broadcast conversion), the
+    // frequency cap becomes a free size() filter on the collected list, and
+    // per-shingle pair fan-out stays bounded by that same cap.
+    val grouped = withSizes
+      .groupBy(col("sh"))
+      .agg(collect_list(struct(col("doc"), col("n_sh_a"))).as("ds"))
+    val capped = maxShingleFreq
+      .map(cap => grouped.filter(size(col("ds")) <= cap))
+      .getOrElse(grouped)
+    capped
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc"), col("b.doc").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"),
-        min(col("n_sh_a")).as("n_sh"), // constant per doc; min = that value
-        min(col("n_sh_b")).as("n_sh_b"))
+        min(col("a.n_sh_a")).as("n_sh"), // constant per doc; min = that value
+        min(col("b.n_sh_a")).as("n_sh_b"))
       .withColumn("jaccard",
         col("n_shared").cast("double") /
           (col("n_sh") + col("n_sh_b") - col("n_shared")).cast("double"))
