@@ -165,11 +165,17 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         j => hash(concat_ws(",", slice(col("sig"), j * r + 1, lit(r))), j)))
         .as(Seq("band_idx", "band_hash")))
-    val other = bands.select(col("doc").as("doc_b"),
-      col("band_idx"), col("band_hash"))
-    bands.join(other, Seq("band_idx", "band_hash"))
-      .filter(col("doc") < col("doc_b"))
-      .select(col("doc").as("doc_a"), col("doc_b"))
+    // group-and-pair instead of a self-join: the join's two branches each
+    // re-ran the signature kernel (ReuseExchange can't dedupe them under
+    // AQE); collecting each band bucket and double-exploding pairs
+    // evaluates it once. Bucket fan-out is the same as the join's — both
+    // colocate a bucket's candidates on one task.
+    bands
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(collect_list(col("doc")).as("ds"))
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .distinct()
   }
 
@@ -258,12 +264,15 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
         j => call_function("shiftright", col("sim"), j * width).bitwiseAND(mask)))
         .as(Seq("chunk_idx", "chunk")))
+    // Unlike minHashCandidates this stays a self-join: simhash buckets are
+    // COARSE (radius 10 → 6-bit chunks → 64 distinct values, ~2M candidate
+    // pairs at sf0.1), so pair generation dominates and the codegen'd join
+    // beats an ObjectHashAggregate + double-explode; the sketch kernel the
+    // two branches re-run is one cheap pass per doc. Hamming filter BEFORE
+    // the distinct: verification is a cheap bit-count per candidate, so
+    // cutting failures first shrinks the dedup shuffle.
     val other = chunks.select(col("doc").as("doc_b"), col("sim").as("sim_b"),
       col("chunk_idx"), col("chunk"))
-    // hamming filter BEFORE the distinct: verification is a cheap bit-count
-    // per candidate, so cutting failures first shrinks the dedup shuffle
-    // (the wide-radius configs collide heavily — at radius 10 the 6-bit
-    // chunks have only 64 distinct values)
     chunks.join(other, Seq("chunk_idx", "chunk"))
       .filter(col("doc") < col("doc_b"))
       .select(col("doc").as("doc_a"), col("doc_b"),
