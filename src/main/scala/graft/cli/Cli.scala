@@ -92,16 +92,18 @@ object StaticDataCli {
 
     val glob = if (zipGlob.endsWith(".zip")) zipGlob else s"$zipGlob/*.zip"
     val all = SpanSource.readZips(spark, glob).cache()
-    val zips = all.select("source_zip").distinct()
-      .collect().map(_.getString(0)).sorted
+    try {
+      val zips = all.select("source_zip").distinct()
+        .collect().map(_.getString(0)).sorted
 
-    val entries = zips.flatMap { z =>
-      val spans = all.filter(org.apache.spark.sql.functions
-        .col("source_zip") === z).drop("source_zip")
-      println(s"--- Processing new zip with ${spans.count()} spans ...")
-      StaticDataSink.process(SpanParser.parseSpans(spans), wwwRoot)
-    }
-    StaticDataSink.writeStaticData(entries.toSeq, wwwRoot)
-    println("Done")
+      val entries = zips.flatMap { z =>
+        val spans = all.filter(org.apache.spark.sql.functions
+          .col("source_zip") === z).drop("source_zip")
+        println(s"--- Processing new zip with ${spans.count()} spans ...")
+        StaticDataSink.process(SpanParser.parseSpans(spans), wwwRoot)
+      }
+      StaticDataSink.writeStaticData(entries.toSeq, wwwRoot)
+      println("Done")
+    } finally all.unpersist(blocking = false) // shared-session callers
   }
 }

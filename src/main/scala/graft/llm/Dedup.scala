@@ -96,6 +96,11 @@ object Dedup {
     // it — ReuseExchange can't dedupe across AQE broadcast conversion), the
     // frequency cap becomes a free size() filter on the collected list, and
     // per-shingle pair fan-out stays bounded by that same cap.
+    // MEMORY CONTRACT: the per-shingle array is cap-bounded; with
+    // maxShingleFreq=None the array (and the pair fan-out, in ANY
+    // formulation — the O(n²) pairs dominate the O(n) array) is unbounded,
+    // so large-corpus callers must set the cap (the verified query uses
+    // 1000).
     val grouped = withSizes
       .groupBy(col("sh"))
       .agg(collect_list(struct(col("doc"), col("n_sh_a"))).as("ds"))
@@ -169,7 +174,9 @@ object Dedup {
     // re-ran the signature kernel (ReuseExchange can't dedupe them under
     // AQE); collecting each band bucket and double-exploding pairs
     // evaluates it once. Bucket fan-out is the same as the join's — both
-    // colocate a bucket's candidates on one task.
+    // colocate a bucket's candidates on one task, and a degenerate bucket
+    // (near-identical corpus) is quadratic in EITHER formulation; the
+    // bucket array itself is only O(bucket), 8 bytes/doc.
     bands
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(collect_list(col("doc")).as("ds"))

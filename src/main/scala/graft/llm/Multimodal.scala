@@ -100,16 +100,14 @@ object Multimodal {
   }
 
   /** I4d — frame sampling (video keyframe stand-in): one output row per
-    * sampled offset, exploded from each payload. */
+    * sampled offset, exploded from each payload. posexplode indexes each
+    * payload's (already-ordered) offsets directly — a window would add a
+    * shuffle and mis-number duplicate media ids. */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame = {
     val offsets = udf((payload: Array[Byte]) =>
       StubCodecs.sampleFrameOffsets(payload.length.toLong, everyMs))
-    media
-      .withColumn("frame_offset", explode(offsets(col("payload"))))
-      .withColumn("frame_idx",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("media_id")).orderBy(col("frame_offset")))
-          .cast("int") - 1)
+    media.select(col("*"),
+      posexplode(offsets(col("payload"))).as(Seq("frame_idx", "frame_offset")))
   }
 
   /** Decode + feature-extract over per-partition batches (the

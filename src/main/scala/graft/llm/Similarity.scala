@@ -62,11 +62,11 @@ object Similarity {
     // (or disabled broadcast) take the join+aggregate path, which preserves
     // the id type
     import org.apache.spark.sql.types._
-    val idIsIntegral = queries.schema(idCol).dataType match {
+    def integral(df: DataFrame) = df.schema(idCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
-    if (broadcastCorpus && idIsIntegral)
+    if (broadcastCorpus && integral(queries) && integral(corpus))
       return bruteForceTopKBroadcast(queries, corpus, idCol, vecCol, k)
     // norms computed ONCE per vector before the join (cosineQ inline would
     // recompute both self-dots for every one of the |Q|×|C| pairs)
@@ -201,8 +201,10 @@ object Similarity {
     val sample: Array[Array[Double]] = feats.orderBy(col("id")).limit(maxTrainSample)
       .collect()
       .map(_.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
+    // a corpus smaller than nList simply yields fewer cells
     var centroids: Array[Array[Double]] = sample.take(nList).map(_.clone())
-    val cNorm = new Array[Double](nList)
+    val m = centroids.length
+    val cNorm = new Array[Double](m)
     def cosSim(x: Array[Double], c: Array[Double], cn: Double): Double = {
       var dot = 0.0; var xn = 0.0; var i = 0
       val n = math.min(x.length, c.length)
@@ -211,16 +213,16 @@ object Similarity {
     }
     (0 until lloydIters).foreach { _ =>
       var ci = 0
-      while (ci < nList) {
+      while (ci < m) {
         cNorm(ci) = math.sqrt(centroids(ci).map(x => x * x).sum); ci += 1
       }
-      val sums = Array.fill(nList)(new Array[Double](
+      val sums = Array.fill(m)(new Array[Double](
         if (sample.isEmpty) 0 else sample(0).length))
-      val counts = new Array[Long](nList)
+      val counts = new Array[Long](m)
       sample.foreach { x =>
         var best = 0; var bestScore = Double.NegativeInfinity
         var c = 0
-        while (c < nList) {
+        while (c < m) {
           val s = cosSim(x, centroids(c), cNorm(c))
           if (s > bestScore) { bestScore = s; best = c }
           c += 1

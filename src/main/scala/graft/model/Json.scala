@@ -168,9 +168,12 @@ object Json {
             case 'u' =>
               if (pos + 5 > s.length) fail("bad unicode escape")
               val hex = s.substring(pos + 1, pos + 5)
-              // strict hex digits only — Integer.parseInt would also accept
-              // signed forms like "-004" and decode them to garbage
-              if (!hex.forall(c => Character.digit(c, 16) >= 0))
+              // strict ASCII hex only (RFC 8259) — Integer.parseInt would
+              // also accept signed forms like "-004", and Character.digit
+              // accepts non-ASCII Unicode digits/letters
+              if (!hex.forall(c =>
+                  (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+                    (c >= 'A' && c <= 'F')))
                 fail("bad unicode escape")
               sb.append(Integer.parseInt(hex, 16).toChar)
               pos += 4

@@ -34,7 +34,9 @@ object SkewJoin {
       pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(buckets.toLong)))
     val r = right.withColumn("__salt",
       explode(array((0 until buckets).map(b => lit(b.toLong)): _*)))
-    l.join(r, l("__salt") === r("__salt") && col(leftKey) === col(rightKey))
+    // frame-qualified key refs so leftKey == rightKey (natural-join naming)
+    // resolves unambiguously instead of AMBIGUOUS_REFERENCE
+    l.join(r, l("__salt") === r("__salt") && l(leftKey) === r(rightKey))
       .drop("__salt")
   }
 }

@@ -122,6 +122,19 @@ class LlmSpec extends AnyFunSuite {
     assert(top.count(r => r.getAs[Long]("query_id") == 1L) == 2)
   }
 
+  test("I3 IVF handles a corpus smaller than nList") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(vecs, "vec_id", "embedding", k = 1,
+      nList = 16, nProbe = 4)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    assert(out(1L) == 2L && out(2L) == 1L)
+  }
+
   test("I3 brute-force top-k works with non-long (string) id columns") {
     val vecs = Seq(
       ("a", Array(1.0f, 0.0f)),

@@ -53,7 +53,12 @@ class ModelSpec extends AnyFunSuite {
     // Integer.parseInt would accept signed "hex" like -004 — must fail
     intercept[IllegalArgumentException](Json.parse("\"\\u-0041\""))
     intercept[IllegalArgumentException](Json.parse("\"\\u+041x\""))
+    // Character.digit accepts non-ASCII digits (Arabic-Indic, fullwidth) —
+    // RFC 8259 allows ASCII hex only
+    intercept[IllegalArgumentException](Json.parse("\"\\u\u0660\u0660\u0664" + "4\""))
+    intercept[IllegalArgumentException](Json.parse("\"\\u\uFF21" + "041\""))
     assert(Json.parse("\"\\u0041\"") == "A")
+    assert(Json.parse("\"\\uBeeF\"") == "\uBEEF")
   }
 
   test("Json renders Python-style") {

@@ -50,6 +50,16 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!expected.exists { case (x, y) => x <= 5 && y >= 6 })
   }
 
+  test("skew-salted join resolves same-named keys on both sides") {
+    val left = Seq((1L, "a"), (2L, "b")).toDF("k", "lv")
+    val right = Seq((1L, "x"), (3L, "y")).toDF("k", "rv")
+    val out = graft.operators.SkewJoin
+      .saltedJoin(left, right, "k", "k", buckets = 4)
+      .select(col("lv"), col("rv")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("a", "x")))
+  }
+
   test("skew-salted join matches the plain join on a hot-key dataset") {
     // one hot key (90% of rows) + a long tail
     val left = ((1 to 900).map(i => (1L, s"l$i")) ++
