@@ -56,40 +56,77 @@ object SpanParser {
     * trace, not a per-depth iterative join. [[Closure.descendantsWithRoots]]
     * remains the fallback for pathological single-trace volumes. */
   def taggedSpans(spans: DataFrame): DataFrame = {
-    val spark = spans.sparkSession
-    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
     spans
       .select(col("context.trace_id").as("trace"),
-        col("context.span_id").as("sid"),
-        col("parent_id"),
-        // coalesce: a span with a null name (tolerated by SpanSource) must
-        // decode into the non-nullable Boolean, not crash the decode
-        coalesce(col("name") === "execute-task", lit(false)).as("is_task"))
-      .as[(String, String, Option[String], Boolean)]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val parentOf = scala.collection.mutable.HashMap.empty[String, String]
-        val isTask = scala.collection.mutable.HashSet.empty[String]
-        val ids = scala.collection.mutable.ArrayBuffer.empty[String]
-        it.foreach { case (_, sid, parent, task) =>
-          ids += sid
-          parent.foreach(p => parentOf(sid) = p)
-          if (task) isTask += sid
-        }
-        ids.iterator.flatMap { sid =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-          val visited = scala.collection.mutable.HashSet.empty[String]
-          var cur: String = sid
-          // visited-set terminates parent_id cycles in malformed input
-          // (the reference assumes acyclicity; we guard instead of spinning)
-          while (cur != null && visited.add(cur)) {
-            if (isTask(cur)) out += ((cur, sid))
-            cur = parentOf.getOrElse(cur, null)
+        struct(
+          col("context.span_id").as("sid"),
+          col("parent_id"),
+          // coalesce: a span with a null name (tolerated by SpanSource)
+          // must yield a non-null flag, not a null struct field
+          coalesce(col("name") === "execute-task", lit(false)).as("is_task"))
+          .as("s"))
+      .groupBy(col("trace"))
+      .agg(collect_list(col("s")).as("ss"))
+      // Generate over Tungsten rows — the typed groupByKey formulation paid
+      // a tuple-encoder round-trip per span plus an extra shuffle (the
+      // lambda key is opaque to the planner)
+      .select(Bridge.column(OwnershipGen(Bridge.expression(col("ss")))))
+      .select(col("task_span_id"), col("id"))
+  }
+
+  /** Generator emitting (task_span_id, id) ownership pairs for one trace's
+    * spans: every span labeled with each `execute-task` ancestor
+    * (inclusive). Input: `array<struct<sid string, parent_id string,
+    * is_task boolean>>`. */
+  case class OwnershipGen(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.Generator
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+
+    override def elementSchema: StructType = StructType(Seq(
+      StructField("task_span_id", StringType, nullable = false),
+      StructField("id", StringType, nullable = false)))
+
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val arr = child.eval(input)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = arr.numElements()
+      val parentOf = new java.util.HashMap[String, String](n * 2)
+      val isTask = new java.util.HashSet[String]()
+      val ids = new Array[String](n)
+      var i = 0
+      while (i < n) {
+        val e = arr.getStruct(i, 3)
+        val sid = e.getUTF8String(0).toString
+        ids(i) = sid
+        if (!e.isNullAt(1)) parentOf.put(sid, e.getUTF8String(1).toString)
+        if (!e.isNullAt(2) && e.getBoolean(2)) isTask.add(sid)
+        i += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      ids.foreach { sid =>
+        val visited = new java.util.HashSet[String]()
+        var cur: String = sid
+        // visited-set terminates parent_id cycles in malformed input
+        // (the reference assumes acyclicity; we guard instead of spinning)
+        while (cur != null && visited.add(cur)) {
+          if (isTask.contains(cur)) {
+            out += InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(cur),
+              org.apache.spark.unsafe.types.UTF8String.fromString(sid))
           }
-          out
+          cur = parentOf.get(cur)
         }
       }
-      .toDF("task_span_id", "id")
+      out
+    }
+
+    override protected def withNewChildInternal(
+        newChild: org.apache.spark.sql.catalyst.expressions.Expression) =
+      copy(child = newChild)
   }
 
   /** Iterative-join variant of [[taggedSpans]] (no per-trace memory
