@@ -163,15 +163,10 @@ object SpanParser {
   }
 
   private def parseSpansImpl(spans: DataFrame): WorkflowSummary = {
-    val workflowAttributes = spans.attributesUnion(Some(Set("workflow.")))
-
-    val topSpanId: String = workflowAttributes.get("workflow.workflow_run_id") match {
-      case Some(s: String) => s
-      case _ => "NO-TOP-SPAN--TEMP" + UUID.randomUUID().toString
-    }
-
     // B4 timing: min/max over ALL spans; the reference compares ISO strings
-    // lexicographically, which is order-correct for the fixed format.
+    // lexicographically, which is order-correct for the fixed format. (The
+    // only extraction kept as its own aggregation job — every row-shaped
+    // extraction is folded into the single union collect below.)
     val timingRow = spans.agg(min(col("start_time")), max(col("end_time"))).head()
     val timing = Timing(timingRow.getString(0), timingRow.getString(1))
 
@@ -213,12 +208,56 @@ object SpanParser {
             col("start_time").as("o1"), col("span_id").as("o2"),
             col("attributes").as("m"), lit(null).cast("string").as("n"),
             lit(null).cast("string").as("t"))
+      val nullStr = lit(null).cast("string")
+      // workflow.* attribute entries across ALL spans (B3 attributesUnion)
+      val wattrBranch = spans
+        .select(explode_outer(map_entries(col("attributes"))).as("kv"))
+        .select(col("kv.key").as("k"), col("kv.value").as("v"))
+        .filter(col("k").isNotNull && col("k").startsWith("workflow."))
+        .select(lit("wattr").as("kind"), nullStr.as("task"),
+          col("k").as("o1"), col("v").as("o2"),
+          nullMap.as("m"), nullStr.as("n"), nullStr.as("t"))
+      // B1 legacy task-dependency pairs
+      val depBranch = spans.filterNested(Seq("name"), "task-dependency")
+        .select(
+          col("attributes").getItem("from_task_span_id").as("f"),
+          col("attributes").getItem("to_task_span_id").as("t0"))
+        .select(lit("dep").as("kind"), nullStr.as("task"),
+          col("f").as("o1"), col("t0").as("o2"),
+          nullMap.as("m"), nullStr.as("n"), nullStr.as("t"))
+      // execute-task spans themselves (B3 assembly skeleton)
+      val tspanBranch = spans.filterNested(Seq("name"), "execute-task")
+        .select(lit("tspan").as("kind"), col("context.span_id").as("task"),
+          col("start_time").as("o1"), col("end_time").as("o2"),
+          nullMap.as("m"), nullStr.as("n"), nullStr.as("t"))
       val extracted = attrBranch
         .unionByName(excBranch)
         .unionByName(payloadBranch("nv", "named-value"))
         .unionByName(payloadBranch("art", "artefact"))
+        .unionByName(wattrBranch)
+        .unionByName(depBranch)
+        .unionByName(tspanBranch)
         .collect()
         .groupBy(_.getString(0))
+
+      // B3 workflow attribute union (same conflict contract as
+      // SpansOps.attributesUnion, applied driver-side to the wattr rows)
+      val workflowAttributes: Map[String, Any] = {
+        val byKey = extracted.getOrElse("wattr", Array.empty[Row])
+          .groupBy(_.getString(2))
+        byKey.find(_._2.map(_.getString(3)).distinct.size > 1).foreach {
+          case (k, rows) =>
+            val vs = rows.map(_.getString(3)).distinct.map(AttrCodec.parse)
+            throw new IllegalArgumentException(
+              s"Encountered key=$k with different values ${vs.head} and ${vs(1)}")
+        }
+        byKey.map { case (k, rows) => k -> AttrCodec.parse(rows.head.getString(3)) }
+      }
+      val topSpanId: String =
+        workflowAttributes.get("workflow.workflow_run_id") match {
+          case Some(s: String) => s
+          case _ => "NO-TOP-SPAN--TEMP" + UUID.randomUUID().toString
+        }
 
       // Task-subtree attribute union with per-(task, key) conflict detection.
       val taskAttrs: Map[String, Map[String, Any]] = {
@@ -299,37 +338,43 @@ object SpanParser {
           }
         }
 
-      // B3 assembly: one TaskRunSummary per execute-task span, by start time.
-      val taskSpanRows = spans.filterNested(Seq("name"), "execute-task")
-        .select(col("context.span_id"), col("start_time"), col("end_time"))
-        .orderBy(to_timestamp(col("start_time")), col("context.span_id"))
-        .collect()
-
-      val taskRuns = taskSpanRows.toSeq.map { r =>
-        val sid = r.getString(0)
-        val attrs = workflowAttributes ++ taskAttrs.getOrElse(sid, Map.empty)
-        val taskId = attrs.get("task.id") match {
-          case Some(s: String) => s
-          case other => throw new IllegalArgumentException(
-            s"task.id missing or not a string for task span $sid: $other")
+      // B3 assembly: one TaskRunSummary per execute-task span, by start time
+      // (driver-side sort on parsed timestamps — same order as the previous
+      // cluster-side orderBy(to_timestamp, span_id)).
+      val taskRuns = extracted.getOrElse("tspan", Array.empty[Row]).toSeq
+        .sortBy(r => (graft.model.TimeFns.iso8601ToEpochUs(r.getString(2)),
+          r.getString(1)))
+        .map { r =>
+          val sid = r.getString(1)
+          val attrs = workflowAttributes ++ taskAttrs.getOrElse(sid, Map.empty)
+          val taskId = attrs.get("task.id") match {
+            case Some(s: String) => s
+            case other => throw new IllegalArgumentException(
+              s"task.id missing or not a string for task span $sid: $other")
+          }
+          TaskRunSummary(
+            spanId = sid,
+            parentSpanId = topSpanId,
+            taskId = taskId,
+            exceptions = taskExceptions.getOrElse(sid, Seq.empty),
+            attributes = attrs,
+            timing = Timing(r.getString(2), r.getString(3)),
+            loggedValues = taskValues.getOrElse(sid, Map.empty),
+            loggedArtifacts = taskArtifacts.getOrElse(sid, Seq.empty))
         }
-        TaskRunSummary(
-          spanId = sid,
-          parentSpanId = topSpanId,
-          taskId = taskId,
-          exceptions = taskExceptions.getOrElse(sid, Seq.empty),
-          attributes = attrs,
-          timing = Timing(r.getString(1), r.getString(2)),
-          loggedValues = taskValues.getOrElse(sid, Map.empty),
-          loggedArtifacts = taskArtifacts.getOrElse(sid, Seq.empty))
-      }
+
+      // B1 dependencies from the dep branch (attribute-form pairs)
+      val taskDependencies = extracted.getOrElse("dep", Array.empty[Row])
+        .map(r => (AttrCodec.parse(r.getString(2)).asInstanceOf[String],
+          AttrCodec.parse(r.getString(3)).asInstanceOf[String]))
+        .toSet
 
       WorkflowSummary(
         spanId = topSpanId,
         timing = timing,
         attributes = workflowAttributes,
         taskRuns = taskRuns,
-        taskDependencies = extractTaskDependencies(spans))
+        taskDependencies = taskDependencies)
     } finally {
       owned.unpersist(blocking = false)
       pairs.unpersist(blocking = false)
