@@ -36,6 +36,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("broadcast-corpus brute-force top-k plans with no shuffle or join") {
+    val e = graft.queries.Tables.embeddings(spark, sf)
+    val plan = executedPlan(
+      graft.llm.Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 3))
+    // queries stream past the broadcast corpus: one scan, a generate, no
+    // exchange/join/aggregate anywhere
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Aggregate"), plan)
+    assert(plan.contains("broadcast_topk"), plan)
+  }
+
   test("bucketed tables join without a shuffle") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-buckets")
     val li = graft.queries.Tables.lineitem(spark, sf)
