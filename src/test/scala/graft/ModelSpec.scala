@@ -61,6 +61,33 @@ class ModelSpec extends AnyFunSuite {
     assert(Json.parse("\"\\uBeeF\"") == "\uBEEF")
   }
 
+  test("Json render/parse round-trips arbitrary nested values (property)") {
+    import org.scalacheck.Gen
+    val leaf: Gen[Any] = Gen.oneOf(
+      Gen.long.map(l => l: Any),
+      Gen.chooseNum(-1e9, 1e9).map(d => d: Any),
+      Gen.asciiPrintableStr.map(s => s: Any),
+      // strings exercising every escape arm incl. \u-only code points
+      Gen.listOf(Gen.oneOf('"', '\\', '\n', '\t', '\r', '\b', '\f',
+        'a', 'ü', '', '뻯')).map(_.mkString: Any),
+      Gen.oneOf(true: Any, false: Any, null: Any))
+    def tree(depth: Int): Gen[Any] =
+      if (depth == 0) leaf
+      else Gen.oneOf(
+        leaf,
+        Gen.listOfN(3, tree(depth - 1)).map(_.toVector: Any),
+        Gen.listOfN(3, Gen.zip(Gen.identifier, tree(depth - 1)))
+          .map(kvs => scala.collection.immutable.ListMap(kvs: _*): Any))
+    val params = org.scalacheck.Gen.Parameters.default
+    val seed0 = org.scalacheck.rng.Seed(20260812L)
+    (0 until 200).foldLeft(seed0) { (seed, _) =>
+      val v = tree(3).apply(params, seed).get
+      val back = Json.parse(Json.render(v))
+      assert(back == v, s"round-trip mismatch for ${Json.render(v)}")
+      seed.next
+    }
+  }
+
   test("Json renders Python-style") {
     assert(Json.render(Vector(1L, 2L, 3L)) == "[1, 2, 3]")
     assert(Json.render(scala.collection.immutable.ListMap("x" -> "y")) == """{"x": "y"}""")
