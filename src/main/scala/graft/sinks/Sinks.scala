@@ -246,6 +246,26 @@ object StaticDataSink {
   * (`composable_logs/run_pipeline_helpers.py:13-99`): 13 allowlisted env
   * vars → `workflow.github.*` attributes, lowercase, with the secrets
   * guard. */
+/** G6 — columnar runs archive: the scale sink. Task-run rows (the
+  * distributed flat view, [[graft.parser.SpanParser.taskRunsDF]]) append to
+  * a parquet dataset partitioned by run date, so a multi-run archive reads
+  * back with partition pruning (`run_date = ...` never touches other days'
+  * files) and column pruning — the layout that keeps a 100 TB history
+  * queryable. The driver-sized summary sinks above are for single runs;
+  * this one is for the fleet. */
+object ParquetRunsSink {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+
+  def write(taskRuns: DataFrame, path: String, mode: String = "append"): Unit =
+    taskRuns
+      .withColumn("run_date", to_date(to_timestamp(col("start_time"))))
+      .write.mode(mode).partitionBy("run_date").parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
+
 object GithubEnv {
   private val allowlist = Seq(
     "GITHUB_REPOSITORY", "GITHUB_WORKFLOW", "RUNNER_NAME", "GITHUB_RUN_ID",

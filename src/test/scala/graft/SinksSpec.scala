@@ -138,6 +138,28 @@ class SinksSpec extends AnyFunSuite {
     assert(GithubEnv.githubEnvVariables(_ => None).isEmpty)
   }
 
+  test("G6 parquet runs archive: date-partitioned, partition-pruned reads") {
+    val engine = new Engine(spark, 2)
+    val t = engine.task("archived")(_ => 1)
+    val spans = SpanRecorder.record(engine) { engine.runDag(t(Nil), Map()) }
+    val df = SpanParser.taskRunsDF(graft.model.SpanModel.toDF(spark, spans))
+    val dir = Files.createTempDirectory("graft-archive").toString + "/runs"
+    graft.sinks.ParquetRunsSink.write(df, dir)
+    // layout: run_date=YYYY-MM-DD partition directories
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("run_date="))
+    assert(parts.nonEmpty, new java.io.File(dir).listFiles().toSeq)
+    val back = graft.sinks.ParquetRunsSink.read(spark, dir)
+    assert(back.count() == df.count())
+    // a run_date filter must prune partitions at the scan
+    val day = parts.head.getName.stripPrefix("run_date=")
+    val filtered = back.filter(org.apache.spark.sql.functions
+      .col("run_date") === day)
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(run_date"), plan)
+  }
+
   test("G5 zip source round-trip for the static-data path") {
     // build a run zip: spans as a JSON array under opentelemetry-spans.json
     val engine = new Engine(spark, 2)
