@@ -100,14 +100,18 @@ object SpanParser {
       var i = 0
       while (i < n) {
         val e = arr.getStruct(i, 3)
-        val sid = e.getUTF8String(0).toString
-        ids(i) = sid
-        if (!e.isNullAt(1)) parentOf.put(sid, e.getUTF8String(1).toString)
-        if (!e.isNullAt(2) && e.getBoolean(2)) isTask.add(sid)
+        // a null span id (SpanSource tolerates malformed contexts) owns and
+        // is owned by nothing — skip, don't NPE
+        if (!e.isNullAt(0)) {
+          val sid = e.getUTF8String(0).toString
+          ids(i) = sid
+          if (!e.isNullAt(1)) parentOf.put(sid, e.getUTF8String(1).toString)
+          if (!e.isNullAt(2) && e.getBoolean(2)) isTask.add(sid)
+        }
         i += 1
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      ids.foreach { sid =>
+      ids.filter(_ != null).foreach { sid =>
         val visited = new java.util.HashSet[String]()
         var cur: String = sid
         // visited-set terminates parent_id cycles in malformed input
@@ -209,19 +213,23 @@ object SpanParser {
             col("attributes").as("m"), lit(null).cast("string").as("n"),
             lit(null).cast("string").as("t"))
       val nullStr = lit(null).cast("string")
-      // workflow.* attribute entries across ALL spans (B3 attributesUnion)
+      // workflow.* attribute entries across ALL spans (B3 attributesUnion);
+      // distinct BEFORE the collect so driver traffic scales with distinct
+      // (key, value) pairs, not span count
       val wattrBranch = spans
         .select(explode_outer(map_entries(col("attributes"))).as("kv"))
         .select(col("kv.key").as("k"), col("kv.value").as("v"))
         .filter(col("k").isNotNull && col("k").startsWith("workflow."))
+        .distinct()
         .select(lit("wattr").as("kind"), nullStr.as("task"),
           col("k").as("o1"), col("v").as("o2"),
           nullMap.as("m"), nullStr.as("n"), nullStr.as("t"))
-      // B1 legacy task-dependency pairs
+      // B1 legacy task-dependency pairs (distinct: same reasoning)
       val depBranch = spans.filterNested(Seq("name"), "task-dependency")
         .select(
           col("attributes").getItem("from_task_span_id").as("f"),
           col("attributes").getItem("to_task_span_id").as("t0"))
+        .distinct()
         .select(lit("dep").as("kind"), nullStr.as("task"),
           col("f").as("o1"), col("t0").as("o2"),
           nullMap.as("m"), nullStr.as("n"), nullStr.as("t"))
@@ -242,17 +250,10 @@ object SpanParser {
 
       // B3 workflow attribute union (same conflict contract as
       // SpansOps.attributesUnion, applied driver-side to the wattr rows)
-      val workflowAttributes: Map[String, Any] = {
-        val byKey = extracted.getOrElse("wattr", Array.empty[Row])
-          .groupBy(_.getString(2))
-        byKey.find(_._2.map(_.getString(3)).distinct.size > 1).foreach {
-          case (k, rows) =>
-            val vs = rows.map(_.getString(3)).distinct.map(AttrCodec.parse)
-            throw new IllegalArgumentException(
-              s"Encountered key=$k with different values ${vs.head} and ${vs(1)}")
-        }
-        byKey.map { case (k, rows) => k -> AttrCodec.parse(rows.head.getString(3)) }
-      }
+      val workflowAttributes: Map[String, Any] = extracted
+        .getOrElse("wattr", Array.empty[Row])
+        .groupBy(_.getString(2))
+        .map { case (k, rows) => k -> resolveAttr(k, rows.map(_.getString(3))) }
       val topSpanId: String =
         workflowAttributes.get("workflow.workflow_run_id") match {
           case Some(s: String) => s
@@ -260,22 +261,17 @@ object SpanParser {
         }
 
       // Task-subtree attribute union with per-(task, key) conflict detection.
-      val taskAttrs: Map[String, Map[String, Any]] = {
-        val byTaskKey = extracted.getOrElse("attr", Array.empty[Row])
-          .groupBy(r => (r.getString(1), r.getString(2)))
-        byTaskKey.find(_._2.map(_.getString(3)).distinct.size > 1).foreach {
-          case ((_, k), rows) =>
-            val vs = rows.map(_.getString(3)).distinct.map(AttrCodec.parse)
-            throw new IllegalArgumentException(
-              s"Encountered key=$k with different values ${vs.head} and ${vs(1)}")
+      val taskAttrs: Map[String, Map[String, Any]] = extracted
+        .getOrElse("attr", Array.empty[Row])
+        .groupBy(r => (r.getString(1), r.getString(2)))
+        .toSeq
+        .map { case ((task, k), rows) =>
+          (task, k, resolveAttr(k, rows.map(_.getString(3))))
         }
-        byTaskKey.toSeq
-          .map { case ((task, k), rows) => (task, k, rows.head.getString(3)) }
-          .groupBy(_._1)
-          .map { case (task, entries) =>
-            task -> entries.map(e => e._2 -> AttrCodec.parse(e._3)).toMap
-          }
-      }
+        .groupBy(_._1)
+        .map { case (task, entries) =>
+          task -> entries.map(e => e._2 -> e._3).toMap
+        }
 
       // Exceptions per task (deterministic order by emitting span's time).
       val taskExceptions: Map[String, Seq[Map[String, Any]]] = extracted
@@ -342,8 +338,8 @@ object SpanParser {
       // (driver-side sort on parsed timestamps — same order as the previous
       // cluster-side orderBy(to_timestamp, span_id)).
       val taskRuns = extracted.getOrElse("tspan", Array.empty[Row]).toSeq
-        .sortBy(r => (graft.model.TimeFns.iso8601ToEpochUs(r.getString(2)),
-          r.getString(1)))
+        .sortBy(r => (safeEpochUs(r.getString(2)),
+          Option(r.getString(1)).getOrElse("")))
         .map { r =>
           val sid = r.getString(1)
           val attrs = workflowAttributes ++ taskAttrs.getOrElse(sid, Map.empty)
@@ -380,6 +376,26 @@ object SpanParser {
       pairs.unpersist(blocking = false)
     }
   }
+
+  /** Single attribute value for `k` from its distinct raw renderings —
+    * throws the attributesUnion conflict contract on divergence. Shared by
+    * the driver-side workflow- and task-attribute merges. */
+  private def resolveAttr(k: String, raws: Seq[String]): Any = {
+    val distinct = raws.distinct
+    if (distinct.size > 1) {
+      val vs = distinct.map(AttrCodec.parse)
+      throw new IllegalArgumentException(
+        s"Encountered key=$k with different values ${vs.head} and ${vs(1)}")
+    }
+    AttrCodec.parse(distinct.head)
+  }
+
+  /** Sort key tolerant of null/malformed timestamps (sorted first, like the
+    * cluster-side `orderBy(to_timestamp(...))` null ordering it replaced). */
+  private def safeEpochUs(s: String): Long =
+    if (s == null) Long.MinValue
+    else try graft.model.TimeFns.iso8601ToEpochUs(s)
+    catch { case _: RuntimeException | _: java.time.DateTimeException => Long.MinValue }
 
   /** [[payloadDF]]'s filter applied to an already-materialized
     * spans⋈ownership join. */

@@ -259,7 +259,10 @@ object ParquetRunsSink {
 
   def write(taskRuns: DataFrame, path: String, mode: String = "append"): Unit =
     taskRuns
-      .withColumn("run_date", to_date(to_timestamp(col("start_time"))))
+      // lexical date from the ISO-UTC string: to_date(to_timestamp(...))
+      // would shift through the SESSION timezone, splitting one UTC day
+      // across partitions depending on the writing cluster's config
+      .withColumn("run_date", substring(col("start_time"), 1, 10))
       .write.mode(mode).partitionBy("run_date").parquet(path)
 
   def read(spark: SparkSession, path: String): DataFrame =
