@@ -167,13 +167,6 @@ object SpanParser {
   }
 
   private def parseSpansImpl(spans: DataFrame): WorkflowSummary = {
-    // B4 timing: min/max over ALL spans; the reference compares ISO strings
-    // lexicographically, which is order-correct for the fixed format. (The
-    // only extraction kept as its own aggregation job — every row-shaped
-    // extraction is folded into the single union collect below.)
-    val timingRow = spans.agg(min(col("start_time")), max(col("end_time"))).head()
-    val timing = Timing(timingRow.getString(0), timingRow.getString(1))
-
     val pairs = taggedSpans(spans).persist(StorageLevel.MEMORY_AND_DISK)
     pairs.count()
 
@@ -238,6 +231,15 @@ object SpanParser {
         .select(lit("tspan").as("kind"), col("context.span_id").as("task"),
           col("start_time").as("o1"), col("end_time").as("o2"),
           nullMap.as("m"), nullStr.as("n"), nullStr.as("t"))
+      // B4 timing: min/max over ALL spans; the reference compares ISO
+      // strings lexicographically, which is order-correct for the fixed
+      // format. Folded into the union as a one-row aggregate branch so the
+      // whole parse is a SINGLE collect job (it used to submit its own).
+      val timingBranch = spans
+        .agg(min(col("start_time")).as("o1"), max(col("end_time")).as("o2"))
+        .select(lit("timing").as("kind"), nullStr.as("task"),
+          col("o1"), col("o2"), nullMap.as("m"), nullStr.as("n"),
+          nullStr.as("t"))
       val extracted = attrBranch
         .unionByName(excBranch)
         .unionByName(payloadBranch("nv", "named-value"))
@@ -245,8 +247,13 @@ object SpanParser {
         .unionByName(wattrBranch)
         .unionByName(depBranch)
         .unionByName(tspanBranch)
+        .unionByName(timingBranch)
         .collect()
         .groupBy(_.getString(0))
+
+      val timing = extracted.getOrElse("timing", Array.empty[Row]).headOption
+        .map(r => Timing(r.getString(2), r.getString(3)))
+        .getOrElse(Timing(null, null))
 
       // B3 workflow attribute union (same conflict contract as
       // SpansOps.attributesUnion, applied driver-side to the wattr rows)
@@ -276,7 +283,11 @@ object SpanParser {
       // Exceptions per task (deterministic order by emitting span's time).
       val taskExceptions: Map[String, Seq[Map[String, Any]]] = extracted
         .getOrElse("exc", Array.empty[Row])
-        .sortBy(r => (r.getString(2), r.getString(3)))
+        // null-tolerant key: SpanSource tolerates missing start_time/span_id
+        // (same guard as the tspan branch's safeEpochUs sort below) — a raw
+        // String Ordering NPEs on null and would crash the whole parse
+        .sortBy(r => (Option(r.getString(2)).getOrElse(""),
+          Option(r.getString(3)).getOrElse("")))
         .groupBy(_.getString(1))
         .map { case (task, rows) =>
           task -> rows.toSeq.map { r =>
@@ -291,7 +302,11 @@ object SpanParser {
       // B6 named values: exact attr key set + duplicate-name rejection.
       val taskValues: Map[String, Map[String, LoggedValueContent]] = extracted
         .getOrElse("nv", Array.empty[Row])
-        .sortBy(r => (r.getString(2), r.getString(3)))
+        // null-tolerant key: SpanSource tolerates missing start_time/span_id
+        // (same guard as the tspan branch's safeEpochUs sort below) — a raw
+        // String Ordering NPEs on null and would crash the whole parse
+        .sortBy(r => (Option(r.getString(2)).getOrElse(""),
+          Option(r.getString(3)).getOrElse("")))
         .groupBy(_.getString(1))
         .map { case (task, rows) =>
           val seen = scala.collection.mutable.LinkedHashMap.empty[String, LoggedValueContent]
@@ -315,7 +330,11 @@ object SpanParser {
       // B5 artifacts (+ notebook.html derivation flatMap).
       val taskArtifacts: Map[String, Seq[ArtifactContent]] = extracted
         .getOrElse("art", Array.empty[Row])
-        .sortBy(r => (r.getString(2), r.getString(3)))
+        // null-tolerant key: SpanSource tolerates missing start_time/span_id
+        // (same guard as the tspan branch's safeEpochUs sort below) — a raw
+        // String Ordering NPEs on null and would crash the whole parse
+        .sortBy(r => (Option(r.getString(2)).getOrElse(""),
+          Option(r.getString(3)).getOrElse("")))
         .groupBy(_.getString(1))
         .map { case (task, rows) =>
           task -> rows.toSeq.flatMap { r =>

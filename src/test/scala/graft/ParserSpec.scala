@@ -101,6 +101,23 @@ class ParserSpec extends AnyFunSuite {
     assert(train.attributes("task.timeout_s") == 10.5)
   }
 
+  test("null start_time spans parse cleanly (null-tolerant fold sort)") {
+    // SpanSource tolerates missing start_time; the driver-side fold must
+    // too (it sorts exception/value/artifact rows by start_time — a raw
+    // String Ordering NPEs). Regression for the round-2/3 advice finding.
+    val withNulls = workflowSpans.map {
+      case s if s.context.span_id == "0xc2" => s.copy(start_time = null)
+      case s if s.context.span_id == "0xv1" => s.copy(start_time = null)
+      case s if s.context.span_id == "0xa1" => s.copy(start_time = null)
+      case s => s
+    }
+    val s = SpanParser.parseSpans(SpanModel.toDF(spark, withNulls))
+    assert(s.taskRuns.map(_.taskId) == Seq("ingest", "train"))
+    assert(s.taskRuns(1).exceptions.size == 1)
+    assert(s.taskRuns.head.loggedValues.contains("accuracy"))
+    assert(s.taskRuns.head.loggedArtifacts.map(_.name) == Seq("README.md"))
+  }
+
   test("B5 notebook.html artifact derivation") {
     val withNb = workflowSpans :+ span("artefact", "0xnb", Some("0xc1"),
       start = "2021-01-01T00:00:04.000000Z", end = "2021-01-01T00:00:04.100000Z",
