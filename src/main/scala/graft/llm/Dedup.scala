@@ -142,7 +142,8 @@ object Dedup {
       textCol: String,
       shingleN: Int = 5,
       k: Int = 64,
-      nBands: Int = 16): DataFrame = {
+      nBands: Int = 16,
+      shingler: (Column, Int) => Column = charShingles): DataFrame = {
     val r = k / nBands
     // two exchange barriers: the first spreads the docs across cores (a
     // small parquet file scans as ONE partition, which would run the
@@ -164,7 +165,7 @@ object Dedup {
       .filter(length(col(textCol)) >= shingleN)
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc"),
-        minHashSignature(charShingles(col("text"), shingleN), k).as("sig"))
+        minHashSignature(shingler(col("text"), shingleN), k).as("sig"))
       .repartition(Par.of(df), col("doc"))
     val bands = sigs.select(col("doc"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),

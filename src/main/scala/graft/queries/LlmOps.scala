@@ -35,8 +35,10 @@ object LlmOps {
       n = 3, threshold = 0.5, maxShingleFreq = Some(1000),
       shingler = Dedup.wordShingles)
 
-  private val ngramJaccardSql =
-    """WITH ws AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM documents),
+  /** Word-3-gram Jaccard pair SQL at `threshold` — shared by the
+    * `i2_ngram_jaccard` oracle and the containment gate's oracle. */
+  private def ngramJaccardSqlAt(threshold: Double) =
+    s"""WITH ws AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM documents),
       |sh AS (
       | SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       |   for i in range(1, len(w) - 1)])) AS s
@@ -52,9 +54,39 @@ object LlmOps {
       |FROM shared
       |JOIN sizes sa ON sa.doc_id = doc_a
       |JOIN sizes sb ON sb.doc_id = doc_b
-      |WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.5""".stripMargin
+      |WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= $threshold""".stripMargin
 
-  /** I2b — MinHash+LSH candidate pairs (rows-only: xxhash64-dependent). */
+  private val ngramJaccardSql = ngramJaccardSqlAt(0.5)
+
+  /** Containment gate for the MinHash-LSH candidate generator (the driver
+    * cannot hash-compare xxhash64-derived candidate sets, but it CAN check
+    * the property that makes them correct): every pair with word-3-gram
+    * Jaccard ≥ 0.7 must appear among the LSH candidates — at k=64 / 16
+    * bands (r=4) the S-curve miss probability for j ≥ 0.7 over the SAME
+    * shingle space is ≤ (1−0.7⁴)¹⁶ ≈ 1.2% per pair and the fixture's
+    * near-dup pairs sit well above 0.7, so 0 misses is the deterministic
+    * expected value. The oracle recomputes the high-pair count exactly and
+    * pins misses at 0. */
+  def minhashContainmentGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val high = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.7, maxShingleFreq = Some(1000),
+      shingler = Dedup.wordShingles)
+      .select("doc_a", "doc_b")
+    val cands = Dedup.minHashCandidates(docs, "doc_id", "text", shingleN = 3,
+      shingler = Dedup.wordShingles)
+    val missed = high.join(cands, Seq("doc_a", "doc_b"), "left_anti")
+    high.agg(count(lit(1)).as("n_high_pairs"))
+      .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+  }
+
+  private val minhashContainmentSql =
+    s"""WITH high AS (${ngramJaccardSqlAt(0.7)})
+      |SELECT COUNT(*) AS n_high_pairs, CAST(0 AS BIGINT) AS n_missed
+      |FROM high""".stripMargin
+
+  /** I2b — MinHash+LSH candidate pairs (rows-only: xxhash64-dependent;
+    * semantics driver-verified by `i2_minhash_containment`). */
   def minhashCandidates(s: SparkSession, d: String): DataFrame =
     Dedup.minHashCandidates(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_a"), col("doc_b"))
@@ -89,9 +121,69 @@ object LlmOps {
       |WHERE na.nrm * nb.nrm > 0
       | AND CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) >= 0.35""".stripMargin
 
-  /** I3c — IVF-partitioned ANN top-k (rows-only: recall depends on the
-    * learned centroid table; exactness is spec-checked against brute
-    * force). */
+  /** Gate for the blocked (hyperplane-LSH) near-dup path — the 100 TB
+    * variant of `i2_embedding_neardup`. The blocked path exact-verifies
+    * every candidate, so false positives are structurally 0 (checking that
+    * pins the verification stage); recall against the exact pair set is the
+    * lossy part — 4 planes × 8 tables measured 0.727 at sf0.01 on the
+    * near-random fixture embeddings (threshold 0.35 ⇒ collision p ≈ 0.9 for
+    * genuine pairs), floor 0.5. The oracle recomputes the exact pair count. */
+  def neardupBlockedGate(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val exact = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.35)
+      .select("doc_a", "doc_b")
+    val blocked = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.35,
+      blocked = true, nPlanes = 4, nTables = 8)
+      .select("doc_a", "doc_b")
+    val falsePos = blocked.join(exact, Seq("doc_a", "doc_b"), "left_anti")
+    val found = exact.join(blocked, Seq("doc_a", "doc_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(falsePos.agg(count(lit(1)).as("n_false_positives")))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .select(col("n_exact_pairs"), col("n_false_positives"),
+        (col("n_exact_pairs") > 0 &&
+          col("n_found").cast("double") / col("n_exact_pairs") >= 0.5)
+          .as("recall_floor_met"))
+  }
+
+  private val neardupBlockedGateSql =
+    s"""WITH pairs AS ($embeddingNearDupsSql)
+      |SELECT COUNT(*) AS n_exact_pairs, CAST(0 AS BIGINT) AS n_false_positives,
+      | true AS recall_floor_met
+      |FROM pairs""".stripMargin
+
+  /** Rank-1 recall@k gate shared by the LSH and IVF ANN queries: the
+    * fraction of queries whose EXACT nearest neighbor appears in the ANN
+    * top-k must clear `floor`. Chance level (a random top-5 of ~n docs)
+    * is ~1%, so the floors (0.2 / 0.4) are an order of magnitude above a
+    * broken-hash outcome while sitting safely under the measured values
+    * (0.358 / 0.636 at sf0.01). */
+  private def rank1RecallGate(
+      exact: DataFrame, ann: DataFrame, floor: Double): DataFrame = {
+    val exact1 = exact.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact1.join(
+      ann.select(col("query_id"), col("neighbor_id")),
+      Seq("query_id", "neighbor_id"), "left_semi")
+    exact1.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_queries"),
+        (col("n_queries") > 0 &&
+          col("n_hits").cast("double") / col("n_queries") >= floor)
+          .as("recall_floor_met"))
+  }
+
+  private val recallGateSql =
+    """SELECT COUNT(*) AS n_queries, true AS recall_floor_met FROM embeddings"""
+
+  def lshRecallGate(s: SparkSession, d: String): DataFrame =
+    rank1RecallGate(cosineTopK(s, d), lshAnn(s, d), floor = 0.2)
+
+  def ivfRecallGate(s: SparkSession, d: String): DataFrame =
+    rank1RecallGate(cosineTopK(s, d), ivfAnn(s, d), floor = 0.4)
+
+  /** I3c — IVF-partitioned ANN top-k (rows-only: the centroid table has no
+    * DuckDB equivalent; recall driver-verified by `i3_ivf_recall_gate`). */
   def ivfAnn(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     Similarity.ivfTopK(e, "vec_id", "embedding", k = 5)
@@ -123,10 +215,15 @@ object LlmOps {
       | JOIN norms nb ON nb.vec_id = neighbor_id)
       |WHERE rank <= 5""".stripMargin
 
-  /** I3b — LSH-bucketed ANN top-k (rows-only: murmur3-hash buckets). */
+  /** I3b — LSH-bucketed ANN top-k (rows-only: murmur3-hash buckets; recall
+    * driver-verified by `i3_lsh_recall_gate`). 6 planes × 8 tables: 64
+    * buckets per table keeps candidate generation ~16× under brute force at
+    * sf0.1 while rank-1 recall@5 on the near-random fixture measures 0.358
+    * (8 planes × 4 tables measured 0.056 — random-ish embeddings need the
+    * flatter S-curve of fewer planes + more tables). */
   def lshAnn(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    Similarity.lshTopK(e, "vec_id", "embedding", k = 5, nPlanes = 8)
+    Similarity.lshTopK(e, "vec_id", "embedding", k = 5, nPlanes = 6, nTables = 8)
   }
 
   /** I5a — heuristic language ID. */
@@ -240,11 +337,15 @@ object LlmOps {
     "i1_dedup_exact" -> dedupExact _,
     "i2_ngram_jaccard" -> ngramJaccard _,
     "i2_minhash_lsh_candidates" -> minhashCandidates _,
+    "i2_minhash_containment" -> minhashContainmentGate _,
     "i2_simhash_pairs" -> simhashPairs _,
     "i2_embedding_neardup" -> embeddingNearDups _,
+    "i2_neardup_blocked_gate" -> neardupBlockedGate _,
     "i3_cosine_topk" -> cosineTopK _,
     "i3_lsh_ann_topk" -> lshAnn _,
+    "i3_lsh_recall_gate" -> lshRecallGate _,
     "i3_ivf_ann_topk" -> ivfAnn _,
+    "i3_ivf_recall_gate" -> ivfRecallGate _,
     "i5_lang_id" -> langId _,
     "i5_quality_score" -> qualityScore _,
     "i5_token_counts" -> tokenCounts _,
@@ -255,8 +356,12 @@ object LlmOps {
   val oracles: Map[String, String] = Map(
     "i1_dedup_exact" -> dedupExactSql,
     "i2_ngram_jaccard" -> ngramJaccardSql,
+    "i2_minhash_containment" -> minhashContainmentSql,
     "i2_embedding_neardup" -> embeddingNearDupsSql,
+    "i2_neardup_blocked_gate" -> neardupBlockedGateSql,
     "i3_cosine_topk" -> cosineTopKSql,
+    "i3_lsh_recall_gate" -> recallGateSql,
+    "i3_ivf_recall_gate" -> recallGateSql,
     "i5_lang_id" -> langIdSql,
     "i5_quality_score" -> qualityScoreSql,
     "i5_token_counts" -> tokenCountsSql,
