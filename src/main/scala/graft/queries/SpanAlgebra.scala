@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.parser.SpanParser
+import graft.spans.SpansOps._
+
+/** Oracle coverage for the span algebra (SURVEY §2 Group A/B) — the
+  * engine's core domain previously verified only by ScalaTest.
+  *
+  * DuckDB cannot read the hand-built spec fixtures, so the span collection
+  * is DERIVED deterministically from the driver's own `orders` table
+  * (customer → trace root, order → `execute-task` span, order status F →
+  * exception event, adjacent orders of a customer → dependency pairs in
+  * BOTH the attribute and link form). Every query below runs the real
+  * Group A/B operator over that derived collection, and the oracle
+  * recomputes the expected output straight from `orders` — the span
+  * semantics (nested-path filters, event explosion, attr-union conflict
+  * contract, B1≡B2) get a hash-compared gate instead of spec-only trust.
+  *
+  * Reference semantics: `composable_logs/opentelemetry_helpers.py:373-381,
+  * 453-491`, `composable_logs/opentelemetry_task_span_parser.py:32-60`.
+  */
+object SpanAlgebra {
+
+  private val emptyEvents =
+    "array<struct<name:string,timestamp:string,attributes:map<string,string>>>"
+  private val emptyLinks = "array<struct<context:struct<trace_id:string," +
+    "span_id:string,trace_state:string>,attributes:map<string,string>>>"
+
+  private def ctx(trace: Column, sid: Column) =
+    struct(trace.as("trace_id"), sid.as("span_id"), lit("[]").as("trace_state"))
+
+  private def okStatus =
+    struct(lit("OK").as("status_code"), lit(null).cast("string").as("description"))
+
+  /** JSON-rendered (quoted) string value, the AttrCodec encoding — the
+    * derived ids/priorities contain no characters needing escape. */
+  private def q(c: Column): Column = concat(lit("\""), c, lit("\""))
+
+  private val spanCols = Seq("name", "context", "parent_id", "kind",
+    "start_time", "end_time", "status", "attributes", "events", "links",
+    "resource")
+
+  /** The derived span collection: one trace per customer. */
+  def spansFromOrders(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .withColumn("prev",
+        lag(col("o_orderkey"), 1).over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))))
+      .select(
+        concat(lit("c"), col("o_custkey").cast("string")).as("trace"),
+        concat(lit("o"), col("o_orderkey").cast("string")).as("sid"),
+        when(col("prev").isNotNull,
+          concat(lit("o"), col("prev").cast("string"))).as("prev_sid"),
+        col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderdate").cast("string").as("t"))
+
+    // customer roots (one per trace)
+    val roots = o.select(col("trace")).distinct()
+      .select(
+        lit("dag-top-span").as("name"),
+        ctx(col("trace"), col("trace")).as("context"),
+        lit(null).cast("string").as("parent_id"),
+        lit("SpanKind.INTERNAL").as("kind"),
+        lit("2020-01-01 00:00:00").as("start_time"),
+        lit("2030-01-01 00:00:00").as("end_time"),
+        okStatus.as("status"),
+        map(lit("workflow.env"), lit("\"prod\"")).as("attributes"),
+        array().cast(emptyEvents).as("events"),
+        array().cast(emptyLinks).as("links"),
+        typedLit(Map.empty[String, String]).as("resource"))
+
+    // execute-task spans: exception event iff status F; link-form
+    // dependency to the customer's previous order (B2)
+    val tasks = o.select(
+      lit("execute-task").as("name"),
+      ctx(col("trace"), col("sid")).as("context"),
+      col("trace").as("parent_id"),
+      lit("SpanKind.INTERNAL").as("kind"),
+      col("t").as("start_time"),
+      col("t").as("end_time"),
+      okStatus.as("status"),
+      map(
+        lit("task.id"), q(concat(lit("ord-"), col("okey").cast("string"))),
+        lit("task.priority"), q(col("priority")),
+        lit("workflow.env"), lit("\"prod\"")).as("attributes"),
+      when(col("status") === "F",
+        array(struct(
+          lit("exception").as("name"),
+          col("t").as("timestamp"),
+          map(
+            lit("exception.type"), lit("\"OrderFailed\""),
+            lit("exception.message"),
+            q(concat(lit("order-"), col("okey").cast("string"), lit(" failed"))))
+            .as("attributes"))))
+        .otherwise(array().cast(emptyEvents)).as("events"),
+      when(col("prev_sid").isNotNull,
+        array(struct(
+          ctx(col("trace"), col("prev_sid")).as("context"),
+          map(lit("type"), lit("\"task-dependency\"")).as("attributes"))))
+        .otherwise(array().cast(emptyLinks)).as("links"),
+      typedLit(Map.empty[String, String]).as("resource"))
+
+    // leaf payload spans under each task: named-value / artefact / other
+    val leaves = o.select(
+      when(col("okey") % 3 === 0, "named-value")
+        .when(col("okey") % 3 === 1, "artefact")
+        .otherwise("call-function").as("name"),
+      ctx(col("trace"), concat(lit("v"), col("okey").cast("string"))).as("context"),
+      col("sid").as("parent_id"),
+      lit("SpanKind.INTERNAL").as("kind"),
+      col("t").as("start_time"),
+      col("t").as("end_time"),
+      okStatus.as("status"),
+      map(lit("name"), q(concat(lit("m"), col("okey").cast("string"))))
+        .as("attributes"),
+      array().cast(emptyEvents).as("events"),
+      array().cast(emptyLinks).as("links"),
+      typedLit(Map.empty[String, String]).as("resource"))
+
+    // attribute-form dependency spans (B1) mirroring the links above
+    val deps = o.filter(col("prev_sid").isNotNull).select(
+      lit("task-dependency").as("name"),
+      ctx(col("trace"), concat(lit("d"), col("okey").cast("string"))).as("context"),
+      col("sid").as("parent_id"),
+      lit("SpanKind.INTERNAL").as("kind"),
+      col("t").as("start_time"),
+      col("t").as("end_time"),
+      okStatus.as("status"),
+      map(
+        lit("from_task_span_id"), q(col("prev_sid")),
+        lit("to_task_span_id"), q(col("sid"))).as("attributes"),
+      array().cast(emptyEvents).as("events"),
+      array().cast(emptyLinks).as("links"),
+      typedLit(Map.empty[String, String]).as("resource"))
+
+    roots.unionByName(tasks).unionByName(leaves).unionByName(deps)
+      .select(spanCols.map(col): _*)
+  }
+
+  /** A1 — nested-path filters: a struct-path filter (`name`) and an
+    * attribute-map-path filter (JSON-rendered compare) over the same
+    * collection. */
+  def nestedFilter(s: SparkSession, d: String): DataFrame = {
+    val spans = spansFromOrders(s, d)
+    spans.filterNested(Seq("name"), "named-value")
+      .select(col("context.span_id").as("span_id"))
+      .unionAll(
+        spans.filterNested(Seq("name"), "execute-task")
+          .filterNested(Seq("attributes", "task.priority"), "1-URGENT")
+          .select(col("context.span_id").as("span_id")))
+  }
+
+  private val nestedFilterSql =
+    """SELECT 'v' || CAST(o_orderkey AS VARCHAR) AS span_id
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS span_id
+      |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
+  /** A4 — per-trace attribute union with the conflict contract as data:
+    * `n_vals > 1` is exactly the condition the driver-side
+    * `attributesUnion` raises on. */
+  def attrUnionConflicts(s: SparkSession, d: String): DataFrame =
+    spansFromOrders(s, d)
+      .attributesUnionByGroup(col("context.trace_id"), Some(Set("task.")))
+      .select(col("grp").as("trace"), col("k"), col("n_vals"), col("v_min"))
+
+  private val attrUnionConflictsSql =
+    """SELECT 'c' || CAST(o_custkey AS VARCHAR) AS trace, k,
+      | COUNT(DISTINCT v) AS n_vals, MIN(v) AS v_min
+      |FROM (
+      | SELECT o_custkey, 'task.id' AS k,
+      |  '"ord-' || CAST(o_orderkey AS VARCHAR) || '"' AS v FROM orders
+      | UNION ALL
+      | SELECT o_custkey, 'task.priority' AS k,
+      |  '"' || o_orderpriority || '"' AS v FROM orders)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** A5 — exception-event harvest: explode `events`, keep `exception`s. */
+  def exceptionHarvest(s: SparkSession, d: String): DataFrame =
+    spansFromOrders(s, d).exceptionEvents()
+      .select(col("span_id"), col("timestamp"),
+        col("attributes").getItem("exception.message").as("msg"))
+
+  private val exceptionHarvestSql =
+    """SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS span_id,
+      | CAST(o_orderdate AS VARCHAR) AS timestamp,
+      | '"order-' || CAST(o_orderkey AS VARCHAR) || ' failed"' AS msg
+      |FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+
+  /** B1≡B2 — the attribute-form and link-form dependency extractions must
+    * agree (the reference asserts this in its own tests); the derived
+    * collection encodes the same pairs both ways, so the symmetric
+    * difference is pinned at 0 and the pair count is recomputed by the
+    * oracle. The sets are driver-sized by the reference's contract. */
+  def depFormsAgree(s: SparkSession, d: String): DataFrame = {
+    val spans = spansFromOrders(s, d)
+    val b1 = SpanParser.extractTaskDependencies(spans)
+    val b2 = SpanParser.extractTaskDependenciesFromLinks(spans)
+    val spark = s
+    import spark.implicits._
+    Seq((b1.size.toLong, (b1 diff b2).size.toLong, (b2 diff b1).size.toLong))
+      .toDF("n_deps", "n_only_attr", "n_only_link")
+  }
+
+  private val depFormsAgreeSql =
+    """SELECT COUNT(*) AS n_deps, CAST(0 AS BIGINT) AS n_only_attr,
+      | CAST(0 AS BIGINT) AS n_only_link
+      |FROM (
+      | SELECT lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev
+      | FROM orders)
+      |WHERE prev IS NOT NULL""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_nested_filter" -> nestedFilter _,
+    "a4_attr_union_conflicts" -> attrUnionConflicts _,
+    "a5_exception_harvest" -> exceptionHarvest _,
+    "b1b2_dep_forms_agree" -> depFormsAgree _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a1_nested_filter" -> nestedFilterSql,
+    "a4_attr_union_conflicts" -> attrUnionConflictsSql,
+    "a5_exception_harvest" -> exceptionHarvestSql,
+    "b1b2_dep_forms_agree" -> depFormsAgreeSql
+  )
+}

@@ -80,6 +80,29 @@ object SpansOps {
         .toMap
     }
 
+    /** A4 at scale — the distributed, per-group form of [[attributesUnion]]:
+      * one row per (group, key) with the distinct-value count and the
+      * minimum rendered value. `n_vals > 1` is the conflict the driver-side
+      * form raises on; emitting it as data instead lets a 100 TB run union
+      * attributes across millions of workflows in one shuffle and triage
+      * conflicts relationally rather than dying on the first one. */
+    def attributesUnionByGroup(
+        groupCol: Column,
+        allowedPrefixes: Option[Set[String]] = None): DataFrame = {
+      val entries = df
+        .select(groupCol.as("grp"),
+          explode_outer(map_entries(col("attributes"))).as("kv"))
+        .select(col("grp"), col("kv.key").as("k"), col("kv.value").as("v"))
+        .filter(col("k").isNotNull)
+      val filtered = allowedPrefixes match {
+        case None => entries
+        case Some(ps) =>
+          entries.filter(ps.map(p => col("k").startsWith(p)).reduce(_ || _))
+      }
+      filtered.groupBy(col("grp"), col("k"))
+        .agg(countDistinct(col("v")).as("n_vals"), min(col("v")).as("v_min"))
+    }
+
     /** A5 — all `exception` events across the collection, exploded
       * (`exception_events`, `opentelemetry_helpers.py:453-457`). */
     def exceptionEvents(): DataFrame =
