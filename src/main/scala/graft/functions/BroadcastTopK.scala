@@ -122,9 +122,16 @@ case class NearestCellsExpr(
     var c = 0
     while (c < m) {
       val cent = centroids(c)
+      // fail loud on a ragged vector — BroadcastTopKExpr does, and the two
+      // ANN paths must agree on malformed input instead of this one
+      // silently truncating the dot product
+      if (n != cent.length) {
+        throw new IllegalArgumentException(
+          s"vector dim $n != centroid dim ${cent.length} (cell $c)")
+      }
       var dot = 0.0
       i = 0
-      while (i < n && i < cent.length) { dot += xs(i) * cent(i); i += 1 }
+      while (i < n) { dot += xs(i) * cent(i); i += 1 }
       scores(c) = if (vn > 0 && norms(c) > 0) dot / (vn * norms(c))
         else Double.NegativeInfinity
       c += 1

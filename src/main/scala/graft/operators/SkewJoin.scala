@@ -15,8 +15,14 @@ import org.apache.spark.sql.functions._
   * `(key, salt)` — hot keys fan out `buckets`-wide at the cost of
   * `buckets`× replication of the right side.
   *
-  * The salt is derived by hashing the whole left row (not `rand()`), so
-  * retried tasks salt identically and results stay deterministic.
+  * The salt is derived by hashing the whole left row PLUS its per-partition
+  * row position (not `rand()`): content alone would send identical
+  * duplicate rows of a hot key to one salt bucket, silently collapsing the
+  * fan-out back into a single straggler. The position term
+  * (`monotonically_increasing_id`) is retry-stable for deterministic
+  * sources — a re-executed file-scan task re-reads the same split in the
+  * same order — which is the same determinism contract Spark's own shuffle
+  * retry machinery assumes of its inputs.
   */
 object SkewJoin {
 
@@ -31,7 +37,8 @@ object SkewJoin {
       buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     val l = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(buckets.toLong)))
+      pmod(xxhash64((left.columns.map(col) :+ monotonically_increasing_id()).toSeq: _*),
+        lit(buckets.toLong)))
     val r = right.withColumn("__salt",
       explode(array((0 until buckets).map(b => lit(b.toLong)): _*)))
     // frame-qualified key refs so leftKey == rightKey (natural-join naming)

@@ -147,6 +147,29 @@ class LlmSpec extends AnyFunSuite {
     assert(top("a") == "b" && top("b") == "a")
   }
 
+  test("I3 corpus broadcast is built once per distinct corpus") {
+    // unique corpus (distinctive ids) so the cache key can't collide with
+    // other suites running in the same JVM
+    val vecs = Seq(
+      (91001L, Array(1.0f, 0.0f)),
+      (91002L, Array(0.9f, 0.1f)),
+      (91003L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 1).count()
+    val bc1 = Similarity.cachedBroadcastFor(vecs, "vec_id", "embedding")
+    assert(bc1.nonEmpty)
+    // a second call with a re-built but plan-identical corpus reuses it
+    val vecs2 = Seq(
+      (91001L, Array(1.0f, 0.0f)),
+      (91002L, Array(0.9f, 0.1f)),
+      (91003L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.bruteForceTopK(vecs2, vecs2, "vec_id", "embedding", k = 2).count()
+    val bc2 = Similarity.cachedBroadcastFor(vecs2, "vec_id", "embedding")
+    assert(bc2.nonEmpty && (bc2.get eq bc1.get),
+      "plan-identical corpus must reuse the cached broadcast")
+  }
+
   test("I3 cosine matches quantized cosine closely") {
     val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
     val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
