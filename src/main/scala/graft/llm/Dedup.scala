@@ -250,42 +250,114 @@ object Dedup {
     }
   }
 
-  /** I2c — SimHash near-dup pairs: banded blocking on bit-chunks of the
-    * 64-bit fingerprint, then exact Hamming verification. The pigeonhole
-    * guarantee needs `maxHamming + 1` chunks (a pair within the radius must
-    * leave at least one chunk untouched), so the chunk count derives from
-    * the radius instead of being fixed. */
+  /** Exact bit-partition of the 64-bit fingerprint into `c` chunks:
+    * (shift, mask) per chunk, widths differing by at most one bit so every
+    * bit is covered and every shift stays < 64 (a `shiftright` ≥ 64 aliases
+    * under Java's shift-mask semantics). */
+  private def chunkSpec(c: Int): Seq[(Int, Long)] = {
+    val base = 64 / c
+    val extra = 64 % c
+    val widths = Seq.tabulate(c)(i => if (i < extra) base + 1 else base)
+    widths.scanLeft(0)(_ + _).zip(widths).map { case (shift, w) =>
+      (shift, if (w >= 64) -1L else (1L << w) - 1)
+    }
+  }
+
+  /** Sketch clusters: one row per DISTINCT 64-bit fingerprint with the doc
+    * ids bearing it. Joining clusters instead of docs is the first skew
+    * guard: a near-dup-heavy corpus (the whole point of dedup) collapses
+    * its identical-sketch masses into single rows, so the blocking join
+    * below scales with distinct sketches, not documents. */
+  private def simClusters(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+      TextAnalysis.simHash(col(textCol)).as("sim"))
+      .repartition(Par.of(df), col("sim")) // barrier: compute the sketch exactly once
+      .groupBy(col("sim")).agg(collect_list(col("doc")).as("docs"))
+
+  /** Blocking bands over the sketch clusters: one row per (sim, band_idx,
+    * band). Both schemes are containment-exact by pigeonhole; which one is
+    * CHEAPER is corpus-dependent (measured at sf0.1 / radius 10):
+    *
+    *  - single chunks (`combinations = false`, default): `maxHamming + 1`
+    *    chunks — a pair within the radius leaves ≥ 1 untouched. At radius
+    *    10 the ~6-bit chunks have only 64 distinct values, so a DISPERSED
+    *    corpus pays ~n²/64 false candidates per chunk index. But each true
+    *    pair is rediscovered ≤ 11×, which makes this the cheap scheme for
+    *    near-dup-HEAVY corpora (7× faster on the fixture), where candidates
+    *    are dominated by true pairs, not bucket collisions.
+    *  - chunk-pair combinations (`combinations = true`): `maxHamming + 2`
+    *    chunks leave ≥ 2 untouched, hence some untouched PAIR; the C(c, 2)
+    *    ≈ 66 bands carry ~2× the bits each, cutting false-candidate rates
+    *    ~64× (>4× net on a dispersed corpus, see LlmSpec) at the price of
+    *    rediscovering every true pair up to 66×.
+    *
+    * Rule of thumb at 100 TB: dedup passes over raw crawl data (clusters
+    * everywhere) keep the default; wide-radius search over already-deduped
+    * corpora flips `combinations` on. */
+  private[graft] def simHashBands(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int,
+      combinations: Boolean = false): DataFrame =
+    withBands(simClusters(df, idCol, textCol), maxHamming, combinations)
+
+  private def withBands(
+      clusters: DataFrame, maxHamming: Int, combinations: Boolean): DataFrame = {
+    def chunkCol(shift: Int, mask: Long): Column =
+      call_function("shiftright", col("sim"), lit(shift)).bitwiseAND(lit(mask))
+    val bands: Seq[Column] =
+      if (!combinations || maxHamming <= 6) {
+        chunkSpec(maxHamming + 1).map { case (s, m) => chunkCol(s, m) }
+      } else {
+        val chunks = chunkSpec(maxHamming + 2).map { case (s, m) => chunkCol(s, m) }
+        // chunk widths are ≤ 8 bits here (c ≥ 9), so packing two chunk
+        // values 16 bits apart is collision-free
+        for {
+          i <- chunks.indices
+          j <- (i + 1) until chunks.size
+        } yield shiftleft(chunks(i), 16).bitwiseOR(chunks(j))
+      }
+    clusters.select(col("sim"), col("docs"),
+      posexplode(array(bands: _*)).as(Seq("band_idx", "band")))
+  }
+
+  /** I2c — SimHash near-dup pairs: identical-sketch clusters emit their
+    * pairs directly (Hamming 0), distinct sketches go through banded
+    * blocking (see [[simHashBands]]) + exact Hamming verification. Blocking
+    * is containment-exact by pigeonhole, so the output equals the all-pairs
+    * result at any radius; pair DEDUP happens on (sim, sim_b) before the
+    * cluster expansion, so multi-band collisions never re-expand. */
   def simHashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      combinationBands: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64): $maxHamming")
-    val nChunks = maxHamming + 1
-    val width = (64 + nChunks - 1) / nChunks // last chunk may be narrower
-    val mask = if (width >= 64) -1L else (1L << width) - 1
-    val sh = df.select(col(idCol).as("doc"),
-      TextAnalysis.simHash(col(textCol)).as("sim"))
-      .repartition(Par.of(df), col("doc")) // barrier: compute the sketch exactly once
-    val chunks = sh.select(col("doc"), col("sim"),
-      posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
-        j => call_function("shiftright", col("sim"), j * width).bitwiseAND(mask)))
-        .as(Seq("chunk_idx", "chunk")))
-    // Unlike minHashCandidates this stays a self-join: simhash buckets are
-    // COARSE (radius 10 → 6-bit chunks → 64 distinct values, ~2M candidate
-    // pairs at sf0.1), so pair generation dominates and the codegen'd join
-    // beats an ObjectHashAggregate + double-explode; the sketch kernel the
-    // two branches re-run is one cheap pass per doc. Hamming filter BEFORE
-    // the distinct: verification is a cheap bit-count per candidate, so
-    // cutting failures first shrinks the dedup shuffle.
-    val other = chunks.select(col("doc").as("doc_b"), col("sim").as("sim_b"),
-      col("chunk_idx"), col("chunk"))
-    chunks.join(other, Seq("chunk_idx", "chunk"))
-      .filter(col("doc") < col("doc_b"))
-      .select(col("doc").as("doc_a"), col("doc_b"),
+    val clusters = simClusters(df, idCol, textCol)
+    // identical sketches: all pairs, Hamming 0 (output-sized by contract)
+    val intra = clusters
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        lit(0).as("hamming"))
+    // distinct sketches: band-join cluster reps, verify, THEN expand
+    val bands = withBands(clusters, maxHamming, combinationBands)
+    val other = bands.select(col("sim").as("sim_b"), col("docs").as("docs_b"),
+      col("band_idx"), col("band"))
+    val inter = bands.join(other, Seq("band_idx", "band"))
+      .filter(col("sim") < col("sim_b"))
+      .select(col("sim"), col("sim_b"), col("docs"), col("docs_b"),
         TextAnalysis.hammingDist(col("sim"), col("sim_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+      .dropDuplicates("sim", "sim_b")
+      .select(explode(col("docs")).as("a"), col("docs_b"), col("hamming"))
+      .select(col("a"), explode(col("docs_b")).as("b"), col("hamming"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("hamming"))
+    intra.unionByName(inter)
   }
 }
