@@ -1,0 +1,132 @@
+package graft.spans
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** F1 — GitHub Actions artifact source: the reference's fetch-side logic
+  * (`otel_output_parser/common_helpers/github_helpers.py:15-164`) with the
+  * HTTP client abstracted behind [[GithubArtifacts.Transport]] (this
+  * environment has no egress; the pagination / filtering / caching /
+  * expiry-tolerance logic is pure and portable).
+  *
+  * The reference's behaviors preserved:
+  *  - page iteration from 1 until the first empty page, then an assertion
+  *    that the accumulated entry count equals the API's `total_count`;
+  *  - repo format validation (`owner/repo-name`) and token presence;
+  *  - skip entries that are `expired` or whose name lacks
+  *    `opentelemetry-outputs-v1`;
+  *  - HTTP 410 during download (expired between list and fetch) skips the
+  *    artifact rather than failing the run;
+  *  - optional zip cache directory: fetched artifacts are written as
+  *    `<id>.zip`; with no repo configured the cache directory IS the
+  *    source.
+  */
+object GithubArtifacts {
+
+  /** One artifact list entry (the subset of the GitHub API response the
+    * pipeline consumes). */
+  case class ArtifactEntry(id: String, name: String, expired: Boolean)
+
+  case class PageResult(artifacts: Seq[ArtifactEntry], totalCount: Long)
+
+  /** Transport seam. `download` returns None for HTTP 410 (gone) and
+    * throws on any other failure, mirroring the reference's
+    * `download_artifact`. */
+  trait Transport {
+    def listPage(repo: String, perPage: Int, page: Int): PageResult
+    def download(repo: String, artifactId: String): Option[Array[Byte]]
+  }
+
+  /** Repo/token validation (`github_helpers.py:42-49`). */
+  def validateRepoSetup(repo: String, tokenPresent: Boolean): Unit = {
+    if (repo.split("/", -1).length != 2)
+      throw new IllegalArgumentException(
+        "github_repository parameter should be in format owner/repo-name")
+    if (!tokenPresent)
+      throw new IllegalStateException("GITHUB_TOKEN should be set")
+  }
+
+  /** All artifact entries for a repo: pages from 1 until the first empty
+    * page; the accumulated count must equal the last page's `total_count`
+    * (`github_helpers.py:15-39` — the upstream paginator looped to a fixed
+    * page bound; stopping on the first empty page is the documented
+    * workaround, the count assertion catches a list that changed under
+    * us). */
+  def listArtifacts(
+      t: Transport,
+      repo: String,
+      perPage: Int = 30,
+      tokenPresent: Boolean = true): Seq[ArtifactEntry] = {
+    validateRepoSetup(repo, tokenPresent)
+    val out = Seq.newBuilder[ArtifactEntry]
+    var count = 0L
+    var page = 1
+    var last: PageResult = null
+    var done = false
+    while (!done) {
+      last = t.listPage(repo, perPage, page)
+      if (last.artifacts.isEmpty) done = true
+      else {
+        out ++= last.artifacts
+        count += last.artifacts.size
+        page += 1
+      }
+    }
+    if (count != last.totalCount)
+      throw new IllegalStateException(
+        s"paginator count $count != total_count ${last.totalCount}")
+    out.result()
+  }
+
+  /** The run-archive name filter (`github_helpers.py:139`). */
+  private[spans] def wanted(e: ArtifactEntry): Boolean =
+    !e.expired && e.name.contains("opentelemetry-outputs-v1")
+
+  /** Zip payloads per the reference's source contract
+    * (`github_helpers.py:108-164`): repo set → fetch (and cache if a dir is
+    * given); only cache dir set → read the cache; neither → error. */
+  def artifactZips(
+      t: Transport,
+      repo: Option[String],
+      zipCacheDir: Option[Path],
+      tokenPresent: Boolean = true): Iterator[Array[Byte]] = (repo, zipCacheDir) match {
+    case (Some(r), cache) =>
+      listArtifacts(t, r, tokenPresent = tokenPresent).iterator
+        .filter(wanted)
+        .flatMap { e =>
+          t.download(r, e.id) match {
+            case None => None // 410: expired after the list was fetched
+            case Some(bytes) =>
+              cache.foreach { dir =>
+                Files.createDirectories(dir)
+                Files.write(dir.resolve(e.id + ".zip"), bytes)
+              }
+              Some(bytes)
+          }
+        }
+    case (None, Some(dir)) =>
+      Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".zip"))
+        .map(Files.readAllBytes)
+    case (None, None) =>
+      throw new IllegalArgumentException(
+        "Both github_repository and zip_cache_dir can not be None")
+  }
+
+  /** Fetch a repo's run archives into `cacheDir`, then hand the directory
+    * to the distributed zip reader — the driver moves only artifact BYTES
+    * into the cache; span parsing stays on executors
+    * ([[SpanSource.readZips]]). */
+  def readRepo(
+      spark: SparkSession,
+      t: Transport,
+      repo: String,
+      cacheDir: Path,
+      tokenPresent: Boolean = true): DataFrame = {
+    // drain the iterator: every zip lands in the cache dir
+    artifactZips(t, Some(repo), Some(cacheDir), tokenPresent).foreach(_ => ())
+    SpanSource.readZips(spark, cacheDir.toString + "/*.zip")
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spans.GithubArtifacts
+import graft.spans.GithubArtifacts.{ArtifactEntry, PageResult, Transport}
+
+/** F1 — GitHub artifact source: pagination, expiry/name filtering, 410
+  * tolerance, and cache behavior against a fake transport (ref semantics:
+  * `otel_output_parser/common_helpers/github_helpers.py:15-164`). */
+class GithubArtifactsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def entry(id: Int, name: String = "opentelemetry-outputs-v1",
+      expired: Boolean = false) =
+    ArtifactEntry(id.toString, name, expired)
+
+  /** Pages of size `perPage` served from `entries`; `gone` ids 410 on
+    * download; records every download attempt. */
+  class FakeTransport(entries: Seq[ArtifactEntry], gone: Set[String] = Set.empty,
+      totalCountOverride: Option[Long] = None) extends Transport {
+    val downloads = scala.collection.mutable.ArrayBuffer.empty[String]
+    override def listPage(repo: String, perPage: Int, page: Int): PageResult =
+      PageResult(
+        entries.slice((page - 1) * perPage, page * perPage),
+        totalCountOverride.getOrElse(entries.size.toLong))
+    override def download(repo: String, artifactId: String): Option[Array[Byte]] = {
+      downloads += artifactId
+      if (gone.contains(artifactId)) None
+      else Some(s"zip-$artifactId".getBytes("UTF-8"))
+    }
+  }
+
+  test("paginator walks pages until empty and checks total_count") {
+    val t = new FakeTransport((1 to 7).map(entry(_)))
+    val got = GithubArtifacts.listArtifacts(t, "owner/repo", perPage = 3)
+    assert(got.map(_.id) == (1 to 7).map(_.toString))
+    // a list that changed between pages (count mismatch) fails loudly
+    val bad = new FakeTransport((1 to 7).map(entry(_)), totalCountOverride = Some(9L))
+    val e = intercept[IllegalStateException] {
+      GithubArtifacts.listArtifacts(bad, "owner/repo", perPage = 3)
+    }
+    assert(e.getMessage.contains("total_count"))
+  }
+
+  test("repo validation: format and token") {
+    intercept[IllegalArgumentException] {
+      GithubArtifacts.listArtifacts(new FakeTransport(Nil), "not-a-repo")
+    }
+    intercept[IllegalStateException] {
+      GithubArtifacts.listArtifacts(new FakeTransport(Nil), "owner/repo",
+        tokenPresent = false)
+    }
+  }
+
+  test("fetch path: name/expired filter, 410 skip, cache write") {
+    val entries = Seq(
+      entry(1),
+      entry(2, expired = true), // skipped: expired in the listing
+      entry(3, name = "coverage-report"), // skipped: not a run archive
+      entry(4, name = "my-opentelemetry-outputs-v1-main"), // substring match
+      entry(5), // 410s on download: skipped, not fatal
+      entry(6))
+    val t = new FakeTransport(entries, gone = Set("5"))
+    val cache = Files.createTempDirectory("graft-gh-cache")
+    val zips = GithubArtifacts.artifactZips(
+      t, Some("owner/repo"), Some(cache)).toSeq
+    assert(zips.map(new String(_, "UTF-8")) ==
+      Seq("zip-1", "zip-4", "zip-6"))
+    // expired / name-filtered entries are never even downloaded
+    assert(t.downloads.toSeq == Seq("1", "4", "5", "6"))
+    assert(cache.toFile.list().sorted.toSeq ==
+      Seq("1.zip", "4.zip", "6.zip"))
+  }
+
+  test("cache-only path and the no-source error") {
+    val cache = Files.createTempDirectory("graft-gh-cache2")
+    Files.write(cache.resolve("a.zip"), "za".getBytes)
+    Files.write(cache.resolve("b.zip"), "zb".getBytes)
+    Files.write(cache.resolve("notes.txt"), "x".getBytes)
+    val got = GithubArtifacts.artifactZips(
+      new FakeTransport(Nil), None, Some(cache))
+      .map(new String(_, "UTF-8")).toSeq.sorted
+    assert(got == Seq("za", "zb"))
+    intercept[IllegalArgumentException] {
+      GithubArtifacts.artifactZips(new FakeTransport(Nil), None, None)
+    }
+  }
+
+  test("readRepo: fetched artifacts parse into a span DataFrame") {
+    import SpanFixtures._
+    val spans = Seq(
+      span("execute-task", "0xgh1", None, attrs = Map("task.id" -> "t1")),
+      span("named-value", "0xgh2", Some("0xgh1")))
+    val json = "[" + spans.map(graft.exec.SpanJson.render).mkString(",") + "]"
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("opentelemetry-spans.json"))
+    zos.write(json.getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    val zipBytes = bos.toByteArray
+    val t = new FakeTransport(Seq(entry(42))) {
+      override def download(repo: String, artifactId: String) = Some(zipBytes)
+    }
+    val cache = Files.createTempDirectory("graft-gh-cache3")
+    val df = GithubArtifacts.readRepo(spark, t, "owner/repo", cache)
+    assert(df.count() == 2)
+    assert(df.where(org.apache.spark.sql.functions.col("name") === "execute-task")
+      .count() == 1)
+  }
+}

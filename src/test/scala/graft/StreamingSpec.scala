@@ -85,6 +85,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("H2/H6 streaming results equal their batch equivalents") {
+    import org.apache.spark.sql.functions._
+    val dir = spanDir
+    // at-least-once replay: duplicate one run's spans verbatim
+    val first = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".jsonl")).minBy(_.getName)
+    Files.copy(first.toPath, new java.io.File(dir, "redelivered.jsonl").toPath)
+    val batch = spark.read.schema(SpanStream.streamSchema).json(s"$dir/*.jsonl")
+      .withColumn("start_ts", to_timestamp(col("start_time")))
+      .withColumn("end_ts", to_timestamp(col("end_time")))
+
+    // H6: streaming dedup == batch dropDuplicates on the span id
+    val qd = SpanStream.dedupSpans(SpanStream.readSpanStream(spark, dir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_parity").start()
+    try {
+      qd.processAllAvailable()
+      val streamed = spark.sql("select context.span_id from dedup_parity")
+        .collect().map(_.getString(0)).sorted.toSeq
+      val batched = batch.withColumn("span_id", col("context.span_id"))
+        .dropDuplicates("span_id" :: Nil)
+        .select(col("span_id"))
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(streamed == batched)
+    } finally qd.stop()
+
+    // H2: streaming windowed throughput (complete mode, all data arrived)
+    // == the same aggregate expressed in batch
+    val qt = SpanStream.taskThroughput(SpanStream.readSpanStream(spark, dir))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("throughput_parity").start()
+    try {
+      qt.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("window.start").cast("long"), col("window.end").cast("long"),
+          col("status_code"), col("n_tasks"), col("total_us"))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val streamed = canon(spark.table("throughput_parity"))
+      val batched = canon(batch
+        .filter(col("name") === "execute-task")
+        .groupBy(window(col("end_ts"), "1 minute"),
+          col("status.status_code").as("status_code"))
+        .agg(count(lit(1)).as("n_tasks"),
+          sum(unix_micros(col("end_ts")) - unix_micros(col("start_ts")))
+            .as("total_us")))
+      assert(streamed.nonEmpty && streamed == batched)
+    } finally qt.stop()
+  }
+
   test("H5 stateful run-status accumulator finalizes on dag-top-span") {
     val dir = spanDir
     val q = SpanStream.runStatusStream(SpanStream.readSpanStream(spark, dir))
