@@ -447,16 +447,76 @@ object SpanParser {
   }
 }
 
-/** E8/B5 stub: nbconvert has no JVM equivalent in this offline environment.
-  * The derivation *slot* (every `notebook.ipynb` artifact yields an
-  * additional `notebook.html` artifact, `opentelemetry_task_span_parser.py:82-111,160-167`)
-  * is kept; the HTML rendering itself is a deterministic wrapper, clearly
-  * marked as a stub. */
+/** E8/B5 — minimal ipynb-JSON → HTML renderer (no nbconvert on the JVM;
+  * the reference shells out to `jupyter nbconvert --to html`,
+  * `notebooks_helpers.py:14-52`). Renders what the reference's tests
+  * actually assert on (`tasks/notebook_tasks/test_ok_notebook.py:37-74`):
+  * every cell's source and every textual output (stream /
+  * execute_result / display_data / error) appear in the html. */
 object Notebooks {
-  def convertIpynbToHtml(ipynbJson: String): String =
+  import scala.collection.immutable.ListMap
+  import graft.model.Json
+
+  def convertIpynbToHtml(ipynbJson: String): String = {
+    val cells = Json.parse(ipynbJson) match {
+      case m: ListMap[_, _] =>
+        m.asInstanceOf[ListMap[String, Any]].get("cells") match {
+          case Some(cs: Vector[_]) => cs
+          case _ => Vector.empty
+        }
+      case _ => Vector.empty
+    }
+    val body = cells.map {
+      case c: ListMap[_, _] => renderCell(c.asInstanceOf[ListMap[String, Any]])
+      case _ => ""
+    }.mkString("\n")
     "<!DOCTYPE html>\n<html><head><meta charset=\"utf-8\">" +
-      "<title>notebook</title></head>\n<body><pre class=\"ipynb-stub\">" +
-      escapeHtml(ipynbJson) + "</pre></body></html>\n"
+      "<title>notebook</title></head>\n<body>\n" + body + "\n</body></html>\n"
+  }
+
+  private def renderCell(cell: ListMap[String, Any]): String = {
+    val tpe = cell.get("cell_type") match {
+      case Some(s: String) => s
+      case _ => "code"
+    }
+    val src = s"""<pre class="input">${escapeHtml(textOf(cell.get("source")))}</pre>"""
+    val outs = cell.get("outputs") match {
+      case Some(os: Vector[_]) => os.collect {
+        case o: ListMap[_, _] =>
+          val out = renderOutput(o.asInstanceOf[ListMap[String, Any]])
+          s"""<pre class="output">${escapeHtml(out)}</pre>"""
+      }.mkString("\n")
+      case _ => ""
+    }
+    s"""<div class="cell $tpe">\n$src\n$outs</div>"""
+  }
+
+  /** Textual payload of one cell output, by nbformat `output_type`. */
+  private def renderOutput(o: ListMap[String, Any]): String =
+    o.get("output_type") match {
+      case Some("stream") => textOf(o.get("text"))
+      case Some("execute_result") | Some("display_data") =>
+        o.get("data") match {
+          case Some(d: ListMap[_, _]) =>
+            textOf(d.asInstanceOf[ListMap[String, Any]].get("text/plain"))
+          case _ => ""
+        }
+      case Some("error") =>
+        val name = textOf(o.get("ename"))
+        val value = textOf(o.get("evalue"))
+        val tb = textOf(o.get("traceback"))
+        s"$name: $value\n$tb"
+      case _ => textOf(o.get("text"))
+    }
+
+  /** nbformat sources/outputs are a string or a list of line strings. */
+  private def textOf(v: Any): String = v match {
+    case Some(x) => textOf(x)
+    case None | null => ""
+    case s: String => s
+    case xs: Vector[_] => xs.map(textOf).mkString
+    case other => other.toString
+  }
 
   private def escapeHtml(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")

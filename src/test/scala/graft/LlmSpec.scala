@@ -264,6 +264,19 @@ class LlmSpec extends AnyFunSuite {
     assert(f0.toSeq.sliding(2).forall { case Seq(a, b) => b - a == 10; case _ => true })
   }
 
+  test("I4 stub codec boundary is pinned (i4_multimodal_meta hash guard)") {
+    // The i4 oracle SQL reproduces these constants and formulas verbatim;
+    // a future "real" codec must come with a new query + oracle, not a
+    // silent behavior change under the same name.
+    import Multimodal.StubCodecs._
+    assert((SizeBase, WidthMod, HeightDiv, HeightMod) == (64, 577, 7, 431))
+    val payload = Array.tabulate[Byte](1000)(_.toByte)
+    val (w, h, ch, dur) = decodeMeta(payload)
+    assert(w == 64 + (1000 % 577))
+    assert(h == 64 + ((1000 / 7) % 431))
+    assert(ch == 3 && dur == 1000L)
+  }
+
   test("I5 language id picks stopword-matching language") {
     val en = Seq((1L, "the cat and the dog is in the house with all of them"))
       .toDF("doc_id", "text")

@@ -118,17 +118,38 @@ class ParserSpec extends AnyFunSuite {
     assert(s.taskRuns.head.loggedArtifacts.map(_.name) == Seq("README.md"))
   }
 
-  test("B5 notebook.html artifact derivation") {
+  test("B5 notebook.html artifact derivation renders sources and outputs") {
+    // the reference's own html assertions (test_ok_notebook.py:37-74):
+    // cell SOURCE text and printed OUTPUT text both appear in the html
+    val ipynb =
+      """{"cells": [
+        | {"cell_type": "markdown", "source": ["# Title\n", "intro"]},
+        | {"cell_type": "code",
+        |  "source": ["print(1 + 12 + 123 + 1234 + 12345)\n",
+        |             "print(f'variable_a={P[\"task.variable_a\"]}')"],
+        |  "outputs": [
+        |   {"output_type": "stream", "text": ["13715\n", "variable_a=task-value\n"]},
+        |   {"output_type": "execute_result", "data": {"text/plain": ["42"]}},
+        |   {"output_type": "error", "ename": "ValueError", "evalue": "boom",
+        |    "traceback": ["Traceback...<cut>"]}]}],
+        | "nbformat": 4}""".stripMargin
     val withNb = workflowSpans :+ span("artefact", "0xnb", Some("0xc1"),
       start = "2021-01-01T00:00:04.000000Z", end = "2021-01-01T00:00:04.100000Z",
       attrs = Map("name" -> "notebook.ipynb", "type" -> "utf-8",
-        "encoding" -> "utf-8", "content_encoded" -> "{\"cells\": []}"),
+        "encoding" -> "utf-8", "content_encoded" -> ipynb),
       status = "OK")
     val s = SpanParser.parseSpans(SpanModel.toDF(spark, withNb))
     val names = s.taskRuns.head.loggedArtifacts.map(_.name)
     assert(names == Seq("README.md", "notebook.ipynb", "notebook.html"))
-    assert(s.taskRuns.head.getArtifact("notebook.html")
-      .content.asInstanceOf[String].contains("cells"))
+    val html = s.taskRuns.head.getArtifact("notebook.html")
+      .content.asInstanceOf[String]
+    assert(html.contains("variable_a=task-value")) // printed output
+    assert(html.contains("13715")) // evaluated sum
+    assert(html.contains("print(1 + 12 + 123 + 1234 + 12345)")) // source
+    assert(html.contains("# Title")) // markdown cell
+    assert(html.contains("42")) // execute_result text/plain
+    assert(html.contains("ValueError: boom")) // error output
+    assert(html.contains("Traceback...&lt;cut&gt;")) // html-escaped
   }
 
   test("B6 duplicate named value rejected") {
