@@ -293,7 +293,10 @@ object Dedup {
     *
     * Rule of thumb at 100 TB: dedup passes over raw crawl data (clusters
     * everywhere) keep the default; wide-radius search over already-deduped
-    * corpora flips `combinations` on. */
+    * corpora flips `combinations` on. NOTE: `combinations = true` applies
+    * only for `maxHamming > 6` — at smaller radii single chunks are both
+    * finer (≥ 9 bits) and cheaper, so the flag is ignored (and the 16-bit
+    * band packing needs the ≥ 9 chunks a wide radius implies). */
   private[graft] def simHashBands(
       df: DataFrame,
       idCol: String,
@@ -356,6 +359,10 @@ object Dedup {
       .dropDuplicates("sim", "sim_b")
       .select(explode(col("docs")).as("a"), col("docs_b"), col("hamming"))
       .select(col("a"), explode(col("docs_b")).as("b"), col("hamming"))
+      // a doc id duplicated with DIFFERENT text sits in two clusters; the
+      // expansion would pair it with itself — drop such degenerate pairs
+      // (the old self-join's doc < doc_b guard made them impossible)
+      .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("doc_a"),
         greatest(col("a"), col("b")).as("doc_b"), col("hamming"))
     intra.unionByName(inter)

@@ -84,30 +84,45 @@ object Similarity {
   /** One broadcast per DISTINCT corpus (keyed by the canonicalized logical
     * plan + columns): repeated bench/verify/explain calls on the same
     * corpus — the way every long-running driver actually calls this — reuse
-    * one corpus-sized allocation instead of leaking one per call. Entries
-    * live until [[releaseBroadcasts]]; nothing is destroyed implicitly, so
-    * a cached DataFrame from an earlier call can never hit a dead
-    * broadcast. */
-  private val corpusCache = new java.util.concurrent.ConcurrentHashMap[
+    * one corpus-sized allocation instead of leaking one per call.
+    *
+    * Contract and bounds:
+    *  - assumes corpus files are IMMUTABLE while cached (plan equality is
+    *    path-based; rewriting a parquet in place and re-querying within one
+    *    session would serve the old vectors — call [[releaseBroadcasts]]
+    *    after any such rewrite);
+    *  - bounded at [[MaxCachedCorpora]] entries, oldest evicted first —
+    *    eviction only DROPS the strong reference (no destroy), so in-flight
+    *    plans keep working and Spark's ContextCleaner reclaims the
+    *    broadcast once their DataFrames are garbage. */
+  private val MaxCachedCorpora = 8
+  private val corpusCache = new java.util.LinkedHashMap[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String),
-    org.apache.spark.broadcast.Broadcast[graft.functions.TopKCorpus]]()
+    org.apache.spark.broadcast.Broadcast[graft.functions.TopKCorpus]](16, 0.75f, false) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String),
+      org.apache.spark.broadcast.Broadcast[graft.functions.TopKCorpus]]) =
+      size() > MaxCachedCorpora
+  }
 
-  /** Destroy every cached corpus broadcast (driver lifecycle hook — call
-    * between benchmark suites or before session teardown). DataFrames built
-    * by earlier [[bruteForceTopK]] calls must not run after this. */
-  def releaseBroadcasts(): Unit = {
+  /** Destroy every cached corpus broadcast (driver lifecycle hook — called
+    * by Bench/Verify at teardown; call it between suites or after a corpus
+    * file rewrite). DataFrames built by earlier [[bruteForceTopK]] calls
+    * must not run (or be constructed concurrently) after this. */
+  def releaseBroadcasts(): Unit = corpusCache.synchronized {
     val it = corpusCache.values().iterator()
     while (it.hasNext) { it.next().destroy(); it.remove() }
   }
 
   /** Visible for tests: number of live cached corpus broadcasts. */
-  private[graft] def cachedBroadcastCount: Int = corpusCache.size()
+  private[graft] def cachedBroadcastCount: Int =
+    corpusCache.synchronized(corpusCache.size())
 
   /** Visible for tests: the cached broadcast for a corpus, if any. */
   private[graft] def cachedBroadcastFor(
       corpus: DataFrame, idCol: String, vecCol: String) =
-    Option(corpusCache.get(
-      (corpus.queryExecution.analyzed.canonicalized, idCol, vecCol)))
+    corpusCache.synchronized(Option(corpusCache.get(
+      (corpus.queryExecution.analyzed.canonicalized, idCol, vecCol))))
 
   /** Broadcast-corpus brute force: the corpus (quantized vectors + norms) is
     * collected once and shipped as a Spark broadcast — the same memory
@@ -127,7 +142,7 @@ object Similarity {
       vecCol: String,
       k: Int): DataFrame = {
     val cacheKey = (corpus.queryExecution.analyzed.canonicalized, idCol, vecCol)
-    val cached = corpusCache.get(cacheKey)
+    val cached = corpusCache.synchronized(corpusCache.get(cacheKey))
     if (cached != null)
       return bruteForceTopKWith(queries, cached, idCol, vecCol, k)
     val rows = corpus.select(col(idCol).cast("long"), quantize(col(vecCol)))
@@ -155,10 +170,14 @@ object Similarity {
     }
     val bc = queries.sparkSession.sparkContext.broadcast(
       new graft.functions.TopKCorpus(ids, flat, norms, dim))
-    // putIfAbsent: a concurrent builder of the same corpus wins the race,
-    // and the loser's broadcast is destroyed before anything can plan on it
-    val prev = corpusCache.putIfAbsent(cacheKey, bc)
-    val winner = if (prev == null) bc else { bc.destroy(); prev }
+    // first-writer-wins: a concurrent builder of the same corpus keeps the
+    // existing entry, and the loser's broadcast is destroyed before
+    // anything can plan on it
+    val winner = corpusCache.synchronized {
+      val prev = corpusCache.get(cacheKey)
+      if (prev == null) { corpusCache.put(cacheKey, bc); bc } else prev
+    }
+    if (winner ne bc) bc.destroy()
     bruteForceTopKWith(queries, winner, idCol, vecCol, k)
   }
 

@@ -15,14 +15,16 @@ import org.apache.spark.sql.functions._
   * `(key, salt)` — hot keys fan out `buckets`-wide at the cost of
   * `buckets`× replication of the right side.
   *
-  * The salt is derived by hashing the whole left row PLUS its per-partition
-  * row position (not `rand()`): content alone would send identical
-  * duplicate rows of a hot key to one salt bucket, silently collapsing the
-  * fan-out back into a single straggler. The position term
-  * (`monotonically_increasing_id`) is retry-stable for deterministic
-  * sources — a re-executed file-scan task re-reads the same split in the
-  * same order — which is the same determinism contract Spark's own shuffle
-  * retry machinery assumes of its inputs.
+  * The salt is derived by hashing the whole left row (not `rand()` and not
+  * a row-position term), so a retried task salts identically no matter how
+  * its input rows are reordered — position-based salts silently lose or
+  * duplicate join rows when a shuffle-fetch failure re-runs a map task
+  * whose shuffle blocks arrive in a different order. The deliberate cost:
+  * rows that are EXACT duplicates (every column equal) share a salt and
+  * stay on one reducer. If a hot key's volume comes from verbatim
+  * duplicate rows rather than distinct payloads, pre-aggregate them
+  * (`groupBy(*).count()`), join, and re-expand — that both restores the
+  * fan-out and shrinks the shuffle.
   */
 object SkewJoin {
 
@@ -37,8 +39,7 @@ object SkewJoin {
       buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     val l = left.withColumn("__salt",
-      pmod(xxhash64((left.columns.map(col) :+ monotonically_increasing_id()).toSeq: _*),
-        lit(buckets.toLong)))
+      pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(buckets.toLong)))
     val r = right.withColumn("__salt",
       explode(array((0 until buckets).map(b => lit(b.toLong)): _*)))
     // frame-qualified key refs so leftKey == rightKey (natural-join naming)

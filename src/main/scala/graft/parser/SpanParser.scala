@@ -458,7 +458,19 @@ object Notebooks {
   import graft.model.Json
 
   def convertIpynbToHtml(ipynbJson: String): String = {
-    val cells = Json.parse(ipynbJson) match {
+    // a malformed/truncated notebook (partial upload, exporter bug) must
+    // not fail the whole workflow parse — fall back to the escaped raw
+    // content, the same always-succeeds behavior the parse had before the
+    // renderer existed
+    val parsed = try Some(Json.parse(ipynbJson)) catch {
+      case _: RuntimeException => None
+    }
+    if (parsed.isEmpty) {
+      return "<!DOCTYPE html>\n<html><head><meta charset=\"utf-8\">" +
+        "<title>notebook</title></head>\n<body><pre class=\"ipynb-raw\">" +
+        escapeHtml(ipynbJson) + "</pre></body></html>\n"
+    }
+    val cells = parsed.get match {
       case m: ListMap[_, _] =>
         m.asInstanceOf[ListMap[String, Any]].get("cells") match {
           case Some(cs: Vector[_]) => cs

@@ -107,9 +107,13 @@ object GithubArtifacts {
           }
         }
     case (None, Some(dir)) =>
-      Files.list(dir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".zip"))
-        .map(Files.readAllBytes)
+      // materialize the listing so the directory stream closes promptly (a
+      // lazy iterator would leak the fd until GC on the polling use case)
+      val stream = Files.list(dir)
+      val paths = try stream.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".zip")).toVector
+      finally stream.close()
+      paths.iterator.map(Files.readAllBytes)
     case (None, None) =>
       throw new IllegalArgumentException(
         "Both github_repository and zip_cache_dir can not be None")
@@ -125,8 +129,15 @@ object GithubArtifacts {
       repo: String,
       cacheDir: Path,
       tokenPresent: Boolean = true): DataFrame = {
-    // drain the iterator: every zip lands in the cache dir
-    artifactZips(t, Some(repo), Some(cacheDir), tokenPresent).foreach(_ => ())
-    SpanSource.readZips(spark, cacheDir.toString + "/*.zip")
+    // drain the iterator, counting: every zip lands in the cache dir
+    val n = artifactZips(t, Some(repo), Some(cacheDir), tokenPresent).size
+    if (n == 0) {
+      // all artifacts expired / filtered / 410'd: an empty span frame, not
+      // a path-does-not-exist crash from a glob over an empty cache
+      import org.apache.spark.sql.functions.lit
+      graft.model.SpanModel.toDF(spark, Seq.empty)
+        .select(lit(null).cast("string").as("source_zip"),
+          org.apache.spark.sql.functions.col("*"))
+    } else SpanSource.readZips(spark, cacheDir.toString + "/*.zip")
   }
 }

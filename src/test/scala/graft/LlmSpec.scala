@@ -106,6 +106,19 @@ class LlmSpec extends AnyFunSuite {
       s"combination bands should cut candidate volume: new=$newVolume old=$oldVolume")
   }
 
+  test("I2 simhash never emits self-pairs for a doc id duplicated with different text") {
+    val dirty = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different content on a second row with the same id"),
+      (2L, "the quick brown fox jumps over the lazy dog!"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(dirty, "doc_id", "text", maxHamming = 60)
+      .collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getLong(0) != r.getLong(1)),
+      "doc_a == doc_b must never appear")
+  }
+
   test("I3 LSH ANN recall vs brute force on real embeddings") {
     val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 3)

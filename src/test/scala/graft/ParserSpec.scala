@@ -152,6 +152,18 @@ class ParserSpec extends AnyFunSuite {
     assert(html.contains("Traceback...&lt;cut&gt;")) // html-escaped
   }
 
+  test("B5 malformed notebook.ipynb falls back to raw rendering, not a crash") {
+    val withBad = workflowSpans :+ span("artefact", "0xnb2", Some("0xc1"),
+      start = "2021-01-01T00:00:04.000000Z", end = "2021-01-01T00:00:04.100000Z",
+      attrs = Map("name" -> "notebook.ipynb", "type" -> "utf-8",
+        "encoding" -> "utf-8", "content_encoded" -> "{\"cells\": [truncated"),
+      status = "OK")
+    val s = SpanParser.parseSpans(SpanModel.toDF(spark, withBad))
+    val html = s.taskRuns.head.getArtifact("notebook.html")
+      .content.asInstanceOf[String]
+    assert(html.contains("ipynb-raw") && html.contains("truncated"))
+  }
+
   test("B6 duplicate named value rejected") {
     val dup = workflowSpans :+ span("named-value", "0xv2", Some("0xc1"),
       start = "2021-01-01T00:00:05.000000Z", end = "2021-01-01T00:00:05.100000Z",
