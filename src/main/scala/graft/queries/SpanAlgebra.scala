@@ -194,6 +194,27 @@ object SpanAlgebra {
       | '"order-' || CAST(o_orderkey AS VARCHAR) || ' failed"' AS msg
       |FROM orders WHERE o_orderstatus = 'F'""".stripMargin
 
+  /** A6 — (parent, child) edge extraction over the derived collection. */
+  def spanEdges(s: SparkSession, d: String): DataFrame =
+    spansFromOrders(s, d).spanEdges()
+
+  private val spanEdgesSql =
+    """SELECT 'c' || CAST(o_custkey AS VARCHAR) AS parent,
+      | 'o' || CAST(o_orderkey AS VARCHAR) AS child
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS parent,
+      | 'v' || CAST(o_orderkey AS VARCHAR) AS child
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS parent,
+      | 'd' || CAST(o_orderkey AS VARCHAR) AS child
+      |FROM (
+      | SELECT o_orderkey,
+      |  lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev
+      | FROM orders)
+      |WHERE prev IS NOT NULL""".stripMargin
+
   /** B1≡B2 — the attribute-form and link-form dependency extractions must
     * agree (the reference asserts this in its own tests); the derived
     * collection encodes the same pairs both ways, so the symmetric
@@ -221,6 +242,7 @@ object SpanAlgebra {
     "a1_nested_filter" -> nestedFilter _,
     "a4_attr_union_conflicts" -> attrUnionConflicts _,
     "a5_exception_harvest" -> exceptionHarvest _,
+    "a6_span_edges" -> spanEdges _,
     "b1b2_dep_forms_agree" -> depFormsAgree _
   )
 
@@ -228,6 +250,7 @@ object SpanAlgebra {
     "a1_nested_filter" -> nestedFilterSql,
     "a4_attr_union_conflicts" -> attrUnionConflictsSql,
     "a5_exception_harvest" -> exceptionHarvestSql,
+    "a6_span_edges" -> spanEdgesSql,
     "b1b2_dep_forms_agree" -> depFormsAgreeSql
   )
 }
