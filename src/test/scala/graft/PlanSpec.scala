@@ -48,6 +48,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("broadcast_topk"), plan)
   }
 
+  test("span-algebra derivation prunes to the referenced orders columns") {
+    // spansFromOrders builds full nested span rows (structs, maps, event
+    // arrays) from orders; a consumer touching only the edge columns must
+    // see all of that pruned away down to a 2-column parquet read — the
+    // property that makes declaring the derivation ONCE and letting
+    // Catalyst specialize it per query safe at 100 TB
+    val full = executedPlan(graft.queries.SpanAlgebra.spanEdges(spark, sf))
+    // AdaptiveSparkPlan.toString appends the initial plan too — assert on
+    // the final section only
+    val plan = full.split("== Initial Plan ==").head
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>")
+      || plan.contains("ReadSchema: struct<o_orderkey:bigint>"), plan)
+    assert(!plan.contains("map_from"), plan) // attribute maps pruned out
+    val scans = plan.split("\n").count(_.contains("Scan parquet"))
+    assert(scans <= 3, s"roots branch (null parent) should be pruned: $plan")
+  }
+
   test("bucketed tables join without a shuffle") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-buckets")
     val li = graft.queries.Tables.lineitem(spark, sf)
