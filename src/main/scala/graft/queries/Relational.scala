@@ -128,13 +128,41 @@ object Relational {
   /** Approximate count-distinct (HLL++, D8's approx variant): single-pass,
     * fixed-size sketch state — the cardinality estimator that replaces
     * exact distinct at 100 TB. Rows-only check (sketch implementations
-    * differ across engines by design). */
+    * differ across engines by design); the estimate's accuracy is
+    * driver-verified by `d08_approx_error_gate`. */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+
+  /** Error-bound gate for the HLL++ estimator: per group, the approximate
+    * count must land within 3× the configured rsd (0.02 → 6%) of the exact
+    * count. The oracle recomputes the exact counts in DuckDB and expects
+    * every `within_bound` true, so a broken sketch (hash collision bug,
+    * wrong merge) fails the driver compare even though the raw estimates
+    * are engine-specific. 3σ of a 2% rsd ≈ P(false alarm) < 0.3% per
+    * group; measured error at sf0.01 is well under 2%. */
+  def approxDistinctGate(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_orders"),
+        (abs(col("ap") - col("n_parts")).cast("double") / col("n_parts") <= 0.06 &&
+          abs(col("ao") - col("n_orders")).cast("double") / col("n_orders") <= 0.06)
+          .as("within_bound"))
+
+  private val approxDistinctGateSql =
+    """SELECT l_returnflag,
+      | COUNT(DISTINCT l_partkey) AS n_parts,
+      | COUNT(DISTINCT l_orderkey) AS n_orders,
+      | true AS within_bound
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   /** Ranking window: top-3 orders per customer. Same shape as the
     * reference's last-write-wins reader (B7/D10). */
@@ -502,6 +530,7 @@ object Relational {
     "d04_semi_anti_customers" -> semiAntiCustomers _,
     "d08_distinct_counts" -> distinctCounts _,
     "d08_approx_distinct" -> approxDistinct _,
+    "d08_approx_error_gate" -> approxDistinctGate _,
     "d10_window_topk_per_customer" -> topOrdersPerCustomer _,
     "d10_window_running_total" -> runningTotal _,
     "d10_window_lag_delta" -> eventDeltas _,
@@ -529,6 +558,7 @@ object Relational {
     "d11_topk_orders" -> topOrdersSql,
     "d04_semi_anti_customers" -> semiAntiCustomersSql,
     "d08_distinct_counts" -> distinctCountsSql,
+    "d08_approx_error_gate" -> approxDistinctGateSql,
     "d10_window_topk_per_customer" -> topOrdersPerCustomerSql,
     "d10_window_running_total" -> runningTotalSql,
     "d10_window_lag_delta" -> eventDeltasSql,
