@@ -238,8 +238,119 @@ object SpanAlgebra {
       | FROM orders)
       |WHERE prev IS NOT NULL""".stripMargin
 
+  /** A2 — global sort by parsed start time (span_id tie-break). The driver
+    * compare sorts rows before hashing, so the ORDER itself is materialized
+    * as data: `zipWithIndex` over the sorted partitions assigns ranks
+    * without collapsing to one partition (a global `row_number` window
+    * would), and the oracle recomputes the rank with a window over the
+    * same (timestamp, span_id) key. */
+  def sortRanks(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    spansFromOrders(s, d).sortByStartTime()
+      .select(col("context.span_id").as("span_id"))
+      .rdd.zipWithIndex
+      .map { case (r, i) => (i + 1, r.getString(0)) }
+      .toDF("rank", "span_id")
+  }
+
+  private val sortRanksSql =
+    """SELECT row_number() OVER (ORDER BY CAST(t AS TIMESTAMP), span_id) AS rank,
+      | span_id
+      |FROM (
+      | SELECT '2020-01-01 00:00:00' AS t,
+      |  'c' || CAST(o_custkey AS VARCHAR) AS span_id
+      | FROM (SELECT DISTINCT o_custkey FROM orders)
+      | UNION ALL
+      | SELECT CAST(o_orderdate AS VARCHAR),
+      |  'o' || CAST(o_orderkey AS VARCHAR) FROM orders
+      | UNION ALL
+      | SELECT CAST(o_orderdate AS VARCHAR),
+      |  'v' || CAST(o_orderkey AS VARCHAR) FROM orders
+      | UNION ALL
+      | SELECT CAST(o_orderdate AS VARCHAR),
+      |  'd' || CAST(o_orderkey AS VARCHAR)
+      | FROM (
+      |  SELECT o_orderkey, o_orderdate,
+      |   lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev
+      |  FROM orders)
+      | WHERE prev IS NOT NULL)""".stripMargin
+
+  /** A3 — collection length plus membership through the real
+    * `containsSpanId` operator (present task span / absent id); the
+    * membership target is derived from `orders` so the oracle can name it
+    * without seeing the span collection. */
+  def lenMembership(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val spans = spansFromOrders(s, d)
+    val minKey = Tables.orders(s, d)
+      .agg(min(col("o_orderkey"))).head().get(0).toString
+    Seq((
+      spans.count(),
+      spans.containsSpanId(s"o$minKey"),
+      spans.containsSpanId("no-such-span")))
+      .toDF("n_spans", "has_min_task", "has_missing")
+  }
+
+  private val lenMembershipSql =
+    """SELECT
+      | (SELECT COUNT(DISTINCT o_custkey) FROM orders)
+      |  + 2 * (SELECT COUNT(*) FROM orders)
+      |  + (SELECT COUNT(*) FROM (
+      |      SELECT lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev
+      |      FROM orders) WHERE prev IS NOT NULL) AS n_spans,
+      | true AS has_min_task,
+      | false AS has_missing""".stripMargin
+
+  /** A8 — `contains_path` over the derived hierarchy: customer root →
+    * its first order's task span → that task's leaf payload span is a real
+    * parent chain; the reversed walk must be rejected. The oracle pins the
+    * expected booleans (the chain holds for EVERY customer by
+    * construction, so a broken edge check flips the Spark side). */
+  def pathContainment(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val spans = spansFromOrders(s, d)
+    val row = Tables.orders(s, d)
+      .orderBy(col("o_custkey"), col("o_orderkey")).select(
+        concat(lit("c"), col("o_custkey").cast("string")),
+        concat(lit("o"), col("o_orderkey").cast("string")),
+        concat(lit("v"), col("o_orderkey").cast("string")))
+      .head()
+    val (root, task, leaf) = (row.getString(0), row.getString(1), row.getString(2))
+    Seq((
+      spans.containsPath(root, task, leaf),
+      spans.containsPath(leaf, task, root)))
+      .toDF("path_ok", "reversed_ok")
+  }
+
+  private val pathContainmentSql =
+    """SELECT true AS path_ok, false AS reversed_ok"""
+
+  /** B3 at scale — the distributed `taskRunsDF` parser path over the
+    * derived collection: per-task exception counts (via the ownership
+    * join), success flags, and durations, all recomputed by the oracle
+    * straight from `orders`. */
+  def taskRuns(s: SparkSession, d: String): DataFrame =
+    SpanParser.taskRunsDF(spansFromOrders(s, d))
+      .select(col("task_span_id"), col("task_id"), col("n_exceptions"),
+        col("is_success"), col("duration_s"))
+
+  private val taskRunsSql =
+    """SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS task_span_id,
+      | 'ord-' || CAST(o_orderkey AS VARCHAR) AS task_id,
+      | CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS n_exceptions,
+      | o_orderstatus <> 'F' AS is_success,
+      | CAST(0.0 AS DOUBLE) AS duration_s
+      |FROM orders""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_nested_filter" -> nestedFilter _,
+    "a2_sort_ranks" -> sortRanks _,
+    "a3_len_membership" -> lenMembership _,
+    "a8_path_containment" -> pathContainment _,
+    "b3_task_runs" -> taskRuns _,
     "a4_attr_union_conflicts" -> attrUnionConflicts _,
     "a5_exception_harvest" -> exceptionHarvest _,
     "a6_span_edges" -> spanEdges _,
@@ -248,6 +359,10 @@ object SpanAlgebra {
 
   val oracles: Map[String, String] = Map(
     "a1_nested_filter" -> nestedFilterSql,
+    "a2_sort_ranks" -> sortRanksSql,
+    "a3_len_membership" -> lenMembershipSql,
+    "a8_path_containment" -> pathContainmentSql,
+    "b3_task_runs" -> taskRunsSql,
     "a4_attr_union_conflicts" -> attrUnionConflictsSql,
     "a5_exception_harvest" -> exceptionHarvestSql,
     "a6_span_edges" -> spanEdgesSql,
