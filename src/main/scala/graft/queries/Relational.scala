@@ -309,6 +309,35 @@ object Relational {
       | COUNT(*) AS n, MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date
       |FROM orders GROUP BY 1, 2""".stripMargin
 
+  /** C3/C4 column forms checked end-to-end against DuckDB's epoch
+    * functions: ISO→epoch-us/ms conversions and the 3-decimal-rounded
+    * duration between commit and receipt dates (whole seconds here, so the
+    * banker's-vs-half-up rounding edge — spec-covered by golden vectors —
+    * cannot diverge). Session TZ is pinned UTC in every entrypoint, which
+    * is what makes `unix_micros(to_timestamp(...))` equal DuckDB's
+    * TZ-free `epoch_us`. */
+  def timeFns(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).filter(col("l_orderkey") <= 1000)
+    val o = Tables.orders(s, d).filter(col("o_orderkey") <= 1000)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.model.TimeFns.isoToEpochUsCol(col("l_shipdate").cast("string")).as("ship_us"),
+        graft.model.TimeFns.isoToEpochMsCol(col("l_shipdate").cast("string")).as("ship_ms"),
+        graft.model.TimeFns.durationSCol(col("o_orderdate").cast("string"),
+          col("l_shipdate").cast("string")).as("order_to_ship_s"))
+  }
+
+  private val timeFnsSql =
+    """SELECT l_orderkey, l_linenumber,
+      | epoch_us(l_shipdate) AS ship_us,
+      | epoch_ms(l_shipdate) AS ship_ms,
+      | round(CAST(epoch_us(l_shipdate) - epoch_us(o_orderdate) AS DOUBLE) / 1e6, 3)
+      |  AS order_to_ship_s
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_orderkey <= 1000""".stripMargin
+
   /** Math battery — only IEEE-deterministic functions (sqrt, floor, ceil,
     * abs, pmod); no libm-implementation-defined exp/ln. (D15) */
   def mathFns(s: SparkSession, d: String): DataFrame =
@@ -540,6 +569,7 @@ object Relational {
     "d12_setops_custkeys" -> setOpsCustkeys _,
     "d13_string_fns" -> stringFns _,
     "d14_date_fns" -> dateFns _,
+    "c3_time_epoch_fns" -> timeFns _,
     "d15_math_fns" -> mathFns _,
     "d05_range_join_events" -> rangeJoinEvents _,
     "d06_asof_prior_event" -> asofPriorEvent _,
@@ -568,6 +598,7 @@ object Relational {
     "d12_setops_custkeys" -> setOpsCustkeysSql,
     "d13_string_fns" -> stringFnsSql,
     "d14_date_fns" -> dateFnsSql,
+    "c3_time_epoch_fns" -> timeFnsSql,
     "d15_math_fns" -> mathFnsSql,
     "d05_range_join_events" -> rangeJoinEventsSql,
     "d06_asof_prior_event" -> asofPriorEventSql,

@@ -139,13 +139,19 @@ object SpansOps {
       * `opentelemetry_helpers.py:421-431`). */
     def containsPath(spanIds: String*): Boolean = {
       require(spanIds.length >= 2, "containsPath: need at least 2 span ids")
-      val closure = Closure.transitiveClosure(spanEdges())
-        .select(col("ancestor"), col("descendant"))
       val spark = df.sparkSession
       import spark.implicits._
+      // Walk only from the path's anchor ids instead of materializing the
+      // full-graph closure: the frontier stays bounded by the anchors'
+      // subtrees, so the check is O(path-subtree) where the global closure
+      // is O(all spans × depth) — the difference between usable and not on
+      // a large span store.
+      val anchors = spanIds.dropRight(1).distinct.toDF("r")
+      val reach = Closure
+        .descendantsWithRoots(spanEdges(), anchors, inclusive = false)
       val pairs = spanIds.zip(spanIds.tail).toDF("a", "d")
-      val matched = pairs.join(closure,
-        col("a") === col("ancestor") && col("d") === col("descendant"), "left_semi")
+      val matched = pairs.join(reach,
+        col("a") === col("root") && col("d") === col("id"), "left_semi")
       matched.count() == spanIds.length - 1
     }
 
