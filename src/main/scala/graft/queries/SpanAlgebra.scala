@@ -345,8 +345,26 @@ object SpanAlgebra {
       | CAST(0.0 AS DOUBLE) AS duration_s
       |FROM orders""".stripMargin
 
+  /** A10 — graph equality on (edges, node set): the derived collection
+    * must equal a row-permuted projection of itself and must NOT equal the
+    * collection with the dependency spans dropped. A broken symmetric
+    * except (or an order-sensitive compare) flips either boolean. */
+  def graphEquality(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val spans = spansFromOrders(s, d)
+    val permuted = spans.orderBy(col("context.span_id").desc)
+    val truncated = spans.filter(col("name") =!= "task-dependency")
+    Seq((spans.graphEquals(permuted), spans.graphEquals(truncated)))
+      .toDF("eq_permuted", "eq_truncated")
+  }
+
+  private val graphEqualitySql =
+    """SELECT true AS eq_permuted, false AS eq_truncated"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_nested_filter" -> nestedFilter _,
+    "a10_graph_equality" -> graphEquality _,
     "a2_sort_ranks" -> sortRanks _,
     "a3_len_membership" -> lenMembership _,
     "a8_path_containment" -> pathContainment _,
@@ -359,6 +377,7 @@ object SpanAlgebra {
 
   val oracles: Map[String, String] = Map(
     "a1_nested_filter" -> nestedFilterSql,
+    "a10_graph_equality" -> graphEqualitySql,
     "a2_sort_ranks" -> sortRanksSql,
     "a3_len_membership" -> lenMembershipSql,
     "a8_path_containment" -> pathContainmentSql,
