@@ -54,8 +54,7 @@ object Closure {
     }
     frontier.unpersist(blocking = false)
     // materialize the result before dropping the edge cache — otherwise the
-    // per-call persist of `e` accumulates across calls (containsPath calls
-    // this once per invocation)
+    // per-call persist of `e` accumulates across repeated calls
     val result = acc.persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
     e.unpersist(blocking = false)

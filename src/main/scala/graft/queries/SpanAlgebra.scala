@@ -283,14 +283,19 @@ object SpanAlgebra {
   def lenMembership(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
+    // three eager actions (count + two membership probes) — persist the
+    // derivation once; unpersist is safe since nothing lazy escapes
     val spans = spansFromOrders(s, d)
-    val minKey = Tables.orders(s, d)
-      .agg(min(col("o_orderkey"))).head().get(0).toString
-    Seq((
-      spans.count(),
-      spans.containsSpanId(s"o$minKey"),
-      spans.containsSpanId("no-such-span")))
-      .toDF("n_spans", "has_min_task", "has_missing")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val minKey = Tables.orders(s, d)
+        .agg(min(col("o_orderkey"))).head().get(0).toString
+      Seq((
+        spans.count(),
+        spans.containsSpanId(s"o$minKey"),
+        spans.containsSpanId("no-such-span")))
+        .toDF("n_spans", "has_min_task", "has_missing")
+    } finally spans.unpersist(blocking = false)
   }
 
   private val lenMembershipSql =
@@ -311,18 +316,22 @@ object SpanAlgebra {
   def pathContainment(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
+    // two eager containsPath walks over the same collection — persist once
     val spans = spansFromOrders(s, d)
-    val row = Tables.orders(s, d)
-      .orderBy(col("o_custkey"), col("o_orderkey")).select(
-        concat(lit("c"), col("o_custkey").cast("string")),
-        concat(lit("o"), col("o_orderkey").cast("string")),
-        concat(lit("v"), col("o_orderkey").cast("string")))
-      .head()
-    val (root, task, leaf) = (row.getString(0), row.getString(1), row.getString(2))
-    Seq((
-      spans.containsPath(root, task, leaf),
-      spans.containsPath(leaf, task, root)))
-      .toDF("path_ok", "reversed_ok")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val row = Tables.orders(s, d)
+        .orderBy(col("o_custkey"), col("o_orderkey")).select(
+          concat(lit("c"), col("o_custkey").cast("string")),
+          concat(lit("o"), col("o_orderkey").cast("string")),
+          concat(lit("v"), col("o_orderkey").cast("string")))
+        .head()
+      val (root, task, leaf) = (row.getString(0), row.getString(1), row.getString(2))
+      Seq((
+        spans.containsPath(root, task, leaf),
+        spans.containsPath(leaf, task, root)))
+        .toDF("path_ok", "reversed_ok")
+    } finally spans.unpersist(blocking = false)
   }
 
   private val pathContainmentSql =
@@ -352,11 +361,18 @@ object SpanAlgebra {
   def graphEquality(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
+    // graphEquals fires up to ~10 except().isEmpty jobs across the two
+    // comparisons; persist the derivation once instead of re-running the
+    // orders scan + lag window for every one (all actions run eagerly
+    // below, so the unpersist is safe before returning)
     val spans = spansFromOrders(s, d)
-    val permuted = spans.orderBy(col("context.span_id").desc)
-    val truncated = spans.filter(col("name") =!= "task-dependency")
-    Seq((spans.graphEquals(permuted), spans.graphEquals(truncated)))
-      .toDF("eq_permuted", "eq_truncated")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val permuted = spans.orderBy(col("context.span_id").desc)
+      val truncated = spans.filter(col("name") =!= "task-dependency")
+      Seq((spans.graphEquals(permuted), spans.graphEquals(truncated)))
+        .toDF("eq_permuted", "eq_truncated")
+    } finally spans.unpersist(blocking = false)
   }
 
   private val graphEqualitySql =
