@@ -267,12 +267,16 @@ object Dedup {
     * ids bearing it. Joining clusters instead of docs is the first skew
     * guard: a near-dup-heavy corpus (the whole point of dedup) collapses
     * its identical-sketch masses into single rows, so the blocking join
-    * below scales with distinct sketches, not documents. */
+    * below scales with distinct sketches, not documents. `collect_set`
+    * (not `collect_list`): a fully duplicated input row (same id AND text)
+    * lands in the same cluster and would otherwise appear twice in `docs`,
+    * making BOTH the intra-cluster pair expansion and the band-join
+    * expansion emit the same (doc_a, doc_b) pair once per occurrence. */
   private def simClusters(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc"),
       TextAnalysis.simHash(col(textCol)).as("sim"))
       .repartition(Par.of(df), col("sim")) // barrier: compute the sketch exactly once
-      .groupBy(col("sim")).agg(collect_list(col("doc")).as("docs"))
+      .groupBy(col("sim")).agg(collect_set(col("doc")).as("docs"))
 
   /** Blocking bands over the sketch clusters: one row per (sim, band_idx,
     * band). Both schemes are containment-exact by pigeonhole; which one is
