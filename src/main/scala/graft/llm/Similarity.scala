@@ -96,14 +96,25 @@ object Similarity {
     *    plans keep working and Spark's ContextCleaner reclaims the
     *    broadcast once their DataFrames are garbage. */
   private val MaxCachedCorpora = 8
+  /** Cache key: (applicationId, canonicalized corpus plan, id col, vec col).
+    * The applicationId component is load-bearing: broadcasts die with their
+    * SparkContext, so a plan-identical corpus queried from a RESTARTED
+    * session must miss (a hit would hand out a broadcast whose blocks no
+    * longer exist and fail at execution with an opaque fetch error). */
+  private type CorpusKey =
+    (String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String)
   private val corpusCache = new java.util.LinkedHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String),
+    CorpusKey,
     org.apache.spark.broadcast.Broadcast[graft.functions.TopKCorpus]](16, 0.75f, false) {
     override def removeEldestEntry(e: java.util.Map.Entry[
-      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String),
+      CorpusKey,
       org.apache.spark.broadcast.Broadcast[graft.functions.TopKCorpus]]) =
       size() > MaxCachedCorpora
   }
+
+  private[graft] def corpusKey(corpus: DataFrame, idCol: String, vecCol: String): CorpusKey =
+    (corpus.sparkSession.sparkContext.applicationId,
+      corpus.queryExecution.analyzed.canonicalized, idCol, vecCol)
 
   /** Destroy every cached corpus broadcast (driver lifecycle hook — called
     * by Bench/Verify at teardown; call it between suites or after a corpus
@@ -122,7 +133,7 @@ object Similarity {
   private[graft] def cachedBroadcastFor(
       corpus: DataFrame, idCol: String, vecCol: String) =
     corpusCache.synchronized(Option(corpusCache.get(
-      (corpus.queryExecution.analyzed.canonicalized, idCol, vecCol))))
+      corpusKey(corpus, idCol, vecCol))))
 
   /** Broadcast-corpus brute force: the corpus (quantized vectors + norms) is
     * collected once and shipped as a Spark broadcast — the same memory
@@ -141,7 +152,7 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val cacheKey = (corpus.queryExecution.analyzed.canonicalized, idCol, vecCol)
+    val cacheKey = corpusKey(corpus, idCol, vecCol)
     val cached = corpusCache.synchronized(corpusCache.get(cacheKey))
     if (cached != null)
       return bruteForceTopKWith(queries, cached, idCol, vecCol, k)

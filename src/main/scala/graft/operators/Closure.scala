@@ -161,6 +161,59 @@ object Closure {
     * ALL roots instead of one traversal per task (O(spans·depth) vs the
     * reference's O(tasks × spans)).
     */
+  /** Edge-count ceiling for the driver-local walk: below it, the
+    * per-iteration scheduling overhead of the distributed loop (a join +
+    * count JOB per BFS level) dwarfs the actual work, so collecting the
+    * edge list once and walking in memory is strictly faster — the same
+    * jobs-vs-bytes call AQE makes when it swaps a shuffle join for a
+    * broadcast. ~100k edges is a few MB of ids; larger graphs take the
+    * distributed fixpoint below. Mutable ONLY so tests can force the
+    * distributed path on small fixtures. */
+  private[graft] var LocalWalkMaxEdges = 100000L
+
+  /** Driver-local BFS over a collected edge list; returns (root, id) pairs
+    * (descendants only — callers add the inclusive roots). */
+  private def localDescendants(
+      collected: Array[(Any, Any)],
+      rootVals: Array[Any]): Seq[(Any, Any)] = {
+    val adj = new java.util.HashMap[Any, java.util.ArrayList[Any]]()
+    collected.foreach { case (p, c) =>
+      adj.computeIfAbsent(p, _ => new java.util.ArrayList[Any]()).add(c)
+    }
+    val out = Seq.newBuilder[(Any, Any)]
+    rootVals.foreach { root =>
+      val seen = new java.util.HashSet[Any]()
+      val stack = new java.util.ArrayDeque[Any]()
+      stack.push(root)
+      while (!stack.isEmpty) {
+        val kids = adj.get(stack.pop())
+        if (kids != null) kids.forEach { k =>
+          if (seen.add(k)) { out += ((root, k)); stack.push(k) }
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def localResultDF(
+      edges: DataFrame,
+      pairs: Seq[(Any, Any)],
+      rootType: org.apache.spark.sql.types.DataType,
+      idType: org.apache.spark.sql.types.DataType,
+      withRoot: Boolean): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val (schema, rows) =
+      if (withRoot)
+        (StructType(Seq(StructField("root", rootType), StructField("id", idType))),
+          pairs.map { case (r, i) => Row(r, i) })
+      else
+        (StructType(Seq(StructField("id", idType))),
+          pairs.map { case (_, i) => Row(i) }.distinct)
+    edges.sparkSession.createDataFrame(rows.asJava, schema)
+  }
+
   def descendantsWithRoots(
       edges: DataFrame,
       roots: DataFrame,
@@ -170,9 +223,19 @@ object Closure {
       maxIter: Int = 30): DataFrame = {
     val e = edges.select(col(parentCol).as("p"), col(childCol).as("c"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
+    val nEdges = e.count()
     val r = roots.select(col(roots.columns.head).as("root"))
       .withColumn("id", col("root"))
+
+    if (nEdges <= LocalWalkMaxEdges) {
+      val collected = e.collect().map(row => (row.get(0), row.get(1)))
+      e.unpersist(blocking = false)
+      val rootVals = r.select(col("root")).distinct().collect().map(_.get(0))
+      val pairs = (localDescendants(collected, rootVals) ++
+        (if (inclusive) rootVals.map(v => (v, v)) else Nil)).distinct
+      return localResultDF(edges, pairs,
+        r.schema("root").dataType, e.schema("c").dataType, withRoot = true)
+    }
 
     var acc = if (inclusive) r else r.limit(0)
     var frontier = r.persist(StorageLevel.MEMORY_AND_DISK)
@@ -211,8 +274,18 @@ object Closure {
       maxIter: Int = 30): DataFrame = {
     val e = edges.select(col(parentCol).as("p"), col(childCol).as("c"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
+    val nEdges = e.count()
     val r = roots.select(col(roots.columns.head).as("id"))
+
+    if (nEdges <= LocalWalkMaxEdges) {
+      val collected = e.collect().map(row => (row.get(0), row.get(1)))
+      e.unpersist(blocking = false)
+      val rootVals = r.distinct().collect().map(_.get(0))
+      val pairs = (localDescendants(collected, rootVals) ++
+        (if (inclusive) rootVals.map(v => (v, v)) else Nil)).distinct
+      return localResultDF(edges, pairs,
+        r.schema("id").dataType, e.schema("c").dataType, withRoot = false)
+    }
 
     var acc = if (inclusive) r else r.limit(0)
     var frontier = r.persist(StorageLevel.MEMORY_AND_DISK)

@@ -53,8 +53,17 @@ object SpanAlgebra {
     * workflow's spans, not a whole archive) instead of deriving and
     * re-deriving the full collection for every except/count job. */
   def spansFromOrders(s: SparkSession, d: String,
-      customerFilter: Option[Column] = None): DataFrame = {
-    val o = customerFilter.foldLeft(Tables.orders(s, d))(_ filter _)
+      customerFilter: Option[Column] = None): DataFrame =
+    spansFrom(ordersBase(s, d, customerFilter))
+
+  /** The per-order projection every span branch derives from. The span
+    * union references it FOUR times (roots/tasks/leaves/deps), so a caller
+    * that runs several jobs over the derived spans should persist THIS
+    * (7 narrow columns) rather than the wide span rows — one orders scan
+    * instead of four per job, without caching struct/array/map columns. */
+  private def ordersBase(s: SparkSession, d: String,
+      customerFilter: Option[Column]): DataFrame =
+    customerFilter.foldLeft(Tables.orders(s, d))(_ filter _)
       .withColumn("prev",
         lag(col("o_orderkey"), 1).over(
           Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))))
@@ -68,6 +77,7 @@ object SpanAlgebra {
         col("o_orderpriority").as("priority"),
         col("o_orderdate").cast("string").as("t"))
 
+  private[graft] def spansFrom(o: DataFrame): DataFrame = {
     // customer roots (one per trace)
     val roots = o.select(col("trace")).distinct()
       .select(
@@ -323,19 +333,28 @@ object SpanAlgebra {
     val spark = s
     import spark.implicits._
     // the reference checks paths within ONE workflow's spans — scope the
-    // derivation to the chosen customer's trace, so the two walks touch a
-    // handful of spans instead of re-deriving the whole archive
+    // derivation to the chosen customer's trace, so the walks touch a
+    // handful of spans instead of re-deriving the whole archive. The
+    // anchor row is a min(struct) aggregate (partial-agg, no global sort —
+    // orderBy().head() sorted the whole table for one row).
     val first = Tables.orders(s, d)
-      .orderBy(col("o_custkey"), col("o_orderkey"))
-      .select(col("o_custkey"), col("o_orderkey")).head()
+      .agg(min(struct(col("o_custkey"), col("o_orderkey"))).as("m"))
+      .select(col("m.o_custkey"), col("m.o_orderkey")).head()
     val (cust, okey) = (first.get(0).toString, first.get(1).toString)
-    val spans = spansFromOrders(s, d,
-      Some(col("o_custkey") === first.get(0)))
-    val (root, task, leaf) = (s"c$cust", s"o$okey", s"v$okey")
-    Seq((
-      spans.containsPath(root, task, leaf),
-      spans.containsPath(leaf, task, root)))
-      .toDF("path_ok", "reversed_ok")
+    // persist the NARROW per-order base (one customer, ~handful of rows):
+    // the closure walk runs several jobs over the derived spans, each of
+    // which would otherwise rescan the orders parquet 4× (union branches)
+    val base = gateBase(s, d, Some(col("o_custkey") === first.get(0)))
+    try {
+      val spans = spansFrom(base)
+      val (root, task, leaf) = (s"c$cust", s"o$okey", s"v$okey")
+      // both walks in ONE containsPaths pass: one edge scan + one closure
+      // instead of two sequential chains of driver-blocking jobs
+      val Seq(pathOk, reversedOk) = spans.containsPaths(Seq(
+        Seq(root, task, leaf),
+        Seq(leaf, task, root)))
+      Seq((pathOk, reversedOk)).toDF("path_ok", "reversed_ok")
+    } finally base.unpersist(blocking = false)
   }
 
   private val pathContainmentSql =
@@ -362,20 +381,58 @@ object SpanAlgebra {
     * must equal a row-permuted projection of itself and must NOT equal the
     * collection with the dependency spans dropped. A broken symmetric
     * except (or an order-sensitive compare) flips either boolean. */
+  /** Scoped derivation with a degenerate-scope guard: `eq_truncated=false`
+    * REQUIRES ≥1 dependency span in scope (a customer with ≥2 orders), and
+    * a tiny fixture can miss a 1-in-50 customer sample entirely — in that
+    * case fall back to the FULL derivation instead of silently flipping the
+    * gate. Exposed for the regression test. */
+  /** The scoped orders base, falling back to the UNscoped base when the
+    * scope holds no dependency edge (no customer with ≥2 orders — the
+    * `prev_sid IS NOT NULL` probe is the direct, pre-derivation form of
+    * "≥1 task-dependency span"). The probe runs over the already-persisted
+    * base, so the guard costs one tiny cached job. */
+  private[graft] def baseWithDepsOrFull(
+      s: SparkSession, d: String, pred: Column): DataFrame = {
+    val scoped = gateBase(s, d, Some(pred))
+    val hasDeps = scoped.filter(col("prev_sid").isNotNull).limit(1).count() > 0
+    if (hasDeps) scoped
+    else {
+      scoped.unpersist(blocking = false)
+      gateBase(s, d, None)
+    }
+  }
+
+  /** Persisted single-partition orders base for the BOOLEAN gate queries.
+    * The scoped sample is driver-gate-sized by design (one customer / a
+    * 1-in-50 slice), but a 32-partition cache turns every downstream union
+    * branch into 32+ tasks and each gate job into hundreds of ~5 ms tasks —
+    * the gates' latency is task count, not bytes. One cached partition
+    * makes each equality/walk job a handful of tasks. NOT for data-path
+    * queries, which keep natural partitioning. */
+  private def gateBase(s: SparkSession, d: String,
+      pred: Option[Column]): DataFrame =
+    ordersBase(s, d, pred).coalesce(1).persist()
+
+  /** Visible for the degenerate-scope regression test. */
+  private[graft] def spansWithDepsOrFull(
+      s: SparkSession, d: String, pred: Column): DataFrame =
+    spansFrom(baseWithDepsOrFull(s, d, pred))
+
   def graphEquality(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    // graphEquals fires up to ~10 except().isEmpty jobs across the two
-    // comparisons, each recomputing its side's (narrow) edge/node slice —
     // scope the derivation to 1-in-50 customers so the equality semantics
     // are exercised on thousands of spans without re-deriving the full
-    // archive per job (the excepts stay column-pruned either way)
-    val scoped = Some(col("o_custkey") % 50 === 0)
-    val spans = spansFromOrders(s, d, scoped)
-    val permuted = spans.orderBy(col("context.span_id").desc)
-    val truncated = spans.filter(col("name") =!= "task-dependency")
-    Seq((spans.graphEquals(permuted), spans.graphEquals(truncated)))
-      .toDF("eq_permuted", "eq_truncated")
+    // archive per comparison job; the deps guard falls back to the full
+    // derivation when the sample is degenerate
+    val base = baseWithDepsOrFull(s, d, col("o_custkey") % 50 === 0)
+    try {
+      val spans = spansFrom(base)
+      val permuted = spans.orderBy(col("context.span_id").desc)
+      val truncated = spans.filter(col("name") =!= "task-dependency")
+      Seq((spans.graphEquals(permuted), spans.graphEquals(truncated)))
+        .toDF("eq_permuted", "eq_truncated")
+    } finally base.unpersist(blocking = false)
   }
 
   private val graphEqualitySql =

@@ -67,6 +67,16 @@ object GithubArtifacts {
     var done = false
     while (!done) {
       last = t.listPage(repo, perPage, page)
+      // hard page ceiling from the server's own total_count: a transport
+      // that repeats pages (proxy retry, pagination bug) must fail loudly
+      // here instead of looping forever — the post-loop count assertion can
+      // only fire once the loop EXITS. +1 page of slack tolerates entries
+      // appended between pages.
+      val maxPages = (last.totalCount + perPage - 1) / perPage + 1
+      if (page > maxPages)
+        throw new IllegalStateException(
+          s"paginator overran page $page > ceil(total_count=${last.totalCount}/$perPage)+1 " +
+            "— transport is repeating pages")
       if (last.artifacts.isEmpty) done = true
       else {
         out ++= last.artifacts

@@ -139,20 +139,34 @@ object SpansOps {
       * `opentelemetry_helpers.py:421-431`). */
     def containsPath(spanIds: String*): Boolean = {
       require(spanIds.length >= 2, "containsPath: need at least 2 span ids")
+      containsPaths(Seq(spanIds)).head
+    }
+
+    /** [[containsPath]] for SEVERAL paths in one pass: one edge scan, ONE
+      * closure walk from the union of all paths' anchors, one join — where
+      * n separate `containsPath` calls each re-derive the edges and re-run
+      * the iterative walk (a chain of driver-blocking jobs apiece). The
+      * walk starts only from anchor ids instead of materializing the
+      * full-graph closure, so the cost is O(anchor subtrees), not
+      * O(all spans × depth). */
+    def containsPaths(paths: Seq[Seq[String]]): Seq[Boolean] = {
+      require(paths.forall(_.length >= 2),
+        "containsPaths: every path needs at least 2 span ids")
       val spark = df.sparkSession
       import spark.implicits._
-      // Walk only from the path's anchor ids instead of materializing the
-      // full-graph closure: the frontier stays bounded by the anchors'
-      // subtrees, so the check is O(path-subtree) where the global closure
-      // is O(all spans × depth) — the difference between usable and not on
-      // a large span store.
-      val anchors = spanIds.dropRight(1).distinct.toDF("r")
+      val anchors = paths.flatMap(_.dropRight(1)).distinct.toDF("r")
       val reach = Closure
         .descendantsWithRoots(spanEdges(), anchors, inclusive = false)
-      val pairs = spanIds.zip(spanIds.tail).toDF("a", "d")
+      val pairs = paths.zipWithIndex.flatMap { case (p, i) =>
+        p.zip(p.tail).map { case (a, d) => (i, a, d) }
+      }.toDF("path_idx", "a", "d")
       val matched = pairs.join(reach,
-        col("a") === col("root") && col("d") === col("id"), "left_semi")
-      matched.count() == spanIds.length - 1
+          col("a") === col("root") && col("d") === col("id"), "left_semi")
+        .groupBy(col("path_idx")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      paths.zipWithIndex.map { case (p, i) =>
+        matched.getOrElse(i, 0L) == p.length - 1
+      }
     }
 
     /** A9 — root spans: all ids minus child ids (anti-join form,
@@ -162,14 +176,25 @@ object SpansOps {
       df.join(children, col("context.span_id") === col("child"), "left_anti")
     }
 
-    /** A10 — graph equality on (edges, node set) via symmetric `except`. */
+    /** A10 — graph equality on (edges, node set). Computed as ONE tagged
+      * union + aggregation instead of four `except().isEmpty` jobs: the two
+      * sides' distinct (edge ∪ node) row sets are equal iff every grouped
+      * row was seen on BOTH sides — same set semantics as symmetric
+      * `except`, a quarter of the job launches. */
     def graphEquals(other: DataFrame): Boolean = {
-      val e1 = df.spanEdges()
-      val e2 = other.spanEdges()
-      val n1 = df.select(col("context.span_id"))
-      val n2 = other.select(col("context.span_id"))
-      e1.except(e2).isEmpty && e2.except(e1).isEmpty &&
-        n1.except(n2).isEmpty && n2.except(n1).isEmpty
+      def rows(x: DataFrame, s1: Int, s2: Int) = {
+        val edges = new SpansDF(x).spanEdges()
+          .select(lit("e").as("kind"), col("parent").as("a"), col("child").as("b"))
+        val nodes = x.select(lit("n").as("kind"),
+          col("context.span_id").as("a"), lit("").as("b"))
+        edges.unionByName(nodes)
+          .withColumn("s1", lit(s1)).withColumn("s2", lit(s2))
+      }
+      rows(df, 1, 0).unionByName(rows(other, 0, 1))
+        .groupBy(col("kind"), col("a"), col("b"))
+        .agg(max(col("s1")).as("m1"), max(col("s2")).as("m2"))
+        .filter(col("m1") =!= col("m2"))
+        .isEmpty
     }
   }
 }

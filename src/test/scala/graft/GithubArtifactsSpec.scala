@@ -45,6 +45,22 @@ class GithubArtifactsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("total_count"))
   }
 
+  test("paginator throws instead of looping on a page-repeating transport") {
+    // a broken proxy/retry layer that serves a full page 1 forever: the
+    // first-empty-page stop condition never fires, so the page ceiling
+    // derived from the server's own total_count must kill the loop
+    val stuck = new Transport {
+      override def listPage(repo: String, perPage: Int, page: Int): PageResult =
+        PageResult((1 to perPage).map(entry(_)), 7L)
+      override def download(repo: String, artifactId: String): Option[Array[Byte]] =
+        None
+    }
+    val e = intercept[IllegalStateException] {
+      GithubArtifacts.listArtifacts(stuck, "owner/repo", perPage = 3)
+    }
+    assert(e.getMessage.contains("overran"))
+  }
+
   test("repo validation: format and token") {
     intercept[IllegalArgumentException] {
       GithubArtifacts.listArtifacts(new FakeTransport(Nil), "not-a-repo")

@@ -119,6 +119,42 @@ class LlmSpec extends AnyFunSuite {
       "doc_a == doc_b must never appear")
   }
 
+  test("I2 simhash emits each pair exactly once for a fully duplicated row") {
+    // regression: collect_list in simClusters double-counted a row that was
+    // duplicated verbatim (same id AND same text), emitting its pairs twice
+    val dirty = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"), // fully duplicated
+      (2L, "the quick brown fox jumps over the lazy dog!"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(dirty, "doc_id", "text", maxHamming = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.distinct.length == pairs.length,
+      s"each (doc_a, doc_b) pair must appear exactly once, got ${pairs.toSeq}")
+    assert(pairs.forall(p => p._1 != p._2))
+  }
+
+  test("I3 corpus broadcast cache key is scoped to the Spark application") {
+    // a restarted session's plan-identical corpus must MISS: its broadcasts
+    // died with the old SparkContext, and a stale hit fails at execution
+    val vecs = Seq((92001L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val key = Similarity.corpusKey(vecs, "vec_id", "embedding")
+    assert(key._1 == spark.sparkContext.applicationId)
+  }
+
+  test("I2/I3 recall-gate floors are sf-keyed with a conservative fallback") {
+    import graft.queries.LlmOps
+    assert(LlmOps.sfTag("/root/testdata/sf0.01").contains("0.01"))
+    assert(LlmOps.sfTag("/data/corpus").isEmpty)
+    assert(LlmOps.floorFor(LlmOps.LshRecallFloors, "/root/testdata/sf0.1", 0.05) == 0.25)
+    assert(LlmOps.floorFor(LlmOps.LshRecallFloors, "/data/corpus", 0.05) == 0.05)
+    // every calibrated table covers the three driver-generated scale factors
+    for (t <- Seq(LlmOps.LshRecallFloors, LlmOps.IvfRecallFloors,
+        LlmOps.BlockedRecallFloors))
+      assert(t.keySet == Set("0.001", "0.01", "0.1"))
+  }
+
   test("I3 LSH ANN recall vs brute force on real embeddings") {
     val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 3)

@@ -116,6 +116,25 @@ class SpansOpsSpec extends AnyFunSuite {
     assert(!df.graphEquals(SpanModel.toDF(spark, forest.tail)))
   }
 
+  test("A8 containsPaths evaluates several paths in one closure pass") {
+    assert(df.containsPaths(Seq(
+      Seq("0x1", "0x2", "0x3"),
+      Seq("0x3", "0x4"),
+      Seq("0x1", "0x3"),
+      Seq("0x5", "0x1"))) == Seq(true, false, true, false))
+  }
+
+  test("A10 gate falls back to the full derivation on a degenerate scope") {
+    import org.apache.spark.sql.functions.col
+    // a predicate matching NO customers: the scoped derivation carries no
+    // dependency spans, so eq_truncated would flip spuriously — the gate
+    // must fall back to the full archive, which always has them
+    val spans = graft.queries.SpanAlgebra.spansWithDepsOrFull(
+      spark, "/root/testdata/sf0.001", col("o_custkey") < 0)
+    assert(spans.filter(col("name") === "task-dependency").limit(1).count() > 0,
+      "degenerate scope must fall back to the full derivation")
+  }
+
   test("D1 JSONL round-trip through SpanSource") {
     val sink = new graft.exec.SpanSink
     forest.foreach(sink.add)
@@ -151,10 +170,33 @@ class SpansOpsSpec extends AnyFunSuite {
     val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"))
       .toDF("parent", "child")
     val roots = Seq("a").toDF("id")
-    val out = graft.operators.Closure
-      .descendantsWithRoots(edges, roots)
-      .collect().map(r => (r.getString(0), r.getString(1)))
-    assert(out.length == out.distinct.length, s"duplicate pairs: ${out.toSeq}")
-    assert(out.toSet == Set(("a", "a"), ("a", "b"), ("a", "c"), ("a", "d")))
+    // both execution paths must agree: the driver-local walk (small edge
+    // sets) and the distributed fixpoint loop (forced via the threshold)
+    for (threshold <- Seq(100000L, 0L)) {
+      val saved = graft.operators.Closure.LocalWalkMaxEdges
+      graft.operators.Closure.LocalWalkMaxEdges = threshold
+      try {
+        val out = graft.operators.Closure
+          .descendantsWithRoots(edges, roots)
+          .collect().map(r => (r.getString(0), r.getString(1)))
+        assert(out.length == out.distinct.length,
+          s"duplicate pairs at threshold=$threshold: ${out.toSeq}")
+        assert(out.toSet == Set(("a", "a"), ("a", "b"), ("a", "c"), ("a", "d")))
+      } finally graft.operators.Closure.LocalWalkMaxEdges = saved
+    }
+  }
+
+  test("A7/A8 local and distributed closure paths agree on the span forest") {
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("context.span_id").collect().map(_.getString(0)).toSet
+    val saved = graft.operators.Closure.LocalWalkMaxEdges
+    graft.operators.Closure.LocalWalkMaxEdges = 0L // force distributed
+    try {
+      assert(df.containsPaths(Seq(
+        Seq("0x1", "0x2", "0x3"),
+        Seq("0x3", "0x4"))) == Seq(true, false))
+      assert(ids(df.boundInclusive("0x2")) == Set("0x2", "0x3", "0x4", "0x5"))
+    } finally graft.operators.Closure.LocalWalkMaxEdges = saved
+    assert(ids(df.boundInclusive("0x2")) == Set("0x2", "0x3", "0x4", "0x5"))
   }
 }
