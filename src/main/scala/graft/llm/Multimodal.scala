@@ -8,12 +8,13 @@ import org.apache.spark.sql.types._
   * opaque `BINARY` payloads + typed metadata structs — the direct
   * generalization of the reference's bytes/base64 artifact codec (C1).
   *
-  * The actual media decode (JPEG/PNG/audio codecs) is STUBBED — no image or
-  * audio libraries exist in this offline container. Every stub is
-  * deterministic (derived from payload bytes) so the Spark-side plumbing —
-  * schema, per-partition batch iteration, partitioning, feature shapes — is
-  * real and testable; swap `StubCodecs` for a real codec binding in
-  * production.
+  * Image metadata decode is REAL (JDK `javax.imageio`: PNG/JPEG/GIF/BMP
+  * header reads, see [[Multimodal.ImageCodec]]). Audio/video decode and
+  * feature extraction remain STUBBED — no such codec exists in the JDK or
+  * this offline container. Every stub is deterministic (derived from
+  * payload bytes) so the Spark-side plumbing — schema, per-partition batch
+  * iteration, partitioning, feature shapes — is real and testable; swap
+  * `StubCodecs` for a real codec binding in production.
   */
 object Multimodal {
 
@@ -26,6 +27,67 @@ object Multimodal {
       StructField("height", IntegerType),
       StructField("n_channels", IntegerType),
       StructField("duration_ms", LongType))))))
+
+  /** REAL image metadata via the JDK's `javax.imageio` (PNG / JPEG / GIF /
+    * BMP — zero new dependencies). Header-only: `ImageReader.getWidth(0)`
+    * parses the container header without decoding pixel data, so the
+    * per-row cost at 100 TB is a few hundred bytes of parsing, not a full
+    * raster decode. Audio/video remain stubbed (no JDK codec exists). */
+  object ImageCodec {
+    javax.imageio.ImageIO.setUseCache(false) // no executor-local disk cache
+
+    private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+    private val JpegMagic = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)
+
+    /** Cheap magic-byte sniff so image payloads are decoded even when the
+      * mime column is generic; text/doc payloads can never match. */
+    def looksLikeImage(payload: Array[Byte]): Boolean =
+      payload.length >= 4 &&
+        (payload.startsWith(PngMagic) || payload.startsWith(JpegMagic) ||
+          (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F') ||
+          (payload(0) == 'B' && payload(1) == 'M'))
+
+    /** (width, height, n_channels) from the real image header; None when no
+      * installed reader recognizes the payload (caller falls back to the
+      * stub). */
+    def decodeMeta(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      if (in == null) return None
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            val w = r.getWidth(0)
+            val h = r.getHeight(0)
+            val types = r.getImageTypes(0)
+            val ch =
+              if (types.hasNext) types.next().getColorModel.getNumComponents
+              else 3
+            Some((w, h, ch))
+          } finally r.dispose()
+        }
+      } catch {
+        case _: java.io.IOException => None // truncated/corrupt header
+      } finally in.close()
+    }
+  }
+
+  /** Metadata dispatch: real `javax.imageio` decode for image payloads
+    * (by mime or magic bytes), deterministic stub for everything else
+    * (audio/video have no JDK codec; text fixtures keep the stub's
+    * oracle-checkable geometry). Real images report duration 0. */
+  def decodeMeta(payload: Array[Byte], mime: String): (Int, Int, Int, Long) = {
+    val isImage =
+      (mime != null && mime.startsWith("image/")) ||
+        ImageCodec.looksLikeImage(payload)
+    (if (isImage) ImageCodec.decodeMeta(payload) else None)
+      .map { case (w, h, c) => (w, h, c, 0L) }
+      .getOrElse(StubCodecs.decodeMeta(payload))
+  }
 
   /** STUB decode: deterministic pseudo-metadata from the payload bytes.
     * A real implementation decodes the container header here. The geometry
@@ -122,10 +184,12 @@ object Multimodal {
       StructField("duration_ms", LongType),
       StructField("features", ArrayType(FloatType))))
     val payloadIdx = media.schema.fieldIndex("payload")
+    val mimeIdx = media.schema.fieldNames.indexOf("mime")
     val rdd = media.rdd.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        val (w, h, c, d) = StubCodecs.decodeMeta(payload)
+        val mime = if (mimeIdx >= 0) r.getString(mimeIdx) else null
+        val (w, h, c, d) = decodeMeta(payload, mime)
         Row.fromSeq(r.toSeq ++ Seq(w, h, c, d, StubCodecs.features(payload, dim).toSeq))
       }
     }

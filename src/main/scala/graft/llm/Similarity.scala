@@ -68,6 +68,7 @@ object Similarity {
     }
     if (broadcastCorpus && integral(queries) && integral(corpus))
       return bruteForceTopKBroadcast(queries, corpus, idCol, vecCol, k)
+    if (broadcastCorpus) requireBroadcastable(corpus, idCol)
     // norms computed ONCE per vector before the join (cosineQ inline would
     // recompute both self-dots for every one of the |Q|×|C| pairs)
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
@@ -146,6 +147,30 @@ object Similarity {
     * Note the corpus collect (and the broadcast, on a cache miss) happens
     * EAGERLY at DataFrame-construction time, like a prepared statement —
     * plan-only inspection of the result also pays it. */
+  /** Conf key bounding the brute-force broadcast corpus (rows). The
+    * broadcast path ships the WHOLE corpus to the driver and every
+    * executor; at 64-dim quantized vectors the default 2M-row budget is
+    * ~1 GB — comfortably broadcastable, far below a 100 TB corpus. Above
+    * it, fail fast with a pointer at the scale paths instead of OOMing
+    * the driver mid-collect. */
+  val MaxBroadcastRowsConf = "graft.similarity.maxBroadcastCorpusRows"
+  private val DefaultMaxBroadcastRows = 2000000L
+
+  /** Corpus-size gate for every broadcast brute-force path. The probe is
+    * bounded (`limit(budget+1).count` — scans at most budget+1 ids, never
+    * a full count of an over-budget corpus). */
+  private def requireBroadcastable(corpus: DataFrame, idCol: String): Unit = {
+    val budget = corpus.sparkSession.conf
+      .get(MaxBroadcastRowsConf, DefaultMaxBroadcastRows.toString).toLong
+    val probe = math.min(budget + 1, Int.MaxValue.toLong).toInt
+    if (corpus.select(col(idCol)).limit(probe).count() > budget)
+      throw new IllegalArgumentException(
+        s"bruteForceTopK: corpus exceeds the $budget-row broadcast budget " +
+          s"($MaxBroadcastRowsConf) — the brute-force path ships the whole " +
+          "corpus to every executor. Use Similarity.lshTopK or " +
+          "Similarity.ivfTopK for large corpora, or raise the budget.")
+  }
+
   private def bruteForceTopKBroadcast(
       queries: DataFrame,
       corpus: DataFrame,
@@ -156,6 +181,7 @@ object Similarity {
     val cached = corpusCache.synchronized(corpusCache.get(cacheKey))
     if (cached != null)
       return bruteForceTopKWith(queries, cached, idCol, vecCol, k)
+    requireBroadcastable(corpus, idCol)
     val rows = corpus.select(col(idCol).cast("long"), quantize(col(vecCol)))
       .collect()
     val n = rows.length

@@ -124,7 +124,12 @@ object SpanAlgebra {
         .otherwise(array().cast(emptyLinks)).as("links"),
       typedLit(Map.empty[String, String]).as("resource"))
 
-    // leaf payload spans under each task: named-value / artefact / other
+    // leaf payload spans under each task: named-value / artefact / other.
+    // named-value and artefact leaves carry the reference's full C1 payload
+    // contract (name/type/encoding/content_encoded — the exact key set
+    // parseSpans REQUIREs, `opentelemetry_task_span_parser.py:189-228`) so
+    // the real B4-B6 parse path can run over the derived collection;
+    // call-function leaves keep the bare name attr.
     val leaves = o.select(
       when(col("okey") % 3 === 0, "named-value")
         .when(col("okey") % 3 === 1, "artefact")
@@ -135,7 +140,13 @@ object SpanAlgebra {
       col("t").as("start_time"),
       col("t").as("end_time"),
       okStatus.as("status"),
-      map(lit("name"), q(concat(lit("m"), col("okey").cast("string"))))
+      when(col("okey") % 3 === 2,
+        map(lit("name"), q(concat(lit("m"), col("okey").cast("string")))))
+        .otherwise(map(
+          lit("name"), q(concat(lit("m"), col("okey").cast("string"))),
+          lit("type"), lit("\"utf-8\""),
+          lit("encoding"), lit("\"utf-8\""),
+          lit("content_encoded"), q(col("priority"))))
         .as("attributes"),
       array().cast(emptyEvents).as("events"),
       array().cast(emptyLinks).as("links"),
@@ -418,6 +429,103 @@ object SpanAlgebra {
       s: SparkSession, d: String, pred: Column): DataFrame =
     spansFrom(baseWithDepsOrFull(s, d, pred))
 
+  /** Span-id view satisfying the summary model's otel id contract
+    * (`TaskRunSummary` requires `0x`-prefixed span ids, mirroring the
+    * reference's `Span` ids): the derived collection uses readable
+    * oracle-friendly ids, so the B4/B6 queries — which run the REAL
+    * [[SpanParser.parseSpans]] assembly — prefix them on the way in.
+    * Parent/child ids are rewritten consistently, so ownership tagging and
+    * the parse are unaffected; task ids (`ord-N`) carry the oracle link. */
+  private def with0x(spans: DataFrame): DataFrame = spans
+    .withColumn("context", struct(
+      col("context.trace_id").as("trace_id"),
+      concat(lit("0x"), col("context.span_id")).as("span_id"),
+      col("context.trace_state").as("trace_state")))
+    .withColumn("parent_id",
+      when(col("parent_id").isNotNull, concat(lit("0x"), col("parent_id"))))
+
+  /** B4 — the full workflow assembly over the derived collection: one row
+    * per assembled task run with its timing, plus the workflow-level
+    * min/max timing and the synthetic-top-span condition (no
+    * `workflow.workflow_run_id` attribute anywhere ⇒ synthetic id,
+    * reference `opentelemetry_task_span_parser.py:413-445`). The workflow
+    * start is DATA-dependent (order dates sort lexicographically before the
+    * root's constant 2020 start); the end is the root's constant 2030 cap.
+    * The 1-in-10 customer scope keeps the driver-sized summary (the
+    * reference's whole output is a driver object by contract) bounded at
+    * bench sf. */
+  def workflowTiming(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val summary = SpanParser.parseSpans(
+      with0x(spansFromOrders(s, d, Some(col("o_custkey") % 10 === 0))))
+    val synthetic = summary.spanId.startsWith("NO-TOP-SPAN--TEMP")
+    summary.taskRuns.map(tr => (
+        tr.taskId,
+        tr.timing.startTimeIso8601,
+        tr.timing.endTimeIso8601,
+        summary.timing.startTimeIso8601,
+        summary.timing.endTimeIso8601,
+        synthetic))
+      .toDF("task_id", "task_start", "task_end",
+        "wf_start", "wf_end", "top_synthetic")
+  }
+
+  private val workflowTimingSql =
+    """SELECT 'ord-' || CAST(o_orderkey AS VARCHAR) AS task_id,
+      | CAST(o_orderdate AS VARCHAR) AS task_start,
+      | CAST(o_orderdate AS VARCHAR) AS task_end,
+      | (SELECT MIN(CAST(o_orderdate AS VARCHAR)) FROM orders
+      |   WHERE o_custkey % 10 = 0) AS wf_start,
+      | '2030-01-01 00:00:00' AS wf_end,
+      | true AS top_synthetic
+      |FROM orders WHERE o_custkey % 10 = 0""".stripMargin
+
+  /** B6 — duplicate named-value rejection: the clean parse of one
+    * customer's trace decodes every named-value leaf; re-logging one of
+    * them (same `name`, distinct span) must abort the parse with the
+    * reference's exact message (`opentelemetry_task_span_parser.py:189-228`
+    * — "Named value X has been logged multiple times."). The oracle
+    * recomputes the clean count and pins both rejection booleans. */
+  def dupReject(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    // the first named-value-bearing order (okey % 3 == 0) names the scoped
+    // customer and the leaf to duplicate
+    val first = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 3 === 0)
+      .agg(min(struct(col("o_orderkey"), col("o_custkey"))).as("m"))
+      .select(col("m.o_orderkey"), col("m.o_custkey")).head()
+    val (okey, cust) = (first.get(0), first.get(1))
+    val spans = with0x(spansFromOrders(s, d,
+      Some(col("o_custkey") === cust)))
+    val clean = SpanParser.parseSpans(spans)
+    val nClean = clean.taskRuns.map(_.loggedValues.size).sum.toLong
+    // inject the duplicate: same task, same logged name, fresh span id
+    val dup = spans
+      .filter(col("name") === "named-value" &&
+        col("context.span_id") === s"0xv$okey")
+      .withColumn("context", struct(
+        col("context.trace_id").as("trace_id"),
+        concat(col("context.span_id"), lit("dup")).as("span_id"),
+        col("context.trace_state").as("trace_state")))
+    val caught =
+      try { SpanParser.parseSpans(spans.unionByName(dup)); None }
+      catch { case e: IllegalArgumentException => Some(e.getMessage) }
+    val expected = s"Named value m$okey has been logged multiple times."
+    Seq((nClean, caught.isDefined, caught.contains(expected)))
+      .toDF("n_clean_values", "dup_rejected", "msg_exact")
+  }
+
+  private val dupRejectSql =
+    """WITH c AS (
+      | SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0
+      | ORDER BY o_orderkey LIMIT 1)
+      |SELECT CAST((SELECT COUNT(*) FROM orders o, c
+      |   WHERE o.o_custkey = c.o_custkey AND o.o_orderkey % 3 = 0) AS BIGINT)
+      |  AS n_clean_values,
+      | true AS dup_rejected, true AS msg_exact""".stripMargin
+
   def graphEquality(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
@@ -445,6 +553,8 @@ object SpanAlgebra {
     "a3_len_membership" -> lenMembership _,
     "a8_path_containment" -> pathContainment _,
     "b3_task_runs" -> taskRuns _,
+    "b4_workflow_timing" -> workflowTiming _,
+    "b6_dup_reject" -> dupReject _,
     "a4_attr_union_conflicts" -> attrUnionConflicts _,
     "a5_exception_harvest" -> exceptionHarvest _,
     "a6_span_edges" -> spanEdges _,
@@ -458,6 +568,8 @@ object SpanAlgebra {
     "a3_len_membership" -> lenMembershipSql,
     "a8_path_containment" -> pathContainmentSql,
     "b3_task_runs" -> taskRunsSql,
+    "b4_workflow_timing" -> workflowTimingSql,
+    "b6_dup_reject" -> dupRejectSql,
     "a4_attr_union_conflicts" -> attrUnionConflictsSql,
     "a5_exception_harvest" -> exceptionHarvestSql,
     "a6_span_edges" -> spanEdgesSql,

@@ -91,7 +91,10 @@ object SpanStream {
       trace_id: String,
       name: String,
       status_code: String,
-      end_time: String)
+      end_time: String,
+      // the watermarked event-time column: must flow into the grouped
+      // Dataset or the EventTimeTimeout analysis check rejects the query
+      end_ts: java.sql.Timestamp)
 
   case class RunStatus(
       trace_id: String,
@@ -102,23 +105,42 @@ object SpanStream {
 
   /** H5 — `flatMapGroupsWithState` accumulator keyed by trace: counts task
     * spans and errors as they stream in, emits an updated status row per
-    * batch, finalizes when the `dag-top-span` end arrives. */
-  def runStatusStream(spans: DataFrame): Dataset[RunStatus] = {
+    * batch, finalizes when the `dag-top-span` end arrives.
+    *
+    * State is EVICTED by event-time timeout: a trace idle for `stateTtl`
+    * past the watermark is dropped (finished or abandoned either way), so
+    * state size is bounded by the number of ACTIVE traces — the property
+    * that keeps this runnable on an unbounded span feed. A span arriving
+    * after its trace was evicted re-opens the trace from zero counts,
+    * which is the honest at-least-once answer without unbounded memory. */
+  def runStatusStream(
+      spans: DataFrame,
+      lateness: String = "10 minutes",
+      stateTtlMinutes: Long = 30): Dataset[RunStatus] = {
     val spark = spans.sparkSession
     import spark.implicits._
-    spans
+    val ttl = stateTtlMinutes * 60000L
+    withLateness(spans, lateness)
       .select(col("context.trace_id").as("trace_id"), col("name"),
-        col("status.status_code").as("status_code"), col("end_time"))
+        col("status.status_code").as("status_code"), col("end_time"),
+        col("end_ts"))
       .as[SpanEvent]
       .groupByKey(_.trace_id)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout())(updateRunStatus)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout())(
+        updateRunStatus(ttl))
   }
 
-  private[streaming] def updateRunStatus(
+  private[streaming] def updateRunStatus(ttlMs: Long)(
       traceId: String,
       events: Iterator[SpanEvent],
       state: GroupState[RunStatus]): Iterator[RunStatus] = {
+    if (state.hasTimedOut) {
+      // idle past the TTL: drop the state, emit nothing (the last emitted
+      // row already carries the final counts)
+      state.remove()
+      return Iterator.empty
+    }
     var s = state.getOption.getOrElse(RunStatus(traceId, 0L, 0L, "", finished = false))
     events.foreach { e =>
       val isTask = e.name == "execute-task"
@@ -132,6 +154,9 @@ object SpanStream {
         finished = s.finished || e.name == "dag-top-span")
     }
     state.update(s)
+    // watermark is 0 until the first batch completes; the timeout then
+    // ratchets forward as the watermark advances
+    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
     Iterator.single(s)
   }
 }

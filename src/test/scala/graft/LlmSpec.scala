@@ -326,6 +326,65 @@ class LlmSpec extends AnyFunSuite {
     assert(ch == 3 && dur == 1000L)
   }
 
+  test("I4 real image metadata via javax.imageio (PNG + JPEG), stub elsewhere") {
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, baos))
+      baos.toByteArray
+    }
+    val png = imageBytes("png", 7, 5)
+    val jpg = imageBytes("jpg", 11, 3)
+    // direct decode: real header dimensions, not the stub's length-derived fake
+    assert(Multimodal.decodeMeta(png, "image/png") == ((7, 5, 3, 0L)))
+    assert(Multimodal.decodeMeta(jpg, "image/jpeg") == ((11, 3, 3, 0L)))
+    // magic-byte sniff: generic mime still hits the real decoder
+    assert(Multimodal.decodeMeta(png, "application/octet-stream") == ((7, 5, 3, 0L)))
+    // non-image payloads keep the deterministic stub geometry
+    val text = "plain text payload".getBytes("UTF-8")
+    assert(Multimodal.decodeMeta(text, "application/octet-stream") ==
+      Multimodal.StubCodecs.decodeMeta(text))
+    // corrupt image header (mime says image, bytes do not decode) → stub
+    val broken = png.take(8)
+    assert(Multimodal.decodeMeta(broken, "image/png") ==
+      Multimodal.StubCodecs.decodeMeta(broken))
+    // and the distributed path picks up the real dimensions from the mime col
+    val media = Seq((1L, "image/png", png), (2L, "image/jpeg", jpg))
+      .toDF("media_id", "mime", "payload")
+    val out = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Int]("width"), r.getAs[Int]("height"))))
+      .toMap
+    assert(out(1L) == ((7, 5)) && out(2L) == ((11, 3)))
+  }
+
+  test("I3 brute-force broadcast refuses an over-budget corpus") {
+    val conf = Similarity.MaxBroadcastRowsConf
+    spark.conf.set(conf, "2")
+    try {
+      // distinctive ids: must MISS the corpus cache (a hit would skip the gate)
+      val vecs = Seq(
+        (94001L, Array(1.0f, 0.0f)),
+        (94002L, Array(0.9f, 0.1f)),
+        (94003L, Array(0.0f, 1.0f)))
+        .toDF("vec_id", "embedding")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 1).count()
+      }
+      assert(e.getMessage.contains("lshTopK") && e.getMessage.contains("ivfTopK"))
+      // the join path (non-integral ids) is gated too
+      val svecs = Seq(("a", Array(1.0f, 0.0f)), ("b", Array(0.9f, 0.1f)),
+        ("c", Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+      intercept[IllegalArgumentException] {
+        Similarity.bruteForceTopK(svecs, svecs, "vec_id", "embedding", k = 1).count()
+      }
+      // within budget still works
+      spark.conf.set(conf, "3")
+      assert(Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 1)
+        .count() == 3)
+    } finally spark.conf.unset(conf)
+  }
+
   test("I5 language id picks stopword-matching language") {
     val en = Seq((1L, "the cat and the dog is in the house with all of them"))
       .toDF("doc_id", "text")

@@ -134,6 +134,90 @@ class StreamingSpec extends AnyFunSuite {
     } finally qt.stop()
   }
 
+  test("H4/H5/H6 pressure: 100k spans — watermark eviction bounds state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val waves = 10
+    val perWave = 10000
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+
+    // (span idx, wave) → span row; waves are 10 event-minutes apart, so each
+    // wave pushes the watermark far past the previous one
+    def spansOf(mem: MemoryStream[(Long, Int)]) = mem.toDF()
+      .select(
+        lit("execute-task").as("name"),
+        struct(
+          // 100 spans per trace, traces strictly per-wave (so old traces go
+          // idle and MUST be evicted by the accumulator's TTL)
+          concat(lit("t"), (col("_1") / 100).cast("long").cast("string"))
+            .as("trace_id"),
+          concat(lit("s"), col("_1").cast("string")).as("span_id"),
+          lit("[]").as("trace_state")).as("context"),
+        struct(lit("OK").as("status_code"),
+          lit(null).cast("string").as("description")).as("status"),
+        timestamp_millis(lit(base) + col("_2").cast("long") * 600000L)
+          .as("end_ts"),
+        timestamp_millis(lit(base) + col("_2").cast("long") * 600000L)
+          .as("start_ts"))
+      .withColumn("end_time", col("end_ts").cast("string"))
+
+    def wave(w: Int): Seq[(Long, Int)] =
+      (w.toLong * perWave until (w + 1).toLong * perWave).map(i => (i, w))
+
+    def lastStateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+
+    // H6 dedup: 100k distinct ids + 10k re-deliveries, 2-minute lateness
+    val memD = MemoryStream[(Long, Int)]
+    val qd = SpanStream.dedupSpans(spansOf(memD), lateness = "2 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pressure_dedup").start()
+    try {
+      (0 until waves).foreach { w =>
+        memD.addData(wave(w))
+        memD.addData(wave(w).take(1000)) // at-least-once re-delivery
+        qd.processAllAvailable()
+      }
+      assert(spark.table("pressure_dedup").count() == waves.toLong * perWave)
+      val stateRows = lastStateRows(qd)
+      // keys older than the watermark are gone: state holds ~the last wave,
+      // not the whole 100k-key history
+      assert(stateRows > 0 && stateRows <= 3L * perWave,
+        s"dedup state not bounded by the watermark: $stateRows rows")
+    } finally qd.stop()
+
+    // H5 accumulator: per-wave traces go idle; 5-minute TTL past the
+    // watermark must evict them
+    val memS = MemoryStream[(Long, Int)]
+    val qs = SpanStream.runStatusStream(spansOf(memS),
+        lateness = "2 minutes", stateTtlMinutes = 5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pressure_status").start()
+    try {
+      (0 until waves).foreach { w =>
+        memS.addData(wave(w))
+        qs.processAllAvailable()
+      }
+      // every span was counted: each trace's final row carries its 100 tasks
+      val counted = spark.sql(
+        "select sum(n) from (select trace_id, max(n_tasks) n from pressure_status group by 1)")
+        .head().getLong(0)
+      assert(counted == waves.toLong * perWave)
+      val totalTraces = waves.toLong * perWave / 100
+      // bounded by ACTIVE traces throughout the run (idle waves evicted by
+      // the TTL — final state may legitimately be 0, everything idle)
+      val maxStateRows = qs.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsTotal).max
+      assert(maxStateRows > 0 && maxStateRows <= totalTraces / 2,
+        s"accumulator state not evicted: peak $maxStateRows of $totalTraces traces")
+      assert(lastStateRows(qs) <= totalTraces / 2)
+    } finally qs.stop()
+  }
+
   test("H5 stateful run-status accumulator finalizes on dag-top-span") {
     val dir = spanDir
     val q = SpanStream.runStatusStream(SpanStream.readSpanStream(spark, dir))
