@@ -1,0 +1,192 @@
+package graft.mlflow
+
+import java.io.{BufferedReader, InputStreamReader, OutputStream}
+import java.net.{InetAddress, ServerSocket, Socket, SocketException}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicBoolean
+
+/** F2 — the reference's anonymous-write FTP artifact endpoint
+  * (`composable_logs/mlflow_server/server.py:259-326`: a pyftpdlib server
+  * with one anonymous write-enabled home; a stock `MLFLOW_*`-configured
+  * client uploads artifacts to `ftp://…/<traceparent>/<artifact-path>`).
+  *
+  * This is a minimal RFC 959 subset on JDK sockets — no dependencies —
+  * implementing exactly what MLflow's `ftplib`-based
+  * `FTPArtifactRepository` issues: USER/PASS (anonymous only), SYST, TYPE,
+  * PWD/CWD/MKD (virtual directories, auto-vivified like the reference's
+  * permissive home), PASV/EPSV + STOR for upload, RETR/SIZE for read-back,
+  * QUIT. Uploaded bytes flow to the same `logBytes` callback as the HTTP
+  * PUT path (first path segment = traceparent, rest = artifact name), with
+  * the same traversal guard at the protocol boundary.
+  *
+  * Scale note: this is a driver-side control-plane endpoint (one workflow's
+  * artifacts, driver-sized by the reference's contract) — not a data-path
+  * operator; data-plane artifact movement belongs in the parquet sinks.
+  */
+final class MlflowFtpServer(
+    logBytes: (String, String, Array[Byte]) => Unit,
+    port: Int = 0) {
+
+  private val server = new ServerSocket(port, 16, InetAddress.getByName("127.0.0.1"))
+  private val running = new AtomicBoolean(true)
+  /** Read-back store so RETR/SIZE can serve what STOR accepted. */
+  private val files = new ConcurrentHashMap[String, Array[Byte]]()
+
+  def boundPort: Int = server.getLocalPort
+  def uri: String = s"ftp://127.0.0.1:$boundPort"
+
+  private val acceptor = new Thread(() => {
+    while (running.get()) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => session(sock), "mlflow-ftp-session")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: SocketException => // closed during stop()
+      }
+    }
+  }, "mlflow-ftp-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def stop(): Unit = {
+    running.set(false)
+    server.close()
+  }
+
+  // ---- per-connection session ----
+
+  private def session(sock: Socket): Unit = {
+    val in = new BufferedReader(
+      new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+    val out = sock.getOutputStream
+    def reply(line: String): Unit = {
+      out.write((line + "\r\n").getBytes(StandardCharsets.UTF_8))
+      out.flush()
+    }
+    var user: String = null
+    var loggedIn = false
+    var cwd = "/"
+    var dataListener: ServerSocket = null
+
+    def openData(): Option[Socket] = Option(dataListener).flatMap { l =>
+      try Some(l.accept())
+      catch { case _: java.io.IOException => None }
+      finally { l.close(); dataListener = null }
+    }
+
+    /** Resolve `arg` against the virtual cwd → clean segment list; None on
+      * traversal/absolute escapes (the pyftpdlib home confined uploads the
+      * same way). */
+    def resolve(arg: String): Option[Seq[String]] = {
+      val full = if (arg.startsWith("/")) arg else s"$cwd/$arg"
+      val segs = full.split("/").filter(s => s.nonEmpty && s != ".")
+      if (segs.contains("..")) None else Some(segs.toSeq)
+    }
+
+    try {
+      reply("220 composable-logs mlflow artifact FTP ready")
+      var open = true
+      while (open) {
+        val line = in.readLine()
+        if (line == null) { open = false }
+        else {
+          val (cmd, arg) = line.split(" ", 2) match {
+            case Array(c, a) => (c.toUpperCase, a)
+            case Array(c) => (c.toUpperCase, "")
+          }
+          cmd match {
+            case "USER" => user = arg; reply("331 password required")
+            case "PASS" =>
+              if (user == "anonymous") { loggedIn = true; reply("230 anonymous login ok") }
+              else reply("530 only anonymous login is supported")
+            case _ if !loggedIn => reply("530 not logged in")
+            case "SYST" => reply("215 UNIX Type: L8")
+            case "TYPE" => reply("200 type set")
+            case "NOOP" => reply("200 ok")
+            case "PWD" => reply(s"""257 "$cwd" is the current directory""")
+            case "CWD" =>
+              resolve(arg) match {
+                case Some(segs) => cwd = "/" + segs.mkString("/"); reply("250 CWD ok")
+                case None => reply("550 path rejected (traversal)")
+              }
+            case "MKD" =>
+              resolve(arg) match {
+                // directories are virtual (auto-vivified on CWD/STOR) — MKD
+                // just acknowledges so ftplib's mkdirs loop proceeds
+                case Some(segs) => reply(s"""257 "/${segs.mkString("/")}" created""")
+                case None => reply("550 path rejected (traversal)")
+              }
+            case "PASV" =>
+              if (dataListener != null) dataListener.close()
+              dataListener = new ServerSocket(0, 1, InetAddress.getByName("127.0.0.1"))
+              dataListener.setSoTimeout(15000)
+              val p = dataListener.getLocalPort
+              reply(s"227 Entering Passive Mode (127,0,0,1,${p / 256},${p % 256})")
+            case "EPSV" =>
+              if (dataListener != null) dataListener.close()
+              dataListener = new ServerSocket(0, 1, InetAddress.getByName("127.0.0.1"))
+              dataListener.setSoTimeout(15000)
+              reply(s"229 Entering Extended Passive Mode (|||${dataListener.getLocalPort}|)")
+            case "STOR" =>
+              resolve(arg) match {
+                case None => reply("550 path rejected (traversal)")
+                case Some(segs) if segs.size < 2 =>
+                  // first segment is the owning traceparent, like the
+                  // reference's <traceparent>/<artifact-path> layout
+                  reply("550 upload path must be /<traceparent>/<artifact-path>")
+                case Some(segs) =>
+                  reply("150 ready for data")
+                  openData() match {
+                    case None => reply("425 no data connection")
+                    case Some(data) =>
+                      val bytes =
+                        try data.getInputStream.readAllBytes()
+                        finally data.close()
+                      files.put(segs.mkString("/"), bytes)
+                      logBytes(segs.head, segs.tail.mkString("/"), bytes)
+                      reply("226 transfer complete")
+                  }
+              }
+            case "SIZE" =>
+              resolve(arg).map(_.mkString("/")).flatMap(p => Option(files.get(p))) match {
+                case Some(b) => reply(s"213 ${b.length}")
+                case None => reply("550 no such file")
+              }
+            case "RETR" =>
+              resolve(arg).map(_.mkString("/")).flatMap(p => Option(files.get(p))) match {
+                case None => reply("550 no such file")
+                case Some(bytes) =>
+                  reply("150 ready for data")
+                  openData() match {
+                    case None => reply("425 no data connection")
+                    case Some(data) =>
+                      val os: OutputStream = data.getOutputStream
+                      try { os.write(bytes); os.flush() } finally data.close()
+                      reply("226 transfer complete")
+                  }
+              }
+            case "QUIT" => reply("221 bye"); open = false
+            case other => reply(s"502 $other not implemented")
+          }
+        }
+      }
+    } catch {
+      case _: java.io.IOException => // connection dropped
+    } finally {
+      if (dataListener != null) dataListener.close()
+      sock.close()
+    }
+  }
+}
+
+object MlflowFtp {
+  /** Start the artifact FTP endpoint wired to an engine's typed logging —
+    * the FTP twin of [[MlflowShim.start]]'s HTTP PUT route. */
+  def start(engine: graft.exec.Engine, port: Int = 0): MlflowFtpServer =
+    new MlflowFtpServer(
+      (tp, name, bytes) => engine.loggerFor(tp).logArtefact(name, bytes),
+      port)
+}

@@ -25,9 +25,10 @@ import graft.model.Json
   *  - nested runs and unknown endpoints are rejected with 501 (`:90-95`,
   *    `:218-234`).
   *
-  * Re-scope vs the reference (SURVEY §7.4.6): artifacts upload over HTTP
-  * PUT `/artifacts/<traceparent>/<path>` instead of anonymous FTP — the
-  * path still determines the owning task; content is bytes-typed.
+  * Artifacts upload two ways: HTTP PUT `/artifacts/<traceparent>/<path>`
+  * (the simpler transport) or the reference-faithful anonymous-write FTP
+  * endpoint ([[MlflowFtp]], RFC 959 subset on JDK sockets) — either way
+  * the path determines the owning task and content is bytes-typed.
   */
 object MlflowShim {
   val ServerPassword = "composable-logs-login"

@@ -451,14 +451,23 @@ object SpanAlgebra {
     * reference `opentelemetry_task_span_parser.py:413-445`). The workflow
     * start is DATA-dependent (order dates sort lexicographically before the
     * root's constant 2020 start); the end is the root's constant 2030 cap.
-    * The 1-in-10 customer scope keeps the driver-sized summary (the
+    * The 1-in-20 customer scope keeps the driver-sized summary (the
     * reference's whole output is a driver object by contract) bounded at
-    * bench sf. */
+    * bench sf.
+    *
+    * `coalesce` + `localCheckpoint` before the parse: the parse submits
+    * several jobs over the same derived collection, and each would
+    * otherwise re-analyze the full derivation lineage (4-branch union ×
+    * id-rewrite — seconds of planner time at this tree size) and fan out
+    * hundreds of near-empty tasks; the checkpoint materializes the
+    * driver-gate-sized collection once and every parse job plans over a
+    * plain cached-RDD scan. */
   def workflowTiming(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
     val summary = SpanParser.parseSpans(
-      with0x(spansFromOrders(s, d, Some(col("o_custkey") % 10 === 0))))
+      with0x(spansFromOrders(s, d, Some(col("o_custkey") % 20 === 0)))
+        .coalesce(8).localCheckpoint())
     val synthetic = summary.spanId.startsWith("NO-TOP-SPAN--TEMP")
     summary.taskRuns.map(tr => (
         tr.taskId,
@@ -476,10 +485,10 @@ object SpanAlgebra {
       | CAST(o_orderdate AS VARCHAR) AS task_start,
       | CAST(o_orderdate AS VARCHAR) AS task_end,
       | (SELECT MIN(CAST(o_orderdate AS VARCHAR)) FROM orders
-      |   WHERE o_custkey % 10 = 0) AS wf_start,
+      |   WHERE o_custkey % 20 = 0) AS wf_start,
       | '2030-01-01 00:00:00' AS wf_end,
       | true AS top_synthetic
-      |FROM orders WHERE o_custkey % 10 = 0""".stripMargin
+      |FROM orders WHERE o_custkey % 20 = 0""".stripMargin
 
   /** B6 — duplicate named-value rejection: the clean parse of one
     * customer's trace decodes every named-value leaf; re-logging one of
@@ -497,8 +506,10 @@ object SpanAlgebra {
       .agg(min(struct(col("o_orderkey"), col("o_custkey"))).as("m"))
       .select(col("m.o_orderkey"), col("m.o_custkey")).head()
     val (okey, cust) = (first.get(0), first.get(1))
+    // one customer's trace, one checkpointed partition: both parses below
+    // plan over a plain cached-RDD scan (see workflowTiming's note)
     val spans = with0x(spansFromOrders(s, d,
-      Some(col("o_custkey") === cust)))
+      Some(col("o_custkey") === cust))).coalesce(1).localCheckpoint()
     val clean = SpanParser.parseSpans(spans)
     val nClean = clean.taskRuns.map(_.loggedValues.size).sum.toLong
     // inject the duplicate: same task, same logged name, fresh span id

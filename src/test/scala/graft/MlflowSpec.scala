@@ -144,4 +144,88 @@ class MlflowSpec extends AnyFunSuite {
       assert(client.send(evil, HttpResponse.BodyHandlers.ofString()).statusCode() == 400)
     } finally server.stop(0)
   }
+
+  test("F2 FTP artifact endpoint speaks the ftplib upload sequence") {
+    import java.net.Socket
+    val logged = scala.collection.mutable.ArrayBuffer.empty[(String, String, Seq[Byte])]
+    val server = new graft.mlflow.MlflowFtpServer(
+      (tp, name, bytes) => logged.synchronized { logged += ((tp, name, bytes.toSeq)) })
+    try {
+      val sock = new Socket("127.0.0.1", server.boundPort)
+      sock.setSoTimeout(15000)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+      val out = sock.getOutputStream
+      def cmd(c: String): String = {
+        out.write((c + "\r\n").getBytes(StandardCharsets.UTF_8)); out.flush()
+        in.readLine()
+      }
+      def pasvPort(reply: String): Int = {
+        // 227 Entering Passive Mode (h1,h2,h3,h4,p1,p2)
+        val nums = reply.split("[(),]").filter(_.forall(_.isDigit)).filter(_.nonEmpty)
+        nums(nums.length - 2).toInt * 256 + nums.last.toInt
+      }
+      def transfer(c: String, send: Option[Array[Byte]]): (String, Array[Byte]) = {
+        val p = pasvPort(cmd("PASV"))
+        out.write((c + "\r\n").getBytes(StandardCharsets.UTF_8)); out.flush()
+        val preliminary = in.readLine()
+        if (!preliminary.startsWith("150")) return (preliminary, Array.empty)
+        val data = new Socket("127.0.0.1", p)
+        val received = try {
+          send.foreach { b => data.getOutputStream.write(b); data.getOutputStream.flush() }
+          if (send.isEmpty) data.getInputStream.readAllBytes() else Array.empty[Byte]
+        } finally data.close()
+        (in.readLine(), received)
+      }
+
+      assert(in.readLine().startsWith("220"))
+      // the exact ftplib/FTPArtifactRepository sequence: login, binary
+      // type, mkdirs, cwd, passive upload
+      assert(cmd("USER anonymous").startsWith("331"))
+      assert(cmd("PASS mlflow@client").startsWith("230"))
+      assert(cmd("SYST").startsWith("215"))
+      assert(cmd("TYPE I").startsWith("200"))
+      assert(cmd("MKD 00-aa-bb-01").startsWith("257"))
+      assert(cmd("MKD 00-aa-bb-01/model").startsWith("257"))
+      assert(cmd("CWD 00-aa-bb-01/model").startsWith("250"))
+      assert(cmd("PWD").contains("/00-aa-bb-01/model"))
+      val payload = Array.tabulate[Byte](512)(_.toByte)
+      val (storReply, _) = transfer("STOR weights.bin", Some(payload))
+      assert(storReply.startsWith("226"))
+      assert(logged.synchronized(logged.toList) ==
+        List(("00-aa-bb-01", "model/weights.bin", payload.toSeq)))
+
+      // read-back: SIZE + RETR serve what STOR accepted
+      assert(cmd("SIZE /00-aa-bb-01/model/weights.bin") == "213 512")
+      val (retrReply, echoed) = transfer("RETR /00-aa-bb-01/model/weights.bin", None)
+      assert(retrReply.startsWith("226") && echoed.toSeq == payload.toSeq)
+
+      // guards: traversal rejected, root-level upload rejected (needs the
+      // <traceparent>/ prefix), like the reference's confined FTP home
+      assert(cmd("CWD ../escape").startsWith("550"))
+      val (evilReply, _) = transfer("STOR ../../evil.bin", Some(Array[Byte](1)))
+      assert(evilReply.startsWith("550"))
+      assert(cmd("CWD /").startsWith("250"))
+      val (rootReply, _) = transfer("STOR orphan.bin", Some(Array[Byte](1)))
+      assert(rootReply.startsWith("550"))
+      assert(cmd("QUIT").startsWith("221"))
+      sock.close()
+
+      // only anonymous login is accepted (reference parity)
+      val sock2 = new Socket("127.0.0.1", server.boundPort)
+      sock2.setSoTimeout(15000)
+      val in2 = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock2.getInputStream, StandardCharsets.UTF_8))
+      val out2 = sock2.getOutputStream
+      def cmd2(c: String): String = {
+        out2.write((c + "\r\n").getBytes(StandardCharsets.UTF_8)); out2.flush()
+        in2.readLine()
+      }
+      assert(in2.readLine().startsWith("220"))
+      assert(cmd2("USER mallory").startsWith("331"))
+      assert(cmd2("PASS x").startsWith("530"))
+      assert(cmd2("STOR a/b").startsWith("530")) // nothing works unauthenticated
+      sock2.close()
+    } finally server.stop()
+  }
 }
