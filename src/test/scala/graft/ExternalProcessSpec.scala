@@ -92,4 +92,107 @@ class ExternalProcessSpec extends AnyFunSuite {
     val names = s.taskRuns.head.loggedArtifacts.map(_.name)
     assert(names == Seq("notebook.ipynb", "notebook.html"))
   }
+
+  // ---- E8 notebook tasks (jupytext parse + python cell runner) ----
+
+  def python3Available: Boolean =
+    try { new ProcessBuilder("python3", "--version").start().waitFor() == 0 }
+    catch { case _: java.io.IOException => false }
+
+  def notebook(name: String, body: String): Path = {
+    val dir = Files.createTempDirectory("graft-nb-src")
+    val p = dir.resolve(name)
+    Files.write(p, body.getBytes(StandardCharsets.UTF_8))
+    p
+  }
+
+  test("jupytext py:percent parse: header dropped, markdown stripped, cells split") {
+    val cells = graft.exec.Jupytext.parse(
+      """# ---
+        |# jupyter:
+        |#   jupytext:
+        |#     formats: ipynb,py:percent
+        |# ---
+        |
+        |# %% [markdown]
+        |# # Title
+        |# some prose
+        |
+        |# %%
+        |x = 1
+        |print(x)
+        |
+        |# %%
+        |y = x + 1
+        |""".stripMargin)
+    assert(cells.map(_.cellType) == Seq("markdown", "code", "code"))
+    assert(cells.head.source == "# Title\nsome prose")
+    assert(cells(1).source == "x = 1\nprint(x)")
+    assert(cells(2).source == "y = x + 1")
+  }
+
+  test("E8 ok notebook: cells executed in order, P injected, evaluated ipynb + html") {
+    assume(python3Available, "python3 not on PATH")
+    val engine = new Engine(spark, 4)
+    val nb = notebook("train-model.py",
+      """# %% [markdown]
+        |# # Training notebook
+        |
+        |# %%
+        |x = 40
+        |print("setting up")
+        |
+        |# %%
+        |print("variant=" + P["task.variant"])
+        |print("answer=" + str(x + 2))
+        |""".stripMargin)
+    val t = graft.exec.NotebookTask.make(engine, nb,
+      parameters = Map("task.variant" -> "a"))
+    val s = run(engine, t(Nil))
+    val r = s.taskRuns.head
+    assert(r.taskId == "train-model")
+    assert(r.attributes("task.type") == "jupytext")
+    assert(r.isSuccess)
+    val ipynb = r.getArtifact("notebook.ipynb").content.asInstanceOf[String]
+    // shared namespace across cells + P parameter injection, nbformat shape
+    assert(ipynb.contains("setting up"))
+    assert(ipynb.contains("variant=a"))
+    assert(ipynb.contains("answer=42"))
+    assert(ipynb.contains("\"nbformat\": 4"))
+    // B5 derivation kicks in on the evaluated notebook, outputs included
+    val html = r.getArtifact("notebook.html").content.asInstanceOf[String]
+    assert(html.contains("answer=42") && html.contains("Training notebook"))
+  }
+
+  test("E8 failing notebook: partial evaluated ipynb logged, later cells unexecuted") {
+    assume(python3Available, "python3 not on PATH")
+    val engine = new Engine(spark, 4)
+    val nb = notebook("exploration.py",
+      """# %%
+        |print("before the failure")
+        |
+        |# %%
+        |raise ValueError("someone is to blame")
+        |
+        |# %%
+        |print("never-reached-output")
+        |""".stripMargin)
+    val t = graft.exec.NotebookTask.make(engine, nb)
+    var result: scala.util.Try[Any] = null
+    val spans = SpanRecorder.record(engine) { result = engine.runDag(t(Nil)) }
+    result match {
+      case Failure(e) => assert(e.getMessage.contains("exit code 1"))
+      case other => fail(s"$other")
+    }
+    val s = SpanParser.parseSpans(SpanModel.toDF(spark, spans))
+    val r = s.taskRuns.head
+    assert(r.isFailure)
+    val ipynb = r.getArtifact("notebook.ipynb").content.asInstanceOf[String]
+    assert(ipynb.contains("before the failure")) // earlier output kept
+    assert(ipynb.contains("ValueError"))
+    assert(ipynb.contains("someone is to blame"))
+    // the post-failure cell is present but was NOT executed
+    assert(ipynb.contains("never-reached-output")
+      && !ipynb.contains("\"text\": \"never-reached-output"))
+  }
 }
