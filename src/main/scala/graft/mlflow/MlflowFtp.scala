@@ -3,7 +3,6 @@ package graft.mlflow
 import java.io.{BufferedReader, InputStreamReader, OutputStream}
 import java.net.{InetAddress, ServerSocket, Socket, SocketException}
 import java.nio.charset.StandardCharsets
-import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicBoolean
 
 /** F2 — the reference's anonymous-write FTP artifact endpoint
@@ -26,12 +25,30 @@ import java.util.concurrent.atomic.AtomicBoolean
   */
 final class MlflowFtpServer(
     logBytes: (String, String, Array[Byte]) => Unit,
-    port: Int = 0) {
+    port: Int = 0,
+    maxStoreBytes: Long = 64L << 20) {
 
   private val server = new ServerSocket(port, 16, InetAddress.getByName("127.0.0.1"))
   private val running = new AtomicBoolean(true)
-  /** Read-back store so RETR/SIZE can serve what STOR accepted. */
-  private val files = new ConcurrentHashMap[String, Array[Byte]]()
+  /** Read-back store so RETR/SIZE can serve what STOR accepted. Bounded:
+    * the DURABLE sink is the `logBytes` callback — this map only serves a
+    * workflow's recent artifacts back to the client, so oldest uploads are
+    * evicted once the byte budget is exceeded (a long-running driver must
+    * not accumulate every upload in heap). */
+  private val files = new java.util.LinkedHashMap[String, Array[Byte]]()
+  private var storedBytes = 0L
+
+  private def store(path: String, bytes: Array[Byte]): Unit = files.synchronized {
+    Option(files.remove(path)).foreach(old => storedBytes -= old.length)
+    files.put(path, bytes)
+    storedBytes += bytes.length
+    val it = files.entrySet().iterator()
+    while (storedBytes > maxStoreBytes && it.hasNext) {
+      val e = it.next(); storedBytes -= e.getValue.length; it.remove()
+    }
+  }
+  private def lookup(path: String): Option[Array[Byte]] =
+    files.synchronized(Option(files.get(path)))
 
   def boundPort: Int = server.getLocalPort
   def uri: String = s"ftp://127.0.0.1:$boundPort"
@@ -145,18 +162,18 @@ final class MlflowFtpServer(
                       val bytes =
                         try data.getInputStream.readAllBytes()
                         finally data.close()
-                      files.put(segs.mkString("/"), bytes)
+                      store(segs.mkString("/"), bytes)
                       logBytes(segs.head, segs.tail.mkString("/"), bytes)
                       reply("226 transfer complete")
                   }
               }
             case "SIZE" =>
-              resolve(arg).map(_.mkString("/")).flatMap(p => Option(files.get(p))) match {
+              resolve(arg).map(_.mkString("/")).flatMap(lookup) match {
                 case Some(b) => reply(s"213 ${b.length}")
                 case None => reply("550 no such file")
               }
             case "RETR" =>
-              resolve(arg).map(_.mkString("/")).flatMap(p => Option(files.get(p))) match {
+              resolve(arg).map(_.mkString("/")).flatMap(lookup) match {
                 case None => reply("550 no such file")
                 case Some(bytes) =>
                   reply("150 ready for data")

@@ -228,4 +228,48 @@ class MlflowSpec extends AnyFunSuite {
       sock2.close()
     } finally server.stop()
   }
+
+  test("F2 FTP read-back store evicts oldest past the byte budget") {
+    import java.net.Socket
+    val logged = scala.collection.mutable.ArrayBuffer.empty[String]
+    val server = new graft.mlflow.MlflowFtpServer(
+      (tp, name, _) => logged.synchronized { logged += s"$tp/$name" },
+      maxStoreBytes = 1000)
+    try {
+      val sock = new Socket("127.0.0.1", server.boundPort)
+      sock.setSoTimeout(15000)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+      val out = sock.getOutputStream
+      def cmd(c: String): String = {
+        out.write((c + "\r\n").getBytes(StandardCharsets.UTF_8)); out.flush()
+        in.readLine()
+      }
+      def pasvPort(reply: String): Int = {
+        val nums = reply.split("[(),]").filter(_.nonEmpty).filter(_.forall(_.isDigit))
+        nums(nums.length - 2).toInt * 256 + nums.last.toInt
+      }
+      def stor(path: String, n: Int): String = {
+        val p = pasvPort(cmd("PASV"))
+        out.write(s"STOR $path\r\n".getBytes(StandardCharsets.UTF_8)); out.flush()
+        assert(in.readLine().startsWith("150"))
+        val data = new Socket("127.0.0.1", p)
+        try data.getOutputStream.write(new Array[Byte](n)) finally data.close()
+        in.readLine()
+      }
+      assert(in.readLine().startsWith("220"))
+      assert(cmd("USER anonymous").startsWith("331"))
+      assert(cmd("PASS x").startsWith("230"))
+      assert(stor("/tp/a.bin", 800).startsWith("226"))
+      assert(cmd("SIZE /tp/a.bin") == "213 800")
+      assert(stor("/tp/b.bin", 800).startsWith("226"))
+      // budget 1000 < 1600: the oldest upload fell out, the newest serves
+      assert(cmd("SIZE /tp/a.bin").startsWith("550"))
+      assert(cmd("SIZE /tp/b.bin") == "213 800")
+      // the durable sink saw BOTH uploads — eviction only trims read-back
+      assert(logged.synchronized(logged.toList) == List("tp/a.bin", "tp/b.bin"))
+      cmd("QUIT")
+      sock.close()
+    } finally server.stop()
+  }
 }
