@@ -142,8 +142,11 @@ object SpanStream {
       return Iterator.empty
     }
     var s = state.getOption.getOrElse(RunStatus(traceId, 0L, 0L, "", finished = false))
+    var maxEventMs = 0L
     events.foreach { e =>
       val isTask = e.name == "execute-task"
+      if (e.end_ts != null && e.end_ts.getTime > maxEventMs)
+        maxEventMs = e.end_ts.getTime
       s = s.copy(
         n_tasks = s.n_tasks + (if (isTask) 1 else 0),
         n_errors = s.n_errors +
@@ -154,9 +157,13 @@ object SpanStream {
         finished = s.finished || e.name == "dag-top-span")
     }
     state.update(s)
-    // watermark is 0 until the first batch completes; the timeout then
-    // ratchets forward as the watermark advances
-    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
+    // TTL anchored to the trace's OWN latest event time (not the watermark,
+    // which is still 0 during the first batch and lags by the lateness —
+    // anchoring there would evict first-batch traces almost immediately);
+    // the watermark max keeps the timestamp legal for very late stragglers
+    // (Spark requires a timeout strictly beyond the current watermark)
+    state.setTimeoutTimestamp(
+      math.max(maxEventMs, state.getCurrentWatermarkMs()) + ttlMs)
     Iterator.single(s)
   }
 }
