@@ -61,7 +61,9 @@ final class MlflowFtpServer(
         t.setDaemon(true)
         t.start()
       } catch {
-        case _: SocketException => // closed during stop()
+        // SocketException: closed during stop(); any other IO hiccup must
+        // not kill the accept loop while the server is still running
+        case _: java.io.IOException =>
       }
     }
   }, "mlflow-ftp-accept")
@@ -191,7 +193,9 @@ final class MlflowFtpServer(
         }
       }
     } catch {
-      case _: java.io.IOException => // connection dropped
+      // dropped connection or a malformed command sequence: the session
+      // dies, the server (and other sessions) keep serving
+      case _: Exception =>
     } finally {
       if (dataListener != null) dataListener.close()
       sock.close()
