@@ -276,11 +276,25 @@ object SpanAlgebra {
   def sortRanks(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    spansFromOrders(s, d).sortByStartTime()
-      .select(col("context.span_id").as("span_id"))
-      .rdd.zipWithIndex
-      .map { case (r, i) => (i + 1, r.getString(0)) }
-      .toDF("rank", "span_id")
+    // Two caches, both strictly work-saving at any scale:
+    //  - persist the NARROW per-order base: the span union references it 4×,
+    //    so one scan + one lag-window shuffle instead of four of each;
+    //  - localCheckpoint the sorted 1-column projection: zipWithIndex needs
+    //    the sorted RDD twice (partition-size job + the zip itself) and the
+    //    consumer's action reads it a third time — the global sort is the
+    //    irreducible cost and now runs once. Checkpoint preserves partition
+    //    order, so the ranks are unchanged.
+    // localCheckpoint is EAGER, so the base cache is already consumed (and
+    // released) by the time this returns.
+    val base = ordersBase(s, d, None).persist()
+    try {
+      spansFrom(base).sortByStartTime()
+        .select(col("context.span_id").as("span_id"))
+        .localCheckpoint()
+        .rdd.zipWithIndex
+        .map { case (r, i) => (i + 1, r.getString(0)) }
+        .toDF("rank", "span_id")
+    } finally base.unpersist(blocking = false)
   }
 
   private val sortRanksSql =
