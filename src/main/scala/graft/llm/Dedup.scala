@@ -19,6 +19,21 @@ object Dedup {
       .agg(min(col(idCol)).as("representative_id"),
         count(lit(1)).as("n_copies"))
 
+  /** End-to-end fuzzy dedup: near-dup PAIRS → connected components →
+    * min-id representative per component. Pair generation alone is not a
+    * dedup decision — transitive chains a~b~c must collapse into one keep
+    * set, which is the components step
+    * ([[graft.operators.ConnectedComponents.minLabel]]). Returns every
+    * input id with its component (= the kept representative's id) and an
+    * `is_representative` flag; filtering on the flag IS the deduped
+    * corpus. */
+  def fuzzyDedupComponents(
+      df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    graft.operators.ConnectedComponents
+      .minLabel(df.select(col(idCol).as("id")), pairs)
+      .select(col("id").as(idCol), col("component"),
+        (col("id") === col("component")).as("is_representative"))
+
   /** Drop exact duplicates, keeping the minimum-id row per content hash. */
   def exactDedup(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -58,6 +58,34 @@ object LlmOps {
 
   private val ngramJaccardSql = ngramJaccardSqlAt(0.5)
 
+  /** I2e — END-TO-END fuzzy dedup: the 0.5-Jaccard near-dup pairs are only
+    * candidates; the dedup DECISION is connected components over them (a
+    * transitive chain a~b~c collapses to one representative even when a~c
+    * alone misses the threshold). The oracle recomputes the components
+    * with a recursive CTE — the only gate exercising graph-transitivity
+    * semantics end to end. */
+  def fuzzyDedupE2e(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxShingleFreq = Some(1000),
+      shingler = Dedup.wordShingles)
+      .select("doc_a", "doc_b")
+    Dedup.fuzzyDedupComponents(docs, "doc_id", pairs)
+  }
+
+  private val fuzzyDedupE2eSql =
+    s"""WITH RECURSIVE high AS (${ngramJaccardSqlAt(0.5)}),
+      |edges AS (
+      | SELECT doc_a AS u, doc_b AS v FROM high
+      | UNION ALL SELECT doc_b, doc_a FROM high),
+      |reach(id, r) AS (
+      | SELECT doc_id, doc_id FROM documents
+      | UNION
+      | SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r)
+      |SELECT id AS doc_id, MIN(r) AS component,
+      | MIN(r) = id AS is_representative
+      |FROM reach GROUP BY id""".stripMargin
+
   /** Scale-factor tag parsed from a testdata dir ("/root/testdata/sf0.01" →
     * "0.01"). Gate floors are keyed on it: a recall floor is a MEASUREMENT
     * of a specific fixture at a specific scale, not a theorem, so pinning
@@ -370,6 +398,7 @@ object LlmOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i1_dedup_exact" -> dedupExact _,
     "i2_ngram_jaccard" -> ngramJaccard _,
+    "i2_fuzzy_dedup_e2e" -> fuzzyDedupE2e _,
     "i2_minhash_lsh_candidates" -> minhashCandidates _,
     "i2_minhash_containment" -> minhashContainmentGate _,
     "i2_simhash_pairs" -> simhashPairs _,
@@ -390,6 +419,7 @@ object LlmOps {
   val oracles: Map[String, String] = Map(
     "i1_dedup_exact" -> dedupExactSql,
     "i2_ngram_jaccard" -> ngramJaccardSql,
+    "i2_fuzzy_dedup_e2e" -> fuzzyDedupE2eSql,
     "i2_minhash_containment" -> minhashContainmentSql,
     "i2_embedding_neardup" -> embeddingNearDupsSql,
     "i2_neardup_blocked_gate" -> neardupBlockedGateSql,

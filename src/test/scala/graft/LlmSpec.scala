@@ -30,6 +30,20 @@ class LlmSpec extends AnyFunSuite {
     assert(deduped.filter(col("doc_id") === 3).count() == 0)
   }
 
+  test("I2 fuzzy dedup e2e: components collapse transitive chains") {
+    // chain 0~1, 1~3 with NO direct 0~3 pair: the dedup decision must
+    // still collapse all three into component 0 (transitivity), while 2
+    // and 4 stay their own representatives
+    val pairs = Seq((0L, 1L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.fuzzyDedupComponents(docs, "doc_id", pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(0L) == ((0L, true)))
+    assert(out(1L) == ((0L, false)))
+    assert(out(3L) == ((0L, false)))
+    assert(out(2L) == ((2L, true)))
+    assert(out(4L) == ((4L, true)))
+  }
+
   test("I2 ngram jaccard finds near-dups, not unrelated docs") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
