@@ -21,30 +21,34 @@ object ConnectedComponents {
     * reachable through `pairs` (columns `doc_a`, `doc_b`). Returns
     * (id, component). */
   def minLabel(nodes: DataFrame, pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // localCheckpoint everywhere: an iterative fixpoint otherwise grows
+    // the logical plan by one join+aggregate per round, so analysis time
+    // (and recovery lineage) compounds — the checkpoint pins each round to
+    // a cached RDD scan. It also materializes the (possibly expensive)
+    // pair-generation upstream exactly once.
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .persist()
-    var labels = nodes.select(col("id"), col("id").as("component")).persist()
-    labels.count()
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("component"))
+      .localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
       val viaNeighbors = edges.join(labels, col("v") === col("id"))
         .select(col("u").as("id"), col("component"))
-      val next = labels.unionByName(viaNeighbors)
-        .groupBy(col("id")).agg(min(col("component")).as("component"))
-        .persist()
-      next.count()
-      // convergence probe: one small join over the (node-sized) label sets;
-      // the loop is driver-controlled like Closure's iterative fixpoint
-      changed = next
-        .join(labels.withColumnRenamed("component", "prev"), Seq("id"))
-        .filter(col("component") =!= col("prev")).count()
-      labels.unpersist(blocking = false)
-      labels = next
+      // the node's own previous label rides through the aggregate (self
+      // rows tagged), so the convergence probe is a filter over the
+      // checkpointed round — one shuffle job per round, not two
+      val round = labels.select(col("id"), col("component"), lit(true).as("self"))
+        .unionByName(viaNeighbors.withColumn("self", lit(false)))
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"),
+          min(when(col("self"), col("component"))).as("prev"))
+        .localCheckpoint() // eager: materializes the round
+      changed = round.filter(col("component") < col("prev")).count()
+      labels = round.select(col("id"), col("component"))
       i += 1
     }
-    edges.unpersist(blocking = false)
     if (changed > 0)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters iterations " +
