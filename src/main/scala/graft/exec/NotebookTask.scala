@@ -18,7 +18,9 @@ object Jupytext {
 
   def parse(py: String): Seq[Cell] = {
     val lines = py.linesIterator.toVector
-    def isMarker(l: String) = l.trim.startsWith("# %%")
+    // column 0 only, like jupytext: an INDENTED "# %%" is an ordinary
+    // comment inside a cell body, not a cell boundary
+    def isMarker(l: String) = l.startsWith("# %%")
     val markerIdxs = lines.indices.filter(i => isMarker(lines(i)))
     val cells = scala.collection.mutable.ArrayBuffer.empty[Cell]
 
@@ -165,8 +167,14 @@ object NotebookTask {
         ()
       } catch {
         case e: InterruptedException =>
-          // timeout kill: no artifact, reap the interpreter
+          // timeout kill: no artifact, reap the interpreter. destroyForcibly
+          // is async — wait (briefly, with the interrupt flag parked) for
+          // the process to actually die, or the cleanup below races its
+          // final writes and leaks the temp dir
           process.destroyForcibly()
+          Thread.interrupted() // clear so the bounded reap can block
+          process.waitFor(2, java.util.concurrent.TimeUnit.SECONDS)
+          Thread.currentThread().interrupt() // restore the kill signal
           throw e
       } finally cleanup()
     }

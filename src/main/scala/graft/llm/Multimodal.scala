@@ -71,7 +71,11 @@ object Multimodal {
           } finally r.dispose()
         }
       } catch {
-        case _: java.io.IOException => None // truncated/corrupt header
+        // truncated/corrupt header: the JDK readers throw RuntimeExceptions
+        // (IndexOutOfBounds, IllegalArgument, NegativeArraySize, CMM...)
+        // on garbage fields, not just IOException — one bad payload in a
+        // 100 TB corpus must fall back to the stub, not kill the job
+        case scala.util.control.NonFatal(_) => None
       } finally in.close()
     }
   }

@@ -26,7 +26,8 @@ import java.util.concurrent.atomic.AtomicBoolean
 final class MlflowFtpServer(
     logBytes: (String, String, Array[Byte]) => Unit,
     port: Int = 0,
-    maxStoreBytes: Long = 64L << 20) {
+    maxStoreBytes: Long = 64L << 20,
+    maxUploadBytes: Long = 256L << 20) {
 
   private val server = new ServerSocket(port, 16, InetAddress.getByName("127.0.0.1"))
   private val running = new AtomicBoolean(true)
@@ -49,6 +50,43 @@ final class MlflowFtpServer(
   }
   private def lookup(path: String): Option[Array[Byte]] =
     files.synchronized(Option(files.get(path)))
+
+  /** Known virtual directories (registered by MKD and implicitly by STOR
+    * parents). CWD succeeds ONLY for these: MLflow's artifact client
+    * implements `_is_dir(p)` as "does cwd(p) succeed", so an auto-vivified
+    * CWD that accepts any path would classify every stored FILE as a
+    * directory and break stock-client download. */
+  private val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def registerParents(segs: Seq[String]): Unit =
+    (1 until segs.length).foreach(i => dirs.add(segs.take(i).mkString("/")))
+
+  /** Child entries (names) directly under a virtual directory. */
+  private def childrenOf(path: String): Seq[String] = {
+    val prefix = if (path.isEmpty) "" else path + "/"
+    def child(full: String): Option[String] =
+      if (full.startsWith(prefix) && full.length > prefix.length)
+        Some(full.drop(prefix.length).takeWhile(_ != '/'))
+      else None
+    import scala.jdk.CollectionConverters._
+    val fileKids = files.synchronized(files.keySet().asScala.toSeq).flatMap(child)
+    val dirKids = dirs.asScala.toSeq.flatMap(child)
+    (fileKids ++ dirKids).distinct.sorted
+  }
+
+  /** Read at most `cap` bytes; None if the stream holds more (the caller
+    * rejects the upload instead of buffering it unbounded). */
+  private def readUpTo(in: java.io.InputStream, cap: Long): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) {
+      if (out.size().toLong + n > cap) return None
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    Some(out.toByteArray)
+  }
 
   def boundPort: Int = server.getLocalPort
   def uri: String = s"ftp://127.0.0.1:$boundPort"
@@ -128,14 +166,22 @@ final class MlflowFtpServer(
             case "PWD" => reply(s"""257 "$cwd" is the current directory""")
             case "CWD" =>
               resolve(arg) match {
-                case Some(segs) => cwd = "/" + segs.mkString("/"); reply("250 CWD ok")
+                // only root and KNOWN directories: MLflow probes
+                // file-vs-directory with cwd, so success here must mean
+                // "is a directory" (a stored file path must 550)
+                case Some(segs)
+                    if segs.isEmpty || dirs.contains(segs.mkString("/")) =>
+                  cwd = "/" + segs.mkString("/"); reply("250 CWD ok")
+                case Some(_) => reply("550 no such directory")
                 case None => reply("550 path rejected (traversal)")
               }
             case "MKD" =>
               resolve(arg) match {
-                // directories are virtual (auto-vivified on CWD/STOR) — MKD
-                // just acknowledges so ftplib's mkdirs loop proceeds
-                case Some(segs) => reply(s"""257 "/${segs.mkString("/")}" created""")
+                case Some(segs) if segs.nonEmpty =>
+                  registerParents(segs) // intermediate levels
+                  dirs.add(segs.mkString("/"))
+                  reply(s"""257 "/${segs.mkString("/")}" created""")
+                case Some(_) => reply("550 cannot create root")
                 case None => reply("550 path rejected (traversal)")
               }
             case "PASV" =>
@@ -161,12 +207,21 @@ final class MlflowFtpServer(
                   openData() match {
                     case None => reply("425 no data connection")
                     case Some(data) =>
+                      // bounded read: the cap must apply DURING the read —
+                      // buffering an arbitrary upload before checking it
+                      // would OOM the driver the budget exists to protect
                       val bytes =
-                        try data.getInputStream.readAllBytes()
+                        try readUpTo(data.getInputStream, maxUploadBytes)
                         finally data.close()
-                      store(segs.mkString("/"), bytes)
-                      logBytes(segs.head, segs.tail.mkString("/"), bytes)
-                      reply("226 transfer complete")
+                      bytes match {
+                        case None =>
+                          reply(s"552 upload exceeds $maxUploadBytes bytes")
+                        case Some(b) =>
+                          registerParents(segs)
+                          store(segs.mkString("/"), b)
+                          logBytes(segs.head, segs.tail.mkString("/"), b)
+                          reply("226 transfer complete")
+                      }
                   }
               }
             case "SIZE" =>
@@ -184,6 +239,29 @@ final class MlflowFtpServer(
                     case Some(data) =>
                       val os: OutputStream = data.getOutputStream
                       try { os.write(bytes); os.flush() } finally data.close()
+                      reply("226 transfer complete")
+                  }
+              }
+            case "NLST" =>
+              // directory listing (MLflow's download path lists artifact
+              // dirs): names only, one per line over the data connection
+              resolve(arg) match {
+                case None => reply("550 path rejected (traversal)")
+                case Some(segs) =>
+                  val path = segs.mkString("/")
+                  val names =
+                    if (lookup(path).isDefined) Seq(segs.last) // a file lists itself
+                    else childrenOf(path)
+                  reply("150 listing")
+                  openData() match {
+                    case None => reply("425 no data connection")
+                    case Some(data) =>
+                      val os: OutputStream = data.getOutputStream
+                      try {
+                        os.write(names.map(_ + "\r\n").mkString
+                          .getBytes(StandardCharsets.UTF_8))
+                        os.flush()
+                      } finally data.close()
                       reply("226 transfer complete")
                   }
               }

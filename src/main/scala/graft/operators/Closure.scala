@@ -214,6 +214,21 @@ object Closure {
     edges.sparkSession.createDataFrame(rows.asJava, schema)
   }
 
+  /** Common id type across the parent/child/root columns. The driver-local
+    * walk keys a HashMap[Any] on raw values and the result rows mix root
+    * and child values in one column — an Integer root against Long edge
+    * ids would silently miss the map lookup (empty walk) or fail row
+    * validation; the distributed path used to paper over it via union
+    * type-widening. All id columns are cast to this type up front so both
+    * paths agree. */
+  private def commonIdType(
+      ts: Seq[org.apache.spark.sql.types.DataType]): org.apache.spark.sql.types.DataType =
+    ts.reduceLeft { (a, b) =>
+      if (a == b) a
+      else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+        .findTightestCommonType(a, b).getOrElse(b)
+    }
+
   def descendantsWithRoots(
       edges: DataFrame,
       roots: DataFrame,
@@ -221,10 +236,14 @@ object Closure {
       childCol: String = "child",
       inclusive: Boolean = true,
       maxIter: Int = 30): DataFrame = {
-    val e = edges.select(col(parentCol).as("p"), col(childCol).as("c"))
+    val idT = commonIdType(Seq(
+      edges.schema(parentCol).dataType, edges.schema(childCol).dataType,
+      roots.schema.head.dataType))
+    val e = edges.select(
+        col(parentCol).cast(idT).as("p"), col(childCol).cast(idT).as("c"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = e.count()
-    val r = roots.select(col(roots.columns.head).as("root"))
+    val r = roots.select(col(roots.columns.head).cast(idT).as("root"))
       .withColumn("id", col("root"))
 
     if (nEdges <= LocalWalkMaxEdges) {
@@ -233,8 +252,7 @@ object Closure {
       val rootVals = r.select(col("root")).distinct().collect().map(_.get(0))
       val pairs = (localDescendants(collected, rootVals) ++
         (if (inclusive) rootVals.map(v => (v, v)) else Nil)).distinct
-      return localResultDF(edges, pairs,
-        r.schema("root").dataType, e.schema("c").dataType, withRoot = true)
+      return localResultDF(edges, pairs, idT, idT, withRoot = true)
     }
 
     var acc = if (inclusive) r else r.limit(0)
@@ -272,10 +290,14 @@ object Closure {
       childCol: String = "child",
       inclusive: Boolean = false,
       maxIter: Int = 30): DataFrame = {
-    val e = edges.select(col(parentCol).as("p"), col(childCol).as("c"))
+    val idT = commonIdType(Seq(
+      edges.schema(parentCol).dataType, edges.schema(childCol).dataType,
+      roots.schema.head.dataType))
+    val e = edges.select(
+        col(parentCol).cast(idT).as("p"), col(childCol).cast(idT).as("c"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = e.count()
-    val r = roots.select(col(roots.columns.head).as("id"))
+    val r = roots.select(col(roots.columns.head).cast(idT).as("id"))
 
     if (nEdges <= LocalWalkMaxEdges) {
       val collected = e.collect().map(row => (row.get(0), row.get(1)))
@@ -283,8 +305,7 @@ object Closure {
       val rootVals = r.distinct().collect().map(_.get(0))
       val pairs = (localDescendants(collected, rootVals) ++
         (if (inclusive) rootVals.map(v => (v, v)) else Nil)).distinct
-      return localResultDF(edges, pairs,
-        r.schema("id").dataType, e.schema("c").dataType, withRoot = false)
+      return localResultDF(edges, pairs, idT, idT, withRoot = false)
     }
 
     var acc = if (inclusive) r else r.limit(0)

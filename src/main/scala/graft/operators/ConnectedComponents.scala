@@ -29,7 +29,14 @@ object ConnectedComponents {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("component"))
+    // seed with nodes ∪ edge endpoints: an endpoint missing from `nodes`
+    // would otherwise never contribute its own id as a label candidate AND
+    // would enter a round with a null prev, silently ending the fixpoint
+    // one round early with wrong components
+    var labels = nodes.select(col("id"))
+      .unionByName(edges.select(col("u").as("id")))
+      .distinct()
+      .select(col("id"), col("id").as("component"))
       .localCheckpoint()
     var changed = 1L
     var i = 0

@@ -18,10 +18,12 @@ import graft.model.SerializedData
   * is encode∘decode == identity, so a broken dispatch flips a column the
   * oracle pins at true.
   *
-  * The float arm uses half-integers (`okey + 0.5`): exactly representable
-  * in binary, so Scala's shortest-repr `toString` and DuckDB's double
-  * rendering agree digit-for-digit — float formatting is the only arm
-  * where the two engines could diverge on valid output.
+  * The float arm uses half-integers (`okey % 10^6 + 0.5`): exactly
+  * representable in binary AND below the magnitude where Scala's
+  * shortest-repr `toString` switches to scientific notation (>= 10^7)
+  * while DuckDB stays plain decimal, so the two engines agree
+  * digit-for-digit at every scale factor — float formatting is the only
+  * arm where they could diverge on valid output.
   */
 object CodecOps {
 
@@ -38,7 +40,7 @@ object CodecOps {
           case 1 => payload.getBytes(StandardCharsets.UTF_8)
           case 2 => okey % 2 == 0
           case 3 => okey
-          case _ => okey.toDouble + 0.5
+          case _ => (okey % 1000000).toDouble + 0.5
         }
         val enc = SerializedData.encode(value)
         val roundtripOk = (enc.decode(), value) match {
@@ -61,7 +63,7 @@ object CodecOps {
       |  WHEN 1 THEN to_base64(encode(o_orderpriority || ' ' || o_orderstatus))
       |  WHEN 2 THEN CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'false' END
       |  WHEN 3 THEN CAST(o_orderkey AS VARCHAR)
-      |  ELSE CAST(o_orderkey + 0.5 AS VARCHAR) END AS content_encoded,
+      |  ELSE CAST((o_orderkey % 1000000) + 0.5 AS VARCHAR) END AS content_encoded,
       | true AS roundtrip_ok
       |FROM orders""".stripMargin
 

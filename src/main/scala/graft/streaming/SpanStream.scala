@@ -161,9 +161,13 @@ object SpanStream {
     // which is still 0 during the first batch and lags by the lateness —
     // anchoring there would evict first-batch traces almost immediately);
     // the watermark max keeps the timestamp legal for very late stragglers
-    // (Spark requires a timeout strictly beyond the current watermark)
-    state.setTimeoutTimestamp(
-      math.max(maxEventMs, state.getCurrentWatermarkMs()) + ttlMs)
+    // (Spark requires a timeout strictly beyond the current watermark).
+    // anchor == 0 means every event had a null/unparseable end_ts AND the
+    // watermark has not advanced — setting a 1970-anchored timeout would
+    // evict this ACTIVE trace the moment any other trace advances the
+    // watermark, so skip the timeout this round (reset on the next batch)
+    val anchor = math.max(maxEventMs, state.getCurrentWatermarkMs())
+    if (anchor > 0) state.setTimeoutTimestamp(anchor + ttlMs)
     Iterator.single(s)
   }
 }

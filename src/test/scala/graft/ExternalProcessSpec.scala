@@ -123,12 +123,16 @@ class ExternalProcessSpec extends AnyFunSuite {
         |print(x)
         |
         |# %%
-        |y = x + 1
+        |def f():
+        |    # %% indented: an ordinary comment, NOT a cell boundary
+        |    return x + 1
+        |y = f()
         |""".stripMargin)
     assert(cells.map(_.cellType) == Seq("markdown", "code", "code"))
     assert(cells.head.source == "# Title\nsome prose")
     assert(cells(1).source == "x = 1\nprint(x)")
-    assert(cells(2).source == "y = x + 1")
+    assert(cells(2).source ==
+      "def f():\n    # %% indented: an ordinary comment, NOT a cell boundary\n    return x + 1\ny = f()")
   }
 
   test("E8 ok notebook: cells executed in order, P injected, evaluated ipynb + html") {

@@ -42,6 +42,14 @@ class LlmSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, false)))
     assert(out(2L) == ((2L, true)))
     assert(out(4L) == ((4L, true)))
+    // an edge endpoint missing from the node set still participates (and
+    // can WIN as the min label) instead of silently corrupting the fixpoint
+    val stray = Seq((7L, 2L)).toDF("doc_a", "doc_b") // 7 is not a doc id
+    val out2 = graft.operators.ConnectedComponents
+      .minLabel(docs.select(col("doc_id").as("id")), stray).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2(7L) == 2L && out2(2L) == 2L)
+    assert(out2(0L) == 0L)
   }
 
   test("I2 ngram jaccard finds near-dups, not unrelated docs") {
@@ -363,6 +371,11 @@ class LlmSpec extends AnyFunSuite {
     val broken = png.take(8)
     assert(Multimodal.decodeMeta(broken, "image/png") ==
       Multimodal.StubCodecs.decodeMeta(broken))
+    // garbage AFTER a valid magic: JDK readers throw RuntimeExceptions on
+    // bogus header fields — must fall back to the stub, not escape
+    val junk = Array[Byte]('B', 'M') ++ Array.fill[Byte](64)(0x7f)
+    assert(Multimodal.decodeMeta(junk, "application/octet-stream") ==
+      Multimodal.StubCodecs.decodeMeta(junk))
     // and the distributed path picks up the real dimensions from the mime col
     val media = Seq((1L, "image/png", png), (2L, "image/jpeg", jpg))
       .toDF("media_id", "mime", "payload")

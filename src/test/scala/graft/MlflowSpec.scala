@@ -200,6 +200,16 @@ class MlflowSpec extends AnyFunSuite {
       val (retrReply, echoed) = transfer("RETR /00-aa-bb-01/model/weights.bin", None)
       assert(retrReply.startsWith("226") && echoed.toSeq == payload.toSeq)
 
+      // MLflow probes file-vs-directory with CWD: a stored FILE path must
+      // refuse (550) while its parent directory accepts — and NLST of the
+      // directory lists the file (the stock-client download sequence)
+      assert(cmd("CWD /00-aa-bb-01/model/weights.bin").startsWith("550"))
+      assert(cmd("CWD /00-aa-bb-01/model").startsWith("250"))
+      assert(cmd("CWD /unknown/dir").startsWith("550")) // not auto-vivified
+      val (nlstReply, listing) = transfer("NLST /00-aa-bb-01/model", None)
+      assert(nlstReply.startsWith("226") &&
+        new String(listing, StandardCharsets.UTF_8).trim == "weights.bin")
+
       // guards: traversal rejected, root-level upload rejected (needs the
       // <traceparent>/ prefix), like the reference's confined FTP home
       assert(cmd("CWD ../escape").startsWith("550"))
@@ -234,7 +244,7 @@ class MlflowSpec extends AnyFunSuite {
     val logged = scala.collection.mutable.ArrayBuffer.empty[String]
     val server = new graft.mlflow.MlflowFtpServer(
       (tp, name, _) => logged.synchronized { logged += s"$tp/$name" },
-      maxStoreBytes = 1000)
+      maxStoreBytes = 1000, maxUploadBytes = 900)
     try {
       val sock = new Socket("127.0.0.1", server.boundPort)
       sock.setSoTimeout(15000)
@@ -268,6 +278,11 @@ class MlflowSpec extends AnyFunSuite {
       assert(cmd("SIZE /tp/b.bin") == "213 800")
       // the durable sink saw BOTH uploads — eviction only trims read-back
       assert(logged.synchronized(logged.toList) == List("tp/a.bin", "tp/b.bin"))
+      // an upload past the per-upload cap is refused DURING the read (552)
+      // and reaches neither the store nor the durable sink
+      assert(stor("/tp/too-big.bin", 950).startsWith("552"))
+      assert(cmd("SIZE /tp/too-big.bin").startsWith("550"))
+      assert(logged.synchronized(logged.size) == 2)
       cmd("QUIT")
       sock.close()
     } finally server.stop()

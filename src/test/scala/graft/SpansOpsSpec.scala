@@ -186,6 +186,27 @@ class SpansOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("A7 closure aligns mixed root/edge id types on both paths") {
+    import spark.implicits._
+    // IntegerType roots against LongType edges: the driver-local walk keys
+    // a map on raw values (Integer vs Long would silently miss) and mixes
+    // root/child values in one result column — both paths must agree on
+    // the widened type
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("parent", "child")
+    val roots = Seq(1).toDF("id") // Int, not Long
+    for (threshold <- Seq(100000L, 0L)) {
+      val saved = graft.operators.Closure.LocalWalkMaxEdges
+      graft.operators.Closure.LocalWalkMaxEdges = threshold
+      try {
+        val out = graft.operators.Closure
+          .descendantsWithRoots(edges, roots)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(out == Set((1L, 1L), (1L, 2L), (1L, 3L)),
+          s"threshold=$threshold: $out")
+      } finally graft.operators.Closure.LocalWalkMaxEdges = saved
+    }
+  }
+
   test("A7/A8 local and distributed closure paths agree on the span forest") {
     def ids(d: org.apache.spark.sql.DataFrame) =
       d.select("context.span_id").collect().map(_.getString(0)).toSet
