@@ -1,0 +1,36 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / dataset-split operators for training-data
+  * pipelines (SURVEY Group I adjunct). Membership is a pure function of
+  * CONTENT (first 8 md5 hex digits as an integer), so the same document
+  * lands in the same split across engines, runs, repartitions, and
+  * cluster sizes — `rand()`/`row_number()` splits silently reshuffle
+  * membership whenever the data moves, which leaks val/test documents
+  * into training on any pipeline re-run. Pure codegen'd column
+  * expressions, shuffle-free.
+  */
+object Sampling {
+
+  /** Content-hash bucket in [0, nBuckets): `int(md5(c)[0:8], 16) % n`. */
+  def hashBucket(c: Column, nBuckets: Int = 100): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long") % nBuckets
+
+  /** Deterministic train/val/test label at the given percent cuts. */
+  def splitLabel(c: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split cuts: train=$trainPct val=$valPct")
+    val b = hashBucket(c)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Deterministic pct-sample: keep rows whose content bucket < pct. */
+  def deterministicSample(df: DataFrame, c: Column, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"bad sample pct: $pct")
+    df.filter(hashBucket(c) < pct)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** SURVEY §2 Group I — LLM-data-pipeline operators as oracle-checked
   * queries over `documents` / `embeddings`.
@@ -367,6 +367,68 @@ object LlmOps {
       |   (acc, x) -> (acc * 31 + x) % 2147483647) END AS fp
       |FROM documents""".stripMargin
 
+  /** The oracle's md5-bucket arithmetic: first 8 (lowercase) md5 hex
+    * digits folded digit-by-digit into a BIGINT, mod 100 — the exact value
+    * of Spark's `conv(substring(md5(c),1,8),16,10) % 100`. */
+  private def bucketSql(col: String): String =
+    s"""list_reduce(
+       | [CAST(CASE WHEN ascii(substr(md5($col), i, 1)) < 58
+       |   THEN ascii(substr(md5($col), i, 1)) - 48
+       |   ELSE ascii(substr(md5($col), i, 1)) - 87 END AS BIGINT)
+       |  for i in range(1, 9)],
+       | (acc, x) -> acc * 16 + x) % 100""".stripMargin
+
+  private def splitSql(col: String): String =
+    s"""CASE WHEN ${bucketSql(col)} < 80 THEN 'train'
+       | WHEN ${bucketSql(col)} < 90 THEN 'val'
+       | ELSE 'test' END""".stripMargin
+
+  /** I6a — deterministic content-hash dataset split: membership is a pure
+    * function of the text, so the same document lands in the same split
+    * across engines, runs, and repartitions (a rand()/row_number() split
+    * leaks val/test into training on any re-run). */
+  def datasetSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      Sampling.hashBucket(col("text")).as("bucket"),
+      Sampling.splitLabel(col("text")).as("split"))
+
+  private val datasetSplitSql =
+    s"""SELECT doc_id, ${bucketSql("text")} AS bucket,
+       | ${splitSql("text")} AS split
+       |FROM documents""".stripMargin
+
+  /** I6b — END-TO-END corpus curation, the composed pipeline a
+    * training-data user actually runs: language filter → quality floor →
+    * exact dedup (min-id representative) → deterministic split. Every
+    * stage is an already-oracle-checked operator; this row pins their
+    * COMPOSITION (filter-before-dedup ordering, representative selection
+    * interacting with the quality filter, split stability). */
+  def corpusCuration(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d).select(
+      col("doc_id"), col("text"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val kept = scored.filter(col("lang") === "en" && col("quality") >= 0.5)
+    Dedup.exactDedup(kept, "doc_id", "text")
+      .select(col("doc_id"), col("quality"),
+        Sampling.splitLabel(col("text")).as("split"))
+  }
+
+  private val corpusCurationSql =
+    s"""WITH lang AS ($langIdSql), q AS ($qualityScoreSql),
+       |joined AS (
+       | SELECT d.doc_id, d.text, q.quality FROM documents d
+       | JOIN lang ON lang.doc_id = d.doc_id
+       | JOIN q ON q.doc_id = d.doc_id
+       | WHERE lang.pred_lang = 'en' AND q.quality >= 0.5),
+       |dedup AS (
+       | SELECT doc_id, text, quality,
+       |  ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       | FROM joined)
+       |SELECT doc_id, quality, ${splitSql("text")} AS split
+       |FROM dedup WHERE rn = 1""".stripMargin
+
   /** I4 — multimodal metadata extraction over binary payload columns (the
     * deterministic stub codec; plumbing is the point — see
     * graft.llm.Multimodal). */
@@ -413,7 +475,9 @@ object LlmOps {
     "i5_quality_score" -> qualityScore _,
     "i5_token_counts" -> tokenCounts _,
     "i5_fingerprints" -> fingerprints _,
-    "i4_multimodal_meta" -> multimodalMeta _
+    "i4_multimodal_meta" -> multimodalMeta _,
+    "i6_dataset_split" -> datasetSplit _,
+    "i6_corpus_curation" -> corpusCuration _
   )
 
   val oracles: Map[String, String] = Map(
@@ -430,6 +494,8 @@ object LlmOps {
     "i5_quality_score" -> qualityScoreSql,
     "i5_token_counts" -> tokenCountsSql,
     "i5_fingerprints" -> fingerprintsSql,
-    "i4_multimodal_meta" -> multimodalMetaSql
+    "i4_multimodal_meta" -> multimodalMetaSql,
+    "i6_dataset_split" -> datasetSplitSql,
+    "i6_corpus_curation" -> corpusCurationSql
   )
 }

@@ -52,6 +52,25 @@ class LlmSpec extends AnyFunSuite {
     assert(out2(0L) == 0L)
   }
 
+  test("I6 deterministic split: content-hash buckets, stable labels, sample") {
+    import graft.llm.Sampling
+    // known value: int(md5("hello")[0:8], 16) % 100 == 54
+    val one = Seq(Tuple1("hello")).toDF("t")
+    assert(one.select(Sampling.hashBucket(col("t"))).head().getLong(0) == 54L)
+    // labels cover the cuts and are a pure function of content: same text,
+    // different id ⇒ same split (docs 0 and 3 are exact dups)
+    val split = docs.select(col("doc_id"),
+      Sampling.splitLabel(col("text")).as("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split(0L) == split(3L))
+    assert(split.values.forall(Set("train", "val", "test")))
+    // deterministic sample is a strict subset selected by bucket
+    val kept = Sampling.deterministicSample(docs, col("text"), 50).count()
+    assert(kept <= docs.count())
+    assert(Sampling.deterministicSample(docs, col("text"), 100).count() == docs.count())
+    assert(Sampling.deterministicSample(docs, col("text"), 0).count() == 0)
+  }
+
   test("I2 ngram jaccard finds near-dups, not unrelated docs") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
