@@ -34,9 +34,17 @@ object TextAnalysis {
         .cast("double") / length(text).cast("double"))
       .otherwise(lit(0.0))
 
-  /** Per-language stopword hit count: occurrences of any of the language's
-    * marker words, counted via the length delta of removing them. */
-  def stopwordHits(text: Column, stopwords: Seq[String]): Column = {
+  /** Per-language stopword hit count — single-pass token-set kernel
+    * ([[graft.functions.StopwordCountExpr]]): O(len) vs the regex
+    * alternation's O(len × words) backtracking, semantically identical
+    * for single-word stopwords (a `\bw\b` match IS a whole word-char
+    * token equal to `w`). */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    graft.functions.TextExprs.stopwordCount(text, stopwords)
+
+  /** The regex formulation `stopwordHits` replaced — kept (test-only) as
+    * the parity reference and as documentation of the oracle SQL's shape. */
+  private[graft] def regexStopwordHits(text: Column, stopwords: Seq[String]): Column = {
     val pattern = stopwords.map(w => s"\\b$w\\b").mkString("|")
     size(regexp_extract_all(lower(text), lit(pattern), lit(0)))
   }
@@ -51,10 +59,18 @@ object TextAnalysis {
   /** Heuristic language ID: the language with the most stopword hits;
     * `und` (undetermined) when no list scores above zero. Ties break to the
     * alphabetically-first language code (chained CASE priority), mirrored
-    * exactly by the CASE WHEN in the oracle SQL. */
-  def langId(text: Column): Column = {
+    * exactly by the CASE WHEN in the oracle SQL. One single-pass kernel
+    * ([[graft.functions.LangIdExpr]]) — the column-CASE formulation
+    * re-evaluated every language's full regex set per CASE branch
+    * (conditionals disable common-subexpression elimination). */
+  def langId(text: Column): Column =
+    graft.functions.TextExprs.langId(text, stopwordTable.toSeq.sortBy(_._1))
+
+  /** The column-CASE formulation `langId` replaced — kept (test-only) as
+    * the parity reference for [[graft.functions.LangIdExpr]]. */
+  private[graft] def langIdRegex(text: Column): Column = {
     val langs = stopwordTable.toSeq.sortBy(_._1)
-    val hits = langs.map { case (code, ws) => code -> stopwordHits(text, ws) }
+    val hits = langs.map { case (code, ws) => code -> regexStopwordHits(text, ws) }
     val anyHit = hits.map(_._2).reduce(_ + _) > 0
     // chained first-match: lang i wins when its hits are >= every later
     // lang's hits — equivalent to argmax with alphabetical tie-break

@@ -52,6 +52,42 @@ class LlmSpec extends AnyFunSuite {
     assert(out2(0L) == 0L)
   }
 
+  test("I5 single-pass stopword kernel matches the regex semantics exactly") {
+    // boundary-heavy adversarial strings: tokens glued to word chars must
+    // NOT match (\b semantics), case folds, punctuation splits, unicode
+    // neighbors are non-word chars, duplicates in the word list count once
+    val tricky = Seq(
+      "the quick the lazy the", "xthe the_ the- _the 9the the9",
+      "THE tHe the.the,the!the", "", "   ", "thé the é_the",
+      "le la les de el que, der und", "nothing matching here at all",
+      "the", "the the the the the the the the the the the the")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val en = TextAnalysis.stopwordTable("en")
+    val all = TextAnalysis.stopwordTable.values.flatten.toSeq // has duplicates
+    val rows = tricky.select(
+      TextAnalysis.stopwordHits(col("t"), en).as("fast_en"),
+      TextAnalysis.regexStopwordHits(col("t"), en).as("re_en"),
+      TextAnalysis.stopwordHits(col("t"), all).as("fast_all"),
+      TextAnalysis.regexStopwordHits(col("t"), all).as("re_all"),
+      TextAnalysis.langId(col("t")).as("fast_lang"),
+      TextAnalysis.langIdRegex(col("t")).as("re_lang")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), s"en hits diverge: $r")
+      assert(r.getInt(2) == r.getInt(3), s"all hits diverge: $r")
+      assert(r.getString(4) == r.getString(5), s"langId diverges: $r")
+    }
+    // and over the real fixture docs
+    val docRows = docs.select(
+      TextAnalysis.stopwordHits(col("text"), all).as("f"),
+      TextAnalysis.regexStopwordHits(col("text"), all).as("r"),
+      TextAnalysis.langId(col("text")).as("fl"),
+      TextAnalysis.langIdRegex(col("text")).as("rl")).collect()
+    docRows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1) && r.getString(2) == r.getString(3))
+    }
+  }
+
   test("I6 deterministic split: content-hash buckets, stable labels, sample") {
     import graft.llm.Sampling
     // known value: int(md5("hello")[0:8], 16) % 100 == 54
