@@ -56,11 +56,12 @@ class LlmSpec extends AnyFunSuite {
     // boundary-heavy adversarial strings: tokens glued to word chars must
     // NOT match (\b semantics), case folds, punctuation splits, unicode
     // neighbors are non-word chars, duplicates in the word list count once
-    val tricky = Seq(
+    val tricky = (Seq(
       "the quick the lazy the", "xthe the_ the- _the 9the the9",
       "THE tHe the.the,the!the", "", "   ", "thé the é_the",
       "le la les de el que, der und", "nothing matching here at all",
       "the", "the the the the the the the the the the the the")
+      :+ (null: String)) // null text: hits stay null; langId must yield 'und'
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "t")
     val en = TextAnalysis.stopwordTable("en")
@@ -73,9 +74,15 @@ class LlmSpec extends AnyFunSuite {
       TextAnalysis.langId(col("t")).as("fast_lang"),
       TextAnalysis.langIdRegex(col("t")).as("re_lang")).collect()
     rows.foreach { r =>
-      assert(r.getInt(0) == r.getInt(1), s"en hits diverge: $r")
-      assert(r.getInt(2) == r.getInt(3), s"all hits diverge: $r")
+      assert(r.isNullAt(0) == r.isNullAt(1) &&
+        (r.isNullAt(0) || r.getInt(0) == r.getInt(1)), s"en hits diverge: $r")
+      assert(r.isNullAt(2) == r.isNullAt(3) &&
+        (r.isNullAt(2) || r.getInt(2) == r.getInt(3)), s"all hits diverge: $r")
       assert(r.getString(4) == r.getString(5), s"langId diverges: $r")
+    }
+    // a word list the kernel cannot honor is an error, not a silent zero
+    intercept[IllegalArgumentException] {
+      docs.select(TextAnalysis.stopwordHits(col("text"), Seq("don't"))).collect()
     }
     // and over the real fixture docs
     val docRows = docs.select(

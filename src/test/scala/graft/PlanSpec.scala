@@ -65,6 +65,27 @@ class PlanSpec extends AnyFunSuite {
     assert(scans <= 3, s"roots branch (null parent) should be pruned: $plan")
   }
 
+  test("text kernels stay inside whole-stage codegen (i5/i6 curation scan)") {
+    val docs = graft.queries.Tables.documents(spark, sf)
+    val scored = docs.select(
+      graft.llm.TextAnalysis.langId(col("text")).as("lang"),
+      graft.llm.TextAnalysis.stopwordHits(col("text"),
+        graft.llm.TextAnalysis.stopwordTable("en")).as("hits"),
+      graft.llm.TextAnalysis.qualityScore(col("text")).as("q"))
+    // fallback off: if the generated Java for the kernels does not
+    // compile, this throws instead of silently degrading to interpreted
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val plan = executedPlan(scored)
+      // the projection computing the kernels carries the codegen star —
+      // with CodegenFallback expressions it would print an unstarred Project
+      assert(plan.split("\n").exists(l =>
+        l.contains("Project") && l.trim.startsWith("*")), plan)
+      assert(scored.filter(col("lang") =!= "und").count() > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("bucketed tables join without a shuffle") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-buckets")
     val li = graft.queries.Tables.lineitem(spark, sf)
