@@ -39,7 +39,13 @@ object Bench {
     // cache pressure, and the per-query median de-noises independently.
     // Seq (not Map) so both execution order AND emitted JSON key order stay
     // alphabetical — stable run-to-run diffs.
+    // Optional comma-separated substring filter (profiling aid): bench only
+    // the matching queries. Warmup above still runs the full suite so the
+    // filtered run sees the same compiled-code state as a full run.
+    val filter = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(_.exists(n.contains)) }
     val passes = (1 to 3).map { _ =>
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
