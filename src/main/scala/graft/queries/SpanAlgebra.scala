@@ -551,6 +551,90 @@ object SpanAlgebra {
       |  AS n_clean_values,
       | true AS dup_rejected, true AS msg_exact""".stripMargin
 
+  /** One-code-cell notebook with `src` as its source — the fixture payload
+    * behind the B5 ipynb artifacts. */
+  private def ipynbFor(src: String): String =
+    s"""{"cells": [{"cell_type": "code", "source": "$src", "outputs": []}], "nbformat": 4}"""
+
+  // The prefix/suffix around the source in the raw ipynb, in its
+  // AttrCodec-quoted attribute form, and in the rendered html — computed by
+  // RUNNING the template/quoter/renderer on a marker, so the length
+  // constants the oracle SQL embeds can never drift from the Scala
+  // implementations they mirror. The marker and the order priorities the
+  // source slot carries contain no JSON- or HTML-escapable characters, so
+  // quote/render distribute over the concatenation.
+  private val B5Marker = "@@P@@"
+  private def splitOnMarker(s: String): (String, String) = {
+    val Array(pre, suf) =
+      s.split(java.util.regex.Pattern.quote(B5Marker), -1)
+    (pre, suf)
+  }
+  private val (ipynbPre, ipynbSuf) = splitOnMarker(ipynbFor(B5Marker))
+  private val IpynbQuotedPre = graft.model.Json.quote(ipynbPre).dropRight(1)
+  private val IpynbQuotedSuf = graft.model.Json.quote(ipynbSuf).drop(1)
+  private val (htmlPre, htmlSuf) = splitOnMarker(
+    graft.parser.Notebooks.convertIpynbToHtml(ipynbFor(B5Marker)))
+
+  /** B5 — artifact extraction + the ipynb→html derivation flatMap
+    * (reference `opentelemetry_task_span_parser.py:147-167`): every
+    * OK-status `artefact` span under a task yields one metadata row
+    * (name/type/length — `ArtifactContent.metadata_as_dict`), and a
+    * `notebook.ipynb` artifact yields a SECOND derived `notebook.html` row
+    * whose content is the rendered notebook. The derived collection's
+    * artefact leaves are specialized in-query: odd artefact orders carry a
+    * one-cell ipynb whose source is the order's priority (so the oracle can
+    * recompute the rendered length from the lockstep constants above), and
+    * one in four even ones is re-statused ERROR to pin the OK filter.
+    * Runs the REAL parse — the rows come out of
+    * `TaskRunSummary.loggedArtifacts`, not a shortcut projection. */
+  def artifactRows(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val raw = with0x(spansFromOrders(s, d, Some(col("o_custkey") % 20 === 1)))
+    val isArt = col("name") === "artefact"
+    // every derived span id is "0x<letter><digits>", so this parse is total
+    val k = substring(col("context.span_id"), 4, 18).cast("long")
+    val priority = get_json_object(col("attributes")("content_encoded"), "$")
+    val ipynbAttrs = map(
+      lit("name"), lit("\"notebook.ipynb\""),
+      lit("type"), lit("\"utf-8\""),
+      lit("encoding"), lit("\"utf-8\""),
+      lit("content_encoded"),
+      concat(lit(IpynbQuotedPre), priority, lit(IpynbQuotedSuf)))
+    val errStatus = struct(lit("ERROR").as("status_code"),
+      lit(null).cast("string").as("description"))
+    val spans = raw
+      .withColumn("attributes",
+        when(isArt && k % 6 === 1, ipynbAttrs).otherwise(col("attributes")))
+      .withColumn("status",
+        when(isArt && k % 12 === 4, errStatus).otherwise(col("status")))
+      .coalesce(8).localCheckpoint() // see workflowTiming's note
+    val summary = SpanParser.parseSpans(spans)
+    summary.taskRuns.flatMap(tr => tr.loggedArtifacts.map(a =>
+      (tr.taskId, a.name, a.tpe, a.content.asInstanceOf[String].length.toLong)))
+      .toDF("task_id", "artifact_name", "artifact_type", "content_length")
+  }
+
+  private val artifactRowsSql = {
+    val ipynbConst = ipynbPre.length + ipynbSuf.length
+    val htmlConst = htmlPre.length + htmlSuf.length
+    s"""WITH art AS (
+      | SELECT o_orderkey AS k, o_orderpriority AS p FROM orders
+      | WHERE o_custkey % 20 = 1 AND o_orderkey % 3 = 1)
+      |SELECT 'ord-' || CAST(k AS VARCHAR) AS task_id,
+      | 'notebook.ipynb' AS artifact_name, 'utf-8' AS artifact_type,
+      | CAST($ipynbConst + LENGTH(p) AS BIGINT) AS content_length
+      |FROM art WHERE k % 6 = 1
+      |UNION ALL
+      |SELECT 'ord-' || CAST(k AS VARCHAR), 'notebook.html', 'utf-8',
+      | CAST($htmlConst + LENGTH(p) AS BIGINT)
+      |FROM art WHERE k % 6 = 1
+      |UNION ALL
+      |SELECT 'ord-' || CAST(k AS VARCHAR), 'm' || CAST(k AS VARCHAR), 'utf-8',
+      | CAST(LENGTH(p) AS BIGINT)
+      |FROM art WHERE k % 12 = 10""".stripMargin
+  }
+
   def graphEquality(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
@@ -579,6 +663,7 @@ object SpanAlgebra {
     "a8_path_containment" -> pathContainment _,
     "b3_task_runs" -> taskRuns _,
     "b4_workflow_timing" -> workflowTiming _,
+    "b5_artifact_rows" -> artifactRows _,
     "b6_dup_reject" -> dupReject _,
     "a4_attr_union_conflicts" -> attrUnionConflicts _,
     "a5_exception_harvest" -> exceptionHarvest _,
@@ -594,6 +679,7 @@ object SpanAlgebra {
     "a8_path_containment" -> pathContainmentSql,
     "b3_task_runs" -> taskRunsSql,
     "b4_workflow_timing" -> workflowTimingSql,
+    "b5_artifact_rows" -> artifactRowsSql,
     "b6_dup_reject" -> dupRejectSql,
     "a4_attr_union_conflicts" -> attrUnionConflictsSql,
     "a5_exception_harvest" -> exceptionHarvestSql,
