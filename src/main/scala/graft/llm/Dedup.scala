@@ -21,18 +21,35 @@ object Dedup {
 
   /** End-to-end fuzzy dedup: near-dup PAIRS → connected components →
     * min-id representative per component. Pair generation alone is not a
-    * dedup decision — transitive chains a~b~c must collapse into one keep
-    * set, which is the components step
-    * ([[graft.operators.ConnectedComponents.minLabel]]). Returns every
-    * input id with its component (= the kept representative's id) and an
+    * dedup decision — transitive chains a~b~c must collapse into ONE keep
+    * set, which is the components step. Returns every input id with its
+    * component (= the kept representative's id) and an
     * `is_representative` flag; filtering on the flag IS the deduped
-    * corpus. */
+    * corpus.
+    *
+    * `algorithm`: `"min-label"` (default,
+    * [[graft.operators.ConnectedComponents.minLabel]] — O(diameter)
+    * rounds, cheapest on the near-clique clusters near-dup graphs form) or
+    * `"star-contraction"`
+    * ([[graft.operators.ConnectedComponents.starContraction]] — O(log n)
+    * rounds on any shape, the choice when chains/filaments are possible).
+    * Both produce identical labels (property-tested). */
   def fuzzyDedupComponents(
-      df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
-    graft.operators.ConnectedComponents
-      .minLabel(df.select(col(idCol).as("id")), pairs)
-      .select(col("id").as(idCol), col("component"),
-        (col("id") === col("component")).as("is_representative"))
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      algorithm: String = "min-label"): DataFrame = {
+    val nodes = df.select(col(idCol).as("id"))
+    val labeled = algorithm match {
+      case "min-label" =>
+        graft.operators.ConnectedComponents.minLabel(nodes, pairs)
+      case "star-contraction" =>
+        graft.operators.ConnectedComponents.starContraction(nodes, pairs)
+      case other => throw new IllegalArgumentException(
+        s"unknown components algorithm '$other' " +
+          "(expected min-label or star-contraction)")
+    }
+    labeled.select(col("id").as(idCol), col("component"),
+      (col("id") === col("component")).as("is_representative"))
+  }
 
   /** Drop exact duplicates, keeping the minimum-id row per content hash. */
   def exactDedup(df: DataFrame, idCol: String, contentCol: String): DataFrame = {

@@ -59,8 +59,82 @@ object ConnectedComponents {
     if (changed > 0)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters iterations " +
-          "(component diameter exceeds the cap — raise maxIters or use a " +
-          "star-contraction variant)")
+          "(component diameter exceeds the cap — raise maxIters or use " +
+          "starContraction)")
     labels
+  }
+
+  /** Labels every node with its component minimum via alternating
+    * large-star / small-star contraction (the public two-phase MapReduce
+    * formulation: Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC '14): O(log n) rounds on ANY graph shape — the upgrade
+    * path over [[minLabel]] for long-chain graphs, where min-label
+    * propagation needs O(diameter) rounds. Same contract as [[minLabel]]:
+    * seeds with nodes ∪ edge endpoints, returns (id, component).
+    *
+    * Large-star connects every neighbor larger than `u` to the minimum of
+    * u's closed neighborhood; small-star connects the smaller neighbors
+    * (and `u`) to that minimum. Both phases compute the per-neighborhood
+    * minimum with a WINDOW over the grouping key — no `collect_set`, so a
+    * high-degree hub never materializes its neighbor list in one row — and
+    * both preserve the canonical big→small edge orientation, so
+    * `distinct()` keeps the edge set bounded by its original size every
+    * round. Convergence = the canonical edge set reaches a fixpoint
+    * (checked exactly with one count over the union — edges at a fixpoint
+    * are precisely the star set {(member, component-min)}).
+    */
+  def starContraction(nodes: DataFrame, pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("u")
+
+    // (v, m(u)) for every neighbor v > u, where m(u) = min(Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      sym.withColumn("m", least(col("u"), min(col("v")).over(w)))
+        .filter(col("v") > col("u")) // m ≤ u < v, so no self-loops possible
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // input is big→small oriented, so Γ(u) here is exactly the smaller
+    // neighbors: emit (v, m) for v ∈ Γ(u) \ {m}, plus (u, m)
+    def smallStar(e: DataFrame): DataFrame = {
+      val withMin = e.withColumn("m", min(col("v")).over(w))
+      withMin.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(withMin.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    var edges = pairs
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint() // same lineage-truncation rationale as minLabel
+    var changed = if (edges.isEmpty) 0L else Long.MaxValue
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // exact symmetric difference of two DISTINCT sets: every (u,v) key
+      // appears once or twice in the union; twice ⇔ in both rounds
+      changed = next.unionAll(edges).groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("n")).filter(col("n") =!= 2).count()
+      edges = next
+      i += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"star contraction did not converge in $maxIters rounds — " +
+          "with O(log n) convergence this indicates a pathological or " +
+          "adversarial edge set; raise maxIters")
+    val ids = nodes.select(col("id"))
+      .unionByName(pairs.select(col("doc_a").as("id")))
+      .unionByName(pairs.select(col("doc_b").as("id")))
+      .distinct()
+    // at the fixpoint every non-minimum node carries exactly one star edge
+    ids.join(edges.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
   }
 }

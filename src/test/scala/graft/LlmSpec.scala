@@ -52,6 +52,45 @@ class LlmSpec extends AnyFunSuite {
     assert(out2(0L) == 0L)
   }
 
+  test("I2 star contraction equals min-label on random graphs (property)") {
+    import graft.operators.ConnectedComponents
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 8) {
+      val n = 5 + rnd.nextInt(60)
+      val nEdges = rnd.nextInt(2 * n)
+      val ids = (0L until n.toLong)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val nodes = ids.toDF("id")
+      val pairs = (if (edges.isEmpty) Seq((0L, 0L)) else edges)
+        .toDF("doc_a", "doc_b")
+      val a = ConnectedComponents.minLabel(nodes, pairs, maxIters = 100)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = ConnectedComponents.starContraction(nodes, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a == b, s"trial $trial (n=$n, edges=$edges)")
+    }
+  }
+
+  test("I2 star contraction handles a long chain in O(log n) rounds") {
+    import graft.operators.ConnectedComponents
+    // path graph 0-1-...-199: diameter 199, so min-label's default
+    // 25-round cap trips (that failure mode is WHY starContraction exists)
+    val nodes = (0L until 200L).toDF("id")
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.minLabel(nodes, pairs)
+    }
+    assert(ex.getMessage.contains("starContraction"))
+    val labels = ConnectedComponents.starContraction(nodes, pairs).collect()
+    assert(labels.length == 200 && labels.forall(_.getLong(1) == 0L))
+    // and through the dedup API: one representative for the whole chain
+    val dd = graft.llm.Dedup.fuzzyDedupComponents(
+      nodes.withColumnRenamed("id", "doc_id"), "doc_id", pairs,
+      algorithm = "star-contraction")
+    assert(dd.filter(col("is_representative")).count() == 1)
+  }
+
   test("I5 single-pass stopword kernel matches the regex semantics exactly") {
     // boundary-heavy adversarial strings: tokens glued to word chars must
     // NOT match (\b semantics), case folds, punctuation splits, unicode
