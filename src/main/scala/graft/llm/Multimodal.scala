@@ -8,13 +8,14 @@ import org.apache.spark.sql.types._
   * opaque `BINARY` payloads + typed metadata structs — the direct
   * generalization of the reference's bytes/base64 artifact codec (C1).
   *
-  * Image metadata decode is REAL (JDK `javax.imageio`: PNG/JPEG/GIF/BMP
-  * header reads, see [[Multimodal.ImageCodec]]). Audio/video decode and
-  * feature extraction remain STUBBED — no such codec exists in the JDK or
-  * this offline container. Every stub is deterministic (derived from
-  * payload bytes) so the Spark-side plumbing — schema, per-partition batch
-  * iteration, partitioning, feature shapes — is real and testable; swap
-  * `StubCodecs` for a real codec binding in production.
+  * Image metadata decode AND image resize are REAL (JDK `javax.imageio` +
+  * `java.awt.image`: PNG/JPEG/GIF/BMP, see [[Multimodal.ImageCodec]]).
+  * Audio/video decode, frame sampling, and feature extraction remain
+  * STUBBED — no such codec exists in the JDK or this offline container.
+  * Every stub is deterministic (derived from payload bytes) so the
+  * Spark-side plumbing — schema, per-partition batch iteration,
+  * partitioning, feature shapes — is real and testable; swap `StubCodecs`
+  * for a real codec binding in production.
   */
 object Multimodal {
 
@@ -76,6 +77,49 @@ object Multimodal {
         // on garbage fields, not just IOException — one bad payload in a
         // 100 TB corpus must fall back to the stub, not kill the job
         case scala.util.control.NonFatal(_) => None
+      } finally in.close()
+    }
+
+    /** REAL pixel-domain downscale (JDK-only: `java.awt.image`): full
+      * decode → integer-factor bilinear resample → re-encode in the SOURCE
+      * format. Returns None when no installed reader/writer handles the
+      * payload (caller falls back to the stub). Unlike [[decodeMeta]] this
+      * decodes the whole raster — it is the transform body, not a header
+      * peek. Headless-safe: `BufferedImage`/`Graphics2D` never touch a
+      * display. */
+    def resize(payload: Array[Byte], factor: Int): Option[Array[Byte]] = {
+      import java.awt.image.BufferedImage
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      if (in == null) return None
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) return None
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          val fmt = r.getFormatName.toLowerCase(java.util.Locale.ROOT)
+          val img = r.read(0)
+          val w = math.max(1, img.getWidth / factor)
+          val h = math.max(1, img.getHeight / factor)
+          // jpeg/bmp writers reject alpha rasters; everything else keeps it
+          val outType =
+            if (fmt == "jpeg" || fmt == "jpg" || fmt == "bmp")
+              BufferedImage.TYPE_INT_RGB
+            else BufferedImage.TYPE_INT_ARGB
+          val scaled = new BufferedImage(w, h, outType)
+          val g = scaled.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          if (javax.imageio.ImageIO.write(scaled, fmt, bos)) Some(bos.toByteArray)
+          else None
+        } finally r.dispose()
+      } catch {
+        case scala.util.control.NonFatal(_) => None // same rationale as decodeMeta
       } finally in.close()
     }
   }
@@ -145,20 +189,30 @@ object Multimodal {
       lit("application/octet-stream").as("mime"),
       encode(col("text"), "UTF-8").as("payload"))
 
-  /** I4c — payload resize (downscale stand-in): same per-partition batch
-    * shape as [[extractFeatures]]; output keeps the original columns with
-    * the payload replaced and the resize factor recorded. */
+  /** I4c — payload resize: REAL pixel-domain downscale for payloads the
+    * JDK can decode (PNG/JPEG/GIF/BMP via [[ImageCodec.resize]]),
+    * deterministic byte-subsample stub for everything else (audio/video
+    * codecs don't exist offline). Same per-partition batch shape as
+    * [[extractFeatures]]; output keeps the original columns with the
+    * payload replaced and the resize factor recorded. */
   def resizePayloads(media: DataFrame, factor: Int): DataFrame = {
     require(factor >= 1, s"resize factor must be >= 1: $factor")
     val spark = media.sparkSession
     val payloadIdx = media.schema.fieldIndex("payload")
+    val mimeIdx = media.schema.fieldNames.indexOf("mime")
     val outSchema = StructType(
       media.schema.fields.patch(payloadIdx,
         Seq(StructField("payload", BinaryType, nullable = false)), 1) :+
         StructField("resize_factor", IntegerType, nullable = false))
     val rdd = media.rdd.mapPartitions { rows =>
       rows.map { r =>
-        val resized = StubCodecs.resize(r.getAs[Array[Byte]](payloadIdx), factor)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val mime = if (mimeIdx >= 0) r.getString(mimeIdx) else null
+        val isImage = (mime != null && mime.startsWith("image/")) ||
+          ImageCodec.looksLikeImage(payload)
+        val resized =
+          (if (isImage) ImageCodec.resize(payload, factor) else None)
+            .getOrElse(StubCodecs.resize(payload, factor))
         Row.fromSeq(r.toSeq.updated(payloadIdx, resized) :+ factor)
       }
     }

@@ -486,6 +486,46 @@ class LlmSpec extends AnyFunSuite {
     assert(out(1L) == ((7, 5)) && out(2L) == ((11, 3)))
   }
 
+  test("I4 real PNG/BMP resize via java.awt.image, stub for non-images") {
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      (0 until w).foreach(x => (0 until h).foreach { y =>
+        img.setRGB(x, y, (x * 37 + y * 101) & 0xffffff) // non-constant raster
+      })
+      g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, baos))
+      baos.toByteArray
+    }
+    val png = imageBytes("png", 64, 48)
+    val bmp = imageBytes("bmp", 20, 12)
+    val text = "plain text payload that is not an image at all".getBytes("UTF-8")
+    val media = Seq(
+      (1L, "image/png", png), (2L, "image/bmp", bmp),
+      (3L, "application/octet-stream", text))
+      .toDF("media_id", "mime", "payload")
+    val out = Multimodal.resizePayloads(media, factor = 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    // real round-trip: the output payload is a decodable image of the
+    // downscaled geometry, in the SOURCE format
+    def dims(b: Array[Byte]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      (img.getWidth, img.getHeight)
+    }
+    assert(dims(out(1L)) == ((16, 12)))
+    assert(out(1L).startsWith(Array[Byte](0x89.toByte, 'P', 'N', 'G')))
+    assert(dims(out(2L)) == ((5, 3)))
+    assert(out(2L)(0) == 'B' && out(2L)(1) == 'M')
+    // non-image payloads keep the deterministic stub subsample
+    assert(out(3L).sameElements(Multimodal.StubCodecs.resize(text, 4)))
+    // a 1-pixel floor instead of a zero-dimension crash on tiny images
+    val tiny = imageBytes("png", 2, 2)
+    val t = Multimodal.ImageCodec.resize(tiny, 16)
+    assert(t.isDefined && dims(t.get) == ((1, 1)))
+  }
+
   test("I3 brute-force broadcast refuses an over-budget corpus") {
     val conf = Similarity.MaxBroadcastRowsConf
     spark.conf.set(conf, "2")
