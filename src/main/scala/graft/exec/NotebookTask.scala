@@ -27,16 +27,26 @@ object Jupytext {
     def trimmed(v: Vector[String]): Vector[String] =
       v.dropWhile(_.trim.isEmpty).reverse.dropWhile(_.trim.isEmpty).reverse
 
+    // drop ONLY the jupytext YAML header (the opening `# ---` through the
+    // closing `# ---`); jupytext keeps any post-header pre-marker content
+    // as an implicit first cell, so discarding the whole block would eat
+    // real code. An unterminated header is all metadata.
+    def dropHeader(v: Vector[String]): Vector[String] = {
+      val t = trimmed(v)
+      if (t.isEmpty || !t.head.trim.startsWith("# ---")) t
+      else {
+        val closing = t.indexWhere(_.trim.startsWith("# ---"), 1)
+        if (closing < 0) Vector.empty else trimmed(t.drop(closing + 1))
+      }
+    }
+
     if (markerIdxs.isEmpty) {
-      val body = trimmed(lines)
+      val body = dropHeader(lines)
       return if (body.isEmpty) Seq.empty
       else Seq(Cell("code", body.mkString("\n")))
     }
-    // content before the first marker: jupytext YAML header (`# ---` ...)
-    // is dropped; any real code is kept as a leading cell
-    val head = trimmed(lines.take(markerIdxs.head))
-    if (head.nonEmpty && !head.head.trim.startsWith("# ---"))
-      cells += Cell("code", head.mkString("\n"))
+    val head = dropHeader(lines.take(markerIdxs.head))
+    if (head.nonEmpty) cells += Cell("code", head.mkString("\n"))
 
     markerIdxs.zipAll(markerIdxs.drop(1), -1, lines.length).foreach {
       case (start, end) =>

@@ -491,7 +491,12 @@ object Notebooks {
       case Some(s: String) => s
       case _ => "code"
     }
-    val src = s"""<pre class="input">${escapeHtml(textOf(cell.get("source")))}</pre>"""
+    // markdown cells render AS markup (headers/emphasis/code spans — what
+    // the reference's nbconvert output carries and its tests assert on,
+    // `notebooks_helpers.py:126-155`); code cells keep the literal <pre>
+    val src =
+      if (tpe == "markdown") renderMarkdown(textOf(cell.get("source")))
+      else s"""<pre class="input">${escapeHtml(textOf(cell.get("source")))}</pre>"""
     val outs = cell.get("outputs") match {
       case Some(os: Vector[_]) => os.collect {
         case o: ListMap[_, _] =>
@@ -532,4 +537,31 @@ object Notebooks {
 
   private def escapeHtml(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Minimal markdown → HTML for notebook markdown cells: ATX headers,
+    * `**bold**`, `*italic*`, and `` `code` `` spans — the constructs the
+    * reference's own notebook fixtures use. Escapes FIRST, then wraps, so
+    * payload text can never inject markup; replacement text is
+    * regex-quoted so `$`/`\` in the content survive. */
+  private[graft] def renderMarkdown(md: String): String = {
+    import scala.util.matching.Regex
+    def wrap(t: String, re: Regex, tag: String): String =
+      re.replaceAllIn(t, m =>
+        Regex.quoteReplacement(s"<$tag>${m.group(1)}</$tag>"))
+    def inline(s: String): String = {
+      var t = escapeHtml(s)
+      t = wrap(t, "`([^`]+)`".r, "code")
+      t = wrap(t, "\\*\\*([^*]+)\\*\\*".r, "strong")
+      t = wrap(t, "\\*([^*]+)\\*".r, "em")
+      t
+    }
+    val header = "^(#{1,6})\\s+(.*)$".r
+    md.linesIterator.map {
+      case header(hashes, rest) =>
+        val n = hashes.length
+        s"<h$n>${inline(rest)}</h$n>"
+      case l if l.trim.isEmpty => ""
+      case l => s"<p>${inline(l)}</p>"
+    }.mkString("\n")
+  }
 }

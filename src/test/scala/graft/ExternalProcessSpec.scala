@@ -135,6 +135,54 @@ class ExternalProcessSpec extends AnyFunSuite {
       "def f():\n    # %% indented: an ordinary comment, NOT a cell boundary\n    return x + 1\ny = f()")
   }
 
+  test("jupytext parse: code between the YAML header and the first marker survives") {
+    // jupytext treats post-header content as an implicit first cell — only
+    // the `# ---` ... `# ---` block itself is metadata
+    val cells = graft.exec.Jupytext.parse(
+      """# ---
+        |# jupyter:
+        |#   jupytext:
+        |#     formats: ipynb,py:percent
+        |# ---
+        |import os
+        |setup = 1
+        |
+        |# %%
+        |x = setup
+        |""".stripMargin)
+    assert(cells.map(_.cellType) == Seq("code", "code"))
+    assert(cells.head.source == "import os\nsetup = 1")
+    assert(cells(1).source == "x = setup")
+    // same stripping when there are no markers at all
+    val only = graft.exec.Jupytext.parse(
+      "# ---\n# jupyter:\n# ---\ny = 2\n")
+    assert(only.map(_.source) == Seq("y = 2"))
+    // an unterminated header is all metadata, not code
+    assert(graft.exec.Jupytext.parse("# ---\n# jupyter:\n").isEmpty)
+  }
+
+  test("markdown cells render as markup in the derived html (E8)") {
+    val ipynb = graft.model.Json.render(scala.collection.immutable.ListMap(
+      "cells" -> Vector(
+        scala.collection.immutable.ListMap(
+          "cell_type" -> "markdown",
+          "source" -> "## Results\nthe *final* **loss** is `0.03` & < 0.1"),
+        scala.collection.immutable.ListMap(
+          "cell_type" -> "code",
+          "source" -> "# not markdown: a python comment",
+          "outputs" -> Vector.empty)),
+      "nbformat" -> 4))
+    val html = graft.parser.Notebooks.convertIpynbToHtml(ipynb)
+    assert(html.contains("<h2>Results</h2>"))
+    assert(html.contains("<em>final</em>"))
+    assert(html.contains("<strong>loss</strong>"))
+    assert(html.contains("<code>0.03</code>"))
+    // escape-first: literal markup in the text cannot inject html
+    assert(html.contains("&amp; &lt; 0.1"))
+    // code cells stay literal — a leading # is python, not a header
+    assert(html.contains("<pre class=\"input\"># not markdown: a python comment</pre>"))
+  }
+
   test("E8 ok notebook: cells executed in order, P injected, evaluated ipynb + html") {
     assume(python3Available, "python3 not on PATH")
     val engine = new Engine(spark, 4)

@@ -146,7 +146,7 @@ class ParserSpec extends AnyFunSuite {
     assert(html.contains("variable_a=task-value")) // printed output
     assert(html.contains("13715")) // evaluated sum
     assert(html.contains("print(1 + 12 + 123 + 1234 + 12345)")) // source
-    assert(html.contains("# Title")) // markdown cell
+    assert(html.contains("<h1>Title</h1>")) // markdown cell rendered as markup
     assert(html.contains("42")) // execute_result text/plain
     assert(html.contains("ValueError: boom")) // error output
     assert(html.contains("Traceback...&lt;cut&gt;")) // html-escaped
