@@ -44,8 +44,20 @@ final class MlflowFtpServer(
     files.put(path, bytes)
     storedBytes += bytes.length
     val it = files.entrySet().iterator()
+    val evicted = List.newBuilder[String]
     while (storedBytes > maxStoreBytes && it.hasNext) {
-      val e = it.next(); storedBytes -= e.getValue.length; it.remove()
+      val e = it.next(); storedBytes -= e.getValue.length
+      evicted += e.getKey; it.remove()
+    }
+    // a directory whose entries were all evicted serves nothing anymore —
+    // drop it (deepest first, so emptied ancestors cascade) or the dir set
+    // outlives every file it was registered for
+    evicted.result().foreach { p =>
+      val segs = p.split("/").toSeq
+      (segs.length - 1 to 1 by -1).foreach { i =>
+        val d = segs.take(i).mkString("/")
+        if (childrenOf(d).isEmpty) dirs.remove(d)
+      }
     }
   }
   private def lookup(path: String): Option[Array[Byte]] =
@@ -55,11 +67,19 @@ final class MlflowFtpServer(
     * parents). CWD succeeds ONLY for these: MLflow's artifact client
     * implements `_is_dir(p)` as "does cwd(p) succeed", so an auto-vivified
     * CWD that accepts any path would classify every stored FILE as a
-    * directory and break stock-client download. */
-  private val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    * directory and break stock-client download. Insertion-ordered with a
+    * hard cap: store eviction trims dirs whose files fell out (above), and
+    * the cap bounds pure-MKD dirs no file ever landed in. */
+  private val MaxDirs = 4096
+  private val dirs = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, java.lang.Boolean]() {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Boolean]) = size() > MaxDirs
+    })
 
   private def registerParents(segs: Seq[String]): Unit =
-    (1 until segs.length).foreach(i => dirs.add(segs.take(i).mkString("/")))
+    (1 until segs.length).foreach(i =>
+      dirs.put(segs.take(i).mkString("/"), java.lang.Boolean.TRUE))
 
   /** Child entries (names) directly under a virtual directory. */
   private def childrenOf(path: String): Seq[String] = {
@@ -70,7 +90,7 @@ final class MlflowFtpServer(
       else None
     import scala.jdk.CollectionConverters._
     val fileKids = files.synchronized(files.keySet().asScala.toSeq).flatMap(child)
-    val dirKids = dirs.asScala.toSeq.flatMap(child)
+    val dirKids = dirs.synchronized(dirs.keySet().asScala.toSeq).flatMap(child)
     (fileKids ++ dirKids).distinct.sorted
   }
 
@@ -91,13 +111,25 @@ final class MlflowFtpServer(
   def boundPort: Int = server.getLocalPort
   def uri: String = s"ftp://127.0.0.1:$boundPort"
 
+  /** Live control sockets and PASV/EPSV listeners, tracked so [[stop]] can
+    * tear down ACTIVE sessions — closing only the accept socket would leave
+    * session threads (and their data listeners) running until the client
+    * goes away, which a long-lived driver accumulates. */
+  private val sessions = java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
+  private val dataListeners =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[ServerSocket]()
+
   private val acceptor = new Thread(() => {
     while (running.get()) {
       try {
         val sock = server.accept()
-        val t = new Thread(() => session(sock), "mlflow-ftp-session")
-        t.setDaemon(true)
-        t.start()
+        if (!running.get()) sock.close()
+        else {
+          sessions.add(sock)
+          val t = new Thread(() => session(sock), "mlflow-ftp-session")
+          t.setDaemon(true)
+          t.start()
+        }
       } catch {
         // SocketException: closed during stop(); any other IO hiccup must
         // not kill the accept loop while the server is still running
@@ -111,6 +143,13 @@ final class MlflowFtpServer(
   def stop(): Unit = {
     running.set(false)
     server.close()
+    import scala.jdk.CollectionConverters._
+    // closing a session's control socket pops its blocking readLine with an
+    // exception; the session's finally-block then releases its own state
+    sessions.asScala.toSeq.foreach(s =>
+      try s.close() catch { case _: java.io.IOException => })
+    dataListeners.asScala.toSeq.foreach(l =>
+      try l.close() catch { case _: java.io.IOException => })
   }
 
   // ---- per-connection session ----
@@ -131,7 +170,16 @@ final class MlflowFtpServer(
     def openData(): Option[Socket] = Option(dataListener).flatMap { l =>
       try Some(l.accept())
       catch { case _: java.io.IOException => None }
-      finally { l.close(); dataListener = null }
+      finally { l.close(); dataListeners.remove(l); dataListener = null }
+    }
+
+    def newDataListener(): ServerSocket = {
+      if (dataListener != null) { dataListener.close(); dataListeners.remove(dataListener) }
+      val l = new ServerSocket(0, 1, InetAddress.getByName("127.0.0.1"))
+      l.setSoTimeout(15000)
+      dataListeners.add(l)
+      dataListener = l
+      l
     }
 
     /** Resolve `arg` against the virtual cwd → clean segment list; None on
@@ -170,7 +218,7 @@ final class MlflowFtpServer(
                 // file-vs-directory with cwd, so success here must mean
                 // "is a directory" (a stored file path must 550)
                 case Some(segs)
-                    if segs.isEmpty || dirs.contains(segs.mkString("/")) =>
+                    if segs.isEmpty || dirs.containsKey(segs.mkString("/")) =>
                   cwd = "/" + segs.mkString("/"); reply("250 CWD ok")
                 case Some(_) => reply("550 no such directory")
                 case None => reply("550 path rejected (traversal)")
@@ -179,22 +227,16 @@ final class MlflowFtpServer(
               resolve(arg) match {
                 case Some(segs) if segs.nonEmpty =>
                   registerParents(segs) // intermediate levels
-                  dirs.add(segs.mkString("/"))
+                  dirs.put(segs.mkString("/"), java.lang.Boolean.TRUE)
                   reply(s"""257 "/${segs.mkString("/")}" created""")
                 case Some(_) => reply("550 cannot create root")
                 case None => reply("550 path rejected (traversal)")
               }
             case "PASV" =>
-              if (dataListener != null) dataListener.close()
-              dataListener = new ServerSocket(0, 1, InetAddress.getByName("127.0.0.1"))
-              dataListener.setSoTimeout(15000)
-              val p = dataListener.getLocalPort
+              val p = newDataListener().getLocalPort
               reply(s"227 Entering Passive Mode (127,0,0,1,${p / 256},${p % 256})")
             case "EPSV" =>
-              if (dataListener != null) dataListener.close()
-              dataListener = new ServerSocket(0, 1, InetAddress.getByName("127.0.0.1"))
-              dataListener.setSoTimeout(15000)
-              reply(s"229 Entering Extended Passive Mode (|||${dataListener.getLocalPort}|)")
+              reply(s"229 Entering Extended Passive Mode (|||${newDataListener().getLocalPort}|)")
             case "STOR" =>
               resolve(arg) match {
                 case None => reply("550 path rejected (traversal)")
@@ -275,7 +317,8 @@ final class MlflowFtpServer(
       // dies, the server (and other sessions) keep serving
       case _: Exception =>
     } finally {
-      if (dataListener != null) dataListener.close()
+      if (dataListener != null) { dataListener.close(); dataListeners.remove(dataListener) }
+      sessions.remove(sock)
       sock.close()
     }
   }

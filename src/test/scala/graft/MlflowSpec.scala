@@ -287,4 +287,55 @@ class MlflowSpec extends AnyFunSuite {
       sock.close()
     } finally server.stop()
   }
+
+  test("F2 FTP dir entries are evicted with their files; stop() ends live sessions") {
+    import java.net.Socket
+    val server = new graft.mlflow.MlflowFtpServer(
+      (_, _, _) => (), maxStoreBytes = 1000, maxUploadBytes = 900)
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      sock.setSoTimeout(15000)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+      val out = sock.getOutputStream
+      def cmd(c: String): String = {
+        out.write((c + "\r\n").getBytes(StandardCharsets.UTF_8)); out.flush()
+        in.readLine()
+      }
+      def pasvPort(reply: String): Int = {
+        val nums = reply.split("[(),]").filter(_.nonEmpty).filter(_.forall(_.isDigit))
+        nums(nums.length - 2).toInt * 256 + nums.last.toInt
+      }
+      def stor(path: String, n: Int): String = {
+        val p = pasvPort(cmd("PASV"))
+        out.write(s"STOR $path\r\n".getBytes(StandardCharsets.UTF_8)); out.flush()
+        assert(in.readLine().startsWith("150"))
+        val data = new Socket("127.0.0.1", p)
+        try data.getOutputStream.write(new Array[Byte](n)) finally data.close()
+        in.readLine()
+      }
+      assert(in.readLine().startsWith("220"))
+      assert(cmd("USER anonymous").startsWith("331"))
+      assert(cmd("PASS x").startsWith("230"))
+      // two traceparent dirs; the second upload evicts the first's file
+      assert(stor("/tp1/a.bin", 800).startsWith("226"))
+      assert(cmd("CWD /tp1").startsWith("250"))
+      assert(cmd("CWD /").startsWith("250"))
+      assert(stor("/tp2/b.bin", 800).startsWith("226"))
+      // tp1 lost its only file → the dir entry is gone with it
+      assert(cmd("CWD /tp1").startsWith("550"))
+      assert(cmd("CWD /tp2").startsWith("250"))
+      assert(cmd("CWD /").startsWith("250"))
+      // leave a session with an armed PASV listener, then stop the server
+      val dataPort = pasvPort(cmd("PASV"))
+      server.stop()
+      // the control socket was closed under the client: EOF (or reset)
+      val eof = try in.readLine() == null catch { case _: java.io.IOException => true }
+      assert(eof, "active session must be closed by stop()")
+      // the armed data listener is closed too: connecting is refused
+      intercept[java.io.IOException](new Socket("127.0.0.1", dataPort))
+      // and no new control connections are accepted
+      intercept[java.io.IOException](new Socket("127.0.0.1", server.boundPort))
+    } finally { server.stop(); sock.close() }
+  }
 }
