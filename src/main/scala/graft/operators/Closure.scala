@@ -168,8 +168,11 @@ object Closure {
     * jobs-vs-bytes call AQE makes when it swaps a shuffle join for a
     * broadcast. ~100k edges is a few MB of ids; larger graphs take the
     * distributed fixpoint below. Mutable ONLY so tests can force the
-    * distributed path on small fixtures. */
-  private[graft] var LocalWalkMaxEdges = 100000L
+    * distributed path on small fixtures; the env override exists so a
+    * bench run can measure the 100×-scale path on bench-scale data
+    * (`GRAFT_LOCAL_WALK_MAX_EDGES=0 SPARK_GRAFT_QUERIES=a7_,b3_ Bench`). */
+  private[graft] var LocalWalkMaxEdges =
+    sys.env.get("GRAFT_LOCAL_WALK_MAX_EDGES").map(_.toLong).getOrElse(100000L)
 
   /** Driver-local BFS over a collected edge list; returns (root, id) pairs
     * (descendants only — callers add the inclusive roots). */
