@@ -218,6 +218,76 @@ class StreamingSpec extends AnyFunSuite {
     } finally qs.stop()
   }
 
+  test("H5 pressure at sf0.1: real span feed, batch ground truth, eviction") {
+    // the synthetic pressure test above proves the TTL bounds state; this
+    // one drives the accumulator with the REAL sf0.1-derived span shapes
+    // (one trace per customer, one task span per order, status from the
+    // order, a dag-top-span closing each trace) and cross-checks every
+    // count against the batch table the spans derive from
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val orders = graft.queries.Tables.orders(spark, "/root/testdata/sf0.1")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val nOrders = orders.length.toLong
+    val nErrOrders = orders.count(_._3 == "F").toLong
+    val traces = orders.map(_._1).distinct
+    val nTraces = traces.length.toLong
+    assert(nOrders > 40000L, s"sf0.1 should be bench-sized: $nOrders orders")
+
+    val waves = 10
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    // (custkey, orderkey, status); orderkey -1 = the trace's dag-top-span
+    val mem = MemoryStream[(Long, Long, String)]
+    val feed = mem.toDF().select(
+      when(col("_2") < 0, "dag-top-span").otherwise("execute-task").as("name"),
+      struct(
+        concat(lit("c"), col("_1").cast("string")).as("trace_id"),
+        concat(lit("s"), col("_1").cast("string"), lit("-"),
+          col("_2").cast("string")).as("span_id"),
+        lit("[]").as("trace_state")).as("context"),
+      struct(
+        when(col("_3") === "F", "ERROR").otherwise("OK").as("status_code"),
+        lit(null).cast("string").as("description")).as("status"),
+      timestamp_millis(lit(base) + (col("_1") % waves) * 600000L).as("end_ts"))
+      .withColumn("end_time", col("end_ts").cast("string"))
+
+    val q = SpanStream.runStatusStream(feed,
+        lateness = "2 minutes", stateTtlMinutes = 5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pressure_sf01").start()
+    try {
+      // customers arrive in 10 event-time waves 10 minutes apart: each
+      // wave's traces complete (top span included) and go idle, so the
+      // 5-minute TTL must evict them as later waves advance the watermark
+      (0 until waves).foreach { w =>
+        val rows = orders.filter(_._1 % waves == w) ++
+          traces.filter(_ % waves == w).map(c => (c, -1L, "O"))
+        mem.addData(rows.toSeq)
+        q.processAllAvailable()
+      }
+      val fin = spark.sql(
+        """select trace_id, max(n_tasks) n_tasks, max(n_errors) n_errors,
+          |  bool_or(finished) finished
+          |from pressure_sf01 group by 1""".stripMargin).collect()
+      // batch ground truth: every order counted exactly once, every F order
+      // an error, every customer's trace closed by its top span
+      assert(fin.length.toLong == nTraces)
+      assert(fin.map(_.getAs[Long]("n_tasks")).sum == nOrders)
+      assert(fin.map(_.getAs[Long]("n_errors")).sum == nErrOrders)
+      assert(fin.forall(_.getAs[Boolean]("finished")))
+      // eviction observed: peak state stays a fraction of the trace count
+      val maxStateRows = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsTotal).max
+      assert(maxStateRows > 0 && maxStateRows <= nTraces / 2,
+        s"state not evicted: peak $maxStateRows of $nTraces traces")
+    } finally q.stop()
+  }
+
   test("H5 stateful run-status accumulator finalizes on dag-top-span") {
     val dir = spanDir
     val q = SpanStream.runStatusStream(SpanStream.readSpanStream(spark, dir))
