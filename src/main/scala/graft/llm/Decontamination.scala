@@ -1,0 +1,39 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination (SURVEY §2 I7b): flag corpus documents that
+  * share any word n-gram with a benchmark/eval set — the leakage guard a
+  * training pipeline runs before pre-training (the n-gram-overlap method
+  * published with GPT-3/PaLM-style data cards; n=8..13 word grams).
+  *
+  * Same blocked shape as fuzzy dedup: explode n-grams, equi-join on the
+  * gram, distinct doc ids back. The benchmark side is an eval set —
+  * thousands of documents, not terabytes — so its distinct gram table is
+  * explicitly broadcast and the corpus side stays one linear partitioned
+  * pass. For a benchmark too large to broadcast, drop the hint and the
+  * same plan shuffles both sides on the gram.
+  */
+object Decontamination {
+
+  /** One row per corpus doc: (id, is_contaminated). Grams come from
+    * [[Dedup.wordShingles]] on both sides, so tokenization is identical. */
+  def flagContaminated(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol).as("id"),
+      explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+    val benchGrams = grams(benchmark).select(col("gram")).distinct()
+    val hits = grams(corpus)
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .select(col("id")).distinct()
+    corpus.select(col(idCol).as("id"))
+      .join(hits.withColumn("c", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("c"), lit(false)).as("is_contaminated"))
+  }
+}

@@ -95,6 +95,26 @@ object TextAnalysis {
     (lenScore + punctPenalty + stopScore) / 3.0
   }
 
+  /** Duplicate-token fraction: 1 − |distinct tokens| / |tokens| — the
+    * boilerplate/spam signal repetition filters cut on. Integer counts,
+    * one double division (engine-exact, like [[meanWordLength]]). */
+  def dupTokenRatio(text: Column): Column = {
+    val ws = split(text, " +")
+    (size(ws) - size(array_distinct(ws))).cast("double") /
+      size(ws).cast("double")
+  }
+
+  /** Share of the single most frequent token — high values flag keyword
+    * stuffing / degenerate generations. The per-distinct-token count is a
+    * nested higher-order filter (O(distinct × tokens) per row, bounded by
+    * document length), mirrored exactly by the oracle's list_transform /
+    * list_filter. */
+  def topTokenShare(text: Column): Column = {
+    val ws = split(text, " +")
+    array_max(transform(array_distinct(ws), w => size(filter(ws, x => x === w))))
+      .cast("double") / size(ws).cast("double")
+  }
+
   /** Document fingerprint: polynomial rolling hash over character codes,
     * `h = (h*31 + code) mod (2^31-1)` — the order-sensitive fold the
     * reference-style content addressing needs, expressible in both Spark

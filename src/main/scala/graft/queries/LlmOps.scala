@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Decontamination, Dedup, Multimodal, Privacy, Sampling, Similarity, TextAnalysis}
 
 /** SURVEY §2 Group I — LLM-data-pipeline operators as oracle-checked
   * queries over `documents` / `embeddings`.
@@ -444,6 +444,93 @@ object LlmOps {
        |SELECT doc_id, quality, ${splitSql("text")} AS split
        |FROM dedup WHERE rn = 1""".stripMargin
 
+  /** I5e — repetition scoring: duplicate-token fraction + top-token share,
+    * the boilerplate/spam signals a repetition filter cuts on. */
+  def repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.dupTokenRatio(col("text")).as("dup_ratio"),
+      TextAnalysis.topTokenShare(col("text")).as("top_share"))
+
+  private val repetitionSql =
+    """SELECT doc_id,
+      | CAST(len(regexp_split_to_array(text,' +'))
+      |   - len(list_distinct(regexp_split_to_array(text,' +'))) AS DOUBLE)
+      |  / len(regexp_split_to_array(text,' +')) AS dup_ratio,
+      | CAST(list_max(list_transform(list_distinct(regexp_split_to_array(text,' +')),
+      |   w -> len(list_filter(regexp_split_to_array(text,' +'), x -> x = w)))) AS DOUBLE)
+      |  / len(regexp_split_to_array(text,' +')) AS top_share
+      |FROM documents""".stripMargin
+
+  /** I7a — PII scrub over the REAL operator (`llm.Privacy`): the fixture
+    * corpus carries no PII, so deterministic emails/phones/IPs are
+    * injected in-query (1 in 5 docs each kind) and the scrub must count
+    * and redact exactly — the oracle replays the same injection and
+    * redaction with its own regex engine (RE2 vs Java, patterns chosen
+    * inside the shared subset), making this a cross-engine contract test
+    * of the full redacted TEXT, not just the counts. */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val withPii = docs.withColumn("text",
+      when(col("doc_id") % 5 === 1,
+        concat(col("text"), lit(" reach me at user"),
+          col("doc_id").cast("string"), lit("@example.com or 555-123-4567")))
+        .when(col("doc_id") % 5 === 3,
+          concat(col("text"), lit(" server at 10.0."),
+            (col("doc_id") % 256).cast("string"), lit(".17 and admin@test.org")))
+        .otherwise(col("text")))
+    Privacy.scrubDF(withPii, "doc_id", "text")
+  }
+
+  private val piiScrubSql = {
+    import Privacy.{EmailRe, PhoneRe, Ipv4Re}
+    s"""WITH t AS (
+       | SELECT doc_id,
+       |  CASE WHEN doc_id % 5 = 1 THEN text || ' reach me at user'
+       |    || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567'
+       |   WHEN doc_id % 5 = 3 THEN text || ' server at 10.0.'
+       |    || CAST(doc_id % 256 AS VARCHAR) || '.17 and admin@test.org'
+       |   ELSE text END AS text
+       | FROM documents)
+       |SELECT doc_id,
+       | len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+       | len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+       | len(regexp_extract_all(text, '$Ipv4Re')) AS n_ips,
+       | regexp_replace(regexp_replace(regexp_replace(text,
+       |   '$EmailRe', '[EMAIL]', 'g'),
+       |   '$PhoneRe', '[PHONE]', 'g'),
+       |   '$Ipv4Re', '[IP]', 'g') AS redacted
+       |FROM t""".stripMargin
+  }
+
+  /** I7b — benchmark decontamination: docs with `doc_id % 50 == 0` stand
+    * in for the eval set; every other doc is flagged when it shares ANY
+    * word 8-gram with it. The fixture's near-dups make this non-trivial
+    * (exactly one contaminated doc at sf0.01), and the oracle recomputes
+    * the full 8-gram overlap from scratch. */
+  def decontamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Decontamination.flagContaminated(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", n = 8)
+  }
+
+  private val decontaminationSql =
+    """WITH w AS (
+      | SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM documents),
+      |g AS (
+      | SELECT doc_id, unnest([array_to_string(ws[i:i+7], ' ')
+      |   for i in range(1, len(ws)-6)]) AS gram
+      | FROM w WHERE len(ws) >= 8),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+      |hits AS (
+      | SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+      | WHERE g.doc_id % 50 <> 0)
+      |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS is_contaminated
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id % 50 <> 0""".stripMargin
+
   /** I4 — multimodal metadata extraction over binary payload columns (the
     * deterministic stub codec; plumbing is the point — see
     * graft.llm.Multimodal). */
@@ -490,9 +577,12 @@ object LlmOps {
     "i5_quality_score" -> qualityScore _,
     "i5_token_counts" -> tokenCounts _,
     "i5_fingerprints" -> fingerprints _,
+    "i5_repetition" -> repetition _,
     "i4_multimodal_meta" -> multimodalMeta _,
     "i6_dataset_split" -> datasetSplit _,
-    "i6_corpus_curation" -> corpusCuration _
+    "i6_corpus_curation" -> corpusCuration _,
+    "i7_pii_scrub" -> piiScrub _,
+    "i7_decontamination" -> decontamination _
   )
 
   val oracles: Map[String, String] = Map(
@@ -509,8 +599,11 @@ object LlmOps {
     "i5_quality_score" -> qualityScoreSql,
     "i5_token_counts" -> tokenCountsSql,
     "i5_fingerprints" -> fingerprintsSql,
+    "i5_repetition" -> repetitionSql,
     "i4_multimodal_meta" -> multimodalMetaSql,
     "i6_dataset_split" -> datasetSplitSql,
-    "i6_corpus_curation" -> corpusCurationSql
+    "i6_corpus_curation" -> corpusCurationSql,
+    "i7_pii_scrub" -> piiScrubSql,
+    "i7_decontamination" -> decontaminationSql
   )
 }

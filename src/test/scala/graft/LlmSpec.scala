@@ -91,6 +91,63 @@ class LlmSpec extends AnyFunSuite {
     assert(dd.filter(col("is_representative")).count() == 1)
   }
 
+  test("I7 PII scrub: counts and redaction, pass-order safety") {
+    import graft.llm.Privacy
+    val rows = Seq(
+      (1L, "mail a.b+c%d@sub.domain.org then 555-123-4567 then 10.20.30.40 done"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io and z@w.co plus 999-999-9999"),
+      // boundary cases: a 5-digit tail breaks the phone's \b, and a
+      // letter-prefixed version string has no \b before its first digit —
+      // neither is PII, neither may be redacted
+      (4L, "order 555-123-45678 and v1.2.3.4 but 10.0.0.1 alone"))
+      .toDF("doc_id", "text")
+    val out = Privacy.scrubDF(rows, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 1 && out(1L).getInt(2) == 1 && out(1L).getInt(3) == 1)
+    assert(out(1L).getString(4) ==
+      "mail [EMAIL] then [PHONE] then [IP] done")
+    assert(out(2L).getString(4) == "no pii here at all")
+    assert(out(3L).getInt(1) == 2 && out(3L).getInt(2) == 1)
+    // 555-123-45678: trailing digit breaks the \b — not redacted
+    assert(out(4L).getInt(2) == 0)
+    assert(out(4L).getString(4) ==
+      "order 555-123-45678 and v1.2.3.4 but [IP] alone")
+  }
+
+  test("I7 decontamination flags 8-gram overlap, not shared vocabulary") {
+    import graft.llm.Decontamination
+    val eightGram = "alpha beta gamma delta epsilon zeta eta theta"
+    val bench = Seq((100L, s"benchmark question: $eightGram answer"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"a crawl page quoting $eightGram verbatim plus commentary"),
+      // same words, different order: no 8-gram match
+      (2L, "theta eta zeta epsilon delta gamma beta alpha"),
+      (3L, "completely unrelated text about spark partitions"),
+      (4L, "short doc")) // < 8 words: no grams at all
+      .toDF("doc_id", "text")
+    val out = Decontamination.flagContaminated(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
+  test("I5 repetition scoring: dup ratio and top-token share") {
+    import graft.llm.TextAnalysis
+    val rows = Seq(
+      (1L, "a a a a"), // all dup: ratio 0.75, top share 1.0
+      (2L, "w x y z"), // all distinct: ratio 0, top share 0.25
+      (3L, "spam spam spam ham"))
+      .toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+      TextAnalysis.dupTokenRatio(col("text")).as("r"),
+      TextAnalysis.topTokenShare(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((0.75, 1.0)))
+    assert(out(2L) == ((0.0, 0.25)))
+    assert(out(3L) == ((0.5, 0.75)))
+  }
+
   test("I5 single-pass stopword kernel matches the regex semantics exactly") {
     // boundary-heavy adversarial strings: tokens glued to word chars must
     // NOT match (\b semantics), case folds, punctuation splits, unicode
