@@ -33,4 +33,21 @@ object Sampling {
     require(pct >= 0 && pct <= 100, s"bad sample pct: $pct")
     df.filter(hashBucket(c) < pct)
   }
+
+  /** Stratified cap: at most `cap` rows per stratum (e.g. per language),
+    * kept deterministically — rows ranked by content-hash bucket with an
+    * id tie-break, so the KEPT SET is a pure function of the data, like
+    * everything else here. One hash-partitioned window; no stratum ever
+    * materializes more than its partition (the balance pass that stops one
+    * language from dominating a 100 TB corpus). */
+  def stratifiedCap(
+      df: DataFrame, stratum: Column, content: Column, idCol: Column,
+      cap: Int): DataFrame = {
+    require(cap >= 0, s"bad stratum cap: $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(hashBucket(content).asc, idCol.asc)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= cap)
+      .drop("__rank")
+  }
 }

@@ -531,6 +531,55 @@ object LlmOps {
       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
       |WHERE d.doc_id % 50 <> 0""".stripMargin
 
+  /** I6c — stratified per-language cap: at most `cap` docs per predicted
+    * language, kept deterministically (content-hash rank, id tie-break) —
+    * the balance pass that stops one language from dominating a corpus.
+    * The oracle replays the rank with its own window. */
+  def stratifiedCap(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.langId(col("text")).as("lang"))
+    Sampling.stratifiedCap(docs, col("lang"), col("text"), col("doc_id"), cap = 40)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  private val stratifiedCapSql =
+    s"""WITH lang AS ($langIdSql),
+       |ranked AS (
+       | SELECT d.doc_id, lang.pred_lang AS lang,
+       |  ROW_NUMBER() OVER (PARTITION BY lang.pred_lang
+       |    ORDER BY ${bucketSql("d.text")} ASC, d.doc_id ASC) AS rn
+       | FROM documents d JOIN lang ON lang.doc_id = d.doc_id)
+       |SELECT doc_id, lang FROM ranked WHERE rn <= 40""".stripMargin
+
+  /** I5f — quantile-threshold gate: curation at scale picks quality
+    * thresholds by QUANTILE (approx_percentile over the corpus), not by
+    * absolute constants. The gate pins Spark's approximate quantiles
+    * against the exact ones at ±0.05 on the [0,1] quality scale — the
+    * error-bound contract a threshold consumer relies on; the oracle
+    * recomputes the doc count and pins the booleans. */
+  def qualityQuantileGate(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .select(TextAnalysis.qualityScore(col("text")).as("q"))
+    scored.agg(
+      count(lit(1)).as("n_docs"),
+      percentile_approx(col("q"), array(lit(0.25), lit(0.5), lit(0.9)),
+        lit(1000)).as("approx"),
+      expr("percentile(q, array(0.25, 0.5, 0.9))").as("exact"))
+      .select(col("n_docs"),
+        (abs(element_at(col("approx"), 1) - element_at(col("exact"), 1)) <= 0.05)
+          .as("p25_ok"),
+        (abs(element_at(col("approx"), 2) - element_at(col("exact"), 2)) <= 0.05)
+          .as("p50_ok"),
+        (abs(element_at(col("approx"), 3) - element_at(col("exact"), 3)) <= 0.05)
+          .as("p90_ok"))
+  }
+
+  private val qualityQuantileGateSql =
+    """SELECT COUNT(*) AS n_docs, true AS p25_ok, true AS p50_ok,
+      | true AS p90_ok
+      |FROM documents""".stripMargin
+
   /** I4 — multimodal metadata extraction over binary payload columns (the
     * deterministic stub codec; plumbing is the point — see
     * graft.llm.Multimodal). */
@@ -579,8 +628,10 @@ object LlmOps {
     "i5_fingerprints" -> fingerprints _,
     "i5_repetition" -> repetition _,
     "i4_multimodal_meta" -> multimodalMeta _,
+    "i5_quality_quantile_gate" -> qualityQuantileGate _,
     "i6_dataset_split" -> datasetSplit _,
     "i6_corpus_curation" -> corpusCuration _,
+    "i6_stratified_cap" -> stratifiedCap _,
     "i7_pii_scrub" -> piiScrub _,
     "i7_decontamination" -> decontamination _
   )
@@ -601,8 +652,10 @@ object LlmOps {
     "i5_fingerprints" -> fingerprintsSql,
     "i5_repetition" -> repetitionSql,
     "i4_multimodal_meta" -> multimodalMetaSql,
+    "i5_quality_quantile_gate" -> qualityQuantileGateSql,
     "i6_dataset_split" -> datasetSplitSql,
     "i6_corpus_curation" -> corpusCurationSql,
+    "i6_stratified_cap" -> stratifiedCapSql,
     "i7_pii_scrub" -> piiScrubSql,
     "i7_decontamination" -> decontaminationSql
   )

@@ -148,6 +148,27 @@ class LlmSpec extends AnyFunSuite {
     assert(out(3L) == ((0.5, 0.75)))
   }
 
+  test("I6 stratified cap keeps at most cap rows per stratum, deterministically") {
+    import graft.llm.Sampling
+    val rows = (0L until 30L).map(i =>
+      (i, if (i % 3 == 0) "en" else "de", s"content number $i"))
+      .toDF("doc_id", "lang", "text")
+    val capped = Sampling.stratifiedCap(
+      rows, col("lang"), col("text"), col("doc_id"), cap = 5)
+    val byLang = capped.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("en" -> 5L, "de" -> 5L))
+    // deterministic: the same call keeps the same ids
+    val a = capped.select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.stratifiedCap(
+      rows.repartition(7), col("lang"), col("text"), col("doc_id"), cap = 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "kept set must not depend on partitioning")
+    // a stratum smaller than the cap survives whole
+    assert(Sampling.stratifiedCap(rows, col("lang"), col("text"),
+      col("doc_id"), cap = 100).count() == 30)
+  }
+
   test("I5 single-pass stopword kernel matches the regex semantics exactly") {
     // boundary-heavy adversarial strings: tokens glued to word chars must
     // NOT match (\b semantics), case folds, punctuation splits, unicode

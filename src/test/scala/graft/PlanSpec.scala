@@ -86,6 +86,18 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("decontamination broadcasts the benchmark grams, corpus stays streamed") {
+    val docs = graft.queries.Tables.documents(spark, sf)
+    val flagged = graft.llm.Decontamination.flagContaminated(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", n = 8)
+    val plan = executedPlan(flagged)
+    // the eval-set gram table rides a broadcast; the 100 TB corpus side
+    // must never be the built side of anything
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+  }
+
   test("bucketed tables join without a shuffle") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-buckets")
     val li = graft.queries.Tables.lineitem(spark, sf)
