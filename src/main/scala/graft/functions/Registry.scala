@@ -74,6 +74,27 @@ object Registry {
         HyperplaneLshExpr(exprs(0),
           intLit(exprs(1), "nPlanes"), intLit(exprs(2), "table"))
       }, "built-in")
+    // text kernels (I5): graft_stopword_count(text, 'w1,w2,…') with a
+    // literal comma-separated word list; graft_lang_id(text) over the
+    // built-in language table — both fully codegen'd single-pass scans
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_stopword_count", exprs => {
+        val v = if (exprs(1).foldable) exprs(1).eval() else null
+        v match {
+          case s: org.apache.spark.unsafe.types.UTF8String =>
+            StopwordCountExpr(exprs(0),
+              s.toString.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          case _ => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INVALID_PARAMETER_VALUE.PATTERN",
+            messageParameters = Map(
+              "parameter" -> "`words` (must be a string literal: 'w1,w2,…')",
+              "functionName" -> "`graft_stopword_count`",
+              "value" -> exprs(1).sql))
+        }
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lang_id", exprs => LangIdExpr(exprs(0),
+        graft.llm.TextAnalysis.stopwordTable.toSeq.sortBy(_._1)), "built-in")
     // aggregate: graft_top_k(struct(score, id), k) with literal k
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_top_k", exprs => {

@@ -30,6 +30,24 @@ class RegistrySpec extends AnyFunSuite {
     assert(r.getAs[Int]("sig_len") == 64)
   }
 
+  test("D18 graft_stopword_count / graft_lang_id SQL surface") {
+    Registry.registerAll(spark)
+    val r = spark.sql(
+      """SELECT graft_stopword_count('the cat and the dog', 'the,and') AS n,
+        | graft_lang_id('der hund und die katze ist mit von') AS de,
+        | graft_lang_id('xyzzy qwerty') AS und,
+        | graft_lang_id(CAST(NULL AS STRING)) AS nul""".stripMargin).head()
+    assert(r.getAs[Int]("n") == 3)
+    assert(r.getAs[String]("de") == "de")
+    assert(r.getAs[String]("und") == "und")
+    assert(r.getAs[String]("nul") == "und") // null text contract
+    // a non-literal word list is an analysis error, not a runtime surprise
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_stopword_count('x', concat('a', rand()))").collect()
+    }
+    assert(e.getMessage.contains("graft_stopword_count"))
+  }
+
   test("D18 graft_top_k SQL aggregate: bounded heap, deterministic ties") {
     Registry.registerAll(spark)
     Seq((1L, 0.5, 10L), (1L, 0.9, 11L), (1L, 0.9, 12L), (1L, 0.1, 13L),
