@@ -37,9 +37,11 @@ object Sampling {
   /** Stratified cap: at most `cap` rows per stratum (e.g. per language),
     * kept deterministically — rows ranked by content-hash bucket with an
     * id tie-break, so the KEPT SET is a pure function of the data, like
-    * everything else here. One hash-partitioned window; no stratum ever
-    * materializes more than its partition (the balance pass that stops one
-    * language from dominating a 100 TB corpus). */
+    * everything else here. The `rank <= cap` filter makes Spark plan a
+    * PARTIAL WindowGroupLimit below the exchange (PlanSpec-pinned): each
+    * input partition ships at most `cap` rows per stratum, so a stratum
+    * with billions of rows never sorts in one task — the balance pass
+    * that stops one language from dominating a 100 TB corpus. */
   def stratifiedCap(
       df: DataFrame, stratum: Column, content: Column, idCol: Column,
       cap: Int): DataFrame = {

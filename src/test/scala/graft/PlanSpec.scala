@@ -98,6 +98,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
   }
 
+  test("stratified cap shuffles only cap rows per stratum (WindowGroupLimit)") {
+    val docs = graft.queries.Tables.documents(spark, sf)
+    val capped = graft.llm.Sampling.stratifiedCap(
+      docs, col("doc_id") % 4, col("text"), col("doc_id"), cap = 7)
+    val plan = executedPlan(capped)
+    // a bare rank window would sort every stratum in one partition; the
+    // rank<=cap filter must push a PARTIAL group-limit below the exchange,
+    // so at 100 TB each input partition ships at most cap rows per stratum
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.split("\n").exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")), plan)
+  }
+
   test("bucketed tables join without a shuffle") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-buckets")
     val li = graft.queries.Tables.lineitem(spark, sf)
