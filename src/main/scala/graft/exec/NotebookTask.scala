@@ -30,12 +30,16 @@ object Jupytext {
     // drop ONLY the jupytext YAML header (the opening `# ---` through the
     // closing `# ---`); jupytext keeps any post-header pre-marker content
     // as an implicit first cell, so discarding the whole block would eat
-    // real code. An unterminated header is all metadata.
+    // real code. The delimiter is EXACTLY `# ---` (what jupytext emits) —
+    // a looser startsWith would classify an ordinary `# ---- setup ----`
+    // comment ruler as a header and silently drop the script under it.
+    // An unterminated header is all metadata.
+    def isDelim(l: String) = l.trim == "# ---"
     def dropHeader(v: Vector[String]): Vector[String] = {
       val t = trimmed(v)
-      if (t.isEmpty || !t.head.trim.startsWith("# ---")) t
+      if (t.isEmpty || !isDelim(t.head)) t
       else {
-        val closing = t.indexWhere(_.trim.startsWith("# ---"), 1)
+        val closing = t.indexWhere(isDelim, 1)
         if (closing < 0) Vector.empty else trimmed(t.drop(closing + 1))
       }
     }

@@ -82,8 +82,9 @@ object Registry {
         val v = if (exprs(1).foldable) exprs(1).eval() else null
         v match {
           case s: org.apache.spark.unsafe.types.UTF8String =>
-            StopwordCountExpr(exprs(0),
-              s.toString.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+            val words = s.toString.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+            TextScan.setOf(words) // validate at registration, driver-side
+            StopwordCountExpr(exprs(0), words)
           case _ => throw new org.apache.spark.sql.AnalysisException(
             errorClass = "INVALID_PARAMETER_VALUE.PATTERN",
             messageParameters = Map(

@@ -130,8 +130,6 @@ private[graft] object TextScan {
 case class StopwordCountExpr(child: Expression, words: Seq[String])
     extends UnaryExpression {
 
-  TextScan.setOf(words) // reject un-matchable word lists at construction (driver)
-
   @transient private lazy val set = TextScan.setOf(words)
 
   override def dataType: DataType = IntegerType
@@ -156,8 +154,6 @@ case class StopwordCountExpr(child: Expression, words: Seq[String])
   * does not fire on a null predicate, so its `otherwise("und")` applies). */
 case class LangIdExpr(child: Expression, langs: Seq[(String, Seq[String])])
     extends UnaryExpression {
-
-  langs.foreach(l => TextScan.setOf(l._2)) // construction-time validation
 
   @transient private lazy val codes = langs.map(l => UTF8String.fromString(l._1)).toArray
   @transient private lazy val sets = langs.map(l => TextScan.setOf(l._2)).toArray
@@ -190,9 +186,17 @@ case class LangIdExpr(child: Expression, langs: Seq[(String, Seq[String])])
 }
 
 object TextExprs {
-  def stopwordCount(text: Column, words: Seq[String]): Column =
+  // word-list validation lives HERE (and in the Registry's SQL binding),
+  // not in the case-class bodies: Catalyst copies expression trees many
+  // times per analysis/optimization pass, and a constructor-body setOf
+  // would rebuild and re-validate the sets on every copy
+  def stopwordCount(text: Column, words: Seq[String]): Column = {
+    TextScan.setOf(words) // fail fast, driver-side
     Bridge.column(StopwordCountExpr(Bridge.expression(text), words))
+  }
 
-  def langId(text: Column, langs: Seq[(String, Seq[String])]): Column =
+  def langId(text: Column, langs: Seq[(String, Seq[String])]): Column = {
+    langs.foreach(l => TextScan.setOf(l._2))
     Bridge.column(LangIdExpr(Bridge.expression(text), langs))
+  }
 }

@@ -27,7 +27,8 @@ final class MlflowFtpServer(
     logBytes: (String, String, Array[Byte]) => Unit,
     port: Int = 0,
     maxStoreBytes: Long = 64L << 20,
-    maxUploadBytes: Long = 256L << 20) {
+    maxUploadBytes: Long = 256L << 20,
+    maxDirs: Int = 4096) {
 
   private val server = new ServerSocket(port, 16, InetAddress.getByName("127.0.0.1"))
   private val running = new AtomicBoolean(true)
@@ -56,7 +57,7 @@ final class MlflowFtpServer(
       val segs = p.split("/").toSeq
       (segs.length - 1 to 1 by -1).foreach { i =>
         val d = segs.take(i).mkString("/")
-        if (childrenOf(d).isEmpty) dirs.remove(d)
+        dirs.synchronized { if (childrenOf(d).isEmpty) dirs.remove(d) }
       }
     }
   }
@@ -67,19 +68,36 @@ final class MlflowFtpServer(
     * parents). CWD succeeds ONLY for these: MLflow's artifact client
     * implements `_is_dir(p)` as "does cwd(p) succeed", so an auto-vivified
     * CWD that accepts any path would classify every stored FILE as a
-    * directory and break stock-client download. Insertion-ordered with a
-    * hard cap: store eviction trims dirs whose files fell out (above), and
-    * the cap bounds pure-MKD dirs no file ever landed in. */
-  private val MaxDirs = 4096
-  private val dirs = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, java.lang.Boolean]() {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, java.lang.Boolean]) = size() > MaxDirs
-    })
+    * directory and break stock-client download. Growth is bounded two
+    * ways: store eviction trims dirs whose files fell out (above), and
+    * past `MaxDirs` a prune sweep drops the oldest CHILDLESS dirs
+    * (pure-MKD leftovers). A dir with live children is never evicted —
+    * dropping it would 550 a CWD to a directory whose artifacts still
+    * serve — so the map can exceed the cap only by dirs that the byte-
+    * budgeted file store itself bounds. */
+  private val dirs = new java.util.LinkedHashMap[String, java.lang.Boolean]()
 
-  private def registerParents(segs: Seq[String]): Unit =
-    (1 until segs.length).foreach(i =>
-      dirs.put(segs.take(i).mkString("/"), java.lang.Boolean.TRUE))
+  private def registerParents(segs: Seq[String]): Unit = {
+    dirs.synchronized {
+      (1 until segs.length).foreach(i =>
+        dirs.put(segs.take(i).mkString("/"), java.lang.Boolean.TRUE))
+    }
+    pruneDirs()
+  }
+
+  /** Sweep oldest-first, evicting only childless dirs. Lock order matches
+    * [[store]] (files, then dirs) — taking dirs first here and files
+    * inside `childrenOf` would deadlock against a concurrent upload. */
+  private def pruneDirs(): Unit = files.synchronized {
+    dirs.synchronized {
+      if (dirs.size > maxDirs) {
+        val it = dirs.keySet().iterator()
+        while (dirs.size > maxDirs && it.hasNext) {
+          if (childrenOf(it.next()).isEmpty) it.remove()
+        }
+      }
+    }
+  }
 
   /** Child entries (names) directly under a virtual directory. */
   private def childrenOf(path: String): Seq[String] = {
@@ -123,9 +141,13 @@ final class MlflowFtpServer(
     while (running.get()) {
       try {
         val sock = server.accept()
-        if (!running.get()) sock.close()
+        // register FIRST, then re-check: a stop() racing between the
+        // accept and the add would snapshot `sessions` without this
+        // socket and never close it — after the add, either stop()'s
+        // sweep sees it or this check does (close is idempotent)
+        sessions.add(sock)
+        if (!running.get()) { sessions.remove(sock); sock.close() }
         else {
-          sessions.add(sock)
           val t = new Thread(() => session(sock), "mlflow-ftp-session")
           t.setDaemon(true)
           t.start()
@@ -218,7 +240,8 @@ final class MlflowFtpServer(
                 // file-vs-directory with cwd, so success here must mean
                 // "is a directory" (a stored file path must 550)
                 case Some(segs)
-                    if segs.isEmpty || dirs.containsKey(segs.mkString("/")) =>
+                    if segs.isEmpty ||
+                      dirs.synchronized(dirs.containsKey(segs.mkString("/"))) =>
                   cwd = "/" + segs.mkString("/"); reply("250 CWD ok")
                 case Some(_) => reply("550 no such directory")
                 case None => reply("550 path rejected (traversal)")
@@ -226,8 +249,11 @@ final class MlflowFtpServer(
             case "MKD" =>
               resolve(arg) match {
                 case Some(segs) if segs.nonEmpty =>
-                  registerParents(segs) // intermediate levels
-                  dirs.put(segs.mkString("/"), java.lang.Boolean.TRUE)
+                  dirs.synchronized {
+                    (1 to segs.length).foreach(i => // target + intermediates
+                      dirs.put(segs.take(i).mkString("/"), java.lang.Boolean.TRUE))
+                  }
+                  pruneDirs()
                   reply(s"""257 "/${segs.mkString("/")}" created""")
                 case Some(_) => reply("550 cannot create root")
                 case None => reply("550 path rejected (traversal)")

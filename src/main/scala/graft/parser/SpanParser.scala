@@ -542,18 +542,25 @@ object Notebooks {
     * `**bold**`, `*italic*`, and `` `code` `` spans — the constructs the
     * reference's own notebook fixtures use. Escapes FIRST, then wraps, so
     * payload text can never inject markup; replacement text is
-    * regex-quoted so `$`/`\` in the content survive. */
+    * regex-quoted so `$`/`\` in the content survive. Code-span contents
+    * are shielded behind placeholders while the emphasis passes run —
+    * nbconvert keeps code spans VERBATIM, so `` `*args` ``/`` `**kwargs` ``
+    * must not sprout <em>/<strong> inside the <code> tag. */
   private[graft] def renderMarkdown(md: String): String = {
     import scala.util.matching.Regex
     def wrap(t: String, re: Regex, tag: String): String =
       re.replaceAllIn(t, m =>
         Regex.quoteReplacement(s"<$tag>${m.group(1)}</$tag>"))
     def inline(s: String): String = {
-      var t = escapeHtml(s)
-      t = wrap(t, "`([^`]+)`".r, "code")
+      val codes = scala.collection.mutable.ArrayBuffer.empty[String]
+      var t = "`([^`]+)`".r.replaceAllIn(escapeHtml(s), m => {
+        codes += m.group(1)
+        s"\u0000${codes.size - 1}\u0000" // NUL can't occur in escaped text
+      })
       t = wrap(t, "\\*\\*([^*]+)\\*\\*".r, "strong")
       t = wrap(t, "\\*([^*]+)\\*".r, "em")
-      t
+      "\u0000([0-9]+)\u0000".r.replaceAllIn(t, m =>
+        Regex.quoteReplacement(s"<code>${codes(m.group(1).toInt)}</code>"))
     }
     val header = "^(#{1,6})\\s+(.*)$".r
     md.linesIterator.map {

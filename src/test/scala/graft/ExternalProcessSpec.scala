@@ -159,6 +159,10 @@ class ExternalProcessSpec extends AnyFunSuite {
     assert(only.map(_.source) == Seq("y = 2"))
     // an unterminated header is all metadata, not code
     assert(graft.exec.Jupytext.parse("# ---\n# jupyter:\n").isEmpty)
+    // a comment RULER is not a header: the delimiter is exactly '# ---'
+    val ruled = graft.exec.Jupytext.parse(
+      "# ---- setup ----\nimport os\nx = 1\n")
+    assert(ruled.map(_.source) == Seq("# ---- setup ----\nimport os\nx = 1"))
   }
 
   test("markdown cells render as markup in the derived html (E8)") {
@@ -181,6 +185,17 @@ class ExternalProcessSpec extends AnyFunSuite {
     assert(html.contains("&amp; &lt; 0.1"))
     // code cells stay literal — a leading # is python, not a header
     assert(html.contains("<pre class=\"input\"># not markdown: a python comment</pre>"))
+    // code-span contents are VERBATIM (nbconvert contract): asterisks
+    // inside backticks must not sprout emphasis tags
+    val starry = graft.parser.Notebooks.convertIpynbToHtml(
+      graft.model.Json.render(scala.collection.immutable.ListMap(
+        "cells" -> Vector(scala.collection.immutable.ListMap(
+          "cell_type" -> "markdown",
+          "source" -> "pass `*args` and `**kwargs` but *emphasize* this")),
+        "nbformat" -> 4)))
+    assert(starry.contains("<code>*args</code>"))
+    assert(starry.contains("<code>**kwargs</code>"))
+    assert(starry.contains("<em>emphasize</em>"))
   }
 
   test("E8 ok notebook: cells executed in order, P injected, evaluated ipynb + html") {

@@ -291,7 +291,7 @@ class MlflowSpec extends AnyFunSuite {
   test("F2 FTP dir entries are evicted with their files; stop() ends live sessions") {
     import java.net.Socket
     val server = new graft.mlflow.MlflowFtpServer(
-      (_, _, _) => (), maxStoreBytes = 1000, maxUploadBytes = 900)
+      (_, _, _) => (), maxStoreBytes = 1000, maxUploadBytes = 900, maxDirs = 4)
     val sock = new Socket("127.0.0.1", server.boundPort)
     try {
       sock.setSoTimeout(15000)
@@ -325,6 +325,14 @@ class MlflowSpec extends AnyFunSuite {
       // tp1 lost its only file → the dir entry is gone with it
       assert(cmd("CWD /tp1").startsWith("550"))
       assert(cmd("CWD /tp2").startsWith("250"))
+      assert(cmd("CWD /").startsWith("250"))
+      // dir-cap prune: oldest CHILDLESS dirs go; file-backed dirs survive
+      // (evicting one would 550 a CWD to a dir whose artifacts still serve)
+      (1 to 6).foreach(i => assert(cmd(s"MKD /empty$i").startsWith("257")))
+      assert(cmd("CWD /").startsWith("250"))
+      assert(cmd("CWD /tp2").startsWith("250"), "file-backed dir must survive prune")
+      assert(cmd("CWD /empty1").startsWith("550"), "oldest childless dir pruned")
+      assert(cmd("CWD /empty6").startsWith("250"), "newest dirs kept")
       assert(cmd("CWD /").startsWith("250"))
       // leave a session with an armed PASV listener, then stop the server
       val dataPort = pasvPort(cmd("PASV"))
