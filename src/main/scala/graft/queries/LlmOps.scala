@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Decontamination, Dedup, Multimodal, Privacy, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Chunking, Decontamination, Dedup, Multimodal, Privacy, Sampling, Similarity, TextAnalysis}
 
 /** SURVEY §2 Group I — LLM-data-pipeline operators as oracle-checked
   * queries over `documents` / `embeddings`.
@@ -580,6 +580,63 @@ object LlmOps {
       | true AS p90_ok
       |FROM documents""".stripMargin
 
+  /** I7c — context-window chunking: overlapping word windows
+    * (size 64, stride 48), the dataloader-prep step between curation and
+    * training. The oracle recomputes every window with list slicing. */
+  def chunkWindows(s: SparkSession, d: String): DataFrame =
+    Chunking.chunkByWords(Tables.documents(s, d), "doc_id", "text",
+      size = 64, stride = 48)
+
+  private val chunkWindowsSql =
+    """WITH w AS (
+      | SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM documents),
+      |c AS (
+      | SELECT doc_id, ws,
+      |  unnest(range(0, 1 + (greatest(len(ws) - 64, 0) + 47) // 48)) AS chunk_idx
+      | FROM w)
+      |SELECT doc_id, chunk_idx,
+      | array_to_string(ws[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ') AS chunk_text,
+      | len(ws[chunk_idx*48 + 1 : chunk_idx*48 + 64]) AS n_chunk_words
+      |FROM c""".stripMargin
+
+  /** I7d — sequence-packing invariant gate: greedy first-fit packing is a
+    * sequential per-partition decision (pack ids embed the partition — no
+    * coordination at scale), so the gate checks the partitioning-
+    * independent INVARIANTS: every doc packed exactly once, token totals
+    * conserved, no pack over budget except flagged oversize singletons.
+    * The oracle recomputes the doc count and token total from the corpus
+    * and pins the booleans. */
+  def packGate(s: SparkSession, d: String): DataFrame = {
+    val budget = 200L
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+    val packed = Chunking.packGreedy(toks, "doc_id", "toks", budget)
+    val perPack = packed.groupBy(col("pack_id"))
+      .agg(sum(col("tokens")).as("member_sum"),
+        min(col("pack_tokens")).as("declared"),
+        count(lit(1)).as("n_members"),
+        max(col("oversize").cast("int")).as("oversize"))
+    val packsOk = perPack.agg(
+      (count(lit(1)) > 0 &&
+        max(when(col("oversize") === 0, col("declared"))) <= budget &&
+        max(when(col("oversize") === 1, col("n_members"))
+          .otherwise(lit(1L))) <= 1L &&
+        max(abs(col("member_sum") - col("declared"))) === 0L).as("packs_ok"))
+    packed.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("id")).as("n_distinct_docs"),
+      sum(col("tokens")).as("total_tokens"))
+      .crossJoin(packsOk)
+  }
+
+  private val packGateSql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      | CAST(COUNT(*) AS BIGINT) AS n_distinct_docs,
+      | CAST(SUM(len(regexp_split_to_array(text, ' +'))) AS BIGINT)
+      |  AS total_tokens,
+      | true AS packs_ok
+      |FROM documents""".stripMargin
+
   /** I4 — multimodal metadata extraction over binary payload columns (the
     * deterministic stub codec; plumbing is the point — see
     * graft.llm.Multimodal). */
@@ -633,7 +690,9 @@ object LlmOps {
     "i6_corpus_curation" -> corpusCuration _,
     "i6_stratified_cap" -> stratifiedCap _,
     "i7_pii_scrub" -> piiScrub _,
-    "i7_decontamination" -> decontamination _
+    "i7_decontamination" -> decontamination _,
+    "i7_chunk_windows" -> chunkWindows _,
+    "i7_pack_gate" -> packGate _
   )
 
   val oracles: Map[String, String] = Map(
@@ -657,6 +716,8 @@ object LlmOps {
     "i6_corpus_curation" -> corpusCurationSql,
     "i6_stratified_cap" -> stratifiedCapSql,
     "i7_pii_scrub" -> piiScrubSql,
-    "i7_decontamination" -> decontaminationSql
+    "i7_decontamination" -> decontaminationSql,
+    "i7_chunk_windows" -> chunkWindowsSql,
+    "i7_pack_gate" -> packGateSql
   )
 }

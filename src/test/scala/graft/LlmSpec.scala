@@ -169,6 +169,54 @@ class LlmSpec extends AnyFunSuite {
       col("doc_id"), cap = 100).count() == 30)
   }
 
+  test("I7 chunking: window coverage, overlap, short docs") {
+    import graft.llm.Chunking
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      (2L, "a b c"), // shorter than one window
+      (3L, (1 to 8).map(i => s"x$i").mkString(" ")) // exactly size+stride
+    ).toDF("doc_id", "text")
+    val out = Chunking.chunkByWords(docs, "doc_id", "text", size = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getInt(3)))).toMap
+    // doc 1: chunks at offsets 0,2,4,6 — 1 + ceil((10-4)/2) = 4 chunks
+    assert(out((1L, 0L)) == (("w1 w2 w3 w4", 4)))
+    assert(out((1L, 1L)) == (("w3 w4 w5 w6", 4))) // stride-2 overlap
+    assert(out((1L, 3L)) == (("w7 w8 w9 w10", 4)))
+    assert(!out.contains((1L, 4L)))
+    // short doc: one whole-doc chunk
+    assert(out((2L, 0L)) == (("a b c", 3)))
+    assert(!out.contains((2L, 1L)))
+    // every word of doc 3 appears in some chunk (coverage)
+    val covered = out.keys.filter(_._1 == 3L)
+      .flatMap(k => out(k)._1.split(" ")).toSet
+    assert(covered == (1 to 8).map(i => s"x$i").toSet)
+  }
+
+  test("I7 packing: budget respected, oversize singled out, docs conserved") {
+    import graft.llm.Chunking
+    val docs = Seq(
+      (1L, 90L), (2L, 80L), (3L, 40L), (4L, 30L), (5L, 250L), (6L, 10L))
+      .toDF("doc_id", "toks").coalesce(1) // one partition: deterministic packs
+    val out = Chunking.packGreedy(docs, "doc_id", "toks", budget = 200L)
+      .collect()
+    // every doc exactly once, tokens conserved
+    assert(out.map(_.getLong(0)).sorted.sameElements(Array(1L, 2L, 3L, 4L, 5L, 6L)))
+    assert(out.map(_.getLong(1)).sum == 500L)
+    val byPack = out.groupBy(_.getString(2))
+    byPack.foreach { case (_, members) =>
+      val total = members.head.getLong(3)
+      assert(members.map(_.getLong(1)).sum == total)
+      if (total > 200L) { // oversize: flagged singleton
+        assert(members.length == 1 && members.head.getBoolean(4))
+      } else assert(members.forall(!_.getBoolean(4)))
+    }
+    // greedy first-fit desc: 250 alone (oversize), then 90+80+30=200
+    // exactly, then 40+10=50 — three packs
+    assert(byPack.size == 3)
+    assert(byPack.values.map(_.map(_.getLong(1)).sum).toSet == Set(250L, 200L, 50L))
+  }
+
   test("I5 single-pass stopword kernel matches the regex semantics exactly") {
     // boundary-heavy adversarial strings: tokens glued to word chars must
     // NOT match (\b semantics), case folds, punctuation splits, unicode
