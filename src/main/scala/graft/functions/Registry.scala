@@ -35,7 +35,87 @@ object Registry {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, String]]()
   }
 
-  /** Register the engine's custom functions for SQL use. */
+
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Every native-Expression SQL function, shared by [[registerAll]]
+    * (imperative, one session) and [[graft.GraftExtensions]] (the
+    * `spark.sql.extensions` injection path every session on a cluster
+    * gets for free). Builders that need literal arguments validate them
+    * at analysis time with a named AnalysisException. */
+  private[graft] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // sketch kernels (native expressions, full codegen/fused)
+    "graft_long_dot" -> (exprs => LongArrayDot(exprs(0), exprs(1))),
+    "graft_simhash64" -> (exprs => SimHash64Expr(exprs(0))),
+    "graft_minhash_sig" -> (exprs => MinHashSigExpr(exprs(0), 64)),
+    // text kernels (I5): graft_lang_id(text) over the built-in language
+    // table; graft_stopword_count(text, 'w1,w2,…') with a literal word
+    // list — both fully codegen'd single-pass scans
+    "graft_lang_id" -> (exprs => LangIdExpr(exprs(0),
+      graft.llm.TextAnalysis.stopwordTable.toSeq.sortBy(_._1))),
+    "graft_stopword_count" -> (stopwordCountBuilder(_)),
+    // graft_hyperplane_lsh(vec, nPlanes, table) — literal plane/table ids
+    "graft_hyperplane_lsh" -> (hyperplaneLshBuilder(_)),
+    // aggregate: graft_top_k(struct(score, id), k) with literal k
+    "graft_top_k" -> (topKBuilder(_)))
+
+  private def stopwordCountBuilder(exprs: Seq[Expression]): Expression = {
+    val v = if (exprs(1).foldable) exprs(1).eval() else null
+    v match {
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        val words = s.toString.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        TextScan.setOf(words) // validate at analysis, driver-side
+        StopwordCountExpr(exprs(0), words)
+      case _ => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INVALID_PARAMETER_VALUE.PATTERN",
+        messageParameters = Map(
+          "parameter" -> "`words` (must be a string literal: 'w1,w2,…')",
+          "functionName" -> "`graft_stopword_count`",
+          "value" -> exprs(1).sql))
+    }
+  }
+
+  private def intLit(e: Expression, name: String, fn: String): Int = {
+    val v = if (e.foldable) e.eval() else null
+    v match {
+      case n: Number => n.intValue()
+      case _ => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INVALID_PARAMETER_VALUE.INTEGER",
+        messageParameters = Map(
+          "parameter" -> s"`$name` (must be an integer literal)",
+          "functionName" -> s"`$fn`",
+          "invalidValue" -> e.sql))
+    }
+  }
+
+  private def hyperplaneLshBuilder(exprs: Seq[Expression]): Expression =
+    HyperplaneLshExpr(exprs(0),
+      intLit(exprs(1), "nPlanes", "graft_hyperplane_lsh"),
+      intLit(exprs(2), "table", "graft_hyperplane_lsh"))
+
+  private def topKBuilder(exprs: Seq[Expression]): Expression = {
+    val k = intLit(exprs(1), "k", "graft_top_k")
+    if (k <= 0) throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "INVALID_PARAMETER_VALUE.INTEGER",
+      messageParameters = Map(
+        "parameter" -> "`k` (must be a positive integer literal)",
+        "functionName" -> "`graft_top_k`",
+        "invalidValue" -> exprs(1).sql))
+    TopKByScore(exprs(0), k)
+  }
+
+  /** Inject every native function at session-extension time
+    * ([[graft.GraftExtensions]]). */
+  def injectNative(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    sqlFunctions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.Registry", name), builder))
+    }
+  }
+
+  /** Register the engine's custom functions on an EXISTING session. */
   def registerAll(spark: SparkSession): Unit = {
     // scalar codec (C1/C2) as SQL functions
     spark.udf.register("graft_encode_type",
@@ -48,68 +128,9 @@ object Registry {
       (s: String) => graft.model.TimeFns.iso8601ToEpochUs(s))
     spark.udf.register("graft_iso8601_to_epoch_ms",
       (s: String) => graft.model.TimeFns.iso8601ToEpochMs(s))
-    // sketch kernels (native expressions, full codegen/fused)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_long_dot", exprs => LongArrayDot(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash64", exprs => SimHash64Expr(exprs(0)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash_sig", exprs => MinHashSigExpr(exprs(0), 64), "built-in")
-    // graft_hyperplane_lsh(vec, nPlanes, table) — literal plane/table ids
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hyperplane_lsh", exprs => {
-        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
-            name: String): Int = {
-          val v = if (e.foldable) e.eval() else null
-          v match {
-            case n: Number => n.intValue()
-            case _ => throw new org.apache.spark.sql.AnalysisException(
-              errorClass = "INVALID_PARAMETER_VALUE.INTEGER",
-              messageParameters = Map(
-                "parameter" -> s"`$name` (must be an integer literal)",
-                "functionName" -> "`graft_hyperplane_lsh`",
-                "invalidValue" -> e.sql))
-          }
-        }
-        HyperplaneLshExpr(exprs(0),
-          intLit(exprs(1), "nPlanes"), intLit(exprs(2), "table"))
-      }, "built-in")
-    // text kernels (I5): graft_stopword_count(text, 'w1,w2,…') with a
-    // literal comma-separated word list; graft_lang_id(text) over the
-    // built-in language table — both fully codegen'd single-pass scans
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_stopword_count", exprs => {
-        val v = if (exprs(1).foldable) exprs(1).eval() else null
-        v match {
-          case s: org.apache.spark.unsafe.types.UTF8String =>
-            val words = s.toString.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-            TextScan.setOf(words) // validate at registration, driver-side
-            StopwordCountExpr(exprs(0), words)
-          case _ => throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "INVALID_PARAMETER_VALUE.PATTERN",
-            messageParameters = Map(
-              "parameter" -> "`words` (must be a string literal: 'w1,w2,…')",
-              "functionName" -> "`graft_stopword_count`",
-              "value" -> exprs(1).sql))
-        }
-      }, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_lang_id", exprs => LangIdExpr(exprs(0),
-        graft.llm.TextAnalysis.stopwordTable.toSeq.sortBy(_._1)), "built-in")
-    // aggregate: graft_top_k(struct(score, id), k) with literal k
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_top_k", exprs => {
-        val kExpr = exprs(1)
-        val kVal = if (kExpr.foldable) kExpr.eval() else null
-        kVal match {
-          case n: Number if n.intValue() > 0 => TopKByScore(exprs(0), n.intValue())
-          case _ => throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "INVALID_PARAMETER_VALUE.INTEGER",
-            messageParameters = Map(
-              "parameter" -> "`k` (must be a positive integer literal)",
-              "functionName" -> "`graft_top_k`",
-              "invalidValue" -> kExpr.sql))
-        }
-      }, "built-in")
+    sqlFunctions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

@@ -104,6 +104,35 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("D18 GraftExtensions injects the SQL surface at session build time") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // a NEW session over the same SparkContext, configured the way a
+      // cluster deployment would (spark.sql.extensions equivalent)
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne base)
+      // no Registry.registerAll(s2): the functions come from the extension
+      val r = s2.sql(
+        """SELECT graft_simhash64(array('a','b')) AS sh,
+          | graft_lang_id('der hund und die katze') AS lang,
+          | graft_stopword_count('the cat and dog', 'the,and') AS n""".stripMargin)
+        .head()
+      assert(!r.isNullAt(0))
+      assert(r.getString(1) == "de")
+      assert(r.getInt(2) == 2)
+    } finally {
+      SparkSession.setDefaultSession(prevDefault.orNull)
+      SparkSession.setActiveSession(prevActive.getOrElse(base))
+    }
+  }
+
   test("D18/A4 AttrUnionAggregator: union + conflict detection as a UDAF") {
     val agg = new Registry.AttrUnionAggregator().toColumn
     val ok = Seq(("a", "1"), ("b", "2"), ("a", "1")).toDS()
