@@ -12,12 +12,17 @@ object Chunking {
 
   /** Overlapping word-window chunks: chunk i covers words
     * `[i·stride, i·stride + size)`; the last window starts at the final
-    * position that still adds new words. Pure column expressions (explode
-    * over a `sequence` of offsets + `slice`) — no UDF, no shuffle beyond
-    * the explode, linear in corpus size.
+    * position that still adds new words. Pure column expressions — the
+    * windows are SLICED FIRST (a `transform` over the offset sequence)
+    * and only then exploded, so each output row carries one ~size-word
+    * chunk. Exploding offsets next to the full word array and slicing
+    * after would copy the whole document into every chunk row —
+    * O(words × chunks) per doc instead of the ~(size/stride)× blow-up
+    * the overlap itself costs.
     *
     * Emits (id, chunk_idx, chunk_text, n_chunk_words). Documents shorter
-    * than one window yield exactly one chunk (the whole doc). */
+    * than one window yield exactly one chunk (the whole doc); null text
+    * yields no rows. */
   def chunkByWords(
       df: DataFrame, idCol: String, textCol: String,
       size: Int, stride: Int): DataFrame = {
@@ -30,25 +35,36 @@ object Chunking {
     val nChunks = lit(1L) +
       floor((greatest(n - size, lit(0)) + (stride - 1)).cast("double") / stride)
         .cast("long")
-    df.select(col(idCol), ws.as("__ws"),
-      explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
-      .select(col(idCol), col("chunk_idx"),
-        slice(col("__ws"), (col("chunk_idx") * stride + 1).cast("int"), lit(size))
-          .as("__chunk"))
-      .select(col(idCol), col("chunk_idx"),
+    df.select(col(idCol), posexplode(
+      transform(sequence(lit(0L), nChunks - 1),
+        i => slice(ws, (i * stride + 1).cast("int"), lit(size))))
+      .as(Seq("chunk_idx", "__chunk")))
+      // null text: greatest() above swallows the null word count into one
+      // offset whose slice is null — drop it (null docs chunk to nothing)
+      .filter(col("__chunk").isNotNull)
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
         concat_ws(" ", col("__chunk")).as("chunk_text"),
         org.apache.spark.sql.functions.size(col("__chunk")).as("n_chunk_words"))
   }
 
-  /** Greedy first-fit sequence packing: within each partition, documents
-    * are packed in (token count DESC, id ASC) order into sequences of at
-    * most `budget` tokens; a document alone larger than the budget gets
-    * its own pack, flagged oversize. Packing is a sequential decision, so
-    * at scale it runs per-partition (pack ids embed the partition — no
-    * coordination, no shuffle after the initial sort); the INVARIANTS
-    * (every doc packed exactly once, token totals conserved, no pack over
-    * budget except flagged singletons) hold regardless of partitioning
-    * and are what the oracle gate checks.
+  /** Greedy best-fit-decreasing sequence packing: within each partition,
+    * documents are packed in (token count DESC, id ASC) order into
+    * sequences of at most `budget` tokens; a document alone larger than
+    * the budget gets its own pack, flagged oversize — and that pack is
+    * CLOSED (nothing else can join it, not even a zero-token doc).
+    * Packing is a sequential decision, so at scale it runs per-partition
+    * (pack ids embed the partition — no coordination after the initial
+    * sort); the INVARIANTS (every doc packed exactly once, token totals
+    * conserved, no pack over budget except flagged oversize singletons)
+    * hold regardless of partitioning and are what the oracle gate checks.
+    *
+    * Memory/CPU per partition: membership rows STREAM out (nothing
+    * buffered per doc); open-pack state is a TreeMap of remaining-budget
+    * → pack ids, O(log packs) per doc — a linear scan over an open list
+    * would go quadratic on a partition where nothing fits. Pack totals
+    * come from one aggregation over the emitted memberships (the
+    * scale-correct place for them). Null or negative token counts are
+    * rejected loudly — pre-filter them.
     *
     * Emits (id, tokens, pack_id, pack_tokens, oversize). */
   def packGreedy(
@@ -60,38 +76,43 @@ object Chunking {
     import org.apache.spark.sql.types._
     val in = df.select(col(idCol).cast("long"), col(tokensCol).cast("long"))
       .sortWithinPartitions(col(tokensCol).desc, col(idCol).asc)
-    val outSchema = StructType(Seq(
+    val memberSchema = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("tokens", LongType, nullable = false),
-      StructField("pack_id", StringType, nullable = false),
-      StructField("pack_tokens", LongType, nullable = false),
-      StructField("oversize", BooleanType, nullable = false)))
+      StructField("pack_id", StringType, nullable = false)))
     val rdd = in.rdd.mapPartitionsWithIndex { (part, rows) =>
-      // open packs as (remaining budget, pack index, members); first-fit
-      // over a small open list bounded by the budget/min-doc ratio
-      val packs = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, Int, scala.collection.mutable.ArrayBuffer[(Long, Long)])]
+      val byRem = new java.util.TreeMap[Long, java.util.ArrayDeque[Int]]()
       var nextPack = 0
-      rows.foreach { r =>
-        val (id, tok) = (r.getLong(0), r.getLong(1))
-        val fit = packs.indexWhere(_._1 >= tok)
-        if (fit >= 0) {
-          val (rem, pid, members) = packs(fit)
-          members += ((id, tok))
-          packs(fit) = (rem - tok, pid, members)
-        } else {
-          val members = scala.collection.mutable.ArrayBuffer((id, tok))
-          packs += ((math.max(budget - tok, 0L), nextPack, members))
-          nextPack += 1
-        }
-      }
-      packs.iterator.flatMap { case (_, pid, members) =>
-        val total = members.map(_._2).sum
-        members.map { case (id, tok) =>
-          Row(id, tok, s"p$part-$pid", total, total > budget)
-        }
+      def open(rem: Long, pid: Int): Unit =
+        byRem.computeIfAbsent(rem, _ => new java.util.ArrayDeque[Int]()).push(pid)
+      rows.map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          "packGreedy: null id or token count — pre-filter the input")
+        val id = r.getLong(0)
+        val tok = r.getLong(1)
+        require(tok >= 0, s"packGreedy: negative token count $tok for doc $id")
+        val fit = byRem.ceilingEntry(tok) // best fit: smallest adequate rem
+        val pid =
+          if (fit != null) {
+            val q = fit.getValue
+            val p = q.poll()
+            if (q.isEmpty) byRem.remove(fit.getKey)
+            open(fit.getKey - tok, p)
+            p
+          } else {
+            val p = nextPack
+            nextPack += 1
+            if (tok <= budget) open(budget - tok, p) // oversize stays closed
+            p
+          }
+        Row(id, tok, s"p$part-$pid")
       }
     }
-    spark.createDataFrame(rdd, outSchema)
+    val members = spark.createDataFrame(rdd, memberSchema)
+    val totals = members.groupBy(col("pack_id"))
+      .agg(sum(col("tokens")).as("pack_tokens"))
+    members.join(totals, Seq("pack_id"))
+      .select(col("id"), col("tokens"), col("pack_id"), col("pack_tokens"),
+        (col("pack_tokens") > budget).as("oversize"))
   }
 }

@@ -85,15 +85,20 @@ final class MlflowFtpServer(
     pruneDirs()
   }
 
-  /** Sweep oldest-first, evicting only childless dirs. Lock order matches
+  /** Sweep oldest-first, evicting only childless dirs; repeat while the
+    * sweep makes progress — removing a chain's leaf makes its parent
+    * childless, and a single pass would trim only one level per call,
+    * letting a deep pure-MKD chain outgrow the cap. Lock order matches
     * [[store]] (files, then dirs) — taking dirs first here and files
     * inside `childrenOf` would deadlock against a concurrent upload. */
   private def pruneDirs(): Unit = files.synchronized {
     dirs.synchronized {
-      if (dirs.size > maxDirs) {
+      var progress = true
+      while (dirs.size > maxDirs && progress) {
+        progress = false
         val it = dirs.keySet().iterator()
         while (dirs.size > maxDirs && it.hasNext) {
-          if (childrenOf(it.next()).isEmpty) it.remove()
+          if (childrenOf(it.next()).isEmpty) { it.remove(); progress = true }
         }
       }
     }

@@ -553,10 +553,14 @@ object Notebooks {
         Regex.quoteReplacement(s"<$tag>${m.group(1)}</$tag>"))
     def inline(s: String): String = {
       val codes = scala.collection.mutable.ArrayBuffer.empty[String]
-      var t = "`([^`]+)`".r.replaceAllIn(escapeHtml(s), m => {
-        codes += m.group(1)
-        s"\u0000${codes.size - 1}\u0000" // NUL can't occur in escaped text
-      })
+      // NUL delimits the placeholders, so literal NULs in the cell text
+      // (legal JSON, via its \u0000 escape) are stripped first — they'd
+      // otherwise form phantom placeholders indexing past `codes`
+      var t = "`([^`]+)`".r.replaceAllIn(
+        escapeHtml(s).replace("\u0000", ""), m => {
+          codes += m.group(1)
+          s"\u0000${codes.size - 1}\u0000"
+        })
       t = wrap(t, "\\*\\*([^*]+)\\*\\*".r, "strong")
       t = wrap(t, "\\*([^*]+)\\*".r, "em")
       "\u0000([0-9]+)\u0000".r.replaceAllIn(t, m =>

@@ -608,8 +608,12 @@ object LlmOps {
     * and pins the booleans. */
   def packGate(s: SparkSession, d: String): DataFrame = {
     val budget = 200L
-    val toks = Tables.documents(s, d).select(col("doc_id"),
-      TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+    // null-text docs carry no token count; packGreedy rejects nulls by
+    // contract, and the oracle's SUM/COUNT skip them symmetrically
+    val toks = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
     val packed = Chunking.packGreedy(toks, "doc_id", "toks", budget)
     val perPack = packed.groupBy(col("pack_id"))
       .agg(sum(col("tokens")).as("member_sum"),

@@ -196,6 +196,16 @@ class ExternalProcessSpec extends AnyFunSuite {
     assert(starry.contains("<code>*args</code>"))
     assert(starry.contains("<code>**kwargs</code>"))
     assert(starry.contains("<em>emphasize</em>"))
+    // a literal NUL in the cell text (legal JSON via \u0000) must not form
+    // a phantom code-span placeholder and crash the whole B5 derivation
+    val nulText = "before \u00007\u0000 after `real` end"
+    val nul = graft.parser.Notebooks.convertIpynbToHtml(
+      graft.model.Json.render(scala.collection.immutable.ListMap(
+        "cells" -> Vector(scala.collection.immutable.ListMap(
+          "cell_type" -> "markdown", "source" -> nulText)),
+        "nbformat" -> 4)))
+    assert(nul.contains("<code>real</code>"))
+    assert(nul.contains("before 7 after"))
   }
 
   test("E8 ok notebook: cells executed in order, P injected, evaluated ipynb + html") {

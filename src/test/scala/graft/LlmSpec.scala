@@ -211,10 +211,27 @@ class LlmSpec extends AnyFunSuite {
         assert(members.length == 1 && members.head.getBoolean(4))
       } else assert(members.forall(!_.getBoolean(4)))
     }
-    // greedy first-fit desc: 250 alone (oversize), then 90+80+30=200
+    // greedy best-fit desc: 250 alone (oversize), then 90+80+30=200
     // exactly, then 40+10=50 — three packs
     assert(byPack.size == 3)
     assert(byPack.values.map(_.map(_.getLong(1)).sum).toSet == Set(250L, 200L, 50L))
+    // an oversize pack is CLOSED: a zero-token doc must not join it
+    // (its remaining would read >= 0) — it lands in an open pack instead
+    val withZero = Seq((1L, 250L), (2L, 0L)).toDF("doc_id", "toks").coalesce(1)
+    val z = Chunking.packGreedy(withZero, "doc_id", "toks", budget = 200L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(4)))).toMap
+    assert(z(1L)._2 && !z(2L)._2)
+    assert(z(1L)._1 != z(2L)._1, "zero-token doc joined a closed oversize pack")
+    // null/negative token counts fail loudly, not silently mis-pack
+    intercept[Exception] {
+      Chunking.packGreedy(Seq((1L, -5L)).toDF("doc_id", "toks"),
+        "doc_id", "toks", budget = 10L).collect()
+    }
+    // null text yields no chunks (matches the oracle's NULL propagation)
+    val nullChunks = Chunking.chunkByWords(
+      Seq((1L, null: String), (2L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text", size = 4, stride = 2)
+    assert(nullChunks.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
   test("I5 single-pass stopword kernel matches the regex semantics exactly") {
