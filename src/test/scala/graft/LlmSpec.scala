@@ -234,6 +234,30 @@ class LlmSpec extends AnyFunSuite {
     assert(nullChunks.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("I7 packing invariants hold on random inputs and partitionings (property)") {
+    import graft.llm.Chunking
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 5) {
+      val budget = 50L + rnd.nextInt(200)
+      val docs = (0L until (20 + rnd.nextInt(180)).toLong)
+        .map(i => (i, rnd.nextInt(2 * budget.toInt).toLong))
+      val df = docs.toDF("doc_id", "toks").repartition(1 + rnd.nextInt(4))
+      val out = Chunking.packGreedy(df, "doc_id", "toks", budget).collect()
+      // every doc exactly once; token totals conserved
+      assert(out.map(_.getLong(0)).sorted.toSeq == docs.map(_._1),
+        s"trial $trial (budget=$budget)")
+      assert(out.map(_.getLong(1)).sum == docs.map(_._2).sum)
+      out.groupBy(_.getString(2)).foreach { case (pid, ms) =>
+        val total = ms.map(_.getLong(1)).sum
+        assert(ms.forall(_.getLong(3) == total), s"pack $pid declared total wrong")
+        if (total > budget)
+          assert(ms.length == 1 && ms.head.getBoolean(4),
+            s"trial $trial: over-budget pack $pid is not an oversize singleton")
+        else assert(ms.forall(!_.getBoolean(4)))
+      }
+    }
+  }
+
   test("I5 single-pass stopword kernel matches the regex semantics exactly") {
     // boundary-heavy adversarial strings: tokens glued to word chars must
     // NOT match (\b semantics), case folds, punctuation splits, unicode
