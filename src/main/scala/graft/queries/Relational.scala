@@ -76,6 +76,33 @@ object Relational {
       |JOIN region   ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name""".stripMargin
 
+  /** D3b — the salted-skew-join variant of the equi-join
+    * ([[graft.operators.SkewJoin]], SURVEY §4 scale mitigations): the
+    * same lineitem⋈orders join with the left side scattered 8 ways and
+    * the right replicated. The oracle is the PLAIN join — salting must be
+    * semantics-invisible, which is exactly what a hash row-salt (vs a
+    * positional/rand salt) guarantees under task retries. */
+  def saltedSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val or = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    graft.operators.SkewJoin
+      .saltedJoin(li, or, "l_orderkey", "o_orderkey", buckets = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val saltedSkewJoinSql =
+    """SELECT o_orderpriority,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** Top-k: orderBy+limit plans as TakeOrderedAndProject — per-partition
     * heaps then a k-row merge on the driver, never a global sort. (D11) */
   def topOrders(s: SparkSession, d: String): DataFrame =
@@ -555,6 +582,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d07_agg_pricing" -> pricingSummary _,
     "d03_join_revenue_by_nation" -> revenueByNation _,
+    "d03_salted_skew_join" -> saltedSkewJoin _,
     "d11_topk_orders" -> topOrders _,
     "d04_semi_anti_customers" -> semiAntiCustomers _,
     "d08_distinct_counts" -> distinctCounts _,
@@ -585,6 +613,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "d07_agg_pricing" -> pricingSummarySql,
     "d03_join_revenue_by_nation" -> revenueByNationSql,
+    "d03_salted_skew_join" -> saltedSkewJoinSql,
     "d11_topk_orders" -> topOrdersSql,
     "d04_semi_anti_customers" -> semiAntiCustomersSql,
     "d08_distinct_counts" -> distinctCountsSql,
