@@ -8,14 +8,15 @@ import org.apache.spark.sql.types._
   * opaque `BINARY` payloads + typed metadata structs — the direct
   * generalization of the reference's bytes/base64 artifact codec (C1).
   *
-  * Image metadata decode AND image resize are REAL (JDK `javax.imageio` +
-  * `java.awt.image`: PNG/JPEG/GIF/BMP, see [[Multimodal.ImageCodec]]).
-  * Audio/video decode, frame sampling, and feature extraction remain
-  * STUBBED — no such codec exists in the JDK or this offline container.
-  * Every stub is deterministic (derived from payload bytes) so the
-  * Spark-side plumbing — schema, per-partition batch iteration,
-  * partitioning, feature shapes — is real and testable; swap `StubCodecs`
-  * for a real codec binding in production.
+  * Image metadata decode, image resize, AND image feature extraction are
+  * REAL (JDK `javax.imageio` + `java.awt.image`: PNG/JPEG/GIF/BMP, see
+  * [[Multimodal.ImageCodec]] — features are a grid color-layout
+  * descriptor). Audio/video decode and frame sampling remain STUBBED —
+  * no such codec exists in the JDK or this offline container. Every stub
+  * is deterministic (derived from payload bytes) so the Spark-side
+  * plumbing — schema, per-partition batch iteration, partitioning,
+  * feature shapes — is real and testable; swap `StubCodecs` for a real
+  * codec binding in production.
   */
 object Multimodal {
 
@@ -78,6 +79,40 @@ object Multimodal {
         // 100 TB corpus must fall back to the stub, not kill the job
         case scala.util.control.NonFatal(_) => None
       } finally in.close()
+    }
+
+    /** REAL image feature extraction (JDK-only): a grid color-layout
+      * descriptor — the image is decoded, bilinearly collapsed onto a
+      * g×g grid, and each cell contributes its mean R,G,B in [0,1]
+      * (g = ceil(sqrt(dim/3)), padded with zeros to `dim`). Deterministic
+      * and cheap; the classic pre-embedding baseline descriptor. Returns
+      * None when no installed reader decodes the payload (caller falls
+      * back to the byte-moment stub). */
+    def features(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
+      import java.awt.image.BufferedImage
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) return None
+      val g = math.max(1, math.ceil(math.sqrt(dim / 3.0)).toInt)
+      val grid = new BufferedImage(g, g, BufferedImage.TYPE_INT_RGB)
+      val gg = grid.createGraphics()
+      try {
+        gg.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        gg.drawImage(img, 0, 0, g, g, null)
+      } finally gg.dispose()
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < g * g) {
+        val rgb = grid.getRGB(i % g, i / g)
+        val base = i * 3
+        if (base < dim) out(base) = ((rgb >> 16) & 0xff) / 255.0f
+        if (base + 1 < dim) out(base + 1) = ((rgb >> 8) & 0xff) / 255.0f
+        if (base + 2 < dim) out(base + 2) = (rgb & 0xff) / 255.0f
+        i += 1
+      }
+      Some(out)
     }
 
     /** REAL pixel-domain downscale (JDK-only: `java.awt.image`): full
@@ -247,8 +282,15 @@ object Multimodal {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         val mime = if (mimeIdx >= 0) r.getString(mimeIdx) else null
+        val isImage = (mime != null && mime.startsWith("image/")) ||
+          ImageCodec.looksLikeImage(payload)
         val (w, h, c, d) = decodeMeta(payload, mime)
-        Row.fromSeq(r.toSeq ++ Seq(w, h, c, d, StubCodecs.features(payload, dim).toSeq))
+        // image payloads get the REAL grid color-layout descriptor;
+        // audio/video/doc payloads keep the deterministic byte-moment stub
+        val feats =
+          (if (isImage) ImageCodec.features(payload, dim) else None)
+            .getOrElse(StubCodecs.features(payload, dim))
+        Row.fromSeq(r.toSeq ++ Seq(w, h, c, d, feats.toSeq))
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -693,6 +693,31 @@ class LlmSpec extends AnyFunSuite {
     assert(t.isDefined && dims(t.get) == ((1, 1)))
   }
 
+  test("I4 real image features: grid color-layout descriptor, stub elsewhere") {
+    def solidPng(rgb: Int, w: Int = 16, h: Int = 16): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, rgb)))
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", baos))
+      baos.toByteArray
+    }
+    val red = solidPng(0xff0000)
+    val blue = solidPng(0x0000ff)
+    val text = "not an image".getBytes("UTF-8")
+    val media = Seq((1L, "image/png", red), (2L, "image/png", blue),
+      (3L, "application/octet-stream", text)).toDF("media_id", "mime", "payload")
+    val out = Multimodal.extractFeatures(media, dim = 12).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](r.length - 1)).toMap
+    // a solid-red image: every grid cell reads (1, 0, 0)
+    assert(out(1L).grouped(3).forall(c => c(0) == 1.0f && c(1) == 0.0f && c(2) == 0.0f))
+    assert(out(2L).grouped(3).forall(c => c(0) == 0.0f && c(1) == 0.0f && c(2) == 1.0f))
+    // the descriptor SEPARATES colors where the byte-moment stub cannot
+    assert(out(1L) != out(2L))
+    // non-image payloads keep the deterministic stub
+    assert(out(3L) == Multimodal.StubCodecs.features(text, 12).toSeq)
+  }
+
   test("I3 brute-force broadcast refuses an over-budget corpus") {
     val conf = Similarity.MaxBroadcastRowsConf
     spark.conf.set(conf, "2")
