@@ -403,4 +403,29 @@ object Dedup {
         greatest(col("a"), col("b")).as("doc_b"), col("hamming"))
     intra.unionByName(inter)
   }
+
+  /** I2f — edit-distance (Levenshtein) near-dup pairs inside a blocking
+    * key: only documents sharing `blockCol` are compared, and the distance
+    * runs over a bounded prefix so the per-pair cost is O(prefixLen²)
+    * regardless of document length. Pair volume is Σ_block |block|² — at
+    * 100 TB the block must be a high-selectivity key (an LSH band or
+    * MinHash bucket from [[minHashCandidates]], not a raw category);
+    * this operator is the VERIFY stage of candidate-then-verify, kept
+    * key-generic so any blocking feeds it. */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      prefixLen: Int = 40,
+      maxDist: Int = 24): DataFrame = {
+    val t = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      substring(col(textCol), 1, prefixLen).as("prefix"))
+    val right = t.select(col("block").as("block_b"), col("id").as("b_id"),
+      col("prefix").as("b_prefix"))
+    t.join(right, col("block") === col("block_b") && col("id") < col("b_id"))
+      .select(col("id").as("a_id"), col("b_id"),
+        levenshtein(col("prefix"), col("b_prefix")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

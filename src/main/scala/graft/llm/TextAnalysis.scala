@@ -1,6 +1,7 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (SURVEY §2 Group I,
@@ -135,4 +136,54 @@ object TextAnalysis {
 
   /** Hamming distance between two packed 64-bit SimHashes. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ───── corpus-level statistics (DataFrame → DataFrame) ─────
+
+  /** Vocabulary frequency-of-frequencies (the Zipf/hapax histogram corpus
+    * audits cut on): token → corpus count, then count → #distinct-tokens.
+    * Two hash aggregates, both with map-side partials; the second input is
+    * vocabulary-sized, so at 100 TB the heavy shuffle is the first (and it
+    * moves (token, partial-count) pairs, not text). */
+  def vocabStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " +")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cnt").as("freq")).agg(count(lit(1)).as("n_types"))
+
+  /** Salient term per document — the integer-safe TF-IDF analogue: rank a
+    * document's tokens by (tf DESC, corpus df ASC, token ASC) and keep the
+    * winner. The exact same total order as tf·log(N/df) argmax whenever tf
+    * ties break by rarity, but with no libm in the checked output. The
+    * document-frequency side is vocabulary-sized → broadcast; swap for a
+    * shuffle join only if the vocabulary outgrows executor memory. */
+  def salientTerms(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+      explode(split(col(textCol), " +")).as("word"))
+    val tf = toks.groupBy(col("doc"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("word"))
+      .agg(countDistinct(col("doc")).as("df"))
+    val w = Window.partitionBy(col("doc"))
+      .orderBy(col("tf").desc, col("df").asc, col("word").asc)
+    tf.join(broadcast(dfreq), "word")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc"), col("word").as("salient"), col("tf"), col("df"))
+  }
+
+  /** Global bigram language-model counts, top-k by count (count DESC, then
+    * the bigram itself — a unique total order, so `limit` is deterministic).
+    * Bigrams come from zipping the split array against its own shift (one
+    * split per row); top-k runs as TakeOrderedAndProject, never a full
+    * result sort. */
+  def bigramCounts(df: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
+    val pairs = df
+      .select(split(col(textCol), " +").as("ws"))
+      .select(
+        slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))).as("w1s"),
+        slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))).as("w2s"))
+      .select(explode(arrays_zip(col("w1s"), col("w2s"))).as("z"))
+      .select(col("z.w1s").as("w1"), col("z.w2s").as("w2"))
+    pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

@@ -354,6 +354,61 @@ object LlmOps {
       | LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens
       |FROM documents""".stripMargin
 
+  /** I5f — vocabulary frequency-of-frequencies (Zipf/hapax histogram). */
+  def vocabStats(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.vocabStats(Tables.documents(s, d), "text")
+
+  private val vocabStatsSql =
+    """WITH tok AS (
+      | SELECT unnest(regexp_split_to_array(text, ' +')) AS word FROM documents),
+      |wc AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word)
+      |SELECT cnt AS freq, COUNT(*) AS n_types FROM wc GROUP BY cnt""".stripMargin
+
+  /** I5g — salient term per doc (integer-safe TF-IDF analogue). */
+  def salientTerms(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.salientTerms(Tables.documents(s, d), "doc_id", "text")
+      .withColumnRenamed("doc", "doc_id")
+
+  private val salientTermsSql =
+    """WITH tok AS (
+      | SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS word
+      | FROM documents),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+      |dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+      |ranked AS (
+      | SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+      |  ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |    ORDER BY tf.tf DESC, dfreq.df ASC, tf.word ASC) AS rk
+      | FROM tf JOIN dfreq ON tf.word = dfreq.word)
+      |SELECT doc_id, word AS salient, tf, df FROM ranked WHERE rk = 1""".stripMargin
+
+  /** I5h — global bigram LM counts, deterministic top-50. */
+  def bigramLm(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bigramCounts(Tables.documents(s, d), "text", topK = 50)
+
+  private val bigramLmSql =
+    """WITH b AS (
+      | SELECT z[1] AS w1, z[2] AS w2 FROM (
+      |  SELECT unnest(list_zip(words[1:-2], words[2:-1])) AS z
+      |  FROM (SELECT regexp_split_to_array(text, ' +') AS words FROM documents)))
+      |SELECT w1, w2, COUNT(*) AS n FROM b GROUP BY w1, w2
+      |ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin
+
+  /** I2f — Levenshtein near-dup pairs blocked on `source` (the fixture's
+    * categorical stand-in for an LSH-band blocking key; see
+    * [[Dedup.editDistancePairs]] for the 100 TB candidate-then-verify
+    * shape). Bounded 40-char prefixes keep the per-pair cost flat. */
+  def editdistBlocked(s: SparkSession, d: String): DataFrame =
+    Dedup.editDistancePairs(Tables.documents(s, d), "doc_id", "text",
+      blockCol = "source", prefixLen = 40, maxDist = 24)
+
+  private val editdistBlockedSql =
+    """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      | levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS dist
+      |FROM documents a JOIN documents b
+      |  ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 24""".stripMargin
+
   /** I5d — rolling-hash document fingerprint (order-sensitive fold). */
   def fingerprints(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -696,7 +751,11 @@ object LlmOps {
     "i7_pii_scrub" -> piiScrub _,
     "i7_decontamination" -> decontamination _,
     "i7_chunk_windows" -> chunkWindows _,
-    "i7_pack_gate" -> packGate _
+    "i7_pack_gate" -> packGate _,
+    "i5_vocab_stats" -> vocabStats _,
+    "i5_salient_terms" -> salientTerms _,
+    "i5_bigram_lm" -> bigramLm _,
+    "i2_editdist_blocked" -> editdistBlocked _
   )
 
   val oracles: Map[String, String] = Map(
@@ -722,6 +781,10 @@ object LlmOps {
     "i7_pii_scrub" -> piiScrubSql,
     "i7_decontamination" -> decontaminationSql,
     "i7_chunk_windows" -> chunkWindowsSql,
-    "i7_pack_gate" -> packGateSql
+    "i7_pack_gate" -> packGateSql,
+    "i5_vocab_stats" -> vocabStatsSql,
+    "i5_salient_terms" -> salientTermsSql,
+    "i5_bigram_lm" -> bigramLmSql,
+    "i2_editdist_blocked" -> editdistBlockedSql
   )
 }

@@ -579,6 +579,96 @@ object Relational {
       |UNION ALL
       |SELECT o_orderkey, 'low' AS bucket FROM orders WHERE o_totalprice < 50000""".stripMargin
 
+  /** Pivot (wide reshape): event counts per user-bucket × event_type. The
+    * value list is explicit, so the plan is a single hash aggregate — no
+    * extra distinct-values collect job, which is the form that survives a
+    * 100 TB scan (one pass, map-side partial agg). (D9)
+    */
+  def pivotEventTypes(s: SparkSession, d: String): DataFrame =
+    pivotCounts(Tables.events(s, d),
+      (col("user_id") % 10).as("user_bucket"), "event_type",
+      Seq("click", "error", "purchase", "signup", "view"))
+
+  def pivotCounts(events: DataFrame, rowKey: Column, pivotCol: String,
+      values: Seq[String]): DataFrame =
+    events
+      .groupBy(rowKey)
+      .pivot(pivotCol, values)
+      .agg(count(lit(1)))
+      // pivot+count yields NULL (not 0) for absent combos; the oracle's
+      // COUNT(*) FILTER yields 0 — align on 0
+      .na.fill(0L, values)
+
+  private val pivotEventTypesSql =
+    """SELECT user_id % 10 AS user_bucket,
+      | COUNT(*) FILTER (event_type = 'click')    AS click,
+      | COUNT(*) FILTER (event_type = 'error')    AS error,
+      | COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      | COUNT(*) FILTER (event_type = 'signup')   AS signup,
+      | COUNT(*) FILTER (event_type = 'view')     AS view
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Batch sessionization via `session_window` (gap = 12h): the same
+    * merging-session operator Structured Streaming uses (H4), run in batch.
+    * One shuffle on user_id, sessions merged inside the aggregate — the
+    * oracle reproduces it with the lag/cumsum island formulation. A new
+    * session starts only when the gap is STRICTLY greater than 12h: Spark
+    * merges touching windows (an event at exactly last+gap still joins the
+    * session — pinned by RelationalSpec). (D10/H4)
+    */
+  def sessionWindows(s: SparkSession, d: String): DataFrame =
+    sessionize(Tables.events(s, d), "12 hours")
+
+  def sessionize(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(
+        unix_micros(min(col("ts"))).as("start_us"),
+        unix_micros(max(col("ts"))).as("end_us"),
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"), col("sum_value"))
+
+  private val sessionWindowsSql =
+    """WITH flagged AS (
+      | SELECT user_id, ts, value, event_id,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |       OR ts > lag(ts) OVER w + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS new_s
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      | SELECT user_id, ts, value,
+      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      | FROM flagged)
+      |SELECT user_id, epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us,
+      | COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM sess GROUP BY user_id, sid""".stripMargin
+
+  /** Rank-family window functions: ntile / percent_rank / cume_dist per
+    * customer over order value. The ordering carries a unique tie-break
+    * (o_orderkey), so rank == row_number and both engines compute the same
+    * integer-ratio doubles (IEEE division of small ints is exact-identical).
+    * (D10)
+    */
+  def windowNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"))
+  }
+
+  private val windowNtileSql =
+    """SELECT o_orderkey, o_custkey,
+      | NTILE(4) OVER w AS quartile,
+      | PERCENT_RANK() OVER w AS pr,
+      | CUME_DIST() OVER w AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d07_agg_pricing" -> pricingSummary _,
     "d03_join_revenue_by_nation" -> revenueByNation _,
@@ -607,7 +697,10 @@ object Relational {
     "d16_array_fns" -> arrayFns _,
     "d17_json_fns" -> jsonFns _,
     "d07_above_customer_avg" -> aboveCustomerAvg _,
-    "d12_union_tagged" -> unionTagged _
+    "d12_union_tagged" -> unionTagged _,
+    "d09_pivot_event_types" -> pivotEventTypes _,
+    "d10_session_windows" -> sessionWindows _,
+    "d10_window_ntile" -> windowNtile _
   )
 
   val oracles: Map[String, String] = Map(
@@ -637,6 +730,9 @@ object Relational {
     "d16_array_fns" -> arrayFnsSql,
     "d17_json_fns" -> jsonFnsSql,
     "d07_above_customer_avg" -> aboveCustomerAvgSql,
-    "d12_union_tagged" -> unionTaggedSql
+    "d12_union_tagged" -> unionTaggedSql,
+    "d09_pivot_event_types" -> pivotEventTypesSql,
+    "d10_session_windows" -> sessionWindowsSql,
+    "d10_window_ntile" -> windowNtileSql
   )
 }

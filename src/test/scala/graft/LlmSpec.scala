@@ -148,6 +148,65 @@ class LlmSpec extends AnyFunSuite {
     assert(out(3L) == ((0.5, 0.75)))
   }
 
+  test("I5 vocab stats: frequency-of-frequencies histogram") {
+    val rows = Seq(
+      (1L, "a a b"), // a:2, b:1
+      (2L, "b c")) // b:2 total, c:1
+      .toDF("doc_id", "text")
+    // corpus counts: a=2, b=2, c=1 → freq 2 has 2 types, freq 1 has 1 type
+    val out = TextAnalysis.vocabStats(rows, "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(2L -> 2L, 1L -> 1L))
+  }
+
+  test("I5 salient terms: tf wins, ties break by rarity then alphabet") {
+    val rows = Seq(
+      (1L, "x x y common"), // x tf=2 wins outright
+      (2L, "rare common common"), // common tf=2 beats rare despite df
+      (3L, "rare common"), // tf tie → rare (df 2) beats common (df 3)
+      (4L, "aa bb")) // tf AND df tie (both df=1) → alphabetical: aa
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.salientTerms(rows, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc") -> r.getAs[String]("salient")).toMap
+    assert(out == Map(1L -> "x", 2L -> "common", 3L -> "rare", 4L -> "aa"))
+  }
+
+  test("I5 bigram counts: adjacency only, single-word docs contribute nothing") {
+    val rows = Seq(
+      (1L, "a b a b"), // (a,b)×2, (b,a)×1
+      (2L, "lonely"), // no bigrams
+      (3L, "a b")) // (a,b)×1
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCounts(rows, "text", topK = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toList
+    assert(out == List(("a", "b", 3L), ("b", "a", 1L))) // ordered by n desc
+    val top1 = TextAnalysis.bigramCounts(rows, "text", topK = 1).collect()
+    assert(top1.map(r => (r.getString(0), r.getString(1))).toList ==
+      List(("a", "b")))
+  }
+
+  test("I2 edit-distance pairs: block-scoped, prefix-bounded, thresholded") {
+    val rows = Seq(
+      (1L, "blk1", "hello world"),
+      (2L, "blk1", "hello worlds"), // dist 1 from doc 1
+      (3L, "blk1", "zzzzzzzzzzzz"), // far from both
+      (4L, "blk2", "hello world")) // identical to 1 but different block
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.editDistancePairs(rows, "doc_id", "text",
+      blockCol = "source", prefixLen = 40, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+    // only the in-block near-pair survives; cross-block identity never
+    // compared (blocking contract), far doc filtered by the threshold
+    assert(out == List((1L, 2L, 1L)))
+    // prefix bound: differences past prefixLen are invisible by design
+    val longDocs = Seq(
+      (1L, "b", ("x" * 40) + "AAAA"),
+      (2L, "b", ("x" * 40) + "BBBB")).toDF("doc_id", "source", "text")
+    val d0 = Dedup.editDistancePairs(longDocs, "doc_id", "text",
+      blockCol = "source", prefixLen = 40, maxDist = 0).collect()
+    assert(d0.map(r => r.getInt(2)).toList == List(0))
+  }
+
   test("I6 stratified cap keeps at most cap rows per stratum, deterministically") {
     import graft.llm.Sampling
     val rows = (0L until 30L).map(i =>
