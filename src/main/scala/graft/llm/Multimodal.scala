@@ -8,15 +8,16 @@ import org.apache.spark.sql.types._
   * opaque `BINARY` payloads + typed metadata structs — the direct
   * generalization of the reference's bytes/base64 artifact codec (C1).
   *
-  * Image metadata decode, image resize, AND image feature extraction are
-  * REAL (JDK `javax.imageio` + `java.awt.image`: PNG/JPEG/GIF/BMP, see
-  * [[Multimodal.ImageCodec]] — features are a grid color-layout
-  * descriptor). Audio/video decode and frame sampling remain STUBBED —
-  * no such codec exists in the JDK or this offline container. Every stub
-  * is deterministic (derived from payload bytes) so the Spark-side
-  * plumbing — schema, per-partition batch iteration, partitioning,
-  * feature shapes — is real and testable; swap `StubCodecs` for a real
-  * codec binding in production.
+  * Image decode/resize/features are REAL (JDK `javax.imageio` +
+  * `java.awt.image`: PNG/JPEG/GIF/BMP, see [[Multimodal.ImageCodec]] —
+  * features are a grid color-layout descriptor). Audio decode/features/
+  * frame-sampling are REAL too (JDK `javax.sound.sampled`: WAV/AIFF/AU,
+  * see [[Multimodal.AudioCodec]] — features are RMS-energy windows).
+  * Only VIDEO remains STUBBED — no such codec exists in the JDK or this
+  * offline container. Every stub is deterministic (derived from payload
+  * bytes) so the Spark-side plumbing — schema, per-partition batch
+  * iteration, partitioning, feature shapes — is real and testable; swap
+  * `StubCodecs` for a real codec binding in production.
   */
 object Multimodal {
 
@@ -159,18 +160,134 @@ object Multimodal {
     }
   }
 
-  /** Metadata dispatch: real `javax.imageio` decode for image payloads
-    * (by mime or magic bytes), deterministic stub for everything else
-    * (audio/video have no JDK codec; text fixtures keep the stub's
-    * oracle-checkable geometry). Real images report duration 0. */
-  def decodeMeta(payload: Array[Byte], mime: String): (Int, Int, Int, Long) = {
-    val isImage =
-      (mime != null && mime.startsWith("image/")) ||
-        ImageCodec.looksLikeImage(payload)
-    (if (isImage) ImageCodec.decodeMeta(payload) else None)
-      .map { case (w, h, c) => (w, h, c, 0L) }
-      .getOrElse(StubCodecs.decodeMeta(payload))
+  /** REAL audio metadata, features, and frame sampling via the JDK's
+    * `javax.sound.sampled` (WAV / AIFF / AU — zero new dependencies).
+    * Metadata is header-only (`getAudioFileFormat` parses the container,
+    * never the sample data); features decode PCM once per row. Compressed
+    * codecs (mp3/aac) have no JDK reader and fall back to the stub. */
+  object AudioCodec {
+
+    /** Magic-byte sniff mirroring [[ImageCodec.looksLikeImage]]: RIFF/WAVE,
+      * FORM/AIFF(-C), or Sun `.snd`. Text/doc payloads can never match. */
+    def looksLikeAudio(payload: Array[Byte]): Boolean = {
+      def tag(off: Int, s: String): Boolean =
+        payload.length >= off + 4 && s.indices.forall(i => payload(off + i) == s(i).toByte)
+      (tag(0, "RIFF") && tag(8, "WAVE")) ||
+        (tag(0, "FORM") && (tag(8, "AIFF") || tag(8, "AIFC"))) ||
+        tag(0, ".snd")
+    }
+
+    /** Meta-struct convention for audio (the struct is image-shaped):
+      * width := sample rate in Hz, height := bits per sample,
+      * n_channels := channels, duration_ms := frames/rate. None when no
+      * installed reader recognizes the payload. */
+    def decodeMeta(payload: Array[Byte]): Option[(Int, Int, Int, Long)] =
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = aff.getFormat
+        val rate = fmt.getSampleRate
+        val frames = aff.getFrameLength.toLong
+        val durMs =
+          if (rate > 0 && frames >= 0) (frames * 1000L / rate.toLong) else 0L
+        Some((rate.toInt, fmt.getSampleSizeInBits, fmt.getChannels, durMs))
+      } catch {
+        // unsupported/corrupt container — same fall-back rationale as
+        // ImageCodec.decodeMeta (one bad payload must not kill the job)
+        case scala.util.control.NonFatal(_) => None
+      }
+
+    /** Decode the payload to mono double samples in [-1, 1] (PCM 16-bit
+      * little-endian via the JDK's format-conversion chain). */
+    private def monoSamples(payload: Array[Byte]): Option[Array[Double]] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val src = ais.getFormat
+          val pcmFmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            src.getSampleRate, 16, src.getChannels,
+            src.getChannels * 2, src.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, ais)
+          try {
+            val bytes = pcm.readAllBytes()
+            val ch = src.getChannels
+            val n = bytes.length / 2 / ch
+            val out = new Array[Double](n)
+            var i = 0
+            while (i < n) {
+              var acc = 0.0
+              var c = 0
+              while (c < ch) {
+                val off = (i * ch + c) * 2
+                val s = ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+                acc += s / 32768.0
+                c += 1
+              }
+              out(i) = acc / ch
+              i += 1
+            }
+            Some(out)
+          } finally pcm.close()
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** REAL audio feature extraction: RMS energy over `dim` equal sample
+      * windows — the classic pre-embedding loudness-envelope descriptor.
+      * Deterministic; empty windows read 0. */
+    def features(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+      monoSamples(payload).map { samples =>
+        val out = new Array[Float](dim)
+        if (samples.nonEmpty) {
+          val win = math.max(1, (samples.length + dim - 1) / dim)
+          var w = 0
+          while (w < dim) {
+            val from = w * win
+            val to = math.min(samples.length, from + win)
+            if (from < to) {
+              var acc = 0.0
+              var i = from
+              while (i < to) { acc += samples(i) * samples(i); i += 1 }
+              out(w) = math.sqrt(acc / (to - from)).toFloat
+            }
+            w += 1
+          }
+        }
+        out
+      }
+
+    /** REAL frame sampling for audio: the sample-frame index at every
+      * `everyMs` step of the clip (bounded like the stub's 32). */
+    def sampleFrameOffsets(payload: Array[Byte], everyMs: Long): Option[Seq[Long]] =
+      decodeMeta(payload).map { case (rate, _, _, durMs) =>
+        val step = math.max(everyMs, 1L)
+        (0L to durMs by step).take(32).map(ms => ms * rate / 1000L)
+      }
   }
+
+  /** Metadata dispatch: real `javax.imageio` / `javax.sound.sampled`
+    * decode for image/audio payloads (by mime or magic bytes),
+    * deterministic stub for everything else (video has no JDK codec; text
+    * fixtures keep the stub's oracle-checkable geometry). Real images
+    * report duration 0; audio maps (rate, bits, channels, duration) onto
+    * the image-shaped struct — see [[AudioCodec.decodeMeta]]. */
+  def decodeMeta(payload: Array[Byte], mime: String): (Int, Int, Int, Long) = {
+    val real =
+      if (isImagePayload(payload, mime))
+        ImageCodec.decodeMeta(payload).map { case (w, h, c) => (w, h, c, 0L) }
+      else if (isAudioPayload(payload, mime)) AudioCodec.decodeMeta(payload)
+      else None
+    real.getOrElse(StubCodecs.decodeMeta(payload))
+  }
+
+  private def isImagePayload(payload: Array[Byte], mime: String): Boolean =
+    (mime != null && mime.startsWith("image/")) ||
+      ImageCodec.looksLikeImage(payload)
+
+  private def isAudioPayload(payload: Array[Byte], mime: String): Boolean =
+    (mime != null && mime.startsWith("audio/")) ||
+      AudioCodec.looksLikeAudio(payload)
 
   /** STUB decode: deterministic pseudo-metadata from the payload bytes.
     * A real implementation decodes the container header here. The geometry
@@ -243,10 +360,9 @@ object Multimodal {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         val mime = if (mimeIdx >= 0) r.getString(mimeIdx) else null
-        val isImage = (mime != null && mime.startsWith("image/")) ||
-          ImageCodec.looksLikeImage(payload)
         val resized =
-          (if (isImage) ImageCodec.resize(payload, factor) else None)
+          (if (isImagePayload(payload, mime)) ImageCodec.resize(payload, factor)
+           else None)
             .getOrElse(StubCodecs.resize(payload, factor))
         Row.fromSeq(r.toSeq.updated(payloadIdx, resized) :+ factor)
       }
@@ -254,15 +370,25 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** I4d — frame sampling (video keyframe stand-in): one output row per
-    * sampled offset, exploded from each payload. posexplode indexes each
-    * payload's (already-ordered) offsets directly — a window would add a
-    * shuffle and mis-number duplicate media ids. */
+  /** I4d — frame sampling: REAL for audio payloads (sample-frame index at
+    * every `everyMs` of the clip, [[AudioCodec.sampleFrameOffsets]]),
+    * byte-stride stub for video (no JDK codec). One output row per sampled
+    * offset, exploded from each payload; `frame_offset` is codec-specific
+    * (audio: sample-frame index, stub: byte offset). posexplode indexes
+    * each payload's (already-ordered) offsets directly — a window would
+    * add a shuffle and mis-number duplicate media ids. */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame = {
-    val offsets = udf((payload: Array[Byte]) =>
-      StubCodecs.sampleFrameOffsets(payload.length.toLong, everyMs))
+    val offsets = udf((payload: Array[Byte], mime: String) =>
+      (if (isAudioPayload(payload, mime))
+         AudioCodec.sampleFrameOffsets(payload, everyMs)
+       else None)
+        .getOrElse(StubCodecs.sampleFrameOffsets(payload.length.toLong, everyMs)))
+    val mimeCol =
+      if (media.schema.fieldNames.contains("mime")) col("mime")
+      else lit(null).cast("string")
     media.select(col("*"),
-      posexplode(offsets(col("payload"))).as(Seq("frame_idx", "frame_offset")))
+      posexplode(offsets(col("payload"), mimeCol))
+        .as(Seq("frame_idx", "frame_offset")))
   }
 
   /** Decode + feature-extract over per-partition batches (the
@@ -282,13 +408,14 @@ object Multimodal {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         val mime = if (mimeIdx >= 0) r.getString(mimeIdx) else null
-        val isImage = (mime != null && mime.startsWith("image/")) ||
-          ImageCodec.looksLikeImage(payload)
         val (w, h, c, d) = decodeMeta(payload, mime)
-        // image payloads get the REAL grid color-layout descriptor;
-        // audio/video/doc payloads keep the deterministic byte-moment stub
+        // image payloads get the REAL grid color-layout descriptor, audio
+        // the REAL RMS-window envelope; video/doc payloads keep the
+        // deterministic byte-moment stub
         val feats =
-          (if (isImage) ImageCodec.features(payload, dim) else None)
+          (if (isImagePayload(payload, mime)) ImageCodec.features(payload, dim)
+           else if (isAudioPayload(payload, mime)) AudioCodec.features(payload, dim)
+           else None)
             .getOrElse(StubCodecs.features(payload, dim))
         Row.fromSeq(r.toSeq ++ Seq(w, h, c, d, feats.toSeq))
       }

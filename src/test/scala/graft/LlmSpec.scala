@@ -777,6 +777,62 @@ class LlmSpec extends AnyFunSuite {
     assert(out(3L) == Multimodal.StubCodecs.features(text, 12).toSeq)
   }
 
+  test("I4 real audio: WAV metadata, RMS features, frame sampling") {
+    import javax.sound.sampled._
+    // synthesize a PCM16 mono WAV: `seconds` of a sine at `amp`
+    def wav(hz: Double, amp: Double, seconds: Double, rate: Float = 8000f,
+        channels: Int = 1): Array[Byte] = {
+      val n = (rate * seconds).toInt
+      val bytes = new Array[Byte](n * 2 * channels)
+      for (i <- 0 until n; c <- 0 until channels) {
+        val s = (math.sin(2 * math.Pi * hz * i / rate) * amp * 32767).toInt.toShort
+        val off = (i * channels + c) * 2
+        bytes(off) = (s & 0xff).toByte
+        bytes(off + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rate, 16, channels, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val loud = wav(440, 0.8, 2.0)
+    val quiet = wav(440, 0.1, 2.0)
+    val silent = wav(440, 0.0, 2.0)
+    val stereo = wav(440, 0.5, 1.0, channels = 2)
+    val text = "not audio".getBytes("UTF-8")
+
+    // metadata: (rate, bits, channels, duration) on the image-shaped struct
+    assert(Multimodal.AudioCodec.looksLikeAudio(loud))
+    assert(!Multimodal.AudioCodec.looksLikeAudio(text))
+    assert(Multimodal.decodeMeta(loud, "audio/wav") == ((8000, 16, 1, 2000L)))
+    assert(Multimodal.decodeMeta(stereo, null) == ((8000, 16, 2, 1000L)))
+
+    // features: RMS envelope orders by loudness; sine RMS ≈ amp/√2
+    val media = Seq((1L, "audio/wav", loud), (2L, "audio/wav", quiet),
+      (3L, "audio/wav", silent), (4L, "application/octet-stream", text))
+      .toDF("media_id", "mime", "payload")
+    val feats = Multimodal.extractFeatures(media, dim = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](r.length - 1)).toMap
+    assert(feats(3L).forall(_ == 0.0f))
+    assert(feats(1L).forall(f => f > 0.5f && f < 0.6f)) // 0.8/√2 ≈ 0.566
+    assert(feats(2L).forall(f => f > 0.06f && f < 0.08f))
+    assert(feats(4L) == Multimodal.StubCodecs.features(text, 4).toSeq)
+
+    // frame sampling: every 500ms of a 2s clip at 8kHz → frames 0,4000,...
+    val sampled = Multimodal.sampleFrames(
+      Seq((1L, "audio/wav", loud)).toDF("media_id", "mime", "payload"), 500L)
+      .select("frame_idx", "frame_offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toList
+    assert(sampled == List((0, 0L), (1, 4000L), (2, 8000L), (3, 12000L), (4, 16000L)))
+    // non-audio payloads keep the byte-stride stub
+    val stub = Multimodal.sampleFrames(
+      Seq((9L, "video/mp4", text)).toDF("media_id", "mime", "payload"), 4L)
+      .select("frame_offset").collect().map(_.getLong(0)).toList
+    assert(stub == List(0L, 4L, 8L))
+  }
+
   test("I3 brute-force broadcast refuses an over-budget corpus") {
     val conf = Similarity.MaxBroadcastRowsConf
     spark.conf.set(conf, "2")
