@@ -134,6 +134,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally qt.stop()
   }
 
+  test("H4 one sessionization operator, two modes: stream equals batch") {
+    import org.apache.spark.sql.functions._
+    // Relational.sessionize is a plain groupBy(session_window) — the SAME
+    // operator must run unchanged as a streaming aggregate and produce the
+    // batch answer once all data has arrived (complete mode)
+    val d = "/root/testdata/sf0.001"
+    val batchEvents = graft.queries.Tables.events(spark, d)
+    val tmp = Files.createTempDirectory("graft-sess").toString
+    batchEvents.write.mode("overwrite").parquet(tmp)
+    val streamed = spark.readStream.schema(batchEvents.schema).parquet(tmp)
+    val q = graft.queries.Relational.sessionize(streamed, "12 hours")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sess_parity").start()
+    try {
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val s = canon(spark.table("sess_parity"))
+      val b = canon(graft.queries.Relational.sessionize(batchEvents, "12 hours"))
+      assert(s.nonEmpty && s == b)
+    } finally q.stop()
+  }
+
   test("H4/H5/H6 pressure: 100k spans — watermark eviction bounds state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
