@@ -84,18 +84,20 @@ object Multimodal {
 
     /** REAL image feature extraction (JDK-only): a grid color-layout
       * descriptor — the image is decoded, bilinearly collapsed onto a
-      * g×g grid, and each cell contributes its mean R,G,B in [0,1]
-      * (g = ceil(sqrt(dim/3)), padded with zeros to `dim`). Deterministic
-      * and cheap; the classic pre-embedding baseline descriptor. Returns
-      * None when no installed reader decodes the payload (caller falls
-      * back to the byte-moment stub). */
+      * g×g grid, and each cell contributes its mean R,G,B in [0,1].
+      * g = floor(sqrt(dim/3)) so every cell lands COMPLETE in the output
+      * (a ceil would silently drop channels of the last cells, skewing the
+      * descriptor toward the top-left); the 3g²..dim tail is zero padding.
+      * Deterministic and cheap; the classic pre-embedding baseline
+      * descriptor. Returns None when no installed reader decodes the
+      * payload (caller falls back to the byte-moment stub). */
     def features(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
       import java.awt.image.BufferedImage
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) return None
-      val g = math.max(1, math.ceil(math.sqrt(dim / 3.0)).toInt)
+      val g = math.max(1, math.sqrt(dim / 3.0).toInt)
       val grid = new BufferedImage(g, g, BufferedImage.TYPE_INT_RGB)
       val gg = grid.createGraphics()
       try {
@@ -258,11 +260,14 @@ object Multimodal {
       }
 
     /** REAL frame sampling for audio: the sample-frame index at every
-      * `everyMs` step of the clip (bounded like the stub's 32). */
+      * `everyMs` step of the clip (bounded like the stub's 32). The range
+      * is EXCLUSIVE of durMs: ms < durMs guarantees ms·rate/1000 <
+      * frameLength, so every emitted index is a readable frame, and a
+      * zero-length clip emits none (matching the stub's `until`). */
     def sampleFrameOffsets(payload: Array[Byte], everyMs: Long): Option[Seq[Long]] =
       decodeMeta(payload).map { case (rate, _, _, durMs) =>
         val step = math.max(everyMs, 1L)
-        (0L to durMs by step).take(32).map(ms => ms * rate / 1000L)
+        (0L until durMs by step).take(32).map(ms => ms * rate / 1000L)
       }
   }
 

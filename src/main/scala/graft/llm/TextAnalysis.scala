@@ -145,9 +145,17 @@ object TextAnalysis {
     * vocabulary-sized, so at 100 TB the heavy shuffle is the first (and it
     * moves (token, partial-count) pairs, not text). */
   def vocabStats(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(split(col(textCol), " +")).as("word"))
+    df.select(explode(corpusTokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("cnt").as("freq")).agg(count(lit(1)).as("n_types"))
+
+  /** Corpus tokenization for the DataFrame-level stats: trim first so
+    * leading/trailing whitespace never yields a phantom "" token (split on
+    * " +" keeps boundary empties; "" would pollute the vocabulary and win
+    * the salient-term alphabetical tie-break). Empty/all-space text still
+    * produces [""], which callers filter — such docs contribute nothing. */
+  private def corpusTokens(text: Column): Column = split(trim(text), " +")
 
   /** Salient term per document — the integer-safe TF-IDF analogue: rank a
     * document's tokens by (tf DESC, corpus df ASC, token ASC) and keep the
@@ -157,7 +165,8 @@ object TextAnalysis {
     * shuffle join only if the vocabulary outgrows executor memory. */
   def salientTerms(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc"),
-      explode(split(col(textCol), " +")).as("word"))
+      explode(corpusTokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
     val tf = toks.groupBy(col("doc"), col("word")).agg(count(lit(1)).as("tf"))
     val dfreq = toks.groupBy(col("word"))
       .agg(countDistinct(col("doc")).as("df"))
@@ -176,7 +185,7 @@ object TextAnalysis {
     * result sort. */
   def bigramCounts(df: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
     val pairs = df
-      .select(split(col(textCol), " +").as("ws"))
+      .select(corpusTokens(col(textCol)).as("ws"))
       .select(
         slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))).as("w1s"),
         slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))).as("w2s"))

@@ -360,8 +360,9 @@ object LlmOps {
 
   private val vocabStatsSql =
     """WITH tok AS (
-      | SELECT unnest(regexp_split_to_array(text, ' +')) AS word FROM documents),
-      |wc AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word)
+      | SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS word
+      | FROM documents),
+      |wc AS (SELECT word, COUNT(*) AS cnt FROM tok WHERE word <> '' GROUP BY word)
       |SELECT cnt AS freq, COUNT(*) AS n_types FROM wc GROUP BY cnt""".stripMargin
 
   /** I5g — salient term per doc (integer-safe TF-IDF analogue). */
@@ -370,9 +371,10 @@ object LlmOps {
       .withColumnRenamed("doc", "doc_id")
 
   private val salientTermsSql =
-    """WITH tok AS (
-      | SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS word
+    """WITH tok0 AS (
+      | SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS word
       | FROM documents),
+      |tok AS (SELECT doc_id, word FROM tok0 WHERE word <> ''),
       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
       |dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY word),
       |ranked AS (
@@ -390,7 +392,8 @@ object LlmOps {
     """WITH b AS (
       | SELECT z[1] AS w1, z[2] AS w2 FROM (
       |  SELECT unnest(list_zip(words[1:-2], words[2:-1])) AS z
-      |  FROM (SELECT regexp_split_to_array(text, ' +') AS words FROM documents)))
+      |  FROM (SELECT regexp_split_to_array(trim(text), ' +') AS words
+      |        FROM documents)))
       |SELECT w1, w2, COUNT(*) AS n FROM b GROUP BY w1, w2
       |ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin
 

@@ -151,7 +151,8 @@ class LlmSpec extends AnyFunSuite {
   test("I5 vocab stats: frequency-of-frequencies histogram") {
     val rows = Seq(
       (1L, "a a b"), // a:2, b:1
-      (2L, "b c")) // b:2 total, c:1
+      (2L, " b c "), // b:2 total, c:1; edge whitespace → NO "" type
+      (3L, "   ")) // all-space doc contributes no tokens at all
       .toDF("doc_id", "text")
     // corpus counts: a=2, b=2, c=1 → freq 2 has 2 types, freq 1 has 1 type
     val out = TextAnalysis.vocabStats(rows, "text").collect()
@@ -163,7 +164,9 @@ class LlmSpec extends AnyFunSuite {
     val rows = Seq(
       (1L, "x x y common"), // x tf=2 wins outright
       (2L, "rare common common"), // common tf=2 beats rare despite df
-      (3L, "rare common"), // tf tie → rare (df 2) beats common (df 3)
+      (3L, " rare common"), // tf tie → rare (df 2) beats common (df 3);
+      // the leading space must NOT produce a "" token that wins the
+      // alphabetical tie-break
       (4L, "aa bb")) // tf AND df tie (both df=1) → alphabetical: aa
       .toDF("doc_id", "text")
     val out = TextAnalysis.salientTerms(rows, "doc_id", "text").collect()
@@ -175,7 +178,7 @@ class LlmSpec extends AnyFunSuite {
     val rows = Seq(
       (1L, "a b a b"), // (a,b)×2, (b,a)×1
       (2L, "lonely"), // no bigrams
-      (3L, "a b")) // (a,b)×1
+      (3L, " a b")) // (a,b)×1; leading space must not yield a ("", a) bigram
       .toDF("doc_id", "text")
     val out = TextAnalysis.bigramCounts(rows, "text", topK = 10).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toList
@@ -775,6 +778,10 @@ class LlmSpec extends AnyFunSuite {
     assert(out(1L) != out(2L))
     // non-image payloads keep the deterministic stub
     assert(out(3L) == Multimodal.StubCodecs.features(text, 12).toSeq)
+    // a dim that fits no whole extra cell: complete cells + zero padding,
+    // never a truncated cell (dim=8 → one 1×1 mean-color cell + 5 zeros)
+    val f8 = Multimodal.ImageCodec.features(red, 8).get.toSeq
+    assert(f8 == Seq(1.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f))
   }
 
   test("I4 real audio: WAV metadata, RMS features, frame sampling") {
@@ -820,12 +827,13 @@ class LlmSpec extends AnyFunSuite {
     assert(feats(2L).forall(f => f > 0.06f && f < 0.08f))
     assert(feats(4L) == Multimodal.StubCodecs.features(text, 4).toSeq)
 
-    // frame sampling: every 500ms of a 2s clip at 8kHz → frames 0,4000,...
+    // frame sampling: every 500ms of a 2s clip at 8kHz → frames 0,4000,
+    // 8000,12000 — NOT 16000, which is one past the last valid frame
     val sampled = Multimodal.sampleFrames(
       Seq((1L, "audio/wav", loud)).toDF("media_id", "mime", "payload"), 500L)
       .select("frame_idx", "frame_offset").collect()
       .map(r => (r.getInt(0), r.getLong(1))).toList
-    assert(sampled == List((0, 0L), (1, 4000L), (2, 8000L), (3, 12000L), (4, 16000L)))
+    assert(sampled == List((0, 0L), (1, 4000L), (2, 8000L), (3, 12000L)))
     // non-audio payloads keep the byte-stride stub
     val stub = Multimodal.sampleFrames(
       Seq((9L, "video/mp4", text)).toDF("media_id", "mime", "payload"), 4L)
