@@ -423,9 +423,36 @@ object Dedup {
       substring(col(textCol), 1, prefixLen).as("prefix"))
     val right = t.select(col("block").as("block_b"), col("id").as("b_id"),
       col("prefix").as("b_prefix"))
-    t.join(right, col("block") === col("block_b") && col("id") < col("b_id"))
+    // broadcast the (projected, prefix-only) build side and REPARTITION the
+    // probe side: a compact input otherwise scans as one partition and the
+    // whole O(Σ block²) Levenshtein bill lands on a single core (measured
+    // 16 s → sub-second at sf0.1). A shuffle join on `block` would be worse
+    // at scale — parallelism capped at #blocks and skewed by block size.
+    val probe = t.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // thresholded levenshtein: banded O(len·maxDist) with early exit,
+    // returns -1 (filtered) past the threshold and the EXACT distance
+    // within. The distance must NOT sit in the join condition: pushdown
+    // would prepend it to the `id < b_id` conjunct (doubling the candidate
+    // set it runs on) and the projection would recompute it. A fence
+    // COLUMN doesn't survive (ColumnPruning drops it, then the filter
+    // pushes), so the filter itself is fenced with a nondeterministic
+    // identity — the distance then runs exactly once per canonical pair.
+    probe.join(broadcast(right),
+        col("block") === col("block_b") && col("id") < col("b_id"))
       .select(col("id").as("a_id"), col("b_id"),
-        levenshtein(col("prefix"), col("b_prefix")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("prefix"), col("b_prefix"), maxDist).as("dist"))
+      .filter(NonNegativeNoPushdown(col("dist")))
+  }
+
+  /** `x >= 0` as a nondeterministic UDF: fences the predicate from
+    * `PushDownPredicates` (Catalyst only pushes deterministic filters) so
+    * an expensive projected expression is not re-evaluated inside a join
+    * condition. Boxed-null-tolerant on purpose — a primitive-Int UDF gets
+    * an `if(isnull(e)) ... else f(knownnotnull(e))` wrapper that evaluates
+    * the fenced expression twice, costing the very work the fence saves. */
+  private val NonNegativeNoPushdown: Column => Column = {
+    val geq0 = udf((i: java.lang.Integer) => i != null && i >= 0)
+      .asNondeterministic()
+    c => geq0(c)
   }
 }
