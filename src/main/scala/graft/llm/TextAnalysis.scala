@@ -168,8 +168,10 @@ object TextAnalysis {
       explode(corpusTokens(col(textCol))).as("word"))
       .filter(col("word") =!= "")
     val tf = toks.groupBy(col("doc"), col("word")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy(col("word"))
-      .agg(countDistinct(col("doc")).as("df"))
+    // document frequency = row count over tf ((doc, word) is unique there),
+    // NOT a countDistinct over a second corpus explode — the corpus is
+    // scanned and exploded ONCE, and the df aggregate reuses tf's shuffle
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc"))
       .orderBy(col("tf").desc, col("df").asc, col("word").asc)
     tf.join(broadcast(dfreq), "word")
