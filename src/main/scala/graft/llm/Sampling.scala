@@ -34,6 +34,26 @@ object Sampling {
     df.filter(hashBucket(c) < pct)
   }
 
+  /** Deterministic mixture sampling — the data-mixing step that sets per-
+    * source sampling rates when composing a training corpus (e.g. wiki
+    * 100%, crawl 25%): keep a row iff its content bucket falls below its
+    * stratum's keep-rate (integer percent; `defaultPct` for strata not in
+    * the map). Membership stays a pure function of content, so re-runs,
+    * repartitions, and engine swaps keep the exact same mixture — and a
+    * document kept at 25% is also kept at any higher rate (nested samples,
+    * the property mixture-ablation studies rely on). Pure codegen'd filter
+    * on the scan: no shuffle, no per-stratum pass. */
+  def mixtureSample(
+      df: DataFrame, stratum: Column, content: Column,
+      weights: Map[String, Int], defaultPct: Int = 0): DataFrame = {
+    require((defaultPct +: weights.values.toSeq).forall(p => p >= 0 && p <= 100),
+      s"mixture rates must be integer percents in [0,100]: $weights / $defaultPct")
+    val rate = weights.toSeq.sortBy(_._1).foldRight(lit(defaultPct): Column) {
+      case ((k, pct), acc) => when(stratum === k, lit(pct)).otherwise(acc)
+    }
+    df.filter(hashBucket(content) < rate)
+  }
+
   /** Stratified cap: at most `cap` rows per stratum (e.g. per language),
     * kept deterministically — rows ranked by content-hash bucket with an
     * id tie-break, so the KEPT SET is a pure function of the data, like

@@ -601,6 +601,21 @@ object LlmOps {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** I6d — deterministic mixture sampling: per-source keep-rates (the
+    * data-mixing step of corpus composition), membership pure in content. */
+  def mixtureSample(s: SparkSession, d: String): DataFrame =
+    Sampling.mixtureSample(Tables.documents(s, d),
+      col("source"), col("text"),
+      weights = Map("src0" -> 100, "src1" -> 50, "src2" -> 25),
+      defaultPct = 10)
+      .select(col("doc_id"), col("source"))
+
+  private val mixtureSampleSql =
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ${bucketSql("text")} <
+       | CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+       |  WHEN 'src2' THEN 25 ELSE 10 END""".stripMargin
+
   private val stratifiedCapSql =
     s"""WITH lang AS ($langIdSql),
        |ranked AS (
@@ -751,6 +766,7 @@ object LlmOps {
     "i6_dataset_split" -> datasetSplit _,
     "i6_corpus_curation" -> corpusCuration _,
     "i6_stratified_cap" -> stratifiedCap _,
+    "i6_mixture_sample" -> mixtureSample _,
     "i7_pii_scrub" -> piiScrub _,
     "i7_decontamination" -> decontamination _,
     "i7_chunk_windows" -> chunkWindows _,
@@ -781,6 +797,7 @@ object LlmOps {
     "i6_dataset_split" -> datasetSplitSql,
     "i6_corpus_curation" -> corpusCurationSql,
     "i6_stratified_cap" -> stratifiedCapSql,
+    "i6_mixture_sample" -> mixtureSampleSql,
     "i7_pii_scrub" -> piiScrubSql,
     "i7_decontamination" -> decontaminationSql,
     "i7_chunk_windows" -> chunkWindowsSql,

@@ -210,6 +210,29 @@ class LlmSpec extends AnyFunSuite {
     assert(d0.map(r => r.getInt(2)).toList == List(0))
   }
 
+  test("I6 mixture sampling: exact rates at 0/100, nested, repartition-stable") {
+    import graft.llm.Sampling
+    val rows = (0L until 60L).map(i =>
+      (i, s"src${i % 3}", s"document body number $i with words"))
+      .toDF("doc_id", "source", "text")
+    def kept(w: Map[String, Int], default: Int = 0): Set[Long] =
+      Sampling.mixtureSample(rows, col("source"), col("text"), w, default)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 100 keeps everything in the stratum, 0 keeps nothing
+    val all0 = kept(Map("src0" -> 100))
+    assert(all0 == (0L until 60L by 3L).toSet)
+    assert(kept(Map("src0" -> 0), default = 100) == (0L until 60L).toSet -- all0)
+    // nested: every doc kept at 25% is kept at 50% — the ablation property
+    val k25 = kept(Map("src1" -> 25))
+    val k50 = kept(Map("src1" -> 50))
+    assert(k25.subsetOf(k50) && k50.size >= k25.size)
+    // membership is a pure function of content: repartitioning changes nothing
+    val repart = Sampling.mixtureSample(rows.repartition(7),
+      col("source"), col("text"), Map("src1" -> 25), 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(repart == k25)
+  }
+
   test("I6 stratified cap keeps at most cap rows per stratum, deterministically") {
     import graft.llm.Sampling
     val rows = (0L until 30L).map(i =>
