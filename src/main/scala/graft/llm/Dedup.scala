@@ -51,6 +51,30 @@ object Dedup {
       (col("id") === col("component")).as("is_representative"))
   }
 
+  /** I1b — dedup against a REFERENCE set (blacklist / already-ingested
+    * corpus) with a Bloom prefilter: build a Bloom filter over the
+    * reference's content hashes (driver-side — the reference is the SMALL
+    * side by contract), broadcast it inside a scan filter, and only the
+    * surviving candidates (true matches + fpp false positives) reach the
+    * exact semi-join. At 100 TB the corpus side never shuffles
+    * non-candidates — the join input shrinks by ~the non-dup fraction —
+    * while the semi-join keeps the output exact (no false positives
+    * survive). This is the manual form of Spark's runtime bloom-filter
+    * join, applied across pipelines where the optimizer can't see both
+    * sides. Returns the corpus rows whose content appears in `reference`. */
+  def dedupAgainstReference(
+      corpus: DataFrame, reference: DataFrame,
+      idCol: String, contentCol: String,
+      expectedRefItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val hashed = corpus.withColumn("__h", md5(col(contentCol)))
+    val refHashes = reference.select(md5(col(contentCol)).as("__ref_h"))
+    val bloom = refHashes.stat.bloomFilter("__ref_h", expectedRefItems, fpp)
+    val mightContain = udf((h: String) => h != null && bloom.mightContainString(h))
+    hashed.filter(mightContain(col("__h")))
+      .join(refHashes.distinct(), col("__h") === col("__ref_h"), "left_semi")
+      .drop("__h")
+  }
+
   /** Drop exact duplicates, keeping the minimum-id row per content hash. */
   def exactDedup(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

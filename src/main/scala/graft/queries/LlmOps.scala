@@ -601,6 +601,28 @@ object LlmOps {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** I1b — dedup against a reference set through the Bloom prefilter
+    * ([[Dedup.dedupAgainstReference]]): the blacklist is docs with
+    * doc_id % 37 == 0, content keys are 12-char text prefixes (the fixture
+    * has no full-text collisions across the boundary), and the oracle is
+    * the plain EXISTS semi-join — the Bloom pass must change NOTHING about
+    * the answer, only about how much data reaches the join. */
+  def bloomReferenceDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("ckey", substring(col("text"), 1, 12))
+    Dedup.dedupAgainstReference(
+      docs.filter(col("doc_id") % 37 =!= 0),
+      docs.filter(col("doc_id") % 37 === 0),
+      "doc_id", "ckey", expectedRefItems = 10000L)
+      .select(col("doc_id"), col("source"))
+  }
+
+  private val bloomReferenceDedupSql =
+    """SELECT c.doc_id, c.source FROM documents c
+      |WHERE c.doc_id % 37 <> 0 AND EXISTS (
+      | SELECT 1 FROM documents b WHERE b.doc_id % 37 = 0
+      |  AND md5(substr(b.text, 1, 12)) = md5(substr(c.text, 1, 12)))""".stripMargin
+
   /** I6d — deterministic mixture sampling: per-source keep-rates (the
     * data-mixing step of corpus composition), membership pure in content. */
   def mixtureSample(s: SparkSession, d: String): DataFrame =
@@ -744,6 +766,7 @@ object LlmOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i1_dedup_exact" -> dedupExact _,
+    "i1_bloom_reference_dedup" -> bloomReferenceDedup _,
     "i2_ngram_jaccard" -> ngramJaccard _,
     "i2_fuzzy_dedup_e2e" -> fuzzyDedupE2e _,
     "i2_minhash_lsh_candidates" -> minhashCandidates _,
@@ -779,6 +802,7 @@ object LlmOps {
 
   val oracles: Map[String, String] = Map(
     "i1_dedup_exact" -> dedupExactSql,
+    "i1_bloom_reference_dedup" -> bloomReferenceDedupSql,
     "i2_ngram_jaccard" -> ngramJaccardSql,
     "i2_fuzzy_dedup_e2e" -> fuzzyDedupE2eSql,
     "i2_minhash_containment" -> minhashContainmentSql,

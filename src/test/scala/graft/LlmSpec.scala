@@ -210,6 +210,25 @@ class LlmSpec extends AnyFunSuite {
     assert(d0.map(r => r.getInt(2)).toList == List(0))
   }
 
+  test("I1 bloom reference dedup equals the plain semi-join exactly") {
+    // the Bloom pass is a prefilter, never a decision: across a corpus
+    // large enough to force false positives at fpp=0.5, the output must
+    // still equal the exact semi-join (false positives die in the join)
+    val corpus = (0L until 300L).map(i => (i, s"content ${i % 40}"))
+      .toDF("doc_id", "text")
+    val ref = (0L until 10L).map(i => (1000L + i, s"content $i"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstReference(corpus, ref, "doc_id", "text",
+      expectedRefItems = 10L, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val exact = corpus.join(ref.select(md5(col("text")).as("h")).distinct(),
+      md5(corpus("text")) === col("h"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == exact && got.nonEmpty)
+    // content "content 0".."content 9" → doc_ids ≡ 0..9 (mod 40)
+    assert(got == (0L until 300L).filter(_ % 40 < 10))
+  }
+
   test("I6 mixture sampling: exact rates at 0/100, nested, repartition-stable") {
     import graft.llm.Sampling
     val rows = (0L until 60L).map(i =>
