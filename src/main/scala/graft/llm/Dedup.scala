@@ -64,14 +64,18 @@ object Dedup {
     * sides. Returns the corpus rows whose content appears in `reference`. */
   def dedupAgainstReference(
       corpus: DataFrame, reference: DataFrame,
-      idCol: String, contentCol: String,
+      contentCol: String,
       expectedRefItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val hashed = corpus.withColumn("__h", md5(col(contentCol)))
     val refHashes = reference.select(md5(col(contentCol)).as("__ref_h"))
     val bloom = refHashes.stat.bloomFilter("__ref_h", expectedRefItems, fpp)
     val mightContain = udf((h: String) => h != null && bloom.mightContainString(h))
+    // the verify join broadcasts: the reference already round-tripped
+    // through the driver for the bloom build, so it fits by construction —
+    // the semi-join then shuffles NOTHING (duplicates on the build side
+    // are harmless to left_semi, so no distinct pass either)
     hashed.filter(mightContain(col("__h")))
-      .join(refHashes.distinct(), col("__h") === col("__ref_h"), "left_semi")
+      .join(broadcast(refHashes), col("__h") === col("__ref_h"), "left_semi")
       .drop("__h")
   }
 
@@ -447,12 +451,14 @@ object Dedup {
       substring(col(textCol), 1, prefixLen).as("prefix"))
     val right = t.select(col("block").as("block_b"), col("id").as("b_id"),
       col("prefix").as("b_prefix"))
-    // broadcast the (projected, prefix-only) build side and REPARTITION the
-    // probe side: a compact input otherwise scans as one partition and the
-    // whole O(Σ block²) Levenshtein bill lands on a single core (measured
-    // 16 s → sub-second at sf0.1). A shuffle join on `block` would be worse
-    // at scale — parallelism capped at #blocks and skewed by block size.
-    val probe = t.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // REPARTITION the probe side: a compact input otherwise scans as one
+    // partition and the whole O(Σ block²) Levenshtein bill lands on a
+    // single core (measured 16 s → sub-second at sf0.1). The join side
+    // stays unhinted: the planner broadcasts the prefix-only projection
+    // when it fits and falls back to a shuffle join when it doesn't — a
+    // forced broadcast() would hard-fail past the 8 GB broadcast limit on
+    // exactly the corpora this operator's blocking contract targets.
+    val probe = t.repartition(Par.of(df))
     // thresholded levenshtein: banded O(len·maxDist) with early exit,
     // returns -1 (filtered) past the threshold and the EXACT distance
     // within. The distance must NOT sit in the join condition: pushdown
@@ -461,7 +467,7 @@ object Dedup {
     // COLUMN doesn't survive (ColumnPruning drops it, then the filter
     // pushes), so the filter itself is fenced with a nondeterministic
     // identity — the distance then runs exactly once per canonical pair.
-    probe.join(broadcast(right),
+    probe.join(right,
         col("block") === col("block_b") && col("id") < col("b_id"))
       .select(col("id").as("a_id"), col("b_id"),
         levenshtein(col("prefix"), col("b_prefix"), maxDist).as("dist"))

@@ -84,10 +84,12 @@ object Multimodal {
 
     /** REAL image feature extraction (JDK-only): a grid color-layout
       * descriptor — the image is decoded, bilinearly collapsed onto a
-      * g×g grid, and each cell contributes its mean R,G,B in [0,1].
-      * g = floor(sqrt(dim/3)) so every cell lands COMPLETE in the output
-      * (a ceil would silently drop channels of the last cells, skewing the
-      * descriptor toward the top-left); the 3g²..dim tail is zero padding.
+      * gw×gh grid, and each cell contributes its mean R,G,B in [0,1].
+      * The grid is the largest gw×gh (gw ≥ gh, as square as possible)
+      * with 3·gw·gh ≤ dim, so every cell lands COMPLETE in the output
+      * (truncating cell channels would skew the descriptor toward the
+      * top-left) while small dims still keep horizontal layout (dim=8 →
+      * a 2×1 grid, not a single global mean); the tail is zero padding.
       * Deterministic and cheap; the classic pre-embedding baseline
       * descriptor. Returns None when no installed reader decodes the
       * payload (caller falls back to the byte-moment stub). */
@@ -97,19 +99,22 @@ object Multimodal {
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) return None
-      val g = math.max(1, math.sqrt(dim / 3.0).toInt)
-      val grid = new BufferedImage(g, g, BufferedImage.TYPE_INT_RGB)
+      val cells = math.max(1, dim / 3)
+      val gh = math.max(1, math.sqrt(cells.toDouble).toInt)
+      val gw = math.max(1, cells / gh)
+      val grid = new BufferedImage(gw, gh, BufferedImage.TYPE_INT_RGB)
       val gg = grid.createGraphics()
       try {
         gg.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
           java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-        gg.drawImage(img, 0, 0, g, g, null)
+        gg.drawImage(img, 0, 0, gw, gh, null)
       } finally gg.dispose()
       val out = new Array[Float](dim)
       var i = 0
-      while (i < g * g) {
-        val rgb = grid.getRGB(i % g, i / g)
+      while (i < gw * gh) {
+        val rgb = grid.getRGB(i % gw, i / gw)
         val base = i * 3
+        // guards only bite for dim < 3 (cells is clamped to >= 1 there)
         if (base < dim) out(base) = ((rgb >> 16) & 0xff) / 255.0f
         if (base + 1 < dim) out(base + 1) = ((rgb >> 8) & 0xff) / 255.0f
         if (base + 2 < dim) out(base + 2) = (rgb & 0xff) / 255.0f
@@ -263,12 +268,23 @@ object Multimodal {
       * `everyMs` step of the clip (bounded like the stub's 32). The range
       * is EXCLUSIVE of durMs: ms < durMs guarantees ms·rate/1000 <
       * frameLength, so every emitted index is a readable frame, and a
-      * zero-length clip emits none (matching the stub's `until`). */
+      * KNOWN-zero-length clip emits none (matching the stub's `until`).
+      * A container with an UNSPECIFIED frame length (legal in streaming
+      * AU headers) is indistinguishable from empty here, so it falls back
+      * to the stub (None) rather than silently emitting nothing. */
     def sampleFrameOffsets(payload: Array[Byte], everyMs: Long): Option[Seq[Long]] =
-      decodeMeta(payload).map { case (rate, _, _, durMs) =>
-        val step = math.max(everyMs, 1L)
-        (0L until durMs by step).take(32).map(ms => ms * rate / 1000L)
-      }
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(payload))
+        val rate = aff.getFormat.getSampleRate
+        val frames = aff.getFrameLength.toLong
+        if (rate <= 0 || frames < 0) None // unknown length → stub fallback
+        else {
+          val durMs = frames * 1000L / rate.toLong
+          val step = math.max(everyMs, 1L)
+          Some((0L until durMs by step).take(32).map(ms => ms * rate.toLong / 1000L))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Metadata dispatch: real `javax.imageio` / `javax.sound.sampled`

@@ -613,7 +613,7 @@ object LlmOps {
     Dedup.dedupAgainstReference(
       docs.filter(col("doc_id") % 37 =!= 0),
       docs.filter(col("doc_id") % 37 === 0),
-      "doc_id", "ckey", expectedRefItems = 10000L)
+      "ckey", expectedRefItems = 10000L)
       .select(col("doc_id"), col("source"))
   }
 

@@ -218,7 +218,7 @@ class LlmSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val ref = (0L until 10L).map(i => (1000L + i, s"content $i"))
       .toDF("doc_id", "text")
-    val got = Dedup.dedupAgainstReference(corpus, ref, "doc_id", "text",
+    val got = Dedup.dedupAgainstReference(corpus, ref, "text",
       expectedRefItems = 10L, fpp = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     val exact = corpus.join(ref.select(md5(col("text")).as("h")).distinct(),
@@ -820,10 +820,23 @@ class LlmSpec extends AnyFunSuite {
     assert(out(1L) != out(2L))
     // non-image payloads keep the deterministic stub
     assert(out(3L) == Multimodal.StubCodecs.features(text, 12).toSeq)
-    // a dim that fits no whole extra cell: complete cells + zero padding,
-    // never a truncated cell (dim=8 → one 1×1 mean-color cell + 5 zeros)
+    // a dim that fits no square grid: complete cells + zero padding, never
+    // a truncated cell — dim=8 is a 2×1 grid (left cell, right cell, 2 pad),
+    // which still separates left/right layouts a global mean cannot
     val f8 = Multimodal.ImageCodec.features(red, 8).get.toSeq
-    assert(f8 == Seq(1.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f))
+    assert(f8 == Seq(1.0f, 0.0f, 0.0f, 1.0f, 0.0f, 0.0f, 0.0f, 0.0f))
+    def halfPng(left: Int, right: Int, w: Int = 16, h: Int = 16): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, if (x < w / 2) left else right)))
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", baos))
+      baos.toByteArray
+    }
+    val rb = Multimodal.ImageCodec.features(halfPng(0xff0000, 0x0000ff), 8).get.toSeq
+    val br = Multimodal.ImageCodec.features(halfPng(0x0000ff, 0xff0000), 8).get.toSeq
+    assert(rb != br) // same mean color, different layout → different descriptor
   }
 
   test("I4 real audio: WAV metadata, RMS features, frame sampling") {
@@ -881,6 +894,13 @@ class LlmSpec extends AnyFunSuite {
       Seq((9L, "video/mp4", text)).toDF("media_id", "mime", "payload"), 4L)
       .select("frame_offset").collect().map(_.getLong(0)).toList
     assert(stub == List(0L, 4L, 8L))
+    // an AU with the legal streaming size header (0xFFFFFFFF = unknown
+    // length) must fall back to the stub, not silently emit zero frames
+    val au = java.nio.ByteBuffer.allocate(32)
+    au.put(".snd".getBytes("US-ASCII")).putInt(24).putInt(-1)
+      .putInt(3).putInt(8000).putInt(1).putLong(0L)
+    assert(Multimodal.AudioCodec.looksLikeAudio(au.array()))
+    assert(Multimodal.AudioCodec.sampleFrameOffsets(au.array(), 500L).isEmpty)
   }
 
   test("I3 brute-force broadcast refuses an over-budget corpus") {
