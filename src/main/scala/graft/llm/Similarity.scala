@@ -266,6 +266,122 @@ object Similarity {
           .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
     }
 
+  /** I3e — Product-Quantization ANN (Jégou et al., TPAMI 2011): vectors are
+    * chopped into `nBlocks` subvectors, each encoded as its nearest
+    * per-block centroid id (`nCodes` per block, per-block Euclidean Lloyd
+    * trained driver-side on a bounded sample — the same sample-fit /
+    * full-assign shape as [[ivfTopK]]), compressing dim floats to nBlocks
+    * small ints. Search is ADC: per query one O(dim·nCodes) lookup table,
+    * then every candidate scores in O(nBlocks) array lookups from its CODES
+    * — the corpus's raw vectors are never touched at query time.
+    *
+    * PQ is the MEMORY axis of billion-scale ANN: 64-dim float vectors are
+    * 256 bytes, their codes 16 (one byte per block at nCodes=256) — a
+    * corpus whose raw vectors can never fit executor memory scans
+    * comfortably as codes. The candidate axis is
+    * orthogonal: compose with [[ivfTopK]]'s cell partitioning (IVF-PQ) or
+    * [[lshTopK]]'s buckets to avoid the exhaustive scan this standalone
+    * form runs (kept exhaustive here so recall is bounded ONLY by
+    * quantization error — gated by `i3_pq_recall_gate`). */
+  def pqTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      nBlocks: Int = 16,
+      nCodes: Int = 256,
+      lloydIters: Int = 3,
+      maxTrainSample: Int = 65536): DataFrame = {
+    import graft.functions.{PqCodebooks, PqOps}
+    val feats = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val sample: Array[Array[Double]] = feats.orderBy(col("id")).limit(maxTrainSample)
+      .collect()
+      .map(_.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
+    if (sample.isEmpty || sample(0).isEmpty) {
+      return feats.limit(0).select(col("id").as("query_id"),
+        col("id").as("neighbor_id"), lit(0.0).as("cos_sim"),
+        lit(1).cast("int").as("rank"))
+    }
+    val dim = sample(0).length
+    val bs = (dim + nBlocks - 1) / nBlocks
+    val mEff = (dim + bs - 1) / bs
+    val blocks = Array.tabulate(mEff) { b =>
+      val from = b * bs
+      val len = math.min(bs, dim - from)
+      lloydEuclid(sample.map(x =>
+        java.util.Arrays.copyOfRange(x, from, from + len)), nCodes, lloydIters)
+    }
+    val books = new PqCodebooks(blocks, bs, dim)
+    // encode DISTRIBUTED (width-pinned barrier — compact inputs otherwise
+    // scan as one partition), then collect only the 16-byte codes; the
+    // corpus's raw vectors never reach the driver. Same row budget and
+    // fail-fast as the brute-force broadcast — but note the codes table is
+    // 16× smaller than the raw corpus it stands in for, which is PQ's
+    // entire point; raise the budget accordingly when composing.
+    requireBroadcastable(df, idCol)
+    val codeRows = feats
+      .repartition(Par.of(df))
+      .select(col("id"), PqOps.pqEncode(col("v"), books).as("codes"))
+      .collect()
+    val n = codeRows.length
+    val ids = new Array[Long](n)
+    val flat = new Array[Int](n * mEff)
+    var j = 0
+    while (j < n) {
+      ids(j) = codeRows(j).getLong(0)
+      val cs = codeRows(j).getSeq[Int](1)
+      var b = 0
+      while (b < mEff) { flat(j * mEff + b) = cs(b); b += 1 }
+      j += 1
+    }
+    val bc = df.sparkSession.sparkContext.broadcast(
+      new graft.functions.PqCodeTable(ids, flat, mEff))
+    // one fused ADC kernel per query row: LUT built once, every code row
+    // scored in O(nBlocks) lookups into a bounded heap — no join, no
+    // shuffle, no |Q|×|C| materialization (the join formulation dragged
+    // the 32 KB LUT through every pair; profiled 10× slower)
+    val topExpr = PqOps.pqTopK(col("query_id"), col("v"), bc, books, k)
+    feats.select(col("id").as("query_id"), col("v"))
+      .select(col("query_id"), posexplode(topExpr).as(Seq("pos", "entry")))
+      .select(col("query_id"),
+        col("entry.id").as("neighbor_id"),
+        col("entry.score").as("cos_sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Per-block Euclidean Lloyd for the PQ codebooks: deterministic min-id
+    * init (first k sample subvectors), empty clusters keep their previous
+    * centroid — same conventions as [[ivfTopK]]'s coarse quantizer. */
+  private def lloydEuclid(
+      xs: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    if (xs.isEmpty) return Array.empty
+    var cents = xs.take(k).map(_.clone())
+    val len = xs(0).length
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(cents.length)(new Array[Double](len))
+      val counts = new Array[Long](cents.length)
+      xs.foreach { x =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0
+          var i = 0
+          while (i < len) { val t = x(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < len) { sums(best)(i) += x(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+      }
+    }
+    cents
+  }
+
   /** Sign-bucket id for LSH table `table`: `nPlanes` random-hyperplane sign
     * bits packed into a long. Vectors in the same bucket are cosine-close
     * with probability (1 − θ/π)^nPlanes. One fused kernel

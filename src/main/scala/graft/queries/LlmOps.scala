@@ -111,6 +111,13 @@ object LlmOps {
     Map("0.001" -> 0.4, "0.01" -> 0.4, "0.1" -> 0.35)
   private[graft] val BlockedRecallFloors =
     Map("0.001" -> 0.5, "0.01" -> 0.5, "0.1" -> 0.5)
+  /** PQ quantization error is the ONLY recall loss (the scan is
+    * exhaustive), so floors sit higher than the candidate-generation
+    * paths' (measured rank-1 recall@5 at 16 blocks × 256 codes on 64-dim,
+    * this machine, driver fixtures, 2026-08-13 PqCalib run:
+    * sf0.001 0.984, sf0.01 0.992, sf0.1 0.907; floors at ~60-65%). */
+  private[graft] val PqRecallFloors =
+    Map("0.001" -> 0.6, "0.01" -> 0.6, "0.1" -> 0.6)
 
   private[graft] def floorFor(
       table: Map[String, Double], dir: String, conservative: Double): Double =
@@ -249,6 +256,18 @@ object LlmOps {
   def ivfAnn(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     Similarity.ivfTopK(e, "vec_id", "embedding", k = 5)
+  }
+
+  def pqRecallGate(s: SparkSession, d: String): DataFrame =
+    rank1RecallGate(cosineTopK(s, d), pqAnn(s, d),
+      floor = floorFor(PqRecallFloors, d, conservative = 0.5))
+
+  /** I3e — product-quantization ANN top-k (rows-only: the trained
+    * codebooks have no DuckDB equivalent; recall driver-verified by
+    * `i3_pq_recall_gate`). */
+  def pqAnn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.pqTopK(e, "vec_id", "embedding", k = 5)
   }
 
   /** I3a — brute-force cosine top-5 neighbors per embedding. */
@@ -779,6 +798,8 @@ object LlmOps {
     "i3_lsh_recall_gate" -> lshRecallGate _,
     "i3_ivf_ann_topk" -> ivfAnn _,
     "i3_ivf_recall_gate" -> ivfRecallGate _,
+    "i3_pq_ann_topk" -> pqAnn _,
+    "i3_pq_recall_gate" -> pqRecallGate _,
     "i5_lang_id" -> langId _,
     "i5_quality_score" -> qualityScore _,
     "i5_token_counts" -> tokenCounts _,
@@ -811,6 +832,7 @@ object LlmOps {
     "i3_cosine_topk" -> cosineTopKSql,
     "i3_lsh_recall_gate" -> recallGateSql,
     "i3_ivf_recall_gate" -> recallGateSql,
+    "i3_pq_recall_gate" -> recallGateSql,
     "i5_lang_id" -> langIdSql,
     "i5_quality_score" -> qualityScoreSql,
     "i5_token_counts" -> tokenCountsSql,

@@ -592,6 +592,41 @@ class LlmSpec extends AnyFunSuite {
     assert(hits.toDouble / brute.size > 0.5, s"recall ${hits.toDouble / brute.size}")
   }
 
+  test("I3 PQ ANN recall vs brute force on real embeddings") {
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val pq = Similarity.pqTopK(e, "vec_id", "embedding", k = 5)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+    val hits = brute.count { case (q, n) => pq.get(q).exists(_.contains(n)) }
+    assert(pq.nonEmpty)
+    // the scan is exhaustive; quantization error is the only recall loss
+    assert(hits.toDouble / brute.size > 0.8, s"recall ${hits.toDouble / brute.size}")
+    // every query gets exactly k ranked rows (500-vector corpus >> k)
+    assert(pq.values.forall(_.size == 5))
+  }
+
+  test("I3 PQ handles tiny corpora and degenerate vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero query norm → no rows out
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(vecs, "vec_id", "embedding", k = 1,
+      nBlocks = 2, nCodes = 4)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    // 1↔2 reconstruct near each other; the zero vector queries nothing
+    assert(out(1L) == 2L && out(2L) == 1L)
+    assert(!out.contains(3L))
+    // an empty corpus yields an empty, correctly-shaped result
+    val empty = Similarity.pqTopK(vecs.limit(0), "vec_id", "embedding", k = 3)
+    assert(empty.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "cos_sim", "rank") && empty.count() == 0)
+  }
+
   test("I3 brute-force top-k: zero vector (NaN cosine) never ranks") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)),
