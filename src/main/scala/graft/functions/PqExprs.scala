@@ -106,11 +106,15 @@ case class PqEncodeExpr(child: Expression, books: PqCodebooks)
 }
 
 /** Broadcast-side PQ code table: per-vector ids plus their codes in one
-  * flat nBlocks-strided array — 16 bytes/vector at the default 16×256
-  * setting, vs 256 for the raw floats it stands in for. */
+  * flat nBlocks-strided BYTE array (nCodes ≤ 256 by construction) — truly
+  * 16 bytes/vector at the default 16×256 setting, vs 256 for the raw
+  * floats it stands in for. Zero-norm corpus vectors are excluded before
+  * the table is built (they reconstruct to NONZERO centroids, so a norm
+  * check on the reconstruction could not exclude them — the raw-norm
+  * contract matches [[TopKCorpus]]/brute force). */
 final class PqCodeTable(
     val ids: Array[Long],
-    val codes: Array[Int], // row-major, ids.length × nBlocks
+    val codes: Array[Byte], // row-major, ids.length × nBlocks; read & 0xff
     val nBlocks: Int)
     extends Serializable
 
@@ -178,11 +182,14 @@ case class PqTopKExpr(
           var rn2 = 0.0
           b = 0
           while (b < nb) {
-            val idx = b * nc + t.codes(base + b)
+            val idx = b * nc + (t.codes(base + b) & 0xff)
             dot += lut(idx)
             rn2 += books.n2(idx)
             b += 1
           }
+          // rn2 == 0 only when every looked-up centroid is zero (possible
+          // on degenerate codebooks); raw-zero-norm rows never reach the
+          // table at all — see PqCodeTable
           if (rn2 > 0) buf.add(dot / (qn * math.sqrt(rn2)), t.ids(j))
         }
         j += 1

@@ -117,18 +117,46 @@ object Similarity {
     (corpus.sparkSession.sparkContext.applicationId,
       corpus.queryExecution.analyzed.canonicalized, idCol, vecCol)
 
-  /** Destroy every cached corpus broadcast (driver lifecycle hook — called
-    * by Bench/Verify at teardown; call it between suites or after a corpus
-    * file rewrite). DataFrames built by earlier [[bruteForceTopK]] calls
-    * must not run (or be constructed concurrently) after this. */
-  def releaseBroadcasts(): Unit = corpusCache.synchronized {
-    val it = corpusCache.values().iterator()
-    while (it.hasNext) { it.next().destroy(); it.remove() }
+  /** PQ code-table cache, same lifecycle contract as [[corpusCache]]:
+    * keyed by the corpus plan PLUS every parameter that shapes the
+    * codebooks/codes, so a repeated bench/verify call reuses one broadcast
+    * instead of leaking one per call. */
+  private type PqKey = (CorpusKey, Int, Int, Int, Int)
+  private val pqCache = new java.util.LinkedHashMap[
+    PqKey,
+    (graft.functions.PqCodebooks,
+      org.apache.spark.broadcast.Broadcast[graft.functions.PqCodeTable])](
+    16, 0.75f, false) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+      PqKey,
+      (graft.functions.PqCodebooks,
+        org.apache.spark.broadcast.Broadcast[graft.functions.PqCodeTable])]) =
+      size() > MaxCachedCorpora
+  }
+
+  /** Destroy every cached broadcast — brute-force corpora AND PQ code
+    * tables (driver lifecycle hook — called by Bench/Verify at teardown;
+    * call it between suites or after a corpus file rewrite). DataFrames
+    * built by earlier [[bruteForceTopK]]/[[pqTopK]] calls must not run
+    * (or be constructed concurrently) after this. */
+  def releaseBroadcasts(): Unit = {
+    corpusCache.synchronized {
+      val it = corpusCache.values().iterator()
+      while (it.hasNext) { it.next().destroy(); it.remove() }
+    }
+    pqCache.synchronized {
+      val it = pqCache.values().iterator()
+      while (it.hasNext) { it.next()._2.destroy(); it.remove() }
+    }
   }
 
   /** Visible for tests: number of live cached corpus broadcasts. */
   private[graft] def cachedBroadcastCount: Int =
     corpusCache.synchronized(corpusCache.size())
+
+  /** Visible for tests: number of live cached PQ code tables. */
+  private[graft] def pqCachedCount: Int =
+    pqCache.synchronized(pqCache.size())
 
   /** Visible for tests: the cached broadcast for a corpus, if any. */
   private[graft] def cachedBroadcastFor(
@@ -292,16 +320,60 @@ object Similarity {
       nCodes: Int = 256,
       lloydIters: Int = 3,
       maxTrainSample: Int = 65536): DataFrame = {
-    import graft.functions.{PqCodebooks, PqOps}
-    val feats = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    import graft.functions.PqOps
+    require(nCodes >= 2 && nCodes <= 256,
+      s"nCodes must be in [2, 256] (codes are byte-packed): $nCodes")
+    // null vectors are droppable everywhere (sample, encode, queries) —
+    // without the filter a null in the training sample NPEs the driver
+    val feats = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val key = (corpusKey(df, idCol, vecCol),
+      nBlocks, nCodes, lloydIters, maxTrainSample)
+    val cached = pqCache.synchronized(pqCache.get(key))
+    val (books, table) = if (cached != null) cached else {
+      // fail-fast BEFORE the sample scan and Lloyd training — an
+      // over-budget corpus must not pay minutes of work first
+      requireBroadcastable(df, idCol)
+      built(feats, nBlocks, nCodes, lloydIters, maxTrainSample) match {
+        case None =>
+          return feats.limit(0).select(col("id").as("query_id"),
+            col("id").as("neighbor_id"), lit(0.0).as("cos_sim"),
+            lit(1).cast("int").as("rank"))
+        case Some(fresh) =>
+          // first-writer-wins, like the brute-force corpus cache
+          val winner = pqCache.synchronized {
+            val prev = pqCache.get(key)
+            if (prev == null) { pqCache.put(key, fresh); fresh } else prev
+          }
+          if (winner ne fresh) fresh._2.destroy()
+          winner
+      }
+    }
+    // one fused ADC kernel per query row: LUT built once, every code row
+    // scored in O(nBlocks) lookups into a bounded heap — no join, no
+    // shuffle, no |Q|×|C| materialization (the join formulation dragged
+    // the 32 KB LUT through every pair; profiled 10× slower)
+    val topExpr = PqOps.pqTopK(col("query_id"), col("v"), table, books, k)
+    feats.select(col("id").as("query_id"), col("v"))
+      .select(col("query_id"), posexplode(topExpr).as(Seq("pos", "entry")))
+      .select(col("query_id"),
+        col("entry.id").as("neighbor_id"),
+        col("entry.score").as("cos_sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Train codebooks + build the broadcast code table; None on an empty
+    * (or empty-vector) corpus. */
+  private def built(
+      feats: DataFrame, nBlocks: Int, nCodes: Int,
+      lloydIters: Int, maxTrainSample: Int)
+      : Option[(graft.functions.PqCodebooks,
+        org.apache.spark.broadcast.Broadcast[graft.functions.PqCodeTable])] = {
+    import graft.functions.{PqCodebooks, PqCodeTable, PqOps}
     val sample: Array[Array[Double]] = feats.orderBy(col("id")).limit(maxTrainSample)
       .collect()
       .map(_.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
-    if (sample.isEmpty || sample(0).isEmpty) {
-      return feats.limit(0).select(col("id").as("query_id"),
-        col("id").as("neighbor_id"), lit(0.0).as("cos_sim"),
-        lit(1).cast("int").as("rank"))
-    }
+    if (sample.isEmpty || sample(0).isEmpty) return None
     val dim = sample(0).length
     val bs = (dim + nBlocks - 1) / nBlocks
     val mEff = (dim + bs - 1) / bs
@@ -313,40 +385,34 @@ object Similarity {
     }
     val books = new PqCodebooks(blocks, bs, dim)
     // encode DISTRIBUTED (width-pinned barrier — compact inputs otherwise
-    // scan as one partition), then collect only the 16-byte codes; the
-    // corpus's raw vectors never reach the driver. Same row budget and
-    // fail-fast as the brute-force broadcast — but note the codes table is
-    // 16× smaller than the raw corpus it stands in for, which is PQ's
-    // entire point; raise the budget accordingly when composing.
-    requireBroadcastable(df, idCol)
+    // scan as one partition), then collect only the byte codes; the
+    // corpus's raw vectors never reach the driver. Zero-norm vectors are
+    // excluded HERE on the raw norm: they reconstruct to nonzero
+    // centroids, so no later check could exclude them (brute-force parity:
+    // the zero vector is never anyone's neighbor). Codes are 16× smaller
+    // than the raw corpus — raise the budget accordingly when composing.
+    val rawNorm2 = aggregate(
+      transform(col("v"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
     val codeRows = feats
-      .repartition(Par.of(df))
+      .repartition(Par.of(feats))
+      .filter(rawNorm2 > 0d)
       .select(col("id"), PqOps.pqEncode(col("v"), books).as("codes"))
       .collect()
     val n = codeRows.length
     val ids = new Array[Long](n)
-    val flat = new Array[Int](n * mEff)
+    val flat = new Array[Byte](n * mEff)
     var j = 0
     while (j < n) {
       ids(j) = codeRows(j).getLong(0)
       val cs = codeRows(j).getSeq[Int](1)
       var b = 0
-      while (b < mEff) { flat(j * mEff + b) = cs(b); b += 1 }
+      while (b < mEff) { flat(j * mEff + b) = cs(b).toByte; b += 1 }
       j += 1
     }
-    val bc = df.sparkSession.sparkContext.broadcast(
-      new graft.functions.PqCodeTable(ids, flat, mEff))
-    // one fused ADC kernel per query row: LUT built once, every code row
-    // scored in O(nBlocks) lookups into a bounded heap — no join, no
-    // shuffle, no |Q|×|C| materialization (the join formulation dragged
-    // the 32 KB LUT through every pair; profiled 10× slower)
-    val topExpr = PqOps.pqTopK(col("query_id"), col("v"), bc, books, k)
-    feats.select(col("id").as("query_id"), col("v"))
-      .select(col("query_id"), posexplode(topExpr).as(Seq("pos", "entry")))
-      .select(col("query_id"),
-        col("entry.id").as("neighbor_id"),
-        col("entry.score").as("cos_sim"),
-        (col("pos") + 1).cast("int").as("rank"))
+    val bc = feats.sparkSession.sparkContext.broadcast(
+      new PqCodeTable(ids, flat, mEff))
+    Some((books, bc))
   }
 
   /** Per-block Euclidean Lloyd for the PQ codebooks: deterministic min-id

@@ -614,17 +614,34 @@ class LlmSpec extends AnyFunSuite {
       (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero query norm → no rows out
       (4L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
-    val out = Similarity.pqTopK(vecs, "vec_id", "embedding", k = 1,
-      nBlocks = 2, nCodes = 4)
-      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
-      .toMap
+    val rows = Similarity.pqTopK(vecs, "vec_id", "embedding", k = 3,
+      nBlocks = 2, nCodes = 4).collect()
+    val best = rows.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
     // 1↔2 reconstruct near each other; the zero vector queries nothing
-    assert(out(1L) == 2L && out(2L) == 1L)
-    assert(!out.contains(3L))
+    assert(best(1L) == 2L && best(2L) == 1L)
+    assert(!best.contains(3L))
+    // brute-force parity: the RAW-zero-norm vector is never a neighbor
+    // either (it reconstructs to nonzero centroids, so only the raw-norm
+    // exclusion at table build can catch it)
+    assert(rows.forall(_.getAs[Long]("neighbor_id") != 3L))
     // an empty corpus yields an empty, correctly-shaped result
     val empty = Similarity.pqTopK(vecs.limit(0), "vec_id", "embedding", k = 3)
     assert(empty.columns.toSeq ==
       Seq("query_id", "neighbor_id", "cos_sim", "rank") && empty.count() == 0)
+  }
+
+  test("I3 PQ code table is cached per corpus+params and released") {
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Similarity.releaseBroadcasts()
+    assert(Similarity.pqCachedCount == 0)
+    Similarity.pqTopK(e, "vec_id", "embedding", k = 1).count()
+    Similarity.pqTopK(e, "vec_id", "embedding", k = 3).count() // same table
+    assert(Similarity.pqCachedCount == 1)
+    Similarity.pqTopK(e, "vec_id", "embedding", k = 1, nBlocks = 8).count()
+    assert(Similarity.pqCachedCount == 2) // different codes → new entry
+    Similarity.releaseBroadcasts()
+    assert(Similarity.pqCachedCount == 0)
   }
 
   test("I3 brute-force top-k: zero vector (NaN cosine) never ranks") {
