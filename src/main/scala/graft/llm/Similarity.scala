@@ -475,7 +475,11 @@ object Similarity {
       lloydIters: Int = 3,
       maxTrainSample: Int = 65536): DataFrame = {
     import graft.functions.ArrayOps.nearestCells
-    val feats = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // null vectors are droppable, not fatal: without the filter a null in
+    // the training sample NPEs the driver-side collect (same contract as
+    // pqTopK)
+    val df0 = df.filter(col(vecCol).isNotNull)
+    val feats = df0.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     // Sample-fit, full-assign (the standard IVF training shape): Lloyd runs
     // driver-side over a bounded deterministic sample — one collect total
     // instead of one assignment job per iteration; at 64k × 64 dims the
@@ -520,12 +524,12 @@ object Similarity {
         else sums(c).map(_ / counts(c))
       }
     }
-    val corpusCells = df.select(col(idCol).cast("long").as("neighbor_id"),
+    val corpusCells = df0.select(col(idCol).cast("long").as("neighbor_id"),
       quantize(col(vecCol)).as("cv"),
       element_at(nearestCells(col(vecCol), centroids, 1), 1).as("cell"))
       .withColumn("cn", sqrt(dotQ(col("cv"), col("cv")).cast("double")))
       .repartition(Par.of(df), col("cell")) // barrier: features + cell computed once
-    val queryProbes = df.select(col(idCol).cast("long").as("query_id"),
+    val queryProbes = df0.select(col(idCol).cast("long").as("query_id"),
       quantize(col(vecCol)).as("qv"),
       explode(nearestCells(col(vecCol), centroids, nProbe)).as("cell"))
       .withColumn("qn", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
