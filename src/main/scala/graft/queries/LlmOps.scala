@@ -373,6 +373,24 @@ object LlmOps {
       | LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens
       |FROM documents""".stripMargin
 
+  /** I5i — language-ID confusion matrix against the fixture's labels: the
+    * model-eval step that validates a classifier heuristic before it
+    * gates a corpus (the fixture's `lang` column is ground truth; `zh` has
+    * no stopword table, so its row pins the classifier's und/abstain
+    * behavior on out-of-model languages). One scan, one vocabulary-sized
+    * aggregate. */
+  def langIdConfusion(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang").as("true_lang"),
+        TextAnalysis.langId(col("text")).as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+
+  private val langIdConfusionSql =
+    s"""WITH pred AS ($langIdSql)
+       |SELECT d.lang AS true_lang, pred.pred_lang, COUNT(*) AS n
+       |FROM documents d JOIN pred ON pred.doc_id = d.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
   /** I5f — vocabulary frequency-of-frequencies (Zipf/hapax histogram). */
   def vocabStats(s: SparkSession, d: String): DataFrame =
     TextAnalysis.vocabStats(Tables.documents(s, d), "text")
@@ -816,6 +834,7 @@ object LlmOps {
     "i7_chunk_windows" -> chunkWindows _,
     "i7_pack_gate" -> packGate _,
     "i5_vocab_stats" -> vocabStats _,
+    "i5_langid_confusion" -> langIdConfusion _,
     "i5_salient_terms" -> salientTerms _,
     "i5_bigram_lm" -> bigramLm _,
     "i2_editdist_blocked" -> editdistBlocked _
@@ -849,6 +868,7 @@ object LlmOps {
     "i7_chunk_windows" -> chunkWindowsSql,
     "i7_pack_gate" -> packGateSql,
     "i5_vocab_stats" -> vocabStatsSql,
+    "i5_langid_confusion" -> langIdConfusionSql,
     "i5_salient_terms" -> salientTermsSql,
     "i5_bigram_lm" -> bigramLmSql,
     "i2_editdist_blocked" -> editdistBlockedSql

@@ -645,6 +645,25 @@ object Relational {
       | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM sess GROUP BY user_id, sid""".stripMargin
 
+  /** Tumbling event-time window in batch: the H2 streaming aggregate shape
+    * (`window(ts, "1 hour")`) run as a plain batch groupBy — one shuffle on
+    * (window, type), map-side partials; the oracle reproduces the
+    * epoch-aligned hourly buckets with date_trunc. (D10/H2)
+    */
+  def tumblingThroughput(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  private val tumblingThroughputSql =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   /** Rank-family window functions: ntile / percent_rank / cume_dist per
     * customer over order value. The ordering carries a unique tie-break
     * (o_orderkey), so rank == row_number and both engines compute the same
@@ -700,7 +719,8 @@ object Relational {
     "d12_union_tagged" -> unionTagged _,
     "d09_pivot_event_types" -> pivotEventTypes _,
     "d10_session_windows" -> sessionWindows _,
-    "d10_window_ntile" -> windowNtile _
+    "d10_window_ntile" -> windowNtile _,
+    "d10_tumbling_window" -> tumblingThroughput _
   )
 
   val oracles: Map[String, String] = Map(
@@ -733,6 +753,7 @@ object Relational {
     "d12_union_tagged" -> unionTaggedSql,
     "d09_pivot_event_types" -> pivotEventTypesSql,
     "d10_session_windows" -> sessionWindowsSql,
-    "d10_window_ntile" -> windowNtileSql
+    "d10_window_ntile" -> windowNtileSql,
+    "d10_tumbling_window" -> tumblingThroughputSql
   )
 }

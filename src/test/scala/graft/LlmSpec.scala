@@ -210,6 +210,38 @@ class LlmSpec extends AnyFunSuite {
     assert(d0.map(r => r.getInt(2)).toList == List(0))
   }
 
+  test("I2 edit-distance pairs property: equals naive all-pairs within blocks") {
+    // reference Levenshtein (full DP) — independent of Spark's
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+        if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcd"
+    val docs = (0L until 40L).map { i =>
+      val len = 1 + rnd.nextInt(30)
+      (i, s"blk${i % 3}",
+        (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }
+    val (prefixLen, maxDist) = (12, 6)
+    val expected = (for {
+      (ai, ab, at) <- docs; (bi, bb, bt) <- docs
+      if ab == bb && ai < bi
+      dist = lev(at.take(prefixLen), bt.take(prefixLen))
+      if dist <= maxDist
+    } yield (ai, bi, dist)).toSet
+    val got = Dedup.editDistancePairs(
+      docs.toDF("doc_id", "source", "text").repartition(5),
+      "doc_id", "text", blockCol = "source",
+      prefixLen = prefixLen, maxDist = maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(expected.nonEmpty && got == expected)
+  }
+
   test("I1 bloom reference dedup equals the plain semi-join exactly") {
     // the Bloom pass is a prefilter, never a decision: across a corpus
     // large enough to force false positives at fpp=0.5, the output must
