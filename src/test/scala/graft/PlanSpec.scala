@@ -111,6 +111,49 @@ class PlanSpec extends AnyFunSuite {
       l.contains("WindowGroupLimit") && l.contains("Partial")), plan)
   }
 
+  test("pivot plans one aggregate pipeline with a pruned scan, no collect job") {
+    val plan = executedPlan(
+      graft.queries.Relational.pivotEventTypes(spark, sf))
+    // explicit value list → pivotfirst aggregate, no distinct-values job
+    assert(plan.contains("pivotfirst"), plan)
+    assert(plan.contains("partial_"), plan) // map-side partial aggregation
+    // scan fetches only the two referenced columns
+    assert(plan.contains("ReadSchema: struct<user_id:bigint,event_type:string>"),
+      plan)
+  }
+
+  test("session windows aggregate with partials below one exchange") {
+    val plan = executedPlan(
+      graft.queries.Relational.sessionWindows(spark, sf))
+    assert(plan.contains("MergingSessions"), plan)
+    assert(plan.contains("partial_"), plan) // partial agg before the shuffle
+    // exactly one shuffle: the hash partitioning on user_id. The AQE string
+    // prints the final plan followed by the initial plan — audit only the
+    // final section so the same exchange isn't double-counted.
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val shuffles = finalPlan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .map(_.replaceAll(".*plan_id=(\\d+).*", "$1")).toSet
+    assert(shuffles.size == 1, plan)
+  }
+
+  test("bigram top-k plans as TakeOrderedAndProject, never a global sort") {
+    val plan = executedPlan(
+      graft.queries.LlmOps.queries("i5_bigram_lm")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Sort ["), plan) // no full-result sort operator
+  }
+
+  test("salient terms ship only top-1 per doc across the shuffle") {
+    val plan = executedPlan(
+      graft.queries.LlmOps.queries("i5_salient_terms")(spark, sf))
+    // partial WindowGroupLimit below the exchange (like stratifiedCap) and
+    // a broadcast of the vocabulary-sized document-frequency side
+    assert(plan.split("\n").exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("bucketed tables join without a shuffle") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-buckets")
     val li = graft.queries.Tables.lineitem(spark, sf)
