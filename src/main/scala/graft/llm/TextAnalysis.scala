@@ -197,4 +197,45 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** Per-document bigram LM score against the corpus LM, as integer
+    * sufficient statistics plus ONE IEEE division: with Laplace smoothing
+    * P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V), the per-doc aggregate ratio is
+    *   score = Σ(c(w1,w2)+1) / (Σc(w1·) + n·V).
+    * Summing per-bigram log-probs would put libm `ln` (and float summation
+    * order) in the checked output; the aggregate ratio keeps every
+    * intermediate an exact BIGINT, and a single division of exact longs is
+    * correctly rounded — bit-identical across engines. Both count sides
+    * are vocabulary-sized → broadcast; the corpus is never collected.
+    * Documents with <2 tokens survive with NULL stats (left join).
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+      corpusTokens(col(textCol)).as("ws"))
+    val db = toks.select(col("doc"),
+        slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))).as("w1s"),
+        slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))).as("w2s"))
+      .select(col("doc"), explode(arrays_zip(col("w1s"), col("w2s"))).as("z"))
+      .select(col("doc"), col("z.w1s").as("w1"), col("z.w2s").as("w2"))
+    val bi = db.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val uni = db.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val perDoc = db
+      .join(broadcast(bi), Seq("w1", "w2"))
+      .join(broadcast(uni), Seq("w1"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c2") + 1).as("hits"),
+        sum(col("c1")).as("ctx_raw"))
+    df.select(col(idCol).as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc").as(idCol),
+        col("n_bigrams"), col("hits"),
+        (col("ctx_raw") + col("n_bigrams") * col("v")).as("ctx"),
+        (col("hits").cast("double") /
+          (col("ctx_raw") + col("n_bigrams") * col("v")).cast("double"))
+          .as("score"))
+  }
 }

@@ -434,6 +434,41 @@ object LlmOps {
       |SELECT w1, w2, COUNT(*) AS n FROM b GROUP BY w1, w2
       |ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin
 
+  /** I5h — bigram-LM document scoring: how "in-distribution" each document
+    * is under the corpus's own bigram model (the cheap perplexity stand-in
+    * a curation pipeline uses to rank outliers). See
+    * [[TextAnalysis.lmScore]] for why the score is an aggregate Laplace
+    * ratio of exact BIGINTs rather than a float log-prob sum. */
+  def lmScore(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")
+
+  private val lmScoreSql =
+    """WITH toks AS (
+      | SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws
+      | FROM documents),
+      |db AS (
+      | SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM (
+      |  SELECT doc_id, unnest(list_zip(ws[1:-2], ws[2:-1])) AS z FROM toks)),
+      |bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM db GROUP BY 1, 2),
+      |uni AS (SELECT w1, COUNT(*) AS c1 FROM db GROUP BY 1),
+      |vsz AS (SELECT COUNT(DISTINCT w) AS v
+      |        FROM (SELECT unnest(ws) AS w FROM toks)),
+      |agg AS (
+      | SELECT d.doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(b.c2 + 1) AS BIGINT) AS hits,
+      |  CAST(SUM(u.c1) AS BIGINT) AS ctx_raw
+      | FROM db d
+      | JOIN bi b ON d.w1 = b.w1 AND d.w2 = b.w2
+      | JOIN uni u ON d.w1 = u.w1
+      | GROUP BY 1)
+      |SELECT doc.doc_id, a.n_bigrams, a.hits,
+      | a.ctx_raw + a.n_bigrams * v.v AS ctx,
+      | CAST(a.hits AS DOUBLE) / CAST(a.ctx_raw + a.n_bigrams * v.v AS DOUBLE)
+      |   AS score
+      |FROM documents doc
+      |LEFT JOIN agg a ON doc.doc_id = a.doc_id
+      |CROSS JOIN vsz v""".stripMargin
+
   /** I2f — Levenshtein near-dup pairs blocked on `source` (the fixture's
     * categorical stand-in for an LSH-band blocking key; see
     * [[Dedup.editDistancePairs]] for the 100 TB candidate-then-verify
@@ -837,6 +872,7 @@ object LlmOps {
     "i5_langid_confusion" -> langIdConfusion _,
     "i5_salient_terms" -> salientTerms _,
     "i5_bigram_lm" -> bigramLm _,
+    "i5_lm_score" -> lmScore _,
     "i2_editdist_blocked" -> editdistBlocked _
   )
 
@@ -871,6 +907,7 @@ object LlmOps {
     "i5_langid_confusion" -> langIdConfusionSql,
     "i5_salient_terms" -> salientTermsSql,
     "i5_bigram_lm" -> bigramLmSql,
+    "i5_lm_score" -> lmScoreSql,
     "i2_editdist_blocked" -> editdistBlockedSql
   )
 }

@@ -688,6 +688,135 @@ object Relational {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin
 
+  /** D7f — exact distribution percentiles per group. Spark's `percentile`
+    * is a partial-aggregating sort-free exact quantile (per-partition
+    * OpenHashMap of value→count merged on the reducer), so the plan is the
+    * same two-phase hash aggregate as any sum — no global sort, no
+    * per-group collect. The interpolated values land on the 0.0025 price
+    * grid (2-decimal prices × 2-decimal rank fractions), so `round(_, 4)`
+    * recovers the exact grid value in both engines and no FP-drift can
+    * survive the hash-compare. (D7)
+    */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"),
+        round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99"))
+
+  private val percentilesSql =
+    """SELECT l_returnflag,
+      | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+      | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** D10f — time-series resample + forward-fill: hourly buckets per user,
+    * a dense `sequence()` grid between each user's first and last bucket,
+    * and `last(_, ignoreNulls)` to carry observations across gaps. The
+    * bucket value is an exact DECIMAL sum cast to double once, so the
+    * forward-filled value is bit-identical wherever it's carried. Grid
+    * size is users × hours — bounded by the time span, not the event
+    * count, so the explode cannot amplify a 100 TB input (the heavy side
+    * stays the pre-aggregated buckets). One shuffle for the bucket agg,
+    * one for the per-user span+grid, one window sort. (D10, D5)
+    */
+  def resampleFfill(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(dec(col("value"))).cast("double").as("v"))
+    val grid = b.groupBy(col("user_id"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(b, Seq("user_id", "h"), "left")
+      .select(col("user_id"), unix_micros(col("h")).as("hour_us"), col("v"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+  }
+
+  private val resampleFfillSql =
+    """WITH b AS (
+      | SELECT user_id, date_trunc('hour', ts) AS h,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      | FROM events GROUP BY 1, 2),
+      |grid AS (
+      | SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      | FROM (SELECT user_id, min(h) AS lo, max(h) AS hi FROM b GROUP BY 1)),
+      |j AS (
+      | SELECT g.user_id, g.h, b.v
+      | FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h)
+      |SELECT user_id, epoch_us(h) AS hour_us, v,
+      | last_value(v IGNORE NULLS) OVER (
+      |   PARTITION BY user_id ORDER BY h
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      |FROM j""".stripMargin
+
+  /** D5c — interval-overlap concurrency by sweep line: each event opens a
+    * 5-minute interval; +1/−1 boundary rows, a cumulative sum ordered by
+    * (time, delta DESC) — starts before ends at the same instant, so
+    * touching intervals count as overlapping — and a per-user max. The
+    * max prefix-sum is invariant under any ordering of exact (t, delta)
+    * ties, so the result is deterministic without a unique tie-break.
+    * This is the scale shape for "peak concurrent sessions" on 100 TB:
+    * two narrow columns, one shuffle for the window, one for the max.
+    * (D5, D10)
+    */
+  def intervalConcurrency(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+    val bounds = ev.select(col("user_id"), col("ts").as("t"), lit(1).as("delta"))
+      .unionAll(ev.select(col("user_id"),
+        (col("ts") + expr("interval 5 minutes")).as("t"), lit(-1).as("delta")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t").asc, col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds.withColumn("load", sum(col("delta")).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("load")).cast("int").as("max_concurrent"))
+  }
+
+  private val intervalConcurrencySql =
+    """WITH bounds AS (
+      | SELECT user_id, ts AS t, 1 AS delta FROM events
+      | UNION ALL
+      | SELECT user_id, ts + INTERVAL 5 MINUTE AS t, -1 AS delta FROM events),
+      |load AS (
+      | SELECT user_id, SUM(delta) OVER (
+      |   PARTITION BY user_id ORDER BY t ASC, delta DESC
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS load
+      | FROM bounds)
+      |SELECT user_id, CAST(MAX(load) AS INT) AS max_concurrent
+      |FROM load GROUP BY user_id""".stripMargin
+
+  /** D8c — Count-Min-Sketch frequency gate: the sketch (mergeable per
+    * partition, fixed seed) never undercounts, and overcounts by at most
+    * eps·N with probability 1−δ; the gate pins both sides against the
+    * exact distributed counts. At 100 TB the sketch replaces a full
+    * groupBy when only heavy-hitter estimates are needed — the driver
+    * holds w×d counters, never the keys. (D8)
+    */
+  def cmsGate(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val total = ev.count()
+    val eps = 0.001
+    val sketch = ev.stat.countMinSketch(col("event_type"), eps,
+      0.99, 42)
+    val bound = math.ceil(eps * total).toLong
+    val est = udf((t: String) => sketch.estimateCount(t))
+    ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        (est(col("event_type")) >= col("n") &&
+          est(col("event_type")) <= col("n") + lit(bound)).as("within_bound"))
+  }
+
+  private val cmsGateSql =
+    """SELECT event_type, COUNT(*) AS n, true AS within_bound
+      |FROM events GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d07_agg_pricing" -> pricingSummary _,
     "d03_join_revenue_by_nation" -> revenueByNation _,
@@ -720,7 +849,11 @@ object Relational {
     "d09_pivot_event_types" -> pivotEventTypes _,
     "d10_session_windows" -> sessionWindows _,
     "d10_window_ntile" -> windowNtile _,
-    "d10_tumbling_window" -> tumblingThroughput _
+    "d10_tumbling_window" -> tumblingThroughput _,
+    "d07_percentiles" -> percentiles _,
+    "d10_resample_ffill" -> resampleFfill _,
+    "d05_interval_concurrency" -> intervalConcurrency _,
+    "d08_cms_gate" -> cmsGate _
   )
 
   val oracles: Map[String, String] = Map(
@@ -754,6 +887,10 @@ object Relational {
     "d09_pivot_event_types" -> pivotEventTypesSql,
     "d10_session_windows" -> sessionWindowsSql,
     "d10_window_ntile" -> windowNtileSql,
-    "d10_tumbling_window" -> tumblingThroughputSql
+    "d10_tumbling_window" -> tumblingThroughputSql,
+    "d07_percentiles" -> percentilesSql,
+    "d10_resample_ffill" -> resampleFfillSql,
+    "d05_interval_concurrency" -> intervalConcurrencySql,
+    "d08_cms_gate" -> cmsGateSql
   )
 }

@@ -1024,4 +1024,38 @@ class LlmSpec extends AnyFunSuite {
     val none = Seq((3L, "zzz qqq www")).toDF("doc_id", "text")
     assert(none.select(TextAnalysis.langId(col("text"))).head().getString(0) == "und")
   }
+
+  test("I5 bigram LM score: exact stats on a hand-computed corpus") {
+    // corpus: "a b a", "a b", "solo", "" → bigrams: d1=(a,b),(b,a); d2=(a,b)
+    // c2(a,b)=2, c2(b,a)=1; c1(a·)=2, c1(b·)=1
+    // vocabulary spans ALL tokens incl. the bigram-less docs: {a,b,solo,""}
+    // ("" because empty text splits to [""]) → V=4
+    val docs = Seq((1L, "a b a"), (2L, "a b"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.lmScore(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // d1: n=2, hits=(2+1)+(1+1)=5, ctx_raw=c1(a)+c1(b)=3, ctx=3+2*4=11
+    val d1 = rows(1L)
+    assert(d1.getLong(1) == 2 && d1.getLong(2) == 5 && d1.getLong(3) == 3 + 2 * 4)
+    assert(d1.getDouble(4) == 5.0 / 11.0)
+    // d2: n=1, hits=2+1=3, ctx_raw=c1(a)=2, ctx=2+1*4=6
+    val d2 = rows(2L)
+    assert(d2.getLong(1) == 1 && d2.getLong(2) == 3 && d2.getLong(3) == 2 + 1 * 4)
+    assert(d2.getDouble(4) == 3.0 / 6.0)
+    // <2-token docs survive with NULL stats ("" splits to [""], 1 token)
+    for (id <- Seq(3L, 4L)) {
+      assert(rows(id).isNullAt(1) && rows(id).isNullAt(4), id)
+    }
+  }
+
+  test("I5 bigram LM score: corpus-wide invariants at sf0.001") {
+    val out = TextAnalysis.lmScore(
+      graft.queries.Tables.documents(spark, "/root/testdata/sf0.001"),
+      "doc_id", "text").collect()
+    val scored = out.filterNot(_.isNullAt(1))
+    assert(scored.nonEmpty)
+    // every smoothed ratio is a probability mass: 0 < hits <= ctx
+    assert(scored.forall(r => r.getLong(2) > 0 && r.getLong(2) <= r.getLong(3)))
+    assert(scored.forall(r => r.getDouble(4) > 0 && r.getDouble(4) <= 1.0))
+  }
 }

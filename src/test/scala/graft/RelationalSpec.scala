@@ -58,4 +58,72 @@ class RelationalSpec extends AnyFunSuite {
       cume_dist().over(w).as("cd")).head()
     assert(r.getInt(0) == 1 && r.getDouble(1) == 0.0 && r.getDouble(2) == 1.0)
   }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("percentiles match a brute-force sorted-array interpolation") {
+    val got = Relational.percentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val raw = graft.queries.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    def q(xs: Seq[Double], p: Double): Double = {
+      val pos = p * (xs.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      val v = xs(lo) + (pos - lo) * (xs(hi) - xs(lo))
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for ((k, xs) <- raw)
+      assert(got(k) == Seq(0.25, 0.5, 0.75, 0.99).map(q(xs, _)), k)
+  }
+
+  test("resample grid is dense per user and forward-fill carries values") {
+    val rows = Relational.resampleFfill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val hourUs = 3600L * 1000 * 1000
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // dense hourly grid: every consecutive pair is exactly one hour apart
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => b._2 - a._2 == hourUs
+        case _           => true
+      }, u)
+      // first grid point is the user's first observed bucket → never null;
+      // thereafter v_filled is the last non-null v
+      var carry: Option[Double] = None
+      for ((_, _, v, filled) <- sorted) {
+        if (v.isDefined) carry = v
+        assert(carry.isDefined && filled == carry, u)
+      }
+    }
+  }
+
+  test("interval concurrency matches a per-user brute-force sweep") {
+    val got = Relational.intervalConcurrency(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val events = graft.queries.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val win = 5L * 60 * 1000 * 1000
+    val expect = events.groupBy(_._1).map { case (u, es) =>
+      val bounds = es.flatMap { case (_, t) => Seq((t, 1), (t + win, -1)) }
+        .sortBy { case (t, d) => (t, -d) } // starts before ends at ties
+      var load = 0; var best = 0
+      for ((_, d) <- bounds) { load += d; best = math.max(best, load) }
+      u -> best
+    }
+    assert(got == expect)
+  }
+
+  test("count-min estimates stay within the eps bound on every key") {
+    val rows = Relational.cmsGate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)),
+      rows.filterNot(_.getBoolean(2)).mkString(","))
+  }
 }
