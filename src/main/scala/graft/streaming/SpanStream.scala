@@ -85,6 +85,39 @@ object SpanStream {
       .dropDuplicatesWithinWatermark("span_id" :: Nil)
       .drop("span_id")
 
+  /** H7 — stream-stream interval join: attach each completed child span to
+    * its parent span as both stream in. Both sides carry watermarks and
+    * the join condition bounds the child's event time to
+    * [parent.end_ts − horizon, parent.end_ts] — children always finish
+    * before their parent closes, and no earlier than the parent's horizon
+    * — so Spark can evict join state for both sides once the watermark
+    * passes; without the range bound the join buffer would grow with the
+    * stream's lifetime. Inner join: a child whose parent never arrives
+    * (dropped trace) is silently discarded, the honest at-least-once
+    * answer. */
+  def childParentJoin(
+      spans: DataFrame,
+      lateness: String = "10 minutes",
+      horizon: String = "1 hour"): DataFrame = {
+    val children = withLateness(spans, lateness)
+      .filter(col("parent_id").isNotNull)
+      .select(col("parent_id").as("c_parent"),
+        col("context.span_id").as("c_span"),
+        col("name").as("c_name"),
+        col("end_ts").as("c_end"))
+    val parents = withLateness(spans, lateness)
+      .select(col("context.span_id").as("p_span"),
+        col("name").as("p_name"),
+        col("end_ts").as("p_end"))
+    children.join(parents,
+      col("c_parent") === col("p_span") &&
+        col("c_end") >= col("p_end") - expr(s"interval $horizon") &&
+        col("c_end") <= col("p_end"))
+      .select(col("p_span"), col("p_name"), col("c_span"), col("c_name"),
+        (unix_micros(col("p_end")) - unix_micros(col("c_end")))
+          .as("drain_us"))
+  }
+
   // ---- H5: stateful per-trace run-status accumulator ----
 
   case class SpanEvent(

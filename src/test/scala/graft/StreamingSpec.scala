@@ -134,6 +134,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally qt.stop()
   }
 
+  test("H7 stream-stream interval join equals the batch child-parent join") {
+    import org.apache.spark.sql.functions._
+    val dir = spanDir
+    val q = SpanStream.childParentJoin(SpanStream.readSpanStream(spark, dir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("join_parity").start()
+    try {
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select("p_span", "c_span", "drain_us")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val streamed = canon(spark.table("join_parity"))
+      val batch = spark.read.schema(SpanStream.streamSchema).json(s"$dir/*.jsonl")
+        .withColumn("end_ts", to_timestamp(col("end_time")))
+      val children = batch.filter(col("parent_id").isNotNull)
+        .select(col("parent_id").as("c_parent"),
+          col("context.span_id").as("c_span"), col("end_ts").as("c_end"))
+      val parents = batch
+        .select(col("context.span_id").as("p_span"), col("end_ts").as("p_end"))
+      val batched = canon(children.join(parents,
+        col("c_parent") === col("p_span") &&
+          col("c_end") >= col("p_end") - expr("interval 1 hour") &&
+          col("c_end") <= col("p_end"))
+        .select(col("p_span"), col("c_span"),
+          (unix_micros(col("p_end")) - unix_micros(col("c_end"))).as("drain_us")))
+      assert(streamed.nonEmpty && streamed == batched)
+      // every emitted drain is inside the declared horizon bound
+      assert(streamed.forall { r =>
+        val d = r(2).asInstanceOf[Long]; d >= 0 && d <= 3600L * 1000 * 1000
+      })
+    } finally q.stop()
+  }
+
   test("H4 one sessionization operator, two modes: stream equals batch") {
     import org.apache.spark.sql.functions._
     // Relational.sessionize is a plain groupBy(session_window) — the SAME
