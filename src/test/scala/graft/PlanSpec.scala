@@ -154,6 +154,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("percentiles plan as a two-phase sort-free aggregate on a pruned scan") {
+    val plan = executedPlan(
+      graft.queries.Relational.percentiles(spark, sf))
+    // exact quantiles WITHOUT a sort: partial ObjectHashAggregate per
+    // partition, merged after one exchange
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_percentile"), plan)
+    assert(!plan.contains("Sort ["), plan)
+    assert(plan.contains(
+      "ReadSchema: struct<l_extendedprice:double,l_returnflag:string>"), plan)
+  }
+
+  test("interval concurrency runs the sweep in a single exchange") {
+    val plan = executedPlan(
+      graft.queries.Relational.intervalConcurrency(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val shuffles = finalPlan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.size == 1, plan)
+    assert(plan.contains("partial_max"), plan) // map-side max after window
+  }
+
   test("bucketed tables join without a shuffle") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-buckets")
     val li = graft.queries.Tables.lineitem(spark, sf)
