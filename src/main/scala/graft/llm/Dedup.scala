@@ -432,6 +432,56 @@ object Dedup {
     intra.unionByName(inter)
   }
 
+  /** I2g — exact-substring duplicated-span report (the hash-based
+    * approximation of suffix-array substring dedup): every maximal region
+    * of ≥ `k` consecutive characters that also occurs elsewhere in the
+    * corpus, reported per document as [span_start, span_end] (1-based,
+    * inclusive) so a curation pass can CUT the span rather than drop the
+    * whole document. Three shuffles total: shingle-match, per-doc island
+    * merge, span aggregate. A globally hot shingle (boilerplate header
+    * repeated millions of times at 100 TB) skews the match shuffle — cap
+    * it upstream with a frequency filter when only cross-doc spans
+    * matter. */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col(textCol)
+    // every k-char shingle with its position: |rows| = total chars, the
+    // linear-in-corpus cost this method trades against a suffix array
+    val sh = df.filter(length(t) >= k)
+      .select(col(idCol).as("doc"), t.as("t"),
+        explode(sequence(lit(1), length(t) - (k - 1))).as("pos"))
+      .select(col("doc"), col("pos"), substr(col("t"), col("pos"), lit(k)).as("s"))
+    // an occurrence is "duplicated" when its shingle appears anywhere else
+    // (another doc OR another offset of the same doc); the count-over-s
+    // window is the same single shuffle a groupBy(s) would cost but keeps
+    // every occurrence row alive for the island merge below
+    val marked = sh
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("cnt") > 1)
+      .select(col("doc"), col("pos"))
+    // coalesce overlapping/touching [pos, pos+k-1] hits into maximal spans:
+    // a new island starts when the gap to the previous hit exceeds k
+    // (null lag on the first row falls through to the ELSE branch in both
+    // engines, opening island 1)
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    marked
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("island", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .select(col("doc").as(idCol), col("span_start"), col("span_end"),
+        col("n_shingles"))
+  }
+
   /** I2f — edit-distance (Levenshtein) near-dup pairs inside a blocking
     * key: only documents sharing `blockCol` are compared, and the distance
     * runs over a bounded prefix so the per-pair cost is O(prefixLen²)

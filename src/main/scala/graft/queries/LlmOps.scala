@@ -469,6 +469,35 @@ object LlmOps {
       |LEFT JOIN agg a ON doc.doc_id = a.doc_id
       |CROSS JOIN vsz v""".stripMargin
 
+  /** I2g — exact-substring duplicated spans: maximal ≥50-char regions that
+    * occur elsewhere in the corpus, per document — the span-level exact
+    * dedup a curation pipeline runs to CUT boilerplate instead of dropping
+    * documents. See [[Dedup.duplicatedSpans]]. */
+  def dupSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text", k = 50)
+
+  private val dupSpansSql =
+    """WITH p AS (
+      | SELECT doc_id, text,
+      |  CAST(unnest(generate_series(1, length(text)-49)) AS INT) AS pos
+      | FROM documents WHERE length(text) >= 50),
+      |sh AS (SELECT doc_id, pos, substr(text, pos, 50) AS s FROM p),
+      |dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > 1),
+      |m AS (SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM dup)),
+      |isl AS (
+      | SELECT doc_id, pos,
+      |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 50
+      |       THEN 0 ELSE 1 END AS brk
+      | FROM m),
+      |g AS (
+      | SELECT doc_id, pos, SUM(brk) OVER (
+      |   PARTITION BY doc_id ORDER BY pos
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      | FROM isl)
+      |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 49 AS span_end,
+      | COUNT(*) AS n_shingles
+      |FROM g GROUP BY doc_id, island""".stripMargin
+
   /** I2f — Levenshtein near-dup pairs blocked on `source` (the fixture's
     * categorical stand-in for an LSH-band blocking key; see
     * [[Dedup.editDistancePairs]] for the 100 TB candidate-then-verify
@@ -873,6 +902,7 @@ object LlmOps {
     "i5_salient_terms" -> salientTerms _,
     "i5_bigram_lm" -> bigramLm _,
     "i5_lm_score" -> lmScore _,
+    "i2_dup_spans" -> dupSpans _,
     "i2_editdist_blocked" -> editdistBlocked _
   )
 
@@ -908,6 +938,7 @@ object LlmOps {
     "i5_salient_terms" -> salientTermsSql,
     "i5_bigram_lm" -> bigramLmSql,
     "i5_lm_score" -> lmScoreSql,
+    "i2_dup_spans" -> dupSpansSql,
     "i2_editdist_blocked" -> editdistBlockedSql
   )
 }

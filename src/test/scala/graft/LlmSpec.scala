@@ -1048,6 +1048,28 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("I2 duplicated spans: cross-doc match, island merge, within-doc repeat") {
+    val shared = (0 until 60).map(i => ('a' + i % 26).toChar).mkString // 60 chars
+    val x = (0 until 50).map(i => ('A' + (i * 7) % 26).toChar).mkString // 50 chars
+    val docs = Seq(
+      (1L, "0123456789" + shared + "!@#$%^&*()"), // S at 11..70
+      (2L, "?????" + shared + "=" * 20), // S at 6..65
+      (3L, x + x), // within-doc repeat, copies touch → ONE merged span
+      (4L, "this text is long enough for shingles but matches nothing else here")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toList
+    // the 60-char shared region yields 11 matching windows per doc, merged
+    // into one maximal span exactly covering the region; the doubled doc's
+    // two copies touch (gap == k) and merge into a single [1,100] span
+    assert(spans == List(
+      (1L, 11, 70, 11L),
+      (2L, 6, 65, 11L),
+      (3L, 1, 100, 2L)))
+  }
+
   test("I5 bigram LM score: corpus-wide invariants at sf0.001") {
     val out = TextAnalysis.lmScore(
       graft.queries.Tables.documents(spark, "/root/testdata/sf0.001"),
