@@ -176,6 +176,26 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_max"), plan) // map-side max after window
   }
 
+  test("partitioned writes prune partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    graft.queries.Tables.documents(spark, sf)
+      .write.mode("overwrite").partitionBy("source").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter(col("source") === "src7")
+      .select(col("doc_id"), col("n_chars"))
+    val plan = executedPlan(df)
+    // the source predicate must be a PartitionFilter (directory pruning,
+    // no data read from other sources), not a post-scan Filter
+    assert(plan.contains("PartitionFilters: [isnotnull(source"), plan)
+    // and the scan must actually touch ONE partition directory: the
+    // numFiles metric (inputFiles reports the unpruned relation)
+    val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.metrics("numFiles").value == 1, plan)
+  }
+
   test("bucketed tables join without a shuffle") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-buckets")
     val li = graft.queries.Tables.lineitem(spark, sf)
