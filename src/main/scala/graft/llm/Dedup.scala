@@ -482,6 +482,43 @@ object Dedup {
         col("n_shingles"))
   }
 
+  /** I2g — cut the [[duplicatedSpans]] out of each document and return the
+    * cleaned text's length + md5: the "remove boilerplate, keep the
+    * document" transform. Spans per doc are disjoint and sorted (islands
+    * by construction), so a single `aggregate` fold over the span array
+    * rebuilds the kept segments in one pass — no per-row loop leaves the
+    * executors, and the cleaned text itself never ships to the driver
+    * (only its hash/length do). */
+  def cutDuplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 50): DataFrame = {
+    val perDoc = duplicatedSpans(df, idCol, textCol, k)
+      .groupBy(col(idCol).as("doc"))
+      .agg(sort_array(collect_list(
+        struct(col("span_start"), col("span_end")))).as("sp"))
+    val joined = df.select(col(idCol).as("doc"), col(textCol).as("t"))
+      .join(perDoc, Seq("doc"), "left")
+    // fold state: p = next uncut position, acc = kept text so far
+    val folded = aggregate(
+      col("sp"),
+      struct(lit(1).as("p"), lit("").as("acc")),
+      (acc, s) => struct(
+        (s.getField("span_end") + 1).as("p"),
+        concat(acc.getField("acc"),
+          substr(col("t"), acc.getField("p"),
+            s.getField("span_start") - acc.getField("p"))).as("acc")),
+      acc => concat(acc.getField("acc"),
+        substr(col("t"), acc.getField("p"),
+          length(col("t")) - acc.getField("p") + 1)))
+    joined
+      .withColumn("clean", when(col("sp").isNull, col("t")).otherwise(folded))
+      .select(col("doc").as(idCol),
+        length(col("clean")).as("clean_len"),
+        md5(col("clean").cast("binary")).as("clean_md5"))
+  }
+
   /** I2f — edit-distance (Levenshtein) near-dup pairs inside a blocking
     * key: only documents sharing `blockCol` are compared, and the distance
     * runs over a bounded prefix so the per-pair cost is O(prefixLen²)

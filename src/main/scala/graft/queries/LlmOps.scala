@@ -498,6 +498,54 @@ object LlmOps {
       | COUNT(*) AS n_shingles
       |FROM g GROUP BY doc_id, island""".stripMargin
 
+  /** I2g — span-cut: rebuild every document with its duplicated spans
+    * excised; the oracle hash-compares the cleaned text's md5, so the
+    * entire cut-and-concat surgery must agree byte-for-byte with DuckDB's
+    * segment reconstruction. See [[Dedup.cutDuplicatedSpans]]. */
+  def spanCut(s: SparkSession, d: String): DataFrame =
+    Dedup.cutDuplicatedSpans(Tables.documents(s, d), "doc_id", "text", k = 50)
+
+  private val spanCutSql =
+    """WITH p AS (
+      | SELECT doc_id, text,
+      |  CAST(unnest(generate_series(1, length(text)-49)) AS INT) AS pos
+      | FROM documents WHERE length(text) >= 50),
+      |sh AS (SELECT doc_id, pos, substr(text, pos, 50) AS s FROM p),
+      |dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > 1),
+      |m AS (SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM dup)),
+      |isl AS (
+      | SELECT doc_id, pos,
+      |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 50
+      |       THEN 0 ELSE 1 END AS brk
+      | FROM m),
+      |g AS (
+      | SELECT doc_id, pos, SUM(brk) OVER (
+      |   PARTITION BY doc_id ORDER BY pos
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      | FROM isl),
+      |spans AS (
+      | SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 49 AS span_end
+      | FROM g GROUP BY doc_id, island),
+      |seg AS (
+      | SELECT s.doc_id, d.text,
+      |  coalesce(lag(s.span_end) OVER (
+      |    PARTITION BY s.doc_id ORDER BY s.span_start), 0) + 1 AS a,
+      |  s.span_start - 1 AS b
+      | FROM spans s JOIN documents d USING (doc_id)
+      | UNION ALL
+      | SELECT s.doc_id, any_value(d.text), MAX(s.span_end) + 1,
+      |  MAX(length(d.text))
+      | FROM spans s JOIN documents d USING (doc_id) GROUP BY s.doc_id),
+      |clean AS (
+      | SELECT doc_id,
+      |  string_agg(CASE WHEN b >= a THEN substr(text, a, b - a + 1)
+      |             ELSE '' END, '' ORDER BY a) AS ctext
+      | FROM seg GROUP BY doc_id)
+      |SELECT d.doc_id,
+      | length(coalesce(c.ctext, d.text)) AS clean_len,
+      | md5(coalesce(c.ctext, d.text)) AS clean_md5
+      |FROM documents d LEFT JOIN clean c USING (doc_id)""".stripMargin
+
   /** I2f — Levenshtein near-dup pairs blocked on `source` (the fixture's
     * categorical stand-in for an LSH-band blocking key; see
     * [[Dedup.editDistancePairs]] for the 100 TB candidate-then-verify
@@ -903,6 +951,7 @@ object LlmOps {
     "i5_bigram_lm" -> bigramLm _,
     "i5_lm_score" -> lmScore _,
     "i2_dup_spans" -> dupSpans _,
+    "i2_span_cut" -> spanCut _,
     "i2_editdist_blocked" -> editdistBlocked _
   )
 
@@ -939,6 +988,7 @@ object LlmOps {
     "i5_bigram_lm" -> bigramLmSql,
     "i5_lm_score" -> lmScoreSql,
     "i2_dup_spans" -> dupSpansSql,
+    "i2_span_cut" -> spanCutSql,
     "i2_editdist_blocked" -> editdistBlockedSql
   )
 }

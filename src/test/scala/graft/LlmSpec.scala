@@ -1070,6 +1070,26 @@ class LlmSpec extends AnyFunSuite {
       (3L, 1, 100, 2L)))
   }
 
+  test("I2 span cut excises exactly the duplicated regions") {
+    val shared = (0 until 60).map(i => ('a' + i % 26).toChar).mkString
+    val x = (0 until 50).map(i => ('A' + (i * 7) % 26).toChar).mkString
+    val keep4 = "this text is long enough for shingles but matches nothing else here"
+    val docs = Seq(
+      (1L, "0123456789" + shared + "!@#$%^&*()"),
+      (2L, "?????" + shared + "=" * 20),
+      (3L, x + x), // fully duplicated → cleans to empty
+      (4L, keep4)
+    ).toDF("doc_id", "text")
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = Dedup.cutDuplicatedSpans(docs, "doc_id", "text", k = 50)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(got(1L) == ((20, m("0123456789" + "!@#$%^&*()"))))
+    assert(got(2L) == ((25, m("?????" + "=" * 20))))
+    assert(got(3L) == ((0, m(""))))
+    assert(got(4L) == ((keep4.length, m(keep4))))
+  }
+
   test("I5 bigram LM score: corpus-wide invariants at sf0.001") {
     val out = TextAnalysis.lmScore(
       graft.queries.Tables.documents(spark, "/root/testdata/sf0.001"),
