@@ -817,6 +817,104 @@ object Relational {
     """SELECT event_type, COUNT(*) AS n, true AS within_bound
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** D10g — conversion funnel: for every click, does a purchase by the
+    * same user follow within the hour? Expressed as a window scan — one
+    * shuffle on user_id, a `lead`-style forward search via min-over-frame
+    * — NOT a self-join: the join formulation explodes on power users
+    * (clicks × purchases per user), the window stays linear in events.
+    * Rows: per-day funnel counts (clicks, converted, distinct converting
+    * users). (D10, D5)
+    */
+  def funnel(s: SparkSession, d: String): DataFrame =
+    funnelCounts(Tables.events(s, d))
+
+  /** DataFrame-level funnel core over (user_id, ts, event_type). */
+  def funnelCounts(events: DataFrame): DataFrame = {
+    val ev = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("t_us"))
+    // for each event, the time of the NEXT purchase by the same user at or
+    // after it: min(purchase time) over the forward frame. RANGE (not ROWS)
+    // so a purchase at the exact same microsecond is always inside the
+    // click's frame — a ROWS frame would include it only when the tie
+    // happens to sort after the click, a nondeterministic coin flip.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"))
+      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    val nextPurchase = min(when(col("event_type") === "purchase", col("t_us")))
+      .over(w)
+    ev.withColumn("next_purchase_us", nextPurchase)
+      .filter(col("event_type") === "click")
+      .select(to_date(col("ts")).as("day"), col("user_id"),
+        (col("next_purchase_us") - col("t_us") <= 3600L * 1000 * 1000)
+          .as("converted"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("clicks"),
+        sum(when(col("converted"), 1).otherwise(0)).as("converted"),
+        countDistinct(when(col("converted"), col("user_id")))
+          .as("converting_users"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("clicks"), col("converted"), col("converting_users"))
+  }
+
+  private val funnelSql =
+    """WITH ev AS (
+      | SELECT user_id, event_type, ts, epoch_us(ts) AS t_us
+      | FROM events WHERE event_type IN ('click', 'purchase')),
+      |nxt AS (
+      | SELECT user_id, event_type, ts, t_us,
+      |  MIN(CASE WHEN event_type = 'purchase' THEN t_us END) OVER (
+      |    PARTITION BY user_id ORDER BY t_us
+      |    RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |    AS next_purchase_us
+      | FROM ev)
+      |SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      | COUNT(*) AS clicks,
+      | SUM(CASE WHEN next_purchase_us - t_us <= 3600000000 THEN 1 ELSE 0 END)
+      |   AS converted,
+      | COUNT(DISTINCT CASE WHEN next_purchase_us - t_us <= 3600000000
+      |   THEN user_id END) AS converting_users
+      |FROM nxt WHERE event_type = 'click'
+      |GROUP BY 1""".stripMargin
+
+  /** D7g — cohort retention: users grouped by first-activity day, counted
+    * by how many distinct days-since-cohort they return on. Two shuffles
+    * (per-user min, then cohort×offset count-distinct); the per-user
+    * cohort side joins back broadcast-or-shuffle on user_id, which AQE
+    * picks by size. The classic growth-analytics matrix at any scale.
+    * (D7, D3)
+    */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame =
+    retentionFrom(Tables.events(s, d))
+
+  /** DataFrame-level retention core over (user_id, ts). */
+  def retentionFrom(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, Seq("user_id"))
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("offset_days"),
+        col("user_id"))
+      .groupBy(col("cohort_day"), col("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset_days"), col("n_users"))
+  }
+
+  private val retentionCohortsSql =
+    """WITH days AS (
+      | SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cohorts AS (
+      | SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1)
+      |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+      | CAST(date_diff('day', c.cohort_day, d.day) AS INT) AS offset_days,
+      | COUNT(DISTINCT d.user_id) AS n_users
+      |FROM days d JOIN cohorts c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d07_agg_pricing" -> pricingSummary _,
     "d03_join_revenue_by_nation" -> revenueByNation _,
@@ -853,7 +951,9 @@ object Relational {
     "d07_percentiles" -> percentiles _,
     "d10_resample_ffill" -> resampleFfill _,
     "d05_interval_concurrency" -> intervalConcurrency _,
-    "d08_cms_gate" -> cmsGate _
+    "d08_cms_gate" -> cmsGate _,
+    "d10_funnel" -> funnel _,
+    "d07_retention_cohorts" -> retentionCohorts _
   )
 
   val oracles: Map[String, String] = Map(
@@ -891,6 +991,8 @@ object Relational {
     "d07_percentiles" -> percentilesSql,
     "d10_resample_ffill" -> resampleFfillSql,
     "d05_interval_concurrency" -> intervalConcurrencySql,
-    "d08_cms_gate" -> cmsGateSql
+    "d08_cms_gate" -> cmsGateSql,
+    "d10_funnel" -> funnelSql,
+    "d07_retention_cohorts" -> retentionCohortsSql
   )
 }

@@ -59,6 +59,40 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.getInt(0) == 1 && r.getDouble(1) == 0.0 && r.getDouble(2) == 1.0)
   }
 
+  test("funnel: simultaneous purchase converts; earlier purchase does not") {
+    // micro-tie: purchase at the SAME microsecond as the click must count
+    // (RANGE frame includes ties regardless of row order); a purchase
+    // strictly before the click never counts; exactly +1h counts (<=)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click"),
+      (1L, ts("2024-01-01 10:00:00"), "purchase"), // same instant → converts
+      (2L, ts("2024-01-01 09:59:59"), "purchase"), // before the click
+      (2L, ts("2024-01-01 10:00:00"), "click"), //    → no conversion
+      (3L, ts("2024-01-01 10:00:00"), "click"),
+      (3L, ts("2024-01-01 11:00:00"), "purchase"), // exactly 1h → converts
+      (4L, ts("2024-01-01 10:00:00"), "click"),
+      (4L, ts("2024-01-01 11:00:00.000001"), "purchase") // 1h+1µs → no
+    ).toDF("user_id", "ts", "event_type")
+    val out = Relational.funnelCounts(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toList == List(("2024-01-01", 4L, 2L, 2L)))
+  }
+
+  test("retention cohorts: day-0 row counts every user once") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-01 23:59:59")), (2L, ts("2024-01-02 00:00:01")),
+      (3L, ts("2024-01-02 12:00:00"))
+    ).toDF("user_id", "ts").withColumn("event_type", lit("view"))
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val out = Relational.retentionFrom(ev).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-01", 2, 1L),
+      ("2024-01-02", 0, 1L)))
+  }
+
   private val sf = "/root/testdata/sf0.001"
 
   test("percentiles match a brute-force sorted-array interpolation") {
