@@ -205,9 +205,12 @@ object TextAnalysis {
     * Summing per-bigram log-probs would put libm `ln` (and float summation
     * order) in the checked output; the aggregate ratio keeps every
     * intermediate an exact BIGINT, and a single division of exact longs is
-    * correctly rounded — bit-identical across engines. Both count sides
-    * are vocabulary-sized → broadcast; the corpus is never collected.
-    * Documents with <2 tokens survive with NULL stats (left join).
+    * correctly rounded — bit-identical across engines. The unigram count
+    * side is vocabulary-sized → broadcast; the bigram table grows with
+    * the corpus's bigram-TYPE count (toward O(V²)), so its join is left
+    * to size-based planning rather than force-broadcast. The corpus is
+    * never collected. Documents with <2 tokens survive with NULL stats
+    * (left join).
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc"),
@@ -222,7 +225,7 @@ object TextAnalysis {
     val vocab = toks.select(explode(col("ws")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
     val perDoc = db
-      .join(broadcast(bi), Seq("w1", "w2"))
+      .join(bi, Seq("w1", "w2"))
       .join(broadcast(uni), Seq("w1"))
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_bigrams"),

@@ -801,11 +801,12 @@ object Relational {
     */
   def cmsGate(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val total = ev.count()
     val eps = 0.001
     val sketch = ev.stat.countMinSketch(col("event_type"), eps,
       0.99, 42)
-    val bound = math.ceil(eps * total).toLong
+    // N for the eps*N bound comes from the sketch itself — a separate
+    // count() would be a second full scan of the input
+    val bound = math.ceil(eps * sketch.totalCount()).toLong
     val est = udf((t: String) => sketch.estimateCount(t))
     ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .select(col("event_type"), col("n"),
@@ -898,8 +899,12 @@ object Relational {
       .select(col("cohort_day"),
         datediff(col("day"), col("cohort_day")).as("offset_days"),
         col("user_id"))
+      // (cohort_day, offset_days, user_id) is already unique — days is
+      // distinct on (user_id, day) and offset is a function of day — so a
+      // plain count avoids the extra dedup-aggregate pass a countDistinct
+      // would plan
       .groupBy(col("cohort_day"), col("offset_days"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
       .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
         col("offset_days"), col("n_users"))
   }
@@ -911,7 +916,7 @@ object Relational {
       | SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1)
       |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
       | CAST(date_diff('day', c.cohort_day, d.day) AS INT) AS offset_days,
-      | COUNT(DISTINCT d.user_id) AS n_users
+      | COUNT(*) AS n_users
       |FROM days d JOIN cohorts c USING (user_id)
       |GROUP BY 1, 2""".stripMargin
 
