@@ -493,6 +493,20 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
+      k: Int = 50): DataFrame =
+    cleanedText(df, idCol, textCol, k)
+      .select(col(idCol),
+        length(col("clean")).as("clean_len"),
+        md5(col("clean").cast("binary")).as("clean_md5"))
+
+  /** The cut itself: one row per input document with its duplicated spans
+    * excised into a `clean` text column (documents without spans pass
+    * through unchanged). Kept separate from [[cutDuplicatedSpans]] so
+    * pipelines can keep transforming the cleaned text distributedly. */
+  def cleanedText(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
       k: Int = 50): DataFrame = {
     val perDoc = duplicatedSpans(df, idCol, textCol, k)
       .groupBy(col(idCol).as("doc"))
@@ -514,9 +528,7 @@ object Dedup {
           length(col("t")) - acc.getField("p") + 1)))
     joined
       .withColumn("clean", when(col("sp").isNull, col("t")).otherwise(folded))
-      .select(col("doc").as(idCol),
-        length(col("clean")).as("clean_len"),
-        md5(col("clean").cast("binary")).as("clean_md5"))
+      .select(col("doc").as(idCol), col("clean"))
   }
 
   /** I2f — edit-distance (Levenshtein) near-dup pairs inside a blocking

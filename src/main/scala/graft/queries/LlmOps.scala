@@ -339,26 +339,31 @@ object LlmOps {
       TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
 
-  private val qualityScoreSql = {
+  /** The quality-score oracle, parameterized over the relation and text
+    * column so composed pipelines (i6_curation_v2) can score CLEANED text
+    * with the exact same formula. */
+  private def qualitySqlOver(rel: String, t: String): String = {
     val allStop = TextAnalysis.stopwordTable.values.flatten.toSeq
       .map(w => s"\\b$w\\b").mkString("|")
     s"""SELECT doc_id,
-       | LENGTH(text) AS n_chars_text,
-       | LEN(regexp_split_to_array(text, ' +')) AS n_words,
-       | CASE WHEN LEN(regexp_split_to_array(text, ' +')) > 0 THEN
-       |   CAST(LIST_SUM([LENGTH(w) FOR w IN regexp_split_to_array(text, ' +')]) AS DOUBLE)
-       |     / LEN(regexp_split_to_array(text, ' +')) ELSE 0.0 END AS mean_word_len,
-       | CASE WHEN LENGTH(text) > 0 THEN
-       |   CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-       |     / LENGTH(text) ELSE 0.0 END AS punct_ratio,
-       | (LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)
-       |  + (1.0 - LEAST((CASE WHEN LENGTH(text) > 0 THEN
-       |      CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-       |        / LENGTH(text) ELSE 0.0 END) * 5.0, 1.0))
-       |  + LEAST(CAST(len(regexp_extract_all(lower(text), '$allStop')) AS DOUBLE) / 10.0, 1.0)
+       | LENGTH($t) AS n_chars_text,
+       | LEN(regexp_split_to_array($t, ' +')) AS n_words,
+       | CASE WHEN LEN(regexp_split_to_array($t, ' +')) > 0 THEN
+       |   CAST(LIST_SUM([LENGTH(w) FOR w IN regexp_split_to_array($t, ' +')]) AS DOUBLE)
+       |     / LEN(regexp_split_to_array($t, ' +')) ELSE 0.0 END AS mean_word_len,
+       | CASE WHEN LENGTH($t) > 0 THEN
+       |   CAST(LENGTH($t) - LENGTH(regexp_replace($t, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |     / LENGTH($t) ELSE 0.0 END AS punct_ratio,
+       | (LEAST(CAST(LENGTH($t) AS DOUBLE) / 500.0, 1.0)
+       |  + (1.0 - LEAST((CASE WHEN LENGTH($t) > 0 THEN
+       |      CAST(LENGTH($t) - LENGTH(regexp_replace($t, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |        / LENGTH($t) ELSE 0.0 END) * 5.0, 1.0))
+       |  + LEAST(CAST(len(regexp_extract_all(lower($t), '$allStop')) AS DOUBLE) / 10.0, 1.0)
        | ) / 3.0 AS quality
-       |FROM documents""".stripMargin
+       |FROM $rel""".stripMargin
   }
+
+  private val qualityScoreSql = qualitySqlOver("documents", "text")
 
   /** I5c — token counting: whitespace + BPE-ish regex. */
   def tokenCounts(s: SparkSession, d: String): DataFrame =
@@ -505,8 +510,12 @@ object LlmOps {
   def spanCut(s: SparkSession, d: String): DataFrame =
     Dedup.cutDuplicatedSpans(Tables.documents(s, d), "doc_id", "text", k = 50)
 
-  private val spanCutSql =
-    """WITH p AS (
+  /** The duplicated-span → cleaned-text CTE chain (mirrors
+    * [[Dedup.cleanedText]]), shared by the span-cut oracle and the
+    * composed curation-v2 oracle. Ends with `cleaned(doc_id, text, ctext)`
+    * covering EVERY document (no-span docs pass through). */
+  private val spanCleanCtes =
+    """p AS (
       | SELECT doc_id, text,
       |  CAST(unnest(generate_series(1, length(text)-49)) AS INT) AS pos
       | FROM documents WHERE length(text) >= 50),
@@ -536,15 +545,64 @@ object LlmOps {
       | SELECT s.doc_id, any_value(d.text), MAX(s.span_end) + 1,
       |  MAX(length(d.text))
       | FROM spans s JOIN documents d USING (doc_id) GROUP BY s.doc_id),
-      |clean AS (
+      |cut AS (
       | SELECT doc_id,
       |  string_agg(CASE WHEN b >= a THEN substr(text, a, b - a + 1)
       |             ELSE '' END, '' ORDER BY a) AS ctext
-      | FROM seg GROUP BY doc_id)
-      |SELECT d.doc_id,
-      | length(coalesce(c.ctext, d.text)) AS clean_len,
-      | md5(coalesce(c.ctext, d.text)) AS clean_md5
-      |FROM documents d LEFT JOIN clean c USING (doc_id)""".stripMargin
+      | FROM seg GROUP BY doc_id),
+      |cleaned AS (
+      | SELECT d.doc_id, d.text, coalesce(c.ctext, d.text) AS ctext
+      | FROM documents d LEFT JOIN cut c USING (doc_id))""".stripMargin
+
+  private val spanCutSql =
+    s"""WITH $spanCleanCtes
+       |SELECT doc_id, length(ctext) AS clean_len, md5(ctext) AS clean_md5
+       |FROM cleaned""".stripMargin
+
+  /** I6c — curation v2, the span-cut composition: language-filter on the
+    * ORIGINAL text (cutting boilerplate doesn't change a document's
+    * language), excise duplicated spans, quality-score the CLEANED text,
+    * exact-dedup on cleaned content (cutting shared boilerplate can make
+    * near-dups exactly equal — precisely when dedup should fire), and
+    * split deterministically on the cleaned text. Pins the composition:
+    * score-after-cut ordering, dedup keyed on the post-cut bytes, and
+    * split stability under the surgery. */
+  def curationV2(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cleaned = Dedup.cleanedText(docs, "doc_id", "text", k = 50)
+    // same pushdown fence as corpusCuration: keep the lang/quality regex
+    // trees evaluated once in the projection, not re-inlined into the
+    // filter below the repartition
+    val scored = docs.join(cleaned, Seq("doc_id"))
+      .repartition(graft.llm.Par.of(docs))
+      .select(col("doc_id"), col("clean"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.qualityScore(col("clean")).as("quality"))
+      .withColumn("__fence", monotonically_increasing_id())
+    val kept = scored.filter(col("lang") === "en" && col("quality") >= 0.5)
+      .drop("__fence")
+    Dedup.exactDedup(kept, "doc_id", "clean")
+      .select(col("doc_id"), length(col("clean")).as("clean_len"),
+        col("quality"), Sampling.splitLabel(col("clean")).as("split"))
+  }
+
+  private val curationV2Sql =
+    s"""WITH $spanCleanCtes,
+       |lang AS ($langIdSql),
+       |q AS (${qualitySqlOver("cleaned", "ctext")}),
+       |joined AS (
+       | SELECT cl.doc_id, cl.ctext, q.quality
+       | FROM cleaned cl
+       | JOIN lang ON lang.doc_id = cl.doc_id
+       | JOIN q ON q.doc_id = cl.doc_id
+       | WHERE lang.pred_lang = 'en' AND q.quality >= 0.5),
+       |dedup AS (
+       | SELECT doc_id, ctext, quality,
+       |  ROW_NUMBER() OVER (PARTITION BY md5(ctext) ORDER BY doc_id) AS rn
+       | FROM joined)
+       |SELECT doc_id, length(ctext) AS clean_len, quality,
+       | ${splitSql("ctext")} AS split
+       |FROM dedup WHERE rn = 1""".stripMargin
 
   /** I2f — Levenshtein near-dup pairs blocked on `source` (the fixture's
     * categorical stand-in for an LSH-band blocking key; see
@@ -952,6 +1010,7 @@ object LlmOps {
     "i5_lm_score" -> lmScore _,
     "i2_dup_spans" -> dupSpans _,
     "i2_span_cut" -> spanCut _,
+    "i6_curation_v2" -> curationV2 _,
     "i2_editdist_blocked" -> editdistBlocked _
   )
 
@@ -989,6 +1048,7 @@ object LlmOps {
     "i5_lm_score" -> lmScoreSql,
     "i2_dup_spans" -> dupSpansSql,
     "i2_span_cut" -> spanCutSql,
+    "i6_curation_v2" -> curationV2Sql,
     "i2_editdist_blocked" -> editdistBlockedSql
   )
 }

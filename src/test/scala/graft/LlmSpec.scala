@@ -1090,6 +1090,27 @@ class LlmSpec extends AnyFunSuite {
     assert(got(4L) == ((keep4.length, m(keep4))))
   }
 
+  test("I6 curation v2 core: cut boilerplate turns near-dups exact, dedup fires") {
+    val bx = (0 until 60).map(i => ('a' + i % 26).toChar).mkString
+    val by = (0 until 60).map(i => ('A' + (i * 3) % 26).toChar).mkString
+    val t = "the cat and the dog live here" // 29 chars < k → never shingled
+    val docs = Seq(
+      (1L, bx + t), (2L, by + t), // same payload behind different boilerplate
+      (3L, bx + "first unique tail"), (4L, by + "second distinct tail")
+    ).toDF("doc_id", "text")
+    val cleaned = Dedup.cleanedText(docs, "doc_id", "text", k = 50)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the boilerplate (present twice each) is excised; the payload stays
+    assert(cleaned(1L) == t && cleaned(2L) == t)
+    assert(cleaned(3L) == "first unique tail" && cleaned(4L) == "second distinct tail")
+    // post-cut the two payload docs are byte-identical → exact dedup keeps
+    // the min-id representative, which pre-cut dedup could never catch
+    val kept = Dedup.exactDedup(
+      Dedup.cleanedText(docs, "doc_id", "text", k = 50), "doc_id", "clean")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
   test("I5 bigram LM score: corpus-wide invariants at sf0.001") {
     val out = TextAnalysis.lmScore(
       graft.queries.Tables.documents(spark, "/root/testdata/sf0.001"),
