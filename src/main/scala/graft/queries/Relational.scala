@@ -920,6 +920,52 @@ object Relational {
       |FROM days d JOIN cohorts c USING (user_id)
       |GROUP BY 1, 2""".stripMargin
 
+  /** D3/D7/D11 — TPC-H Q3 (shipping priority) adapted to the fixture
+    * schema: segment-filtered customers broadcast into the orders join,
+    * open orders joined to shipped lineitems, revenue per order, top 10.
+    * The composite everything-at-once query: two broadcastable dimension
+    * reductions, one fact shuffle, TakeOrderedAndProject for the limit.
+    * Tie-break on l_orderkey keeps the limit deterministic. (D3, D7, D11)
+    */
+  def shippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1998-03-15").cast("timestamp")
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val orders = Tables.orders(s, d)
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  private val shippingPrioritySql =
+    """SELECT l_orderkey,
+      | strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+      | o_orderpriority,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |   * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      | AND o_orderdate < TIMESTAMP '1998-03-15'
+      | AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d07_agg_pricing" -> pricingSummary _,
     "d03_join_revenue_by_nation" -> revenueByNation _,
@@ -958,7 +1004,8 @@ object Relational {
     "d05_interval_concurrency" -> intervalConcurrency _,
     "d08_cms_gate" -> cmsGate _,
     "d10_funnel" -> funnel _,
-    "d07_retention_cohorts" -> retentionCohorts _
+    "d07_retention_cohorts" -> retentionCohorts _,
+    "d03_shipping_priority" -> shippingPriority _
   )
 
   val oracles: Map[String, String] = Map(
@@ -998,6 +1045,7 @@ object Relational {
     "d05_interval_concurrency" -> intervalConcurrencySql,
     "d08_cms_gate" -> cmsGateSql,
     "d10_funnel" -> funnelSql,
-    "d07_retention_cohorts" -> retentionCohortsSql
+    "d07_retention_cohorts" -> retentionCohortsSql,
+    "d03_shipping_priority" -> shippingPrioritySql
   )
 }

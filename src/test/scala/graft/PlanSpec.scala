@@ -196,6 +196,16 @@ class PlanSpec extends AnyFunSuite {
     assert(scans.head.metrics("numFiles").value == 1, plan)
   }
 
+  test("shipping priority broadcasts the segment dim and TakeOrders the limit") {
+    val plan = executedPlan(
+      graft.queries.Relational.shippingPriority(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // both date predicates reach their parquet scans
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"), plan)
+    assert(plan.contains("LessThan(o_orderdate"), plan)
+  }
+
   test("bucketed tables join without a shuffle") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-buckets")
     val li = graft.queries.Tables.lineitem(spark, sf)
