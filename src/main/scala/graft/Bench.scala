@@ -1,6 +1,16 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Timing action: write to the no-op sink, which computes EVERY output
+    * column. `count()` (used through round 8's opening runs) lets Catalyst
+    * prune any column the count doesn't need — a pure-projection query
+    * (e.g. the span-cut surgery behind a row-preserving left join)
+    * collapsed to a parquet row count and timed 15× too fast. The noop
+    * write is the same full-evaluation contract the Verify parquet dump
+    * exercises, minus the sink I/O. */
+  private def exec(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,7 +40,7 @@ object Bench {
       if (siblings.nonEmpty) siblings.minBy(_._1)._2.getAbsolutePath else sfDir
     }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => }
+      try exec(fn(spark, warmDir)) catch { case _: Throwable => }
     }
     // Median of 3 full passes per query: single-run numbers at this scale
     // swing >10x on machine noise (page cache, background load), which
@@ -49,7 +59,7 @@ object Bench {
     val passes = (1 to 3).map { _ =>
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { exec(fn(spark, sfDir)) } catch { case _: Throwable => }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }

@@ -171,18 +171,26 @@ object Relational {
     * wrong merge) fails the driver compare even though the raw estimates
     * are engine-specific. 3σ of a 2% rsd ≈ P(false alarm) < 0.3% per
     * group; measured error at sf0.01 is well under 2%. */
-  def approxDistinctGate(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_orderkey")).as("n_orders"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+  def approxDistinctGate(s: SparkSession, d: String): DataFrame = {
+    // dedupe-first, one pipeline per column: two countDistincts in a single
+    // aggregate plan an Expand that triples every input row through the
+    // shuffle (measured 10.5 s vs 1.5 s at sf0.1 once the bench stopped
+    // pruning the agg). After the distinct, the exact count is a plain
+    // count and the HLL sees each value once — duplicate-insensitive, so
+    // the estimate is bit-identical to the single-pass formulation.
+    def side(c: String, exact: String, approx: String): DataFrame =
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col(c)).distinct()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as(exact),
+          approx_count_distinct(col(c), 0.02).as(approx))
+    side("l_partkey", "n_parts", "ap")
+      .join(side("l_orderkey", "n_orders", "ao"), "l_returnflag")
       .select(col("l_returnflag"), col("n_parts"), col("n_orders"),
         (abs(col("ap") - col("n_parts")).cast("double") / col("n_parts") <= 0.06 &&
           abs(col("ao") - col("n_orders")).cast("double") / col("n_orders") <= 0.06)
           .as("within_bound"))
+  }
 
   private val approxDistinctGateSql =
     """SELECT l_returnflag,
@@ -698,13 +706,18 @@ object Relational {
     * survive the hash-compare. (D7)
     */
   def percentiles(s: SparkSession, d: String): DataFrame =
+    // ONE percentile aggregate over the probability array — four separate
+    // percentile() calls each buffer the full value distribution per group
+    // (4× the merge traffic for identical answers; 5.5 s → ~1.5 s at sf0.1)
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(
-        round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
-        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"),
-        round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99"))
+      .agg(percentile(col("l_extendedprice"),
+        array(lit(0.25), lit(0.5), lit(0.75), lit(0.99))).as("ps"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("p25"),
+        round(element_at(col("ps"), 2), 4).as("p50"),
+        round(element_at(col("ps"), 3), 4).as("p75"),
+        round(element_at(col("ps"), 4), 4).as("p99"))
 
   private val percentilesSql =
     """SELECT l_returnflag,
