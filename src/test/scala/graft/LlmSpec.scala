@@ -1090,6 +1090,43 @@ class LlmSpec extends AnyFunSuite {
     assert(got(4L) == ((keep4.length, m(keep4))))
   }
 
+  test("I2 duplicated spans equal a brute-force reference on random corpora") {
+    // two-letter alphabet forces dense shingle collisions — the adversarial
+    // regime (overlapping islands, within-doc repeats, whole-doc dup) the
+    // hand-built cases cannot cover
+    import org.scalacheck.Gen
+    val k = 4
+    def brute(docs: Seq[(Long, String)]): Set[(Long, Int, Int, Long)] = {
+      val occ = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+      for ((_, t) <- docs; p <- 1 to t.length - k + 1)
+        occ(t.substring(p - 1, p - 1 + k)) += 1
+      docs.flatMap { case (id, t) =>
+        val marked = (1 to t.length - k + 1)
+          .filter(p => occ(t.substring(p - 1, p - 1 + k)) > 1)
+        val islands = marked.foldLeft(List.empty[List[Int]]) {
+          case (Nil, p) => List(List(p))
+          case (h :: rest, p) =>
+            if (p - h.head <= k) (p :: h) :: rest else List(p) :: h :: rest
+        }
+        islands.map(is => (id, is.min, is.max + k - 1, is.size.toLong))
+      }.toSet
+    }
+    val corpus = Gen.chooseNum(3, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 24).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf('a', 'b')).map(_.mkString))))
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(20260813L)
+    for (_ <- 0 until 20) {
+      val texts = corpus.apply(params, seed).get
+      seed = seed.next
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.duplicatedSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+      assert(got == brute(docs), s"corpus: $docs")
+    }
+  }
+
   test("I6 curation v2 core: cut boilerplate turns near-dups exact, dedup fires") {
     val bx = (0 until 60).map(i => ('a' + i % 26).toChar).mkString
     val by = (0 until 60).map(i => ('A' + (i * 3) % 26).toChar).mkString
