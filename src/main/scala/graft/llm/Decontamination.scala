@@ -36,4 +36,37 @@ object Decontamination {
       .select(col("id").as(idCol),
         coalesce(col("c"), lit(false)).as("is_contaminated"))
   }
+
+  /** I7b-spans — WHERE the contamination sits: maximal word-index runs of
+    * benchmark n-gram overlap per corpus document, so a curation pass can
+    * cut the leaked passage instead of dropping the document (the same
+    * surgical upgrade [[Dedup.duplicatedSpans]] gives exact dedup).
+    * Positions are 1-based word indices; span_end is inclusive. The
+    * benchmark gram table broadcasts; the corpus side is one positioned
+    * explode (rows = corpus words) plus the [[Islands]] merge — nothing
+    * quadratic, nothing driver-side. */
+  def contaminatedSpans(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    def positioned(df: DataFrame) = df
+      .select(col(idCol).as("id"), split(col(textCol), " +").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("id"),
+        explode(sequence(lit(1), size(col("ws")) - (n - 1))).as("i"),
+        col("ws"))
+      .select(col("id"), col("i"),
+        concat_ws(" ", slice(col("ws"), col("i"), lit(n))).as("gram"))
+    val benchGrams = positioned(benchmark).select(col("gram")).distinct()
+    val marked = positioned(corpus)
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .select(col("id"), col("i"))
+    Islands.merge(marked, "id", "i", n)
+      .select(col("id").as(idCol),
+        col("span_start").as("word_start"),
+        col("span_end").as("word_end"),
+        col("n_hits").as("n_grams"))
+  }
 }

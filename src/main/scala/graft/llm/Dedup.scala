@@ -463,23 +463,10 @@ object Dedup {
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("cnt") > 1)
       .select(col("doc"), col("pos"))
-    // coalesce overlapping/touching [pos, pos+k-1] hits into maximal spans:
-    // a new island starts when the gap to the previous hit exceeds k
-    // (null lag on the first row falls through to the ELSE branch in both
-    // engines, opening island 1)
-    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
-    marked
-      .withColumn("brk",
-        when(col("pos") - lag(col("pos"), 1).over(w) <= k, lit(0))
-          .otherwise(lit(1)))
-      .withColumn("island", sum(col("brk"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc"), col("island"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + (k - 1)).as("span_end"),
-        count(lit(1)).as("n_shingles"))
+    // coalesce overlapping/touching [pos, pos+k-1] hits into maximal spans
+    Islands.merge(marked, "doc", "pos", k)
       .select(col("doc").as(idCol), col("span_start"), col("span_end"),
-        col("n_shingles"))
+        col("n_hits").as("n_shingles"))
   }
 
   /** I2g — cut the [[duplicatedSpans]] out of each document and return the

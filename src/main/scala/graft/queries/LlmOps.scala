@@ -474,6 +474,44 @@ object LlmOps {
       |LEFT JOIN agg a ON doc.doc_id = a.doc_id
       |CROSS JOIN vsz v""".stripMargin
 
+  /** I7b-spans — contamination positions: maximal word-index runs of
+    * benchmark 8-gram overlap per corpus doc (same split as
+    * i7_decontamination: doc_id % 50 == 0 is the eval set). See
+    * [[Decontamination.contaminatedSpans]]. */
+  def decontamSpans(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Decontamination.contaminatedSpans(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", n = 8)
+  }
+
+  private val decontamSpansSql =
+    """WITH w AS (
+      | SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM documents),
+      |g AS (
+      | SELECT doc_id, unnest([{'i': i, 'gram': array_to_string(ws[i:i+7], ' ')}
+      |   for i in range(1, len(ws)-6)]) AS e
+      | FROM w WHERE len(ws) >= 8),
+      |pos AS (SELECT doc_id, CAST(e.i AS INT) AS i, e.gram AS gram FROM g),
+      |bench AS (SELECT DISTINCT gram FROM pos WHERE doc_id % 50 = 0),
+      |m AS (
+      | SELECT p.doc_id, p.i FROM pos p JOIN bench USING (gram)
+      | WHERE p.doc_id % 50 <> 0),
+      |isl AS (
+      | SELECT doc_id, i,
+      |  CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 8
+      |       THEN 0 ELSE 1 END AS brk
+      | FROM m),
+      |grp AS (
+      | SELECT doc_id, i, SUM(brk) OVER (
+      |   PARTITION BY doc_id ORDER BY i
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      | FROM isl)
+      |SELECT doc_id, MIN(i) AS word_start, MAX(i) + 7 AS word_end,
+      | COUNT(*) AS n_grams
+      |FROM grp GROUP BY doc_id, island""".stripMargin
+
   /** I2g — exact-substring duplicated spans: maximal ≥50-char regions that
     * occur elsewhere in the corpus, per document — the span-level exact
     * dedup a curation pipeline runs to CUT boilerplate instead of dropping
@@ -1011,6 +1049,7 @@ object LlmOps {
     "i2_dup_spans" -> dupSpans _,
     "i2_span_cut" -> spanCut _,
     "i6_curation_v2" -> curationV2 _,
+    "i7_decontam_spans" -> decontamSpans _,
     "i2_editdist_blocked" -> editdistBlocked _
   )
 
@@ -1049,6 +1088,7 @@ object LlmOps {
     "i2_dup_spans" -> dupSpansSql,
     "i2_span_cut" -> spanCutSql,
     "i6_curation_v2" -> curationV2Sql,
+    "i7_decontam_spans" -> decontamSpansSql,
     "i2_editdist_blocked" -> editdistBlockedSql
   )
 }

@@ -1127,6 +1127,28 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("I7 contaminated spans report word-accurate leak positions") {
+    // bench doc = words b1..b12; corpus doc embeds words b1..b9 (8 words
+    // would be ONE gram; 9 give two overlapping grams) at word offset 4,
+    // then clean words, then b1..b8 again far enough to be a second island
+    val bench = (1 to 12).map("b" + _)
+    val leak9 = bench.take(9)
+    val leak8 = bench.take(8)
+    val corpusWords =
+      Seq("c1", "c2", "c3") ++ leak9 ++ (1 to 10).map("x" + _) ++ leak8
+    val corpus = Seq((1L, corpusWords.mkString(" ")),
+      (2L, "totally clean words only " + (1 to 10).map("y" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val benchDf = Seq((100L, bench.mkString(" "))).toDF("doc_id", "text")
+    val got = graft.llm.Decontamination
+      .contaminatedSpans(corpus, benchDf, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toList
+    // leak9 sits at word positions 4..12: gram starts 4 and 5 → span [4,12]
+    // leak8 sits at positions 23..30: gram start 23 → span [23,30]
+    assert(got == List((1L, 4, 12, 2L), (1L, 23, 30, 1L)))
+  }
+
   test("I6 curation v2 core: cut boilerplate turns near-dups exact, dedup fires") {
     val bx = (0 until 60).map(i => ('a' + i % 26).toChar).mkString
     val by = (0 until 60).map(i => ('A' + (i * 3) % 26).toChar).mkString
