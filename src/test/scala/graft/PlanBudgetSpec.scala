@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shuffle-budget governance: every query in the battery has a checked-in
+  * budget of shuffle exchanges (hash/range/single-partition — broadcast
+  * exchanges excluded: they're the cheap alternative the budget exists to
+  * encourage). A refactor that silently adds a shuffle — the dominant cost
+  * at 100 TB — fails here before any bench can drift. Counted on the
+  * UN-executed physical plan (AQE initial), so the numbers are structural,
+  * not data-dependent.
+  *
+  * On an intentional plan change, update the budget for that query — the
+  * failure message prints the full current map for a copy-paste refresh.
+  */
+class PlanBudgetSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val budget: Map[String, Int] = Map(
+    "a10_graph_equality" -> 0, "a1_nested_filter" -> 0,
+    "a2_sort_ranks" -> 0, "a3_len_membership" -> 0,
+    "a4_attr_union_conflicts" -> 4, "a5_exception_harvest" -> 0,
+    "a6_span_edges" -> 1, "a7_closure_tree" -> 2,
+    "a8_path_containment" -> 0, "a9_anti_join_roots" -> 0,
+    "b1b2_dep_forms_agree" -> 0, "b3_task_runs" -> 5,
+    "b4_workflow_timing" -> 0, "b5_artifact_rows" -> 0,
+    "b6_dup_reject" -> 0, "b7_last_write_wins" -> 1,
+    "c1c2_codec_roundtrip" -> 0, "c3_time_epoch_fns" -> 0,
+    "d03_join_revenue_by_nation" -> 1, "d03_salted_skew_join" -> 1,
+    "d03_shipping_priority" -> 1, "d04_semi_anti_customers" -> 0,
+    "d05_interval_concurrency" -> 1, "d05_range_join_events" -> 1,
+    "d06_asof_prior_event" -> 1, "d07_above_customer_avg" -> 2,
+    "d07_agg_pricing" -> 1, "d07_percentiles" -> 1,
+    "d07_retention_cohorts" -> 3, "d08_approx_distinct" -> 1,
+    "d08_approx_error_gate" -> 4, "d08_cms_gate" -> 1,
+    "d08_distinct_counts" -> 2, "d09_cube_orders" -> 1,
+    "d09_grouping_sets" -> 1, "d09_pivot_event_types" -> 2,
+    "d09_rollup_quantities" -> 1, "d10_funnel" -> 3,
+    "d10_resample_ffill" -> 2, "d10_session_windows" -> 1,
+    "d10_tumbling_window" -> 1, "d10_window_lag_delta" -> 1,
+    "d10_window_ntile" -> 1, "d10_window_running_total" -> 1,
+    "d10_window_topk_per_customer" -> 1, "d11_topk_orders" -> 0,
+    "d12_setops_custkeys" -> 1, "d12_union_tagged" -> 0,
+    "d13_string_fns" -> 0, "d14_date_fns" -> 1,
+    "d15_math_fns" -> 0, "d16_array_fns" -> 0,
+    "d17_json_fns" -> 1, "i1_bloom_reference_dedup" -> 0,
+    "i1_dedup_exact" -> 1, "i2_dup_spans" -> 2,
+    "i2_editdist_blocked" -> 0, "i2_embedding_neardup" -> 0,
+    "i2_fuzzy_dedup_e2e" -> 0, "i2_minhash_containment" -> 11,
+    "i2_minhash_lsh_candidates" -> 4, "i2_neardup_blocked_gate" -> 11,
+    "i2_ngram_jaccard" -> 3, "i2_simhash_pairs" -> 3,
+    "i2_span_cut" -> 2, "i3_cosine_topk" -> 0,
+    "i3_ivf_ann_topk" -> 2, "i3_ivf_recall_gate" -> 6,
+    "i3_lsh_ann_topk" -> 2, "i3_lsh_recall_gate" -> 6,
+    "i3_pq_ann_topk" -> 0, "i3_pq_recall_gate" -> 2,
+    "i4_multimodal_meta" -> 0, "i5_bigram_lm" -> 1,
+    "i5_fingerprints" -> 0, "i5_lang_id" -> 0,
+    "i5_langid_confusion" -> 1, "i5_lm_score" -> 5,
+    "i5_quality_quantile_gate" -> 1, "i5_quality_score" -> 0,
+    "i5_repetition" -> 0, "i5_salient_terms" -> 4,
+    "i5_token_counts" -> 0, "i5_vocab_stats" -> 2,
+    "i6_corpus_curation" -> 1, "i6_curation_v2" -> 3,
+    "i6_dataset_split" -> 0, "i6_mixture_sample" -> 0,
+    "i6_stratified_cap" -> 1, "i7_chunk_windows" -> 0,
+    "i7_decontam_spans" -> 2, "i7_decontamination" -> 2,
+    "i7_pack_gate" -> 7, "i7_pii_scrub" -> 0,
+    "src0" -> 0, "src1" -> 0, "src2" -> 0)
+
+  private val exchange =
+    "(?<!Reused)Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)".r
+
+  test("every query stays inside its shuffle budget") {
+    val actual = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      name -> exchange.findAllIn(plan).size
+    }
+    val current = actual.map { case (k, v) => s"""    "$k" -> $v,""" }
+      .mkString("\n")
+    val over = actual.filter { case (n, c) => c > budget.getOrElse(n, 0) }
+    assert(over.isEmpty,
+      s"shuffle budget exceeded: $over\ncurrent counts:\n$current")
+    // budgets must also not go stale in the other direction: an improvement
+    // should be banked by lowering the budget
+    val under = actual.filter { case (n, c) => c < budget.getOrElse(n, 0) }
+    assert(under.isEmpty,
+      s"plan improved past its budget — bank it: $under\ncurrent counts:\n$current")
+  }
+}
