@@ -274,6 +274,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally qs.stop()
   }
 
+  test("H7 pressure: stream-stream join state is evicted by the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val waves = 10
+    val perWave = 10000
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+
+    // even idx = parent span, odd idx = child of idx-1; waves are 10
+    // event-minutes apart so each wave pushes the watermark far past the
+    // previous one — with lateness 2 min and horizon 1 min, BOTH join
+    // buffers must drop old waves
+    def spansOf(mem: MemoryStream[(Long, Int)]) = mem.toDF()
+      .select(
+        when(col("_1") % 2 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("s"), (col("_1") - 1).cast("string")))
+          .as("parent_id"),
+        struct(
+          concat(lit("s"), col("_1").cast("string")).as("span_id"))
+          .as("context"),
+        lit("span").as("name"),
+        timestamp_millis(lit(base) + col("_2").cast("long") * 600000L)
+          .as("end_ts"))
+
+    val mem = MemoryStream[(Long, Int)]
+    val q = SpanStream.childParentJoin(spansOf(mem),
+        lateness = "2 minutes", horizon = "1 minute")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pressure_join").start()
+    try {
+      def wave(w: Int): Seq[(Long, Int)] =
+        (w.toLong * perWave until (w + 1).toLong * perWave).map(i => (i, w))
+      (0 until waves).foreach { w =>
+        mem.addData(wave(w))
+        q.processAllAvailable()
+      }
+      // extra empty batches advance the watermark so the final waves'
+      // matched rows flush out of the join buffers too
+      mem.addData(Seq((waves.toLong * perWave, waves + 2)))
+      q.processAllAvailable()
+      // every child joined its same-wave parent exactly once (span ids are
+      // unique and the pair's event-time gap is 0, inside the horizon)
+      assert(spark.table("pressure_join").count() ==
+        (waves.toLong * perWave) / 2)
+      val stateRows = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      // the join buffered 100k spans over the run; watermark eviction must
+      // leave only ~the most recent wave(s), never the full history
+      assert(stateRows >= 0 && stateRows <= 3L * perWave,
+        s"join state not bounded by the watermark: $stateRows rows")
+    } finally q.stop()
+  }
+
   test("H5 pressure at sf0.1: real span feed, batch ground truth, eviction") {
     // the synthetic pressure test above proves the TTL bounds state; this
     // one drives the accumulator with the REAL sf0.1-derived span shapes
