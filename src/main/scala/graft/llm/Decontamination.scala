@@ -52,7 +52,7 @@ object Decontamination {
       textCol: String,
       n: Int = 8): DataFrame = {
     def positioned(df: DataFrame) = df
-      .select(col(idCol).as("id"), split(col(textCol), " +").as("ws"))
+      .select(col(idCol).as("id"), Dedup.words(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= n)
       .select(col("id"),
         explode(sequence(lit(1), size(col("ws")) - (n - 1))).as("i"),

@@ -104,8 +104,14 @@ object Dedup {
     * `element_at(split(text), i+j)` formulation inlines a fresh `split`
     * into every element access (n splits per shingle, interpreted), which
     * profiled 100× slower. */
+  /** THE word tokenizer for every word-gram operator (shingles,
+    * decontamination flag AND span variants, and their DuckDB oracles via
+    * `regexp_split_to_array(text, ' +')`) — one definition so the flag
+    * query and the spans query can never disagree about token boundaries. */
+  private[llm] def words(text: Column): Column = split(text, " +")
+
   def wordShingles(text: Column, n: Int): Column = {
-    val words = split(text, " +")
+    val words = Dedup.words(text)
     // fold: grams_1 = words; grams_k = zip_with(grams_{k-1}, drop(words,k-1), concat)
     val grams = (1 until n).foldLeft(words)((acc, k) =>
       zip_with(acc, slice(words, lit(k + 1), greatest(size(words) - k, lit(0))),

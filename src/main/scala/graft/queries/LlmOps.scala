@@ -519,27 +519,12 @@ object LlmOps {
   def dupSpans(s: SparkSession, d: String): DataFrame =
     Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text", k = 50)
 
-  private val dupSpansSql =
-    """WITH p AS (
-      | SELECT doc_id, text,
-      |  CAST(unnest(generate_series(1, length(text)-49)) AS INT) AS pos
-      | FROM documents WHERE length(text) >= 50),
-      |sh AS (SELECT doc_id, pos, substr(text, pos, 50) AS s FROM p),
-      |dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > 1),
-      |m AS (SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM dup)),
-      |isl AS (
-      | SELECT doc_id, pos,
-      |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 50
-      |       THEN 0 ELSE 1 END AS brk
-      | FROM m),
-      |g AS (
-      | SELECT doc_id, pos, SUM(brk) OVER (
-      |   PARTITION BY doc_id ORDER BY pos
-      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-      | FROM isl)
-      |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 49 AS span_end,
-      | COUNT(*) AS n_shingles
-      |FROM g GROUP BY doc_id, island""".stripMargin
+  // the SELECT over the shared span CTE chain — one definition of "what a
+  // duplicated span is" feeds i2_dup_spans, i2_span_cut AND i6_curation_v2
+  // (lazy: spanCleanCtes is declared further down the file)
+  private lazy val dupSpansSql =
+    s"""WITH $spanCleanCtes
+       |SELECT doc_id, span_start, span_end, n_shingles FROM spans""".stripMargin
 
   /** I2g — span-cut: rebuild every document with its duplicated spans
     * excised; the oracle hash-compares the cleaned text's md5, so the
@@ -571,7 +556,8 @@ object LlmOps {
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
       | FROM isl),
       |spans AS (
-      | SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 49 AS span_end
+      | SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 49 AS span_end,
+      |  COUNT(*) AS n_shingles
       | FROM g GROUP BY doc_id, island),
       |seg AS (
       | SELECT s.doc_id, d.text,

@@ -180,6 +180,10 @@ object Relational {
     // the estimate is bit-identical to the single-pass formulation.
     def side(c: String, exact: String, approx: String): DataFrame =
       Tables.lineitem(s, d)
+        // drop null keys so the post-distinct count matches COUNT(DISTINCT)
+        // semantics (which ignores nulls) unconditionally, not just because
+        // TPC-H keys happen to be non-null
+        .filter(col(c).isNotNull)
         .select(col("l_returnflag"), col(c)).distinct()
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as(exact),

@@ -65,13 +65,19 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i6_dataset_split" -> 0, "i6_mixture_sample" -> 0,
     "i6_stratified_cap" -> 1, "i7_chunk_windows" -> 0,
     "i7_decontam_spans" -> 2, "i7_decontamination" -> 2,
-    "i7_pack_gate" -> 7, "i7_pii_scrub" -> 0,
-    "src0" -> 0, "src1" -> 0, "src2" -> 0)
+    "i7_pack_gate" -> 7, "i7_pii_scrub" -> 0)
 
+  // anchored to the tree-prefix start of a line so the exchange embedded in
+  // a ReusedExchange node's description (", Exchange hashpartitioning(...)")
+  // is never counted as a second real shuffle
   private val exchange =
-    "(?<!Reused)Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)".r
+    "(?m)^[\\s:+\\-]*Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)".r
 
   test("every query stays inside its shuffle budget") {
+    // the budget tracks the battery exactly: no phantom keys for renamed or
+    // deleted queries, no unbudgeted newcomers
+    assert(budget.keySet == SparkEntry.queries.keySet,
+      s"budget/battery drift: only-in-budget=${budget.keySet -- SparkEntry.queries.keySet} only-in-battery=${SparkEntry.queries.keySet -- budget.keySet}")
     val actual = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       name -> exchange.findAllIn(plan).size
