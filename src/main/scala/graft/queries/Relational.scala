@@ -983,6 +983,42 @@ object Relational {
       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
       |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin
 
+  /** D7/D4/D11 — TPC-H Q18 (large-volume customers) on the fixture schema:
+    * a HAVING-filtered aggregate (orders whose total lineitem quantity
+    * exceeds the threshold) used as the semi-join driver into orders +
+    * customer, then the deterministic top 100. The aggregate-filter side
+    * is tiny after the HAVING, so it broadcasts into the fact join — the
+    * "find the heavy entities, then enrich them" shape that at 100 TB
+    * must aggregate FIRST and join the survivors, never join-then-filter.
+    * (D7, D4, D11)
+    */
+  def bigSpenders(s: SparkSession, d: String): DataFrame = {
+    val heavy = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+      .filter(col("total_qty") > 150)
+    Tables.orders(s, d)
+      .join(broadcast(heavy), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  private val bigSpendersSql =
+    """WITH heavy AS (
+      | SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+      | FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+      |SELECT c_custkey, c_name, o_orderkey,
+      | strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+      | total_qty
+      |FROM heavy
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d07_agg_pricing" -> pricingSummary _,
     "d03_join_revenue_by_nation" -> revenueByNation _,
@@ -1022,7 +1058,8 @@ object Relational {
     "d08_cms_gate" -> cmsGate _,
     "d10_funnel" -> funnel _,
     "d07_retention_cohorts" -> retentionCohorts _,
-    "d03_shipping_priority" -> shippingPriority _
+    "d03_shipping_priority" -> shippingPriority _,
+    "d07_big_spenders" -> bigSpenders _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1063,6 +1100,7 @@ object Relational {
     "d08_cms_gate" -> cmsGateSql,
     "d10_funnel" -> funnelSql,
     "d07_retention_cohorts" -> retentionCohortsSql,
-    "d03_shipping_priority" -> shippingPrioritySql
+    "d03_shipping_priority" -> shippingPrioritySql,
+    "d07_big_spenders" -> bigSpendersSql
   )
 }
