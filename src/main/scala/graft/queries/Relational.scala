@@ -1019,6 +1019,47 @@ object Relational {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 100""".stripMargin
 
+  /** D7h — 3-sigma anomaly flags per event type, with cross-engine-exact
+    * arithmetic: the per-group sum and sum-of-squares run in DECIMAL
+    * (exact), and mean/variance/threshold are derived with the SAME
+    * expression tree in both engines — every double op is correctly
+    * rounded over identical inputs, so no stddev/sqrt (libm) is needed:
+    * compare (value−mean)² against 9·variance instead. One aggregate pass
+    * + a broadcast join of the 5-row stats table back onto the scan. (D7)
+    */
+  def outliers(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sv"),
+        sum((dec(col("value")) * dec(col("value"))).cast("decimal(28,4)"))
+          .cast("double").as("svv"))
+      .select(col("event_type"), col("n"),
+        (col("sv") / col("n")).as("mean"),
+        (col("svv") / col("n") - (col("sv") / col("n")) * (col("sv") / col("n")))
+          .as("variance"))
+    Tables.events(s, d)
+      .join(broadcast(stats), Seq("event_type"))
+      .filter((col("value") - col("mean")) * (col("value") - col("mean")) >
+        lit(9.0) * col("variance"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("mean"), 6).as("mean_v"))
+  }
+
+  private val outliersSql =
+    """WITH stats AS (
+      | SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))
+      |        * CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE)
+      |    AS svv
+      | FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, e.value,
+      | round(sv / n, 6) AS mean_v
+      |FROM events e JOIN stats s USING (event_type)
+      |WHERE (e.value - sv / n) * (e.value - sv / n)
+      |      > 9.0 * (svv / n - (sv / n) * (sv / n))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d07_agg_pricing" -> pricingSummary _,
     "d03_join_revenue_by_nation" -> revenueByNation _,
@@ -1059,7 +1100,8 @@ object Relational {
     "d10_funnel" -> funnel _,
     "d07_retention_cohorts" -> retentionCohorts _,
     "d03_shipping_priority" -> shippingPriority _,
-    "d07_big_spenders" -> bigSpenders _
+    "d07_big_spenders" -> bigSpenders _,
+    "d07_outliers" -> outliers _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1101,6 +1143,7 @@ object Relational {
     "d10_funnel" -> funnelSql,
     "d07_retention_cohorts" -> retentionCohortsSql,
     "d03_shipping_priority" -> shippingPrioritySql,
-    "d07_big_spenders" -> bigSpendersSql
+    "d07_big_spenders" -> bigSpendersSql,
+    "d07_outliers" -> outliersSql
   )
 }
