@@ -628,6 +628,64 @@ object LlmOps {
        | ${splitSql("ctext")} AS split
        |FROM dedup WHERE rn = 1""".stripMargin
 
+  /** I6d — the per-source data card: the summary table a dataset release
+    * ships (and the first thing a curation review reads). Counts only —
+    * every metric is an integer aggregate of already-oracle-checked
+    * kernels (lang-ID, quality, PII, content-hash dup, split), so the card
+    * is deterministic with no float-mean drift. One scan evaluates every
+    * kernel once per row; the content-hash dup side joins back on md5. */
+  def dataCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val contentCounts = docs
+      .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("c"))
+    val scored = docs
+      .repartition(graft.llm.Par.of(docs))
+      .select(col("source"), md5(col("text")).as("h"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        (Privacy.countMatches(col("text"), Privacy.EmailRe) +
+          Privacy.countMatches(col("text"), Privacy.PhoneRe) +
+          Privacy.countMatches(col("text"), Privacy.Ipv4Re)).as("n_pii"),
+        Sampling.splitLabel(col("text")).as("split"))
+    scored.join(contentCounts, Seq("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === "en", 1).otherwise(0)).as("n_en"),
+        sum(when(col("quality") >= 0.5, 1).otherwise(0)).as("n_quality_ok"),
+        sum(when(col("n_pii") > 0, 1).otherwise(0)).as("n_pii_docs"),
+        sum(when(col("c") > 1, 1).otherwise(0)).as("n_dup_docs"),
+        sum(when(col("split") === "train", 1).otherwise(0)).as("n_train"),
+        sum(when(col("split") === "val", 1).otherwise(0)).as("n_val"),
+        sum(when(col("split") === "test", 1).otherwise(0)).as("n_test"))
+  }
+
+  private lazy val dataCardSql = {
+    import graft.llm.Privacy.{EmailRe, Ipv4Re, PhoneRe}
+    s"""WITH lang AS ($langIdSql),
+       |q AS (${qualitySqlOver("documents", "text")}),
+       |cc AS (SELECT md5(text) AS h, COUNT(*) AS c
+       |       FROM documents GROUP BY 1),
+       |j AS (
+       | SELECT d.source, lang.pred_lang, q.quality, cc.c,
+       |  len(regexp_extract_all(d.text, '$EmailRe'))
+       |   + len(regexp_extract_all(d.text, '$PhoneRe'))
+       |   + len(regexp_extract_all(d.text, '$Ipv4Re')) AS n_pii,
+       |  ${splitSql("d.text")} AS split
+       | FROM documents d
+       | JOIN lang ON lang.doc_id = d.doc_id
+       | JOIN q ON q.doc_id = d.doc_id
+       | JOIN cc ON md5(d.text) = cc.h)
+       |SELECT source, COUNT(*) AS n_docs,
+       | SUM(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+       | SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS n_quality_ok,
+       | SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS n_pii_docs,
+       | SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
+       | SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+       | SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
+       | SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+       |FROM j GROUP BY source""".stripMargin
+  }
+
   /** I2f — Levenshtein near-dup pairs blocked on `source` (the fixture's
     * categorical stand-in for an LSH-band blocking key; see
     * [[Dedup.editDistancePairs]] for the 100 TB candidate-then-verify
@@ -1036,6 +1094,7 @@ object LlmOps {
     "i2_span_cut" -> spanCut _,
     "i6_curation_v2" -> curationV2 _,
     "i7_decontam_spans" -> decontamSpans _,
+    "i6_data_card" -> dataCard _,
     "i2_editdist_blocked" -> editdistBlocked _
   )
 
@@ -1075,6 +1134,7 @@ object LlmOps {
     "i2_span_cut" -> spanCutSql,
     "i6_curation_v2" -> curationV2Sql,
     "i7_decontam_spans" -> decontamSpansSql,
+    "i6_data_card" -> dataCardSql,
     "i2_editdist_blocked" -> editdistBlockedSql
   )
 }

@@ -63,7 +63,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i5_repetition" -> 0, "i5_salient_terms" -> 4,
     "i5_token_counts" -> 0, "i5_vocab_stats" -> 2,
     "i6_corpus_curation" -> 1, "i6_curation_v2" -> 3,
-    "i6_dataset_split" -> 0, "i6_mixture_sample" -> 0,
+    "i6_data_card" -> 2, "i6_dataset_split" -> 0, "i6_mixture_sample" -> 0,
     "i6_stratified_cap" -> 1, "i7_chunk_windows" -> 0,
     "i7_decontam_spans" -> 2, "i7_decontamination" -> 2,
     "i7_pack_gate" -> 7, "i7_pii_scrub" -> 0)
