@@ -180,22 +180,44 @@ object TextAnalysis {
       .select(col("doc"), col("word").as("salient"), col("tf"), col("df"))
   }
 
+  /** THE bigram substrate for `bigramCounts` / `lmScore` / `heavyBigrams`:
+    * zip the split array against its own shift (one split per row) and
+    * explode to (w1, w2) pairs, carrying `keep` id columns through. */
+  private def bigramPairs(df: DataFrame, textCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
+    val ks = keep.map(col)
+    df.select(ks :+ corpusTokens(col(textCol)).as("ws"): _*)
+      .select(ks ++ Seq(
+        slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))).as("w1s"),
+        slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))).as("w2s")): _*)
+      .select(ks :+ explode(arrays_zip(col("w1s"), col("w2s"))).as("z"): _*)
+      .select(ks ++ Seq(col("z.w1s").as("w1"), col("z.w2s").as("w2")): _*)
+  }
+
   /** Global bigram language-model counts, top-k by count (count DESC, then
     * the bigram itself — a unique total order, so `limit` is deterministic).
-    * Bigrams come from zipping the split array against its own shift (one
-    * split per row); top-k runs as TakeOrderedAndProject, never a full
-    * result sort. */
-  def bigramCounts(df: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
-    val pairs = df
-      .select(corpusTokens(col(textCol)).as("ws"))
-      .select(
-        slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))).as("w1s"),
-        slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))).as("w2s"))
-      .select(explode(arrays_zip(col("w1s"), col("w2s"))).as("z"))
-      .select(col("z.w1s").as("w1"), col("z.w2s").as("w2"))
-    pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    * Top-k runs as TakeOrderedAndProject, never a full result sort. */
+  def bigramCounts(df: DataFrame, textCol: String, topK: Int = 50): DataFrame =
+    bigramPairs(df, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w1"), col("w2"))
       .limit(topK)
+
+  /** EXACT frequent bigrams above a rational frequency threshold num/den,
+    * without ever shuffling the full bigram universe: a bounded-memory
+    * Misra–Gries candidate sweep (≤k counters per partition, tree-reduced)
+    * followed by an exact recount of the ≤k candidates — see
+    * [[graft.operators.HeavyHitters]]. On an open vocabulary at 100 TB the
+    * plain `groupBy(bigram).count()` shuffle is input-sized; this shuffles
+    * only rows matching ≤k candidate keys. */
+  def heavyBigrams(df: DataFrame, textCol: String, k: Int,
+      num: Long, den: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tokens = bigramPairs(df, textCol)
+      .select(concat_ws(" ", col("w1"), col("w2")).as("g")).as[String]
+    graft.operators.HeavyHitters.exact(tokens, k, num, den)
+      .select(col("token").as("bigram"), col("cnt"))
   }
 
   /** Per-document bigram LM score against the corpus LM, as integer
@@ -215,11 +237,8 @@ object TextAnalysis {
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc"),
       corpusTokens(col(textCol)).as("ws"))
-    val db = toks.select(col("doc"),
-        slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))).as("w1s"),
-        slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))).as("w2s"))
-      .select(col("doc"), explode(arrays_zip(col("w1s"), col("w2s"))).as("z"))
-      .select(col("doc"), col("z.w1s").as("w1"), col("z.w2s").as("w2"))
+    val db = bigramPairs(
+      df.select(col(idCol).as("doc"), col(textCol)), textCol, Seq("doc"))
     val bi = db.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val uni = db.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vocab = toks.select(explode(col("ws")).as("w"))

@@ -1053,6 +1053,106 @@ object LlmOps {
        |FROM documents""".stripMargin
   }
 
+  /** D8d — EXACT frequent bigrams without shuffling the bigram universe:
+    * bounded-memory Misra–Gries candidate sweep (k = 2048 counters,
+    * tree-reduced to ONE summary) + exact recount of the candidates
+    * ([[graft.operators.HeavyHitters]]). θ = 3/2000 of all bigram
+    * occurrences; 3/2000 > 1/(k+1) so the candidate set provably covers the
+    * threshold, making the output exact — the oracle is the brute-force
+    * HAVING with the identical integer ceil arithmetic. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.heavyBigrams(Tables.documents(s, d), "text",
+      k = 2048, num = 3, den = 2000)
+
+  private val heavyHittersSql =
+    """WITH ws AS (
+      |  SELECT regexp_split_to_array(trim(text), ' +') AS w FROM documents),
+      |sh AS (
+      |  SELECT w[i] || ' ' || w[i+1] AS bigram
+      |  FROM ws, unnest(range(1, len(w))) AS t(i))
+      |SELECT bigram, count(*) AS cnt FROM sh GROUP BY bigram
+      |HAVING count(*) >= (3 * (SELECT count(*) FROM sh) + 1999) // 2000"""
+      .stripMargin
+
+  /** I5l — inverted-index (postings) build: term → document frequency,
+    * corpus frequency, and the 5 smallest posting doc ids. The classic IR
+    * index shuffle, done scale-safe: the corpus is exploded ONCE into a
+    * (term, doc) tf aggregate; df/cf reduce from tf (never a second corpus
+    * scan), and the posting heads come from a row_number window over the
+    * SAME term partitioning — a stopword's full posting list (every doc in
+    * the corpus) is never collected, only its first 5 rows survive the
+    * window filter into the bounded collect_list. */
+  def invertedIndex(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    tf.withColumn("rn", row_number().over(w))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        array_join(
+          transform(
+            sort_array(collect_list(when(col("rn") <= 5, col("doc_id")))),
+            x => x.cast("string")),
+          ",").as("head_postings"))
+  }
+
+  private val invertedIndexSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT term, doc_id, count(*) AS tf FROM toks
+      |  WHERE term <> '' GROUP BY 1, 2),
+      |rn AS (
+      |  SELECT *, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      |  FROM tf)
+      |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+      | string_agg(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR) END,
+      |            ',' ORDER BY doc_id) AS head_postings
+      |FROM rn GROUP BY term""".stripMargin
+
+  /** I6g — order-invariant dataset fingerprint per source: md5 each row's
+    * canonical serialization, fold the first 15 hex digits into a 60-bit
+    * integer, and SUM exactly in decimal(38,0). Addition is commutative, so
+    * the fingerprint is invariant to partitioning, task order, and shuffle
+    * nondeterminism — the provenance check a pipeline runs after a copy,
+    * migration, or engine swap ("did I get byte-identical content?")
+    * without sorting 100 TB. 15 hex digits keep the per-row fold inside a
+    * BIGINT in both engines; the decimal(38,0) sum never overflows below
+    * ~10^19 rows. */
+  def tableFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        conv(substring(md5(concat_ws("\u0001",
+          col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))), 1, 15), 16, 10)
+          .cast("decimal(20,0)").as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h").cast("decimal(38,0)")).cast("string").as("fingerprint"))
+
+  private val tableFingerprintSql =
+    """WITH h AS (
+      |  SELECT source,
+      |    list_reduce(
+      |      [CAST(CASE WHEN ascii(substr(md5(concat_ws(chr(1), doc_id, text,
+      |            lang, source, n_chars)), i, 1)) < 58
+      |        THEN ascii(substr(md5(concat_ws(chr(1), doc_id, text, lang,
+      |            source, n_chars)), i, 1)) - 48
+      |        ELSE ascii(substr(md5(concat_ws(chr(1), doc_id, text, lang,
+      |            source, n_chars)), i, 1)) - 87 END AS BIGINT)
+      |       for i in range(1, 16)],
+      |      (acc, x) -> acc * 16 + x) AS v
+      |  FROM documents)
+      |SELECT source, count(*) AS n_rows,
+      | CAST(sum(v) AS VARCHAR) AS fingerprint
+      |FROM h GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i1_dedup_exact" -> dedupExact _,
     "i1_bloom_reference_dedup" -> bloomReferenceDedup _,
@@ -1095,7 +1195,10 @@ object LlmOps {
     "i6_curation_v2" -> curationV2 _,
     "i7_decontam_spans" -> decontamSpans _,
     "i6_data_card" -> dataCard _,
-    "i2_editdist_blocked" -> editdistBlocked _
+    "i2_editdist_blocked" -> editdistBlocked _,
+    "d08_heavy_hitters" -> heavyHitters _,
+    "i5_inverted_index" -> invertedIndex _,
+    "i6_table_fingerprint" -> tableFingerprint _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1135,6 +1238,9 @@ object LlmOps {
     "i6_curation_v2" -> curationV2Sql,
     "i7_decontam_spans" -> decontamSpansSql,
     "i6_data_card" -> dataCardSql,
-    "i2_editdist_blocked" -> editdistBlockedSql
+    "i2_editdist_blocked" -> editdistBlockedSql,
+    "d08_heavy_hitters" -> heavyHittersSql,
+    "i5_inverted_index" -> invertedIndexSql,
+    "i6_table_fingerprint" -> tableFingerprintSql
   )
 }

@@ -1060,6 +1060,179 @@ object Relational {
       |WHERE (e.value - sv / n) * (e.value - sv / n)
       |      > 9.0 * (svv / n - (sv / n) * (sv / n))""".stripMargin
 
+  /** D3e — TPC-H Q5 (local supplier volume): revenue per nation where the
+    * CUSTOMER's nation equals the SUPPLIER's nation inside one region. The
+    * distinguishing join shape vs plain star joins: the equality constraint
+    * runs BETWEEN two dimension paths (customer→nation, supplier→nation),
+    * so the supplier broadcast join carries a compound key
+    * (l_suppkey, c_nation). Facts shuffle once on orderkey; every
+    * dimension (region-filtered nation, customer, supplier) broadcasts —
+    * at 100 TB the only exchange is the lineitem⋈orders co-partition. (D3)
+    */
+  def localSupplierVolume(s: SparkSession, d: String): DataFrame = {
+    val asia = Tables.nation(s, d)
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(asia), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val supp = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val localSupplierVolumeSql =
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |   * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      | AND o_orderdate >= TIMESTAMP '1996-01-01'
+      | AND o_orderdate <  TIMESTAMP '1997-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  /** D3f — TPC-H Q7 (volume shipping): revenue between two trading nations
+    * by direction and ship year. The nation dimension joins the fact chain
+    * TWICE under different roles (supplier's nation vs customer's nation) —
+    * the alias-collision case a query engine must keep straight — and the
+    * symmetric pair filter keeps both directions. Both nation joins and the
+    * supplier join broadcast; lineitem⋈orders is the single shuffle. (D3)
+    */
+  def volumeShipping(s: SparkSession, d: String): DataFrame = {
+    val n1 = "NATION_1"
+    val n2 = "NATION_2"
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .filter(col("n_name").isin(n1, n2))
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .filter(col("n_name").isin(n1, n2))
+        .select(col("n_nationkey"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+        (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val volumeShippingSql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      | CAST(year(l_shipdate) AS INT) AS l_year,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |   * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier  ON l_suppkey = s_suppkey
+      |JOIN orders    ON l_orderkey = o_orderkey
+      |JOIN customer  ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      | AND l_shipdate >= TIMESTAMP '1996-01-01'
+      | AND l_shipdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** D7i — TPC-H Q8-shaped market share: of the PROMO-part revenue bought
+    * by AMERICA-region customers, the fraction supplied by NATION_1, per
+    * order year. The share is ONE IEEE division of two exact decimal sums
+    * cast to double (the i5_lm_score determinism pattern) — numerator and
+    * denominator ride the SAME aggregate pass as conditional sums, so the
+    * fact chain is scanned and shuffled once. (D7, D3)
+    */
+  def marketShare(s: SparkSession, d: String): DataFrame = {
+    val vol = dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "AMERICA")
+        .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val promo = Tables.part(s, d)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_1", vol)).cast("double")
+          .as("target_rev"),
+        sum(vol).cast("double").as("total_rev"))
+      .select(col("o_year"), col("target_rev"), col("total_rev"),
+        (col("target_rev") / col("total_rev")).as("mkt_share"))
+  }
+
+  private val marketShareSql =
+    """WITH vol AS (
+      | SELECT CAST(year(o_orderdate) AS INT) AS o_year, n_name,
+      |  CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS v
+      | FROM lineitem
+      | JOIN part     ON l_partkey = p_partkey
+      | JOIN orders   ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN nation sn ON s_nationkey = sn.n_nationkey
+      | WHERE p_type = 'PROMO' AND c_nationkey IN (
+      |   SELECT n_nationkey FROM nation JOIN region
+      |     ON n_regionkey = r_regionkey WHERE r_name = 'AMERICA'))
+      |SELECT o_year,
+      | CAST(SUM(CASE WHEN n_name = 'NATION_1' THEN v END) AS DOUBLE)
+      |   AS target_rev,
+      | CAST(SUM(v) AS DOUBLE) AS total_rev,
+      | CAST(SUM(CASE WHEN n_name = 'NATION_1' THEN v END) AS DOUBLE)
+      |   / CAST(SUM(v) AS DOUBLE) AS mkt_share
+      |FROM vol GROUP BY o_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d07_agg_pricing" -> pricingSummary _,
     "d03_join_revenue_by_nation" -> revenueByNation _,
@@ -1101,7 +1274,10 @@ object Relational {
     "d07_retention_cohorts" -> retentionCohorts _,
     "d03_shipping_priority" -> shippingPriority _,
     "d07_big_spenders" -> bigSpenders _,
-    "d07_outliers" -> outliers _
+    "d07_outliers" -> outliers _,
+    "d03_local_supplier_volume" -> localSupplierVolume _,
+    "d03_volume_shipping" -> volumeShipping _,
+    "d07_market_share" -> marketShare _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1144,6 +1320,9 @@ object Relational {
     "d07_retention_cohorts" -> retentionCohortsSql,
     "d03_shipping_priority" -> shippingPrioritySql,
     "d07_big_spenders" -> bigSpendersSql,
-    "d07_outliers" -> outliersSql
+    "d07_outliers" -> outliersSql,
+    "d03_local_supplier_volume" -> localSupplierVolumeSql,
+    "d03_volume_shipping" -> volumeShippingSql,
+    "d07_market_share" -> marketShareSql
   )
 }

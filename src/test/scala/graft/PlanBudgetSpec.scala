@@ -66,7 +66,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i6_data_card" -> 2, "i6_dataset_split" -> 0, "i6_mixture_sample" -> 0,
     "i6_stratified_cap" -> 1, "i7_chunk_windows" -> 0,
     "i7_decontam_spans" -> 2, "i7_decontamination" -> 2,
-    "i7_pack_gate" -> 7, "i7_pii_scrub" -> 0)
+    "i7_pack_gate" -> 7, "i7_pii_scrub" -> 0,
+    "d03_local_supplier_volume" -> 1, "d03_volume_shipping" -> 1,
+    "d07_market_share" -> 1, "d08_heavy_hitters" -> 1,
+    "i5_inverted_index" -> 2, "i6_table_fingerprint" -> 1)
 
   // anchored to the tree-prefix start of a line so the exchange embedded in
   // a ReusedExchange node's description (", Exchange hashpartitioning(...)")
