@@ -1233,6 +1233,159 @@ object Relational {
       |   / CAST(SUM(v) AS DOUBLE) AS mkt_share
       |FROM vol GROUP BY o_year""".stripMargin
 
+  /** D3g/D11 — TPC-H Q10 (returned items): revenue lost to returns per
+    * customer in a quarter, top 20. Aggregate-first discipline: the fact
+    * join (lineitem⋈orders) reduces to per-custkey revenue BEFORE the
+    * customer dimension joins — the join input shrinks from line items to
+    * customers, and the dimension broadcasts. TakeOrderedAndProject for
+    * the limit; tie-break on c_custkey. (D3, D7, D11)
+    */
+  def returnedTopCustomers(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+    perCust
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("revenue"), col("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  private val returnedTopCustomersSql =
+    """SELECT c_custkey, c_name, c_acctbal,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |   * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE l_returnflag = 'R'
+      | AND o_orderdate >= TIMESTAMP '1996-07-01'
+      | AND o_orderdate <  TIMESTAMP '1996-10-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
+
+  /** D3h/D2 — TPC-H Q19-shaped disjunctive join predicate: revenue over an
+    * OR of brand×size×quantity conjunct groups. The OR spans both tables,
+    * so no engine can push it whole; the scale move is deriving the
+    * single-table envelopes BY HAND — part prunes to the two brands and
+    * the size union, lineitem prunes to the quantity union — so both scans
+    * skip row groups long before the join evaluates the exact disjunction.
+    * (D2, D3)
+    */
+  def disjunctiveParts(s: SparkSession, d: String): DataFrame = {
+    val pt = Tables.part(s, d)
+      // derived single-table envelope of the disjunction (pushed to scan)
+      .filter(col("p_brand").isin("Brand#1", "Brand#2") &&
+        col("p_size").between(1, 30))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity").between(1, 40)) // derived envelope
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(16, 30) &&
+          col("l_quantity").between(20, 40)))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val disjunctivePartsSql =
+    """SELECT
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |   * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 30
+      |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
+  /** D11b — Pareto frontier (skyline): orders not strictly dominated on
+    * (maximize o_totalprice, minimize o_orderdate). Never the O(n²)
+    * self-join: collapse to one row per DISTINCT price with its best date
+    * (a hash aggregate), then one running-min window over the price-level
+    * table gives, for every price, the earliest date among STRICTLY higher
+    * prices — a row survives iff that min is not earlier than its own date.
+    * The window input is |distinct prices|, not |orders|; at 100 TB you
+    * would additionally pre-prune per partition (local skylines) before
+    * the global pass, exactly like the d05 sweep line. The oracle is the
+    * independent NOT EXISTS dominance formulation. (D11, D10)
+    */
+  def paretoOrders(s: SparkSession, d: String): DataFrame = {
+    val perPrice = Tables.orders(s, d)
+      .groupBy(dec(col("o_totalprice")).as("price"))
+      .agg(min(col("o_orderdate")).as("best_date"))
+    val w = Window.orderBy(col("price").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice
+      .withColumn("min_date_higher", min(col("best_date")).over(w))
+      .filter(col("min_date_higher").isNull ||
+        col("min_date_higher") >= col("best_date"))
+      .select(col("price"), col("min_date_higher"))
+    Tables.orders(s, d)
+      .join(broadcast(frontier), dec(col("o_totalprice")) === col("price"))
+      .filter(col("min_date_higher").isNull ||
+        col("min_date_higher") >= col("o_orderdate"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+  }
+
+  private val paretoOrdersSql =
+    """SELECT a.o_orderkey, a.o_totalprice,
+      | strftime(CAST(a.o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate
+      |FROM orders a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders b
+      |  WHERE CAST(b.o_totalprice AS DECIMAL(18,2))
+      |        > CAST(a.o_totalprice AS DECIMAL(18,2))
+      |    AND b.o_orderdate < a.o_orderdate)""".stripMargin
+
+  /** D10i — trailing 7-day activity per event (rolling time-RANGE frame):
+    * per-user revenue and event count over the last 7 days AT EVERY EVENT —
+    * the trailing behavioral feature a training pipeline attaches to each
+    * interaction. A RANGE frame over epoch-micros, so same-timestamp peers
+    * are always in-frame (deterministic under ties) and there is no
+    * per-event self-join. One shuffle on user_id. (D10)
+    */
+  def rolling7d(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+      .rangeBetween(-7L * 86400 * 1000000, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"), col("value"))
+      .withColumn("roll_sum", sum(dec(col("value"))).over(w).cast("double"))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("roll_sum"), col("roll_n"))
+  }
+
+  private val rolling7dSql =
+    """SELECT event_id, user_id,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |   PARTITION BY user_id ORDER BY epoch_us(ts)
+      |   RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |   AS roll_sum,
+      | COUNT(*) OVER (
+      |   PARTITION BY user_id ORDER BY epoch_us(ts)
+      |   RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS roll_n
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d07_agg_pricing" -> pricingSummary _,
     "d03_join_revenue_by_nation" -> revenueByNation _,
@@ -1277,7 +1430,11 @@ object Relational {
     "d07_outliers" -> outliers _,
     "d03_local_supplier_volume" -> localSupplierVolume _,
     "d03_volume_shipping" -> volumeShipping _,
-    "d07_market_share" -> marketShare _
+    "d07_market_share" -> marketShare _,
+    "d03_returned_top_customers" -> returnedTopCustomers _,
+    "d03_disjunctive_parts" -> disjunctiveParts _,
+    "d11_pareto_orders" -> paretoOrders _,
+    "d10_rolling_7d" -> rolling7d _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1323,6 +1480,10 @@ object Relational {
     "d07_outliers" -> outliersSql,
     "d03_local_supplier_volume" -> localSupplierVolumeSql,
     "d03_volume_shipping" -> volumeShippingSql,
-    "d07_market_share" -> marketShareSql
+    "d07_market_share" -> marketShareSql,
+    "d03_returned_top_customers" -> returnedTopCustomersSql,
+    "d03_disjunctive_parts" -> disjunctivePartsSql,
+    "d11_pareto_orders" -> paretoOrdersSql,
+    "d10_rolling_7d" -> rolling7dSql
   )
 }

@@ -69,7 +69,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i7_pack_gate" -> 7, "i7_pii_scrub" -> 0,
     "d03_local_supplier_volume" -> 1, "d03_volume_shipping" -> 1,
     "d07_market_share" -> 1, "d08_heavy_hitters" -> 1,
-    "i5_inverted_index" -> 2, "i6_table_fingerprint" -> 1)
+    "i5_inverted_index" -> 2, "i6_table_fingerprint" -> 1,
+    "d03_returned_top_customers" -> 1, "d03_disjunctive_parts" -> 1,
+    "d11_pareto_orders" -> 2, "d10_rolling_7d" -> 1)
 
   // anchored to the tree-prefix start of a line so the exchange embedded in
   // a ReusedExchange node's description (", Exchange hashpartitioning(...)")
