@@ -203,6 +203,33 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("w1"), col("w2"))
       .limit(topK)
 
+  /** Inverted-index (postings) build: term → document frequency, corpus
+    * frequency, and the `headK` smallest posting doc ids. The classic IR
+    * index shuffle, done scale-safe: the corpus is exploded ONCE into a
+    * (term, doc) tf aggregate; df/cf reduce from tf (never a second corpus
+    * scan), and the posting heads come from a row_number window over the
+    * SAME term partitioning — a stopword's full posting list (every doc in
+    * the corpus) is never collected, only its first `headK` rows survive
+    * the window filter into the bounded collect_list. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      headK: Int = 5): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc"), explode(corpusTokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("term"), col("doc"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("term")).orderBy(col("doc"))
+    tf.withColumn("rn", row_number().over(w))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        array_join(
+          transform(
+            sort_array(collect_list(when(col("rn") <= headK, col("doc")))),
+            x => x.cast("string")),
+          ",").as("head_postings"))
+  }
+
   /** EXACT frequent bigrams above a rational frequency threshold num/den,
     * without ever shuffling the full bigram universe: a bounded-memory
     * Misra–Gries candidate sweep (≤k counters per partition, tree-reduced)
@@ -237,8 +264,11 @@ object TextAnalysis {
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc"),
       corpusTokens(col(textCol)).as("ws"))
+    // both columns get internal names so a text column literally named
+    // "doc" (or an idCol equal to textCol) can never become ambiguous
     val db = bigramPairs(
-      df.select(col(idCol).as("doc"), col(textCol)), textCol, Seq("doc"))
+      df.select(col(idCol).as("doc"), col(textCol).as("graft_text")),
+      "graft_text", Seq("doc"))
     val bi = db.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val uni = db.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vocab = toks.select(explode(col("ws")).as("w"))

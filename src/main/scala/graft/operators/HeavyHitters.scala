@@ -68,18 +68,29 @@ object HeavyHitters {
   }
 
   /** Bounded candidate sweep: ≤k candidate keys plus the exact item count,
-    * via one tree reduction of per-partition summaries. Superset guarantee:
+    * via one tree aggregation of per-partition summaries (treeAggregate,
+    * not treeReduce: its zero value makes the empty / zero-partition input
+    * return (no candidates, 0) instead of throwing). Superset guarantee:
     * contains every item with global count > n/(k+1). */
   def candidates(tokens: Dataset[String], k: Int): (Seq[String], Long) = {
+    val comb: ((Map[String, Long], Long), (Map[String, Long], Long)) =>
+        (Map[String, Long], Long) =
+      { case ((m1, n1), (m2, n2)) => (merge(m1, m2, k), n1 + n2) }
     val (summary, n) = tokens.rdd
       .mapPartitions(it => Iterator.single(summarize(it, k)))
-      .treeReduce { case ((m1, n1), (m2, n2)) => (merge(m1, m2, k), n1 + n2) }
+      .treeAggregate((Map.empty[String, Long], 0L))(comb, comb)
     (summary.keys.toSeq, n)
   }
 
   /** EXACT frequent items: every token with count ≥ ceil(n·num/den), as
     * (token, cnt). Requires num/den > 1/(k+1) so the Misra–Gries candidate
-    * set provably covers the threshold. */
+    * set provably covers the threshold.
+    *
+    * NOTE: the candidate sweep is an EAGER action (the threshold needs N
+    * before the recount plan exists), so building this DataFrame already
+    * runs the sweep jobs — plan-only tooling (explain, shuffle-budget
+    * audits) sees just the recount. The sweep itself moves only ≤k-entry
+    * summary maps between tree levels, never row data. */
   def exact(tokens: Dataset[String], k: Int, num: Long, den: Long): DataFrame = {
     require(num > 0 && den > 0, s"threshold must be positive: $num/$den")
     require(num * (k + 1) > den,

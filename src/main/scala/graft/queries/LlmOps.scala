@@ -1074,32 +1074,11 @@ object LlmOps {
       |HAVING count(*) >= (3 * (SELECT count(*) FROM sh) + 1999) // 2000"""
       .stripMargin
 
-  /** I5l — inverted-index (postings) build: term → document frequency,
-    * corpus frequency, and the 5 smallest posting doc ids. The classic IR
-    * index shuffle, done scale-safe: the corpus is exploded ONCE into a
-    * (term, doc) tf aggregate; df/cf reduce from tf (never a second corpus
-    * scan), and the posting heads come from a row_number window over the
-    * SAME term partitioning — a stopword's full posting list (every doc in
-    * the corpus) is never collected, only its first 5 rows survive the
-    * window filter into the bounded collect_list. */
-  def invertedIndex(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("term"))
-      .filter(col("term") =!= "")
-    val tf = toks.groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
-    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
-    tf.withColumn("rn", row_number().over(w))
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("df"),
-        sum(col("tf")).as("cf"),
-        array_join(
-          transform(
-            sort_array(collect_list(when(col("rn") <= 5, col("doc_id")))),
-            x => x.cast("string")),
-          ",").as("head_postings"))
-  }
+  /** I5l — inverted-index (postings) build over the documents corpus:
+    * term → df, cf, and the 5 smallest posting doc ids. See
+    * [[TextAnalysis.invertedIndex]] for the bounded-collect window shape. */
+  def invertedIndex(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.invertedIndex(Tables.documents(s, d), "doc_id", "text")
 
   private val invertedIndexSql =
     """WITH toks AS (

@@ -61,6 +61,13 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(want.nonEmpty, "degenerate fixture: no heavy hitters to check")
   }
 
+  test("exact() on an empty corpus returns no rows instead of throwing") {
+    import spark.implicits._
+    val got = HeavyHitters.exact(spark.emptyDataset[String], k = 8,
+      num = 1, den = 4)
+    assert(got.count() == 0)
+  }
+
   test("exact() rejects thresholds below the Misra-Gries guarantee") {
     import spark.implicits._
     val ds = spark.createDataset(Seq("a", "b"))

@@ -68,6 +68,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i7_decontam_spans" -> 2, "i7_decontamination" -> 2,
     "i7_pack_gate" -> 7, "i7_pii_scrub" -> 0,
     "d03_local_supplier_volume" -> 1, "d03_volume_shipping" -> 1,
+    // d08_heavy_hitters' budget covers the RECOUNT plan only: the
+    // Misra-Gries candidate sweep is an eager treeAggregate action at
+    // DataFrame-construction time (it moves ≤k-entry summaries, not rows)
+    // and is invisible to any plan inspection — see HeavyHitters.exact.
     "d07_market_share" -> 1, "d08_heavy_hitters" -> 1,
     "i5_inverted_index" -> 2, "i6_table_fingerprint" -> 1,
     "d03_returned_top_customers" -> 1, "d03_disjunctive_parts" -> 1,
