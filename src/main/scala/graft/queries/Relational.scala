@@ -1386,6 +1386,78 @@ object Relational {
       |   RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS roll_n
       |FROM events""".stripMargin
 
+  /** D10j — hopping (sliding) window aggregate: 1-hour windows advancing
+    * every 15 minutes, so each event lands in exactly 4 overlapping
+    * windows. Spark's `window(ts, '1 hour', '15 minutes')` explodes the 4
+    * memberships at the scan (map-side, no self-join); the oracle derives
+    * the same epoch-aligned window starts arithmetically. The H2 streaming
+    * window shape, proven on the batch engine. (D10)
+    */
+  def hoppingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  private val hoppingWindowSql =
+    """SELECT (epoch_us(ts) - epoch_us(ts) % 900000000)
+      |   - k * 900000000 AS win_start_us,
+      | event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events, (SELECT unnest(range(0, 4)) AS k) g
+      |GROUP BY 1, 2""".stripMargin
+
+  /** D12c — CDC-style MERGE (upsert with change classification): the
+    * per-user state BEFORE a cutoff (the warehouse snapshot) full-outer
+    * joined against the per-user state derived from events AFTER it (the
+    * incoming batch), classifying every key as insert / update / keep.
+    * Both sides reduce to one row per key BEFORE the join — the
+    * aggregate-first discipline that makes the merge shuffle |keys|, not
+    * |events| — and "last state" is a deterministic row_number over
+    * (ts, event_id), never a nondeterministic last(). (D12, D3)
+    */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("2024-01-21").cast("timestamp")
+    def lastPerUser(df: DataFrame, as: String): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("value").as(as))
+    }
+    val ev = Tables.events(s, d)
+    val snapshot = lastPerUser(ev.filter(col("ts") < cutoff), "old_value")
+    val updates = lastPerUser(ev.filter(col("ts") >= cutoff), "new_value")
+    snapshot.join(updates, Seq("user_id"), "full_outer")
+      .select(col("user_id"), col("old_value"), col("new_value"),
+        when(col("old_value").isNull, "insert")
+          .when(col("new_value").isNull, "keep")
+          .when(col("new_value") === col("old_value"), "unchanged")
+          .otherwise("update").as("action"))
+  }
+
+  private val mergeUpsertSql =
+    """WITH snap AS (
+      | SELECT user_id, value AS old_value FROM (
+      |  SELECT user_id, value, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-21') WHERE rn = 1),
+      |upd AS (
+      | SELECT user_id, value AS new_value FROM (
+      |  SELECT user_id, value, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE ts >= TIMESTAMP '2024-01-21') WHERE rn = 1)
+      |SELECT COALESCE(snap.user_id, upd.user_id) AS user_id,
+      | old_value, new_value,
+      | CASE WHEN old_value IS NULL THEN 'insert'
+      |      WHEN new_value IS NULL THEN 'keep'
+      |      WHEN new_value = old_value THEN 'unchanged'
+      |      ELSE 'update' END AS action
+      |FROM snap FULL OUTER JOIN upd ON snap.user_id = upd.user_id"""
+      .stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d07_agg_pricing" -> pricingSummary _,
     "d03_join_revenue_by_nation" -> revenueByNation _,
@@ -1434,7 +1506,9 @@ object Relational {
     "d03_returned_top_customers" -> returnedTopCustomers _,
     "d03_disjunctive_parts" -> disjunctiveParts _,
     "d11_pareto_orders" -> paretoOrders _,
-    "d10_rolling_7d" -> rolling7d _
+    "d10_rolling_7d" -> rolling7d _,
+    "d10_hopping_window" -> hoppingWindow _,
+    "d12_merge_upsert" -> mergeUpsert _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1484,6 +1558,8 @@ object Relational {
     "d03_returned_top_customers" -> returnedTopCustomersSql,
     "d03_disjunctive_parts" -> disjunctivePartsSql,
     "d11_pareto_orders" -> paretoOrdersSql,
-    "d10_rolling_7d" -> rolling7dSql
+    "d10_rolling_7d" -> rolling7dSql,
+    "d10_hopping_window" -> hoppingWindowSql,
+    "d12_merge_upsert" -> mergeUpsertSql
   )
 }

@@ -400,6 +400,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("H8 streaming frequent items: bounded state covers every true heavy hitter") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import graft.streaming.FrequentItems
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    // Zipf-ish corpus far larger than the counter budget, fed in 3 batches
+    val corpus = (1 to 800).flatMap(i => Seq.fill(math.max(1, 600 / i))(s"w$i"))
+    val shuffled = new scala.util.Random(7).shuffle(corpus)
+    val (nBuckets, k) = (4, 32)
+
+    val mem = MemoryStream[String]
+    val q = FrequentItems
+      .frequentTokensStream(mem.toDF(), "value", nBuckets, k)
+      .writeStream.format("memory").queryName("h8_freq")
+      .outputMode("update").start()
+    try {
+      shuffled.grouped((shuffled.size + 2) / 3).foreach { batch =>
+        mem.addData(batch)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // latest summary per bucket = the row with the max (monotone) n
+    val rows = spark.table("h8_freq")
+      .as[FrequentItems.BucketSummary].collect()
+      .groupBy(_.bucket).map { case (_, v) => v.maxBy(_.n) }
+
+    // exact ground truth per bucket via the SAME bucket expression
+    val exact = shuffled.toDF("token")
+      .select(FrequentItems.bucketOf(col("token"), nBuckets).as("bucket"),
+        col("token"))
+      .groupBy(col("bucket"), col("token")).agg(count(lit(1)).as("cnt"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (b, rs) =>
+        b -> rs.map(r => (r.getString(1), r.getLong(2))).toMap
+      }
+
+    assert(rows.map(_.n).sum == shuffled.size,
+      "cumulative bucket counts must partition the stream")
+    var checkedHitters = 0
+    rows.foreach { s =>
+      assert(s.tokens.length <= k, s"bucket ${s.bucket} state exceeds k")
+      val truth = exact(s.bucket)
+      val bound = s.n / (k + 1)
+      for ((tok, c) <- truth if c > bound) {
+        checkedHitters += 1
+        assert(s.tokens.contains(tok),
+          s"bucket ${s.bucket}: $tok (count $c > bound $bound) missing " +
+            "from the cross-batch summary")
+      }
+    }
+    assert(checkedHitters > 0, "degenerate fixture: no heavy hitters")
+  }
+
   test("H5 stateful run-status accumulator finalizes on dag-top-span") {
     val dir = spanDir
     val q = SpanStream.runStatusStream(SpanStream.readSpanStream(spark, dir))
