@@ -1458,6 +1458,74 @@ object Relational {
       |FROM snap FULL OUTER JOIN upd ON snap.user_id = upd.user_id"""
       .stripMargin
 
+  /** D7j — TPC-H Q13 (customer order-count distribution): how many
+    * customers placed exactly N orders, INCLUDING the zero bucket. The
+    * left-join-then-histogram shape, done aggregate-first: orders reduce
+    * to per-custkey counts (one fact shuffle), the customer dimension
+    * left-joins that small result (keys, not rows), zeros come from
+    * coalesce — identical to count(o_orderkey) over a row-level outer
+    * join, without ever widening the fact table. (D7, D3)
+    */
+  def custOrderDistribution(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    Tables.customer(s, d)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+  }
+
+  private val custOrderDistributionSql =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      | SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      | FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      | GROUP BY c_custkey)
+      |GROUP BY c_count""".stripMargin
+
+  /** D10k — session path mining: the top user-journey prefixes (first 5
+    * event types of each session, 1-hour inactivity gap), with how many
+    * sessions follow each. `session_window` assigns sessions (merging
+    * touching windows — the oracle's islands use the strictly-greater gap
+    * accordingly); the per-session sequence is rebuilt by sorting the
+    * collected (ts, event_id, type) structs, so equal-timestamp events
+    * order by the unique event_id, never by arrival. Top-20 runs as
+    * TakeOrderedAndProject with the path itself as tie-break. (D10, D11)
+    */
+  def sessionPaths(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+      .agg(array_join(
+        transform(
+          slice(sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))), 1, 5),
+          x => x("event_type")),
+        ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(20)
+
+  private val sessionPathsSql =
+    """WITH flagged AS (
+      | SELECT user_id, ts, event_id, event_type,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |       OR ts > lag(ts) OVER w + INTERVAL 1 HOUR THEN 1 ELSE 0 END
+      |    AS new_s
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      | SELECT user_id, ts, event_id, event_type,
+      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      | FROM flagged),
+      |ranked AS (
+      | SELECT user_id, sid, event_type, ts, event_id,
+      |  row_number() OVER (PARTITION BY user_id, sid
+      |                     ORDER BY ts, event_id) AS rn
+      | FROM sess),
+      |paths AS (
+      | SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      | FROM ranked WHERE rn <= 5 GROUP BY user_id, sid)
+      |SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
+      |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d07_agg_pricing" -> pricingSummary _,
     "d03_join_revenue_by_nation" -> revenueByNation _,
@@ -1508,7 +1576,9 @@ object Relational {
     "d11_pareto_orders" -> paretoOrders _,
     "d10_rolling_7d" -> rolling7d _,
     "d10_hopping_window" -> hoppingWindow _,
-    "d12_merge_upsert" -> mergeUpsert _
+    "d12_merge_upsert" -> mergeUpsert _,
+    "d07_cust_order_distribution" -> custOrderDistribution _,
+    "d10_session_paths" -> sessionPaths _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1560,6 +1630,8 @@ object Relational {
     "d11_pareto_orders" -> paretoOrdersSql,
     "d10_rolling_7d" -> rolling7dSql,
     "d10_hopping_window" -> hoppingWindowSql,
-    "d12_merge_upsert" -> mergeUpsertSql
+    "d12_merge_upsert" -> mergeUpsertSql,
+    "d07_cust_order_distribution" -> custOrderDistributionSql,
+    "d10_session_paths" -> sessionPathsSql
   )
 }

@@ -76,7 +76,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i5_inverted_index" -> 2, "i6_table_fingerprint" -> 1,
     "d03_returned_top_customers" -> 1, "d03_disjunctive_parts" -> 1,
     "d11_pareto_orders" -> 2, "d10_rolling_7d" -> 1,
-    "d10_hopping_window" -> 1, "d12_merge_upsert" -> 2)
+    "d10_hopping_window" -> 1, "d12_merge_upsert" -> 2,
+    "d07_cust_order_distribution" -> 2, "d10_session_paths" -> 2)
 
   // anchored to the tree-prefix start of a line so the exchange embedded in
   // a ReusedExchange node's description (", Exchange hashpartitioning(...)")
