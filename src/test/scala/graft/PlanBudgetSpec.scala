@@ -77,7 +77,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     "d03_returned_top_customers" -> 1, "d03_disjunctive_parts" -> 1,
     "d11_pareto_orders" -> 2, "d10_rolling_7d" -> 1,
     "d10_hopping_window" -> 1, "d12_merge_upsert" -> 2,
-    "d07_cust_order_distribution" -> 2, "d10_session_paths" -> 2)
+    "d07_cust_order_distribution" -> 2, "d10_session_paths" -> 2,
+    "d04_priority_exists" -> 1, "d07_line_priority_classes" -> 1,
+    "d07_promo_revenue" -> 1, "d08_part_supplier_counts" -> 2,
+    "d07_small_qty_revenue" -> 3, "d04_sole_late_supplier" -> 3,
+    "d04_dormant_customers" -> 2)
 
   // anchored to the tree-prefix start of a line so the exchange embedded in
   // a ReusedExchange node's description (", Exchange hashpartitioning(...)")
