@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CodecOps, LlmOps, Relational, SpanAlgebra, TpchShapes}
+import graft.queries.{CodecOps, GraphOps, LlmOps, Relational, SpanAlgebra, TpchShapes}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,11 +19,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ LlmOps.queries ++ SpanAlgebra.queries ++
-      CodecOps.queries ++ TpchShapes.queries
+      CodecOps.queries ++ TpchShapes.queries ++ GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ LlmOps.oracles ++ SpanAlgebra.oracles ++
-      CodecOps.oracles ++ TpchShapes.oracles
+      CodecOps.oracles ++ TpchShapes.oracles ++ GraphOps.oracles
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank in exact integer fixed-point arithmetic —
+  * link-graph authority as a corpus-curation quality prior (crawl-derived
+  * training corpora weight documents by domain/link authority; the same
+  * iterate-over-edges shape serves any "propagate weight along edges"
+  * pass).
+  *
+  * Ranks live in integer UNITs (1e-12) and every division is integer
+  * `div`, so each iteration is a pure function of the previous one with NO
+  * floating-point accumulation: the result is bit-identical regardless of
+  * partitioning, parallelism, or engine — an oracle in another engine
+  * (DuckDB) reproduces it exactly. The truncation "leaks" mass (standard
+  * for fixed-point PR) — acceptable because ranking, not probability, is
+  * the contract.
+  *
+  * Scale design: the edge set is the big table and it is touched once per
+  * iteration by a single equi-join on the source node; per-node rank and
+  * degree tables are |V|-sized. Degrees are joined into the edge table
+  * ONCE up front (static across iterations) and the joined table is
+  * localCheckpointed, so each round is join(ranks) → shuffle-agg on dst —
+  * two exchanges per round, all on the same node-id key. At 1000 executors
+  * the iteration count (not data volume) is the only serial factor, and it
+  * is fixed.
+  */
+object PageRank {
+
+  val Unit_ : Long = 1000000000000L
+
+  /** Runs `iters` rounds of damping-0.85 PageRank over directed `edges`
+    * (columns `u` → `v`). Nodes = edge endpoints. Returns (node, rank_u)
+    * with rank in UNITs of 1e-12.
+    */
+  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+    val nodes = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    val r0 = Unit_ / n // integer division, same as the oracle's `//`
+    val base = (15L * r0) / 100L
+    // out-degree folded into the edge table once — static across rounds
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = e.join(deg, Seq("u")).localCheckpoint()
+    var ranks = nodes.select(col("node"), lit(r0).as("r")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = edgesDeg
+        .join(ranks, edgesDeg("u") === ranks("node"))
+        .select(col("v"), expr("r div outdeg").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contrib, nodes("node") === contrib("v"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(s, cast(0 as bigint))) div 100"))
+            .as("r"))
+        .localCheckpoint() // pin the round: bounded lineage, one materialization
+    }
+    ranks.select(col("node"), col("r").as("rank_u"))
+  }
+}

@@ -1526,6 +1526,31 @@ object Relational {
       |SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
       |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin
 
+  /** D10j — trailing-7-day distinct users per day. Distinct-over-sliding-
+    * windows does NOT partial-aggregate the way the hopping SUM does (a
+    * user seen on 3 days must count once per window, not 3×), so the scale
+    * shape is: per-(day, user) dedup FIRST (shrinks the explode input to
+    * at most |users|×|days| rows), THEN a 7-way explode of each day into
+    * the trailing windows it feeds, THEN exact count-distinct per window
+    * day. Windows near the end of the data extend past it by design (they
+    * report the users of the partial trailing week). (D10, D8)
+    */
+  def slidingDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(date_trunc("DAY", col("ts")).cast("date").as("day"),
+        col("user_id"))
+      .distinct()
+      .withColumn("k", explode(sequence(lit(0), lit(6))))
+      .select(date_add(col("day"), col("k")).as("win_day"), col("user_id"))
+      .groupBy(col("win_day"))
+      .agg(countDistinct(col("user_id")).as("users_7d"))
+
+  private val slidingDistinctSql =
+    """SELECT CAST(date_trunc('day', ts) AS DATE) + CAST(k AS INTEGER) AS win_day,
+      | COUNT(DISTINCT user_id) AS users_7d
+      |FROM events, (SELECT unnest(range(0, 7)) AS k) g
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d07_agg_pricing" -> pricingSummary _,
     "d03_join_revenue_by_nation" -> revenueByNation _,
@@ -1578,7 +1603,8 @@ object Relational {
     "d10_hopping_window" -> hoppingWindow _,
     "d12_merge_upsert" -> mergeUpsert _,
     "d07_cust_order_distribution" -> custOrderDistribution _,
-    "d10_session_paths" -> sessionPaths _
+    "d10_session_paths" -> sessionPaths _,
+    "d10_sliding_distinct" -> slidingDistinct _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1632,6 +1658,7 @@ object Relational {
     "d10_hopping_window" -> hoppingWindowSql,
     "d12_merge_upsert" -> mergeUpsertSql,
     "d07_cust_order_distribution" -> custOrderDistributionSql,
-    "d10_session_paths" -> sessionPathsSql
+    "d10_session_paths" -> sessionPathsSql,
+    "d10_sliding_distinct" -> slidingDistinctSql
   )
 }

@@ -81,7 +81,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     "d04_priority_exists" -> 1, "d07_line_priority_classes" -> 1,
     "d07_promo_revenue" -> 1, "d08_part_supplier_counts" -> 2,
     "d07_small_qty_revenue" -> 3, "d04_sole_late_supplier" -> 3,
-    "d04_dormant_customers" -> 2)
+    "d04_dormant_customers" -> 2,
+    // i8_pagerank's iterations run eagerly at construction (localCheckpoint
+    // per round — same rationale as d08_heavy_hitters); the residual plan
+    // is the top-k over the final checkpointed ranks.
+    "i8_pagerank" -> 0, "d10_sliding_distinct" -> 3)
 
   // anchored to the tree-prefix start of a line so the exchange embedded in
   // a ReusedExchange node's description (", Exchange hashpartitioning(...)")
