@@ -194,7 +194,12 @@ object TpchShapes {
     val lf = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
-    val perSupp = lf.groupBy(col("l_orderkey").as("g_orderkey"),
+    // partition by orderkey ALONE: hash(o) satisfies the (o, s) aggregate's
+    // clustered distribution AND the windows' partitionBy(o), so the
+    // aggregate→window pipeline runs on one exchange instead of two —
+    // one full lineitem shuffle saved, which at 100 TB is the query's cost
+    val perSupp = lf.repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey").as("g_orderkey"),
         col("l_suppkey").as("g_suppkey"))
       .agg(max(col("l_shipdate")).as("msd"))
     val w = Window.partitionBy(col("g_orderkey"))

@@ -80,12 +80,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     "d07_cust_order_distribution" -> 2, "d10_session_paths" -> 2,
     "d04_priority_exists" -> 1, "d07_line_priority_classes" -> 1,
     "d07_promo_revenue" -> 1, "d08_part_supplier_counts" -> 2,
-    "d07_small_qty_revenue" -> 3, "d04_sole_late_supplier" -> 3,
+    "d07_small_qty_revenue" -> 3, "d04_sole_late_supplier" -> 2,
     "d04_dormant_customers" -> 2,
-    // i8_pagerank's iterations run eagerly at construction (localCheckpoint
-    // per round — same rationale as d08_heavy_hitters); the residual plan
-    // is the top-k over the final checkpointed ranks.
-    "i8_pagerank" -> 0, "d10_sliding_distinct" -> 3)
+    // i8_pagerank: the three chained rounds are one job — two exchanges
+    // per round (rank join + contribution aggregate, both on the node
+    // key); graph setup (pair distinct, degree fold) runs eagerly at
+    // construction behind a localCheckpoint and is invisible here.
+    "i8_pagerank" -> 6, "d10_sliding_distinct" -> 3)
 
   // anchored to the tree-prefix start of a line so the exchange embedded in
   // a ReusedExchange node's description (", Exchange hashpartitioning(...)")

@@ -236,4 +236,36 @@ class PlanSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS or_b")
     }
   }
+
+  test("Q4 priority-exists pushes the order-date range to the orders scan") {
+    val plan = executedPlan(
+      graft.queries.TpchShapes.priorityExists(spark, sf))
+    // both range bounds land in PushedFilters — at 100 TB the semi join
+    // sees the 6-month slice, not the table
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
+    assert(plan.contains("LessThan(o_orderdate"), plan)
+    // the EXISTS stays a semi join (never a dedup-then-inner rewrite)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("Q21 aggregate and window passes share one orderkey partitioning") {
+    val full = executedPlan(
+      graft.queries.TpchShapes.soleLateSupplier(spark, sf))
+    // the AQE string prints the final plan then "== Initial Plan ==" —
+    // audit only the final one
+    val plan = full.split("== Initial Plan ==")(0)
+    // hash(orderkey) satisfies both the (orderkey, suppkey) aggregate and
+    // the windows' partitionBy(orderkey): exactly two hash exchanges total
+    // — the orderkey repartition and the final per-supplier count
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected ≤2 hash exchanges, got $exchanges\n$plan")
+    // the final top-20 is TakeOrdered, never a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("Q14 promo revenue broadcasts the part dimension") {
+    val plan = executedPlan(graft.queries.TpchShapes.promoRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }

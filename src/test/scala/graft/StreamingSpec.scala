@@ -475,4 +475,78 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.map(_.getAs[Long]("n_errors")).sum == 1L)
     } finally q.stop()
   }
+
+  test("H9 streaming HLL distinct: register-exact vs batch, evicted by TTL") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.streaming.ApproxDistinct
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val base = java.sql.Timestamp.valueOf("2026-02-01 00:00:00").getTime
+    // 3 hourly windows; window w sees users [300w, 300w + 1800): 1800
+    // distinct each, two-thirds shared with the neighbor
+    val events = for {
+      w <- 0 until 3
+      u <- 300 * w until (300 * w + 1800)
+      rep <- 0 until 2 // duplicates must not move the estimate
+    } yield (s"user$u", new java.sql.Timestamp(
+      base + w * 3600000L + ((u * 7 + rep * 13) % 3600) * 1000L))
+    val shuffled = new scala.util.Random(11).shuffle(events)
+
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val q = ApproxDistinct.distinctPerWindow(
+        mem.toDF().toDF("user", "ts"), "ts", "user",
+        // the feed is FULLY shuffled across the 3-hour span, so allowed
+        // lateness must cover the whole disorder or the watermark would
+        // (correctly) drop the late arrivals the batch truth counts
+        windowDur = "1 hour", lateness = "4 hours", stateTtlMinutes = 5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("h9_hll").start()
+    try {
+      shuffled.grouped((shuffled.size + 3) / 4).foreach { b =>
+        mem.addData(b.toSeq)
+        q.processAllAvailable()
+      }
+      // a far-future straggler pushes the watermark past every window's
+      // TTL: the three windows must emit finalized rows and drop state
+      mem.addData(Seq(("tail",
+        new java.sql.Timestamp(base + 48 * 3600000L))))
+      q.processAllAvailable()
+      mem.addData(Seq(("tail2",
+        new java.sql.Timestamp(base + 49 * 3600000L))))
+      q.processAllAvailable()
+
+      val out = spark.table("h9_hll")
+        .as[ApproxDistinct.WindowEstimate].collect()
+      val fin = out.filter(_.finalized).map(e => e.win_start_us -> e).toMap
+      val wins = (0 until 3).map(w => (base + w * 3600000L) * 1000L)
+      assert(wins.forall(fin.contains),
+        s"missing finalized windows: got ${fin.keys.toSeq.sorted}")
+
+      // batch ground truth: SAME hash expression, SAME fold — registers
+      // must match bit-for-bit (merge order cannot matter)
+      val hashed = shuffled.toDF("user", "ts")
+        .select(unix_micros(window(col("ts"), "1 hour")
+          .getField("start")).as("w"), xxhash64(col("user")).as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      for (w <- wins) {
+        val regs = new Array[Byte](ApproxDistinct.M)
+        hashed.filter(_._1 == w).foreach(p => ApproxDistinct.fold(regs, p._2))
+        assert(java.util.Arrays.equals(fin(w).registers, regs),
+          s"window $w: stream registers differ from the batch fold")
+        assert(fin(w).estimate == ApproxDistinct.estimate(regs))
+        val truth = 1800.0
+        assert(math.abs(fin(w).estimate - truth) / truth < 0.15,
+          s"window $w: estimate ${fin(w).estimate} vs true $truth")
+      }
+      // every event-window pair counted exactly once across batches
+      assert(fin.values.map(_.n_events).sum == events.size)
+      // eviction observed: final state holds only the straggler windows
+      val lastStateRows = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsTotal).last
+      assert(lastStateRows <= 2,
+        s"window state not evicted: $lastStateRows rows live")
+    } finally q.stop()
+  }
 }
