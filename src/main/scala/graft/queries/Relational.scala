@@ -1545,6 +1545,38 @@ object Relational {
       .groupBy(col("win_day"))
       .agg(countDistinct(col("user_id")).as("users_7d"))
 
+  /** D7g — incremental aggregate maintenance by algebraic partial merge:
+    * per-(customer, month) partial aggregates (count, exact decimal sum,
+    * HLL sketch of order keys) merge into per-customer totals by pure
+    * summation / sketch union — the primitive that updates 100 TB
+    * statistics from a daily delta WITHOUT rescanning the base (store the
+    * month partials; fold the new month in). Count and sum merge is
+    * exact by algebra; the sketch union's estimate is pinned inside the
+    * query against the exact count (HLL is exact in sparse mode at
+    * per-customer cardinalities, and the oracle pins `approx_ok = TRUE`
+    * for every customer, so a broken merge fails the hash compare). (D7, D8)
+    */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy(col("o_custkey"), date_trunc("MONTH", col("o_orderdate")).as("mon"))
+      .agg(count(lit(1)).as("pn"),
+        sum(dec(col("o_totalprice"))).as("psum"),
+        hll_sketch_agg(col("o_orderkey")).as("psketch"))
+    monthly.groupBy(col("o_custkey"))
+      .agg(sum(col("pn")).as("n_orders"),
+        sum(col("psum")).cast("double").as("total_spent"),
+        hll_sketch_estimate(hll_union_agg(col("psketch"))).as("approx"))
+      .select(col("o_custkey"), col("n_orders"), col("total_spent"),
+        (abs(col("approx") - col("n_orders")) <=
+          lit(0.1) * col("n_orders")).as("approx_ok"))
+  }
+
+  private val incrementalAggSql =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+      | TRUE AS approx_ok
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
   private val slidingDistinctSql =
     """SELECT CAST(date_trunc('day', ts) AS DATE) + CAST(k AS INTEGER) AS win_day,
       | COUNT(DISTINCT user_id) AS users_7d
@@ -1604,7 +1636,8 @@ object Relational {
     "d12_merge_upsert" -> mergeUpsert _,
     "d07_cust_order_distribution" -> custOrderDistribution _,
     "d10_session_paths" -> sessionPaths _,
-    "d10_sliding_distinct" -> slidingDistinct _
+    "d10_sliding_distinct" -> slidingDistinct _,
+    "d07_incremental_agg" -> incrementalAgg _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1659,6 +1692,7 @@ object Relational {
     "d12_merge_upsert" -> mergeUpsertSql,
     "d07_cust_order_distribution" -> custOrderDistributionSql,
     "d10_session_paths" -> sessionPathsSql,
-    "d10_sliding_distinct" -> slidingDistinctSql
+    "d10_sliding_distinct" -> slidingDistinctSql,
+    "d07_incremental_agg" -> incrementalAggSql
   )
 }

@@ -23,12 +23,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * bit-for-bit with the same column expression — StreamingSpec asserts
   * exact register equality, not just estimate proximity.
   *
-  * State is evicted by event-time timeout `ttl` past each window's last
-  * activity (same anchoring rule as the H5 accumulator: the window's own
-  * max event time, floored by the watermark); the timeout emits the
-  * window's sketch once more with `finalized = true` — the at-most-once
-  * "window closed" row — and removes the state, so live state is bounded
-  * by the number of ACTIVE windows regardless of stream length.
+  * State is evicted by event-time timeout anchored at the WINDOW END
+  * (floored by the watermark — Spark requires timeouts strictly beyond
+  * it), with the TTL floored at the allowed lateness. Those two choices
+  * make the `finalized = true` closing row genuinely final: every event
+  * of window W has ts < W.end, so when the timeout fires the watermark
+  * is ≥ W.end + max(ttl, lateness), which means any further W event is
+  * inadmissibly late and is dropped BEFORE the stateful operator — the
+  * evicted window can never be resurrected with empty registers (and the
+  * window-end anchor is constant, so a batch of older events can never
+  * pull an already-set timeout earlier). Live state stays bounded by the
+  * number of ACTIVE windows regardless of stream length.
   */
 object ApproxDistinct {
 
@@ -73,6 +78,13 @@ object ApproxDistinct {
     math.round(corrected)
   }
 
+  private def intervalMs(s: String): Long = {
+    val i = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(i.months == 0, s"calendar-month intervals not supported: $s")
+    i.days * 86400000L + i.microseconds / 1000L
+  }
+
   def distinctPerWindow(
       events: DataFrame,
       tsCol: String,
@@ -82,7 +94,10 @@ object ApproxDistinct {
       stateTtlMinutes: Long = 30): Dataset[WindowEstimate] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val ttl = stateTtlMinutes * 60000L
+    // TTL floored at the lateness: a shorter TTL would finalize windows
+    // that admissible events can still reach (see the class doc)
+    val ttl = math.max(stateTtlMinutes * 60000L, intervalMs(lateness))
+    val winDurMs = intervalMs(windowDur)
     events
       .withColumn("ts_w", col(tsCol))
       .withWatermark("ts_w", lateness)
@@ -94,10 +109,11 @@ object ApproxDistinct {
       .as[HashedEvent]
       .groupByKey(_.win_start_us)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout())(update(ttl))
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout())(update(ttl, winDurMs))
   }
 
-  private[streaming] def update(ttlMs: Long)(
+  private[streaming] def update(ttlMs: Long, winDurMs: Long)(
       win: Long,
       events: Iterator[HashedEvent],
       state: GroupState[WindowEstimate]): Iterator[WindowEstimate] = {
@@ -110,17 +126,17 @@ object ApproxDistinct {
     val prev = state.getOption
     val regs = prev.map(_.registers.clone).getOrElse(new Array[Byte](M))
     var n = prev.map(_.n_events).getOrElse(0L)
-    var maxMs = 0L
     events.foreach { e =>
       fold(regs, e.h)
       n += 1
-      if (e.ts_w != null && e.ts_w.getTime > maxMs) maxMs = e.ts_w.getTime
     }
     val out = WindowEstimate(win, n, estimate(regs), regs, finalized = false)
     state.update(out)
-    // same anchoring rule (and rationale) as SpanStream.updateRunStatus
-    val anchor = math.max(maxMs, state.getCurrentWatermarkMs())
-    if (anchor > 0) state.setTimeoutTimestamp(anchor + ttlMs)
+    // anchor at the window END (constant per key, ≥ every event the window
+    // can ever contain), floored by the watermark for legality
+    val winEndMs = win / 1000L + winDurMs
+    val anchor = math.max(winEndMs, state.getCurrentWatermarkMs())
+    state.setTimeoutTimestamp(anchor + ttlMs)
     Iterator.single(out)
   }
 }

@@ -256,8 +256,11 @@ class PlanSpec extends AnyFunSuite {
     val plan = full.split("== Initial Plan ==")(0)
     // hash(orderkey) satisfies both the (orderkey, suppkey) aggregate and
     // the windows' partitionBy(orderkey): exactly two hash exchanges total
-    // — the orderkey repartition and the final per-supplier count
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // — the orderkey repartition and the final per-supplier count. Line-
+    // anchored like PlanBudgetSpec's regex so a ReusedExchange's inline
+    // child description is never counted as a real shuffle.
+    val exchanges =
+      "(?m)^[\\s:+\\-]*Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 2, s"expected ≤2 hash exchanges, got $exchanges\n$plan")
     // the final top-20 is TakeOrdered, never a global sort
     assert(plan.contains("TakeOrderedAndProject"), plan)

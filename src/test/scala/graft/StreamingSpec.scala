@@ -499,7 +499,10 @@ class StreamingSpec extends AnyFunSuite {
         mem.toDF().toDF("user", "ts"), "ts", "user",
         // the feed is FULLY shuffled across the 3-hour span, so allowed
         // lateness must cover the whole disorder or the watermark would
-        // (correctly) drop the late arrivals the batch truth counts
+        // (correctly) drop the late arrivals the batch truth counts; the
+        // 5-minute TTL is floored to the 4-hour lateness internally (a
+        // finalized row must be final), so eviction needs the watermark
+        // past windowEnd + 4 h — the +48 h straggler provides that
         windowDur = "1 hour", lateness = "4 hours", stateTtlMinutes = 5)
       .writeStream.outputMode("append").format("memory")
       .queryName("h9_hll").start()
