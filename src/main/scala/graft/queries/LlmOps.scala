@@ -745,6 +745,40 @@ object LlmOps {
        | ${splitSql("text")} AS split
        |FROM documents""".stripMargin
 
+  /** I6h — split-leakage audit: near-dup pairs (word-3-gram Jaccard ≥
+    * 0.5) bucketed by the split pair their endpoints land in. Rows with
+    * `s1 != s2` are train/eval CONTAMINATION — an eval document whose
+    * near-duplicate sits in training — which is exactly what running
+    * dedup BEFORE the split prevents; this measures it directly on the
+    * raw corpus, so a pipeline can gate on "no cross-split row". The
+    * near-dup generator and the split expression are the already-oracle-
+    * checked operators; the plan joins the (few) pairs against the
+    * |docs|-sized split table twice on doc id — both joins pushed to the
+    * pair side, no corpus self-join. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+    val splits = Tables.documents(s, d)
+      .select(col("doc_id"), Sampling.splitLabel(col("text")).as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        Seq("doc_b"))
+      .groupBy(least(col("split_a"), col("split_b")).as("s1"),
+        greatest(col("split_a"), col("split_b")).as("s2"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private val splitLeakageSql =
+    s"""WITH high AS (${ngramJaccardSqlAt(0.5)}),
+       |sp AS (SELECT doc_id, ${splitSql("text")} AS split FROM documents)
+       |SELECT LEAST(sa.split, sb.split) AS s1,
+       | GREATEST(sa.split, sb.split) AS s2, COUNT(*) AS n_pairs
+       |FROM high
+       |JOIN sp sa ON sa.doc_id = doc_a
+       |JOIN sp sb ON sb.doc_id = doc_b
+       |GROUP BY 1, 2""".stripMargin
+
   /** I6b — END-TO-END corpus curation, the composed pipeline a
     * training-data user actually runs: language filter → quality floor →
     * exact dedup (min-id representative) → deterministic split. Every
@@ -1157,6 +1191,7 @@ object LlmOps {
     "i4_multimodal_meta" -> multimodalMeta _,
     "i5_quality_quantile_gate" -> qualityQuantileGate _,
     "i6_dataset_split" -> datasetSplit _,
+    "i6_split_leakage" -> splitLeakage _,
     "i6_corpus_curation" -> corpusCuration _,
     "i6_stratified_cap" -> stratifiedCap _,
     "i6_mixture_sample" -> mixtureSample _,
@@ -1200,6 +1235,7 @@ object LlmOps {
     "i4_multimodal_meta" -> multimodalMetaSql,
     "i5_quality_quantile_gate" -> qualityQuantileGateSql,
     "i6_dataset_split" -> datasetSplitSql,
+    "i6_split_leakage" -> splitLeakageSql,
     "i6_corpus_curation" -> corpusCurationSql,
     "i6_stratified_cap" -> stratifiedCapSql,
     "i6_mixture_sample" -> mixtureSampleSql,

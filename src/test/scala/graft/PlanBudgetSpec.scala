@@ -87,7 +87,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     // key); graph setup (pair distinct, degree fold) runs eagerly at
     // construction behind a localCheckpoint and is invisible here.
     "i8_pagerank" -> 6, "d10_sliding_distinct" -> 3,
-    "d07_incremental_agg" -> 2)
+    "d07_incremental_agg" -> 2, "i6_split_leakage" -> 4)
 
   // anchored to the tree-prefix start of a line so the exchange embedded in
   // a ReusedExchange node's description (", Exchange hashpartitioning(...)")
