@@ -13,11 +13,14 @@ import org.apache.spark.sql.types._
   * features are a grid color-layout descriptor). Audio decode/features/
   * frame-sampling are REAL too (JDK `javax.sound.sampled`: WAV/AIFF/AU,
   * see [[Multimodal.AudioCodec]] — features are RMS-energy windows).
-  * Only VIDEO remains STUBBED — no such codec exists in the JDK or this
-  * offline container. Every stub is deterministic (derived from payload
-  * bytes) so the Spark-side plumbing — schema, per-partition batch
-  * iteration, partitioning, feature shapes — is real and testable; swap
-  * `StubCodecs` for a real codec binding in production.
+  * Video container METADATA and timeline frame-sampling are REAL
+  * (minimal RIFF/AVI `avih` header parse, [[Multimodal.VideoCodec]] —
+  * pure JVM, no codec needed for headers); only video pixel/frame DECODE
+  * remains STUBBED — that genuinely needs a codec absent from the JDK
+  * and this offline container. Every stub is deterministic (derived from
+  * payload bytes) so the Spark-side plumbing — schema, per-partition
+  * batch iteration, partitioning, feature shapes — is real and testable;
+  * swap `StubCodecs` for a real codec binding in production.
   */
 object Multimodal {
 
@@ -287,17 +290,86 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Metadata dispatch: real `javax.imageio` / `javax.sound.sampled`
-    * decode for image/audio payloads (by mime or magic bytes),
-    * deterministic stub for everything else (video has no JDK codec; text
-    * fixtures keep the stub's oracle-checkable geometry). Real images
-    * report duration 0; audio maps (rate, bits, channels, duration) onto
-    * the image-shaped struct — see [[AudioCodec.decodeMeta]]. */
+  /** REAL video container metadata via a minimal RIFF/AVI header parse —
+    * pure JVM, because METADATA needs no codec: the `avih` chunk
+    * (MainAVIHeader, the public AVI RIFF layout) carries geometry, stream
+    * count, total frames and the per-frame period. Only pixel/frame
+    * DECODE stays stubbed — that genuinely needs a video codec, which
+    * neither the JDK nor this offline container has. */
+  object VideoCodec {
+
+    def looksLikeVideo(p: Array[Byte]): Boolean =
+      p.length >= 12 &&
+        p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
+
+    private def u32le(p: Array[Byte], i: Int): Long =
+      (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+        ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+
+    /** Offset of the MainAVIHeader DATA (past the `avih` fourcc + cb).
+      * A bounded linear scan of the header region instead of a strict
+      * LIST-nesting walk: robust to writer quirks, and the header sits in
+      * the first bytes, so the cost per row is a few hundred comparisons. */
+    private def avihOffset(p: Array[Byte]): Option[Int] = {
+      var i = 12
+      val lim = math.min(p.length - 44, 4096)
+      while (i < lim) {
+        if (p(i) == 'a' && p(i + 1) == 'v' && p(i + 2) == 'i' &&
+          p(i + 3) == 'h') return Some(i + 8)
+        i += 1
+      }
+      None
+    }
+
+    /** (usPerFrame, totalFrames, streams, width, height) or None. */
+    private def header(p: Array[Byte]): Option[(Long, Long, Int, Int, Int)] =
+      if (!looksLikeVideo(p)) None
+      else avihOffset(p).flatMap { o =>
+        if (o + 40 > p.length) None
+        else {
+          val usPerFrame = u32le(p, o)
+          val totalFrames = u32le(p, o + 16)
+          val streams = u32le(p, o + 24).toInt
+          val w = u32le(p, o + 32).toInt
+          val h = u32le(p, o + 36).toInt
+          if (w <= 0 || h <= 0) None
+          else Some((usPerFrame, totalFrames, math.max(streams, 1), w, h))
+        }
+      }
+
+    /** (width, height, n_streams, duration_ms) from the real header. */
+    def decodeMeta(p: Array[Byte]): Option[(Int, Int, Int, Long)] =
+      header(p).map { case (usf, frames, streams, w, h) =>
+        (w, h, streams, frames * usf / 1000L)
+      }
+
+    /** REAL frame indices at every `everyMs` of the clip's timeline
+      * (index = ms / frame period), capped like the audio path. */
+    def sampleFrameOffsets(p: Array[Byte], everyMs: Long): Option[Seq[Long]] =
+      header(p).flatMap { case (usf, frames, _, _, _) =>
+        if (usf <= 0 || frames <= 0) None
+        else {
+          val durMs = frames * usf / 1000L
+          val step = math.max(everyMs, 1L)
+          Some((0L until durMs by step).take(32).map(ms => ms * 1000L / usf))
+        }
+      }
+  }
+
+  /** Metadata dispatch: real `javax.imageio` / `javax.sound.sampled` /
+    * RIFF-header decode for image/audio/video payloads (by mime or magic
+    * bytes), deterministic stub for everything else (text fixtures keep
+    * the stub's oracle-checkable geometry). Real images report duration
+    * 0; audio maps (rate, bits, channels, duration) onto the image-shaped
+    * struct — see [[AudioCodec.decodeMeta]]; video reports (width,
+    * height, n_streams, duration). */
   def decodeMeta(payload: Array[Byte], mime: String): (Int, Int, Int, Long) = {
     val real =
       if (isImagePayload(payload, mime))
         ImageCodec.decodeMeta(payload).map { case (w, h, c) => (w, h, c, 0L) }
       else if (isAudioPayload(payload, mime)) AudioCodec.decodeMeta(payload)
+      else if (isVideoPayload(payload, mime)) VideoCodec.decodeMeta(payload)
       else None
     real.getOrElse(StubCodecs.decodeMeta(payload))
   }
@@ -309,6 +381,10 @@ object Multimodal {
   private def isAudioPayload(payload: Array[Byte], mime: String): Boolean =
     (mime != null && mime.startsWith("audio/")) ||
       AudioCodec.looksLikeAudio(payload)
+
+  private def isVideoPayload(payload: Array[Byte], mime: String): Boolean =
+    (mime != null && mime.startsWith("video/")) ||
+      VideoCodec.looksLikeVideo(payload)
 
   /** STUB decode: deterministic pseudo-metadata from the payload bytes.
     * A real implementation decodes the container header here. The geometry
@@ -392,16 +468,20 @@ object Multimodal {
   }
 
   /** I4d — frame sampling: REAL for audio payloads (sample-frame index at
-    * every `everyMs` of the clip, [[AudioCodec.sampleFrameOffsets]]),
-    * byte-stride stub for video (no JDK codec). One output row per sampled
-    * offset, exploded from each payload; `frame_offset` is codec-specific
-    * (audio: sample-frame index, stub: byte offset). posexplode indexes
+    * every `everyMs` of the clip, [[AudioCodec.sampleFrameOffsets]]) and
+    * AVI video payloads (frame index on the real timeline from the parsed
+    * frame period, [[VideoCodec.sampleFrameOffsets]]); byte-stride stub
+    * otherwise. One output row per sampled offset, exploded from each
+    * payload; `frame_offset` is codec-specific (audio: sample-frame
+    * index, video: frame index, stub: byte offset). posexplode indexes
     * each payload's (already-ordered) offsets directly — a window would
     * add a shuffle and mis-number duplicate media ids. */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame = {
     val offsets = udf((payload: Array[Byte], mime: String) =>
       (if (isAudioPayload(payload, mime))
          AudioCodec.sampleFrameOffsets(payload, everyMs)
+       else if (isVideoPayload(payload, mime))
+         VideoCodec.sampleFrameOffsets(payload, everyMs)
        else None)
         .getOrElse(StubCodecs.sampleFrameOffsets(payload.length.toLong, everyMs)))
     val mimeCol =

@@ -841,6 +841,44 @@ class LlmSpec extends AnyFunSuite {
     assert(out(1L) == ((7, 5)) && out(2L) == ((11, 3)))
   }
 
+  test("I4 real AVI header metadata + timeline frame sampling, stub elsewhere") {
+    // minimal RIFF/AVI: RIFF size 'AVI ' LIST size 'hdrl' avih cb + the
+    // 56-byte MainAVIHeader (public AVI RIFF layout), LE fields
+    def aviBytes(usPerFrame: Int, totalFrames: Int, streams: Int,
+        w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + 12 + 8 + 56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(12 + 8 + 56 + 4)
+      bb.put("AVI ".getBytes)
+      bb.put("LIST".getBytes); bb.putInt(4 + 8 + 56); bb.put("hdrl".getBytes)
+      bb.put("avih".getBytes); bb.putInt(56)
+      bb.putInt(usPerFrame); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      bb.putInt(totalFrames); bb.putInt(0); bb.putInt(streams); bb.putInt(0)
+      bb.putInt(w); bb.putInt(h)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      bb.array()
+    }
+    // 25 fps (40000 µs/frame), 250 frames = 10 s, 2 streams, 320×240
+    val avi = aviBytes(40000, 250, 2, 320, 240)
+    assert(Multimodal.decodeMeta(avi, "video/x-msvideo") ==
+      ((320, 240, 2, 10000L)))
+    // magic-byte sniff: generic mime still hits the real parser
+    assert(Multimodal.decodeMeta(avi, "application/octet-stream") ==
+      ((320, 240, 2, 10000L)))
+    // timeline sampling: one frame index per second of real duration
+    val media = Seq((9L, "video/x-msvideo", avi)).toDF("media_id", "mime", "payload")
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000)
+      .select("frame_idx", "frame_offset").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(frames.size == 10) // 10 s of timeline, 1 Hz
+    // frame index = ms * 1000 / usPerFrame = 25 per second at 25 fps
+    assert((0 until 10).forall(i => frames(i) == i * 25L))
+    // truncated header (magic only) and non-AVI payloads keep the stub
+    val broken = avi.take(16)
+    assert(Multimodal.decodeMeta(broken, "video/x-msvideo") ==
+      Multimodal.StubCodecs.decodeMeta(broken))
+  }
+
   test("I4 real PNG/BMP resize via java.awt.image, stub for non-images") {
     def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
