@@ -338,21 +338,33 @@ object Multimodal {
         }
       }
 
+    /** Clip length in ms, or None when `frames * usf` would overflow Long
+      * (a hostile header with both fields at 0xFFFFFFFF passes the
+      * geometry guard but its product exceeds Long.MaxValue — the
+      * overflow would otherwise surface as a NEGATIVE duration instead
+      * of the stub fallback every other malformed payload gets). */
+    private def durationMs(usf: Long, frames: Long): Option[Long] =
+      if (frames == 0L) Some(0L)
+      else if (usf > Long.MaxValue / frames) None
+      else Some(frames * usf / 1000L)
+
     /** (width, height, n_streams, duration_ms) from the real header. */
     def decodeMeta(p: Array[Byte]): Option[(Int, Int, Int, Long)] =
-      header(p).map { case (usf, frames, streams, w, h) =>
-        (w, h, streams, frames * usf / 1000L)
+      header(p).flatMap { case (usf, frames, streams, w, h) =>
+        durationMs(usf, frames).map(d => (w, h, streams, d))
       }
 
     /** REAL frame indices at every `everyMs` of the clip's timeline
-      * (index = ms / frame period), capped like the audio path. */
+      * (index = ms / frame period), capped like the audio path. Follows
+      * the audio convention: a KNOWN zero-length clip (dwTotalFrames=0)
+      * emits NO frames (Some(empty)); only an unparseable/overflowing
+      * header returns None for the stub fallback. */
     def sampleFrameOffsets(p: Array[Byte], everyMs: Long): Option[Seq[Long]] =
       header(p).flatMap { case (usf, frames, _, _, _) =>
-        if (usf <= 0 || frames <= 0) None
-        else {
-          val durMs = frames * usf / 1000L
+        if (usf <= 0) None // unknown frame period → malformed → stub
+        else durationMs(usf, frames).map { durMs =>
           val step = math.max(everyMs, 1L)
-          Some((0L until durMs by step).take(32).map(ms => ms * 1000L / usf))
+          (0L until durMs by step).take(32).map(ms => ms * 1000L / usf)
         }
       }
   }
@@ -365,12 +377,18 @@ object Multimodal {
     * struct — see [[AudioCodec.decodeMeta]]; video reports (width,
     * height, n_streams, duration). */
   def decodeMeta(payload: Array[Byte], mime: String): (Int, Int, Int, Long) = {
+    // orElse chain, not if/else-if: a payload whose FIRST matching family
+    // fails to parse still gets the other real parsers before the stub —
+    // e.g. the real-world legacy mime "audio/avi" names an AVI container,
+    // which the audio decoder rejects but the RIFF video sniff handles
     val real =
-      if (isImagePayload(payload, mime))
-        ImageCodec.decodeMeta(payload).map { case (w, h, c) => (w, h, c, 0L) }
-      else if (isAudioPayload(payload, mime)) AudioCodec.decodeMeta(payload)
-      else if (isVideoPayload(payload, mime)) VideoCodec.decodeMeta(payload)
-      else None
+      (if (isImagePayload(payload, mime))
+         ImageCodec.decodeMeta(payload).map { case (w, h, c) => (w, h, c, 0L) }
+       else None)
+        .orElse(if (isAudioPayload(payload, mime))
+          AudioCodec.decodeMeta(payload) else None)
+        .orElse(if (isVideoPayload(payload, mime))
+          VideoCodec.decodeMeta(payload) else None)
     real.getOrElse(StubCodecs.decodeMeta(payload))
   }
 
@@ -478,11 +496,13 @@ object Multimodal {
     * add a shuffle and mis-number duplicate media ids. */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame = {
     val offsets = udf((payload: Array[Byte], mime: String) =>
+      // same orElse rationale as decodeMeta ("audio/avi" mime on a RIFF
+      // video container must still reach the video parser)
       (if (isAudioPayload(payload, mime))
          AudioCodec.sampleFrameOffsets(payload, everyMs)
-       else if (isVideoPayload(payload, mime))
-         VideoCodec.sampleFrameOffsets(payload, everyMs)
        else None)
+        .orElse(if (isVideoPayload(payload, mime))
+          VideoCodec.sampleFrameOffsets(payload, everyMs) else None)
         .getOrElse(StubCodecs.sampleFrameOffsets(payload.length.toLong, everyMs)))
     val mimeCol =
       if (media.schema.fieldNames.contains("mime")) col("mime")

@@ -877,6 +877,25 @@ class LlmSpec extends AnyFunSuite {
     val broken = avi.take(16)
     assert(Multimodal.decodeMeta(broken, "video/x-msvideo") ==
       Multimodal.StubCodecs.decodeMeta(broken))
+    // legacy "audio/avi" mime on a RIFF video container: the audio
+    // decoder rejects it, the dispatch must still reach the video parser
+    assert(Multimodal.decodeMeta(avi, "audio/avi") == ((320, 240, 2, 10000L)))
+    // hostile header: frames*usPerFrame overflows Long → stub, never a
+    // negative duration or a silently vanished row
+    val hostile = aviBytes(-1, -1, 1, 320, 240) // 0xFFFFFFFF fields
+    assert(Multimodal.decodeMeta(hostile, "video/x-msvideo") ==
+      Multimodal.StubCodecs.decodeMeta(hostile))
+    val hostileMedia = Seq((10L, "video/x-msvideo", hostile))
+      .toDF("media_id", "mime", "payload")
+    assert(Multimodal.sampleFrames(hostileMedia, everyMs = 1000).count() > 0)
+    // KNOWN zero-frame clip: real metadata (duration 0) and NO frames —
+    // the audio convention, not the byte-stride stub
+    val empty = aviBytes(40000, 0, 1, 320, 240)
+    assert(Multimodal.decodeMeta(empty, "video/x-msvideo") ==
+      ((320, 240, 1, 0L)))
+    val emptyMedia = Seq((11L, "video/x-msvideo", empty))
+      .toDF("media_id", "mime", "payload")
+    assert(Multimodal.sampleFrames(emptyMedia, everyMs = 1000).count() == 0)
   }
 
   test("I4 real PNG/BMP resize via java.awt.image, stub for non-images") {
