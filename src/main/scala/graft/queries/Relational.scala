@@ -1577,6 +1577,42 @@ object Relational {
       | TRUE AS approx_ok
       |FROM orders GROUP BY o_custkey""".stripMargin
 
+  /** D3g — market-basket co-occurrence: top-25 part pairs ordered
+    * together most often. Baskets (distinct parts per order) self-join on
+    * the order key with `part_a < part_b` de-orientation; both join
+    * inputs are the SAME deduped scan, so the planner materializes ONE
+    * exchange and replays it (ReusedExchange — PlanSpec pins this), and
+    * TPC-H-ish baskets are small (~4-7 items) so the pair explosion is
+    * O(k²) per order, not quadratic in the table. Counts are integers,
+    * the top-25 is TakeOrdered with a full pair tie-break. (D3, D11)
+    */
+  def basketPairs(s: SparkSession, d: String): DataFrame = {
+    // partition by orderkey ALONE (the Q21 trick): hash(orderkey)
+    // satisfies the (orderkey, partkey) dedup AND the self-join, so one
+    // exchange serves both instead of a (o,p) dedup exchange followed by
+    // an orderkey re-shuffle
+    val basket = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(col("l_orderkey")).distinct()
+    basket.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(basket.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(25)
+  }
+
+  private val basketPairsSql =
+    """WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      | COUNT(*) AS n_orders
+      |FROM basket a JOIN basket b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2
+      |ORDER BY n_orders DESC, part_a, part_b LIMIT 25""".stripMargin
+
   private val slidingDistinctSql =
     """SELECT CAST(date_trunc('day', ts) AS DATE) + CAST(k AS INTEGER) AS win_day,
       | COUNT(DISTINCT user_id) AS users_7d
@@ -1637,7 +1673,8 @@ object Relational {
     "d07_cust_order_distribution" -> custOrderDistribution _,
     "d10_session_paths" -> sessionPaths _,
     "d10_sliding_distinct" -> slidingDistinct _,
-    "d07_incremental_agg" -> incrementalAgg _
+    "d07_incremental_agg" -> incrementalAgg _,
+    "d03_basket_pairs" -> basketPairs _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1693,6 +1730,7 @@ object Relational {
     "d07_cust_order_distribution" -> custOrderDistributionSql,
     "d10_session_paths" -> sessionPathsSql,
     "d10_sliding_distinct" -> slidingDistinctSql,
-    "d07_incremental_agg" -> incrementalAggSql
+    "d07_incremental_agg" -> incrementalAggSql,
+    "d03_basket_pairs" -> basketPairsSql
   )
 }

@@ -87,7 +87,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     // key); graph setup (pair distinct, degree fold) runs eagerly at
     // construction behind a localCheckpoint and is invisible here.
     "i8_pagerank" -> 6, "d10_sliding_distinct" -> 3,
-    "d07_incremental_agg" -> 2, "i6_split_leakage" -> 4)
+    "d07_incremental_agg" -> 2, "i6_split_leakage" -> 4,
+    // d03_basket_pairs: the STATIC plan carries the orderkey repartition
+    // once per self-join side plus the pair-count aggregate; at runtime
+    // AQE replays one side's exchange (ReusedExchange — pinned in
+    // PlanSpec), so only two materialize
+    "d03_basket_pairs" -> 3)
 
   // anchored to the tree-prefix start of a line so the exchange embedded in
   // a ReusedExchange node's description (", Exchange hashpartitioning(...)")

@@ -266,6 +266,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("basket pairs replay one exchange for the self-join (ReusedExchange)") {
+    val full = executedPlan(graft.queries.Relational.basketPairs(spark, sf))
+    val plan = full.split("== Initial Plan ==")(0)
+    // the two join inputs are the same deduped scan: the planner must
+    // materialize the basket exchange ONCE and replay it, not shuffle the
+    // table twice
+    assert(plan.contains("ReusedExchange"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("Q14 promo revenue broadcasts the part dimension") {
     val plan = executedPlan(graft.queries.TpchShapes.promoRevenue(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan)
