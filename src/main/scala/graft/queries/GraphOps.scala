@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.PageRank
+import graft.operators.{PageRank, Triangles}
 
 /** Graph-analytics queries (EXT row I8): iterative weight propagation over
   * an edge set — the link-authority prior a crawl-curation pipeline feeds
@@ -77,11 +77,56 @@ object GraphOps {
       |SELECT node, r AS rank_u FROM it3
       |ORDER BY rank_u DESC, node LIMIT 50""".stripMargin
 
+  /** I8b — top-25 triangle-participation nodes of the high-quantity
+    * co-purchase graph (parts appearing together in an order's large
+    * lines; ~325k edges over 20k parts at sf0.1). The oracle closes
+    * triangles by the id-order three-way join; the engine uses
+    * degree-ordered orientation ([[graft.operators.Triangles]]) — same
+    * triangle set, skew-proof wedge bound. */
+  def triangleCounts(s: SparkSession, d: String): DataFrame = {
+    // orderkey-only partitioning serves the (orderkey, partkey) dedup AND
+    // the basket self-join from one exchange (the d03_basket_pairs trick)
+    val basket = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 25)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(col("l_orderkey")).distinct()
+    val edges = basket.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(basket.select(col("l_orderkey"), col("l_partkey").as("b")),
+        Seq("l_orderkey"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    Triangles.perNodeCounts(edges)
+      .orderBy(col("n_triangles").desc, col("node"))
+      .limit(25)
+  }
+
+  private val triangleCountsSql =
+    """WITH b AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_quantity >= 25),
+      |e AS (
+      |  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+      |  FROM b x JOIN b y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |t AS (
+      |  SELECT e1.u AS w, e1.v AS x, e2.v AS y
+      |  FROM e e1
+      |  JOIN e e2 ON e2.u = e1.v
+      |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |corners AS (
+      |  SELECT w AS node FROM t
+      |  UNION ALL SELECT x FROM t
+      |  UNION ALL SELECT y FROM t)
+      |SELECT node, COUNT(*) AS n_triangles FROM corners
+      |GROUP BY 1 ORDER BY n_triangles DESC, node LIMIT 25""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "i8_pagerank" -> pagerank _
+    "i8_pagerank" -> pagerank _,
+    "i8_triangles" -> triangleCounts _
   )
 
   val oracles: Map[String, String] = Map(
-    "i8_pagerank" -> pagerankSql
+    "i8_pagerank" -> pagerankSql,
+    "i8_triangles" -> triangleCountsSql
   )
 }
