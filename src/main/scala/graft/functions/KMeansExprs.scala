@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Fused k-means assignment kernel over integer-quantized vectors (EXT row
+  * I3; no reference-repo counterpart — semantic clustering is the corpus
+  * organization step of an LLM data pipeline).
+  *
+  * All arithmetic is exact BIGINT (vectors are pre-quantized to 1e-6 grid,
+  * shifted non-negative), so the argmin — and therefore the whole Lloyd
+  * iteration built on it — is bit-identical across engines and
+  * partitionings; a DuckDB oracle reproduces it exactly. The centroid
+  * table rides into generated code as one reference object (k×dim longs —
+  * broadcast-by-closure, never a join), and the distance loop early-exits
+  * once a partial sum passes the best-so-far, which preserves the strict
+  * `<` tie rule (ties keep the lower centroid index).
+  */
+object KMeansKernel {
+  /** Argmin centroid for `vec`: returns (cluster index, squared distance).
+    * Ties break to the LOWER index (strict improvement required). */
+  def assign(vec: ArrayData, cents: Array[Array[Long]]): InternalRow = {
+    val n = vec.numElements()
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      if (cent.length != n) {
+        throw new IllegalArgumentException(
+          s"kmeans_assign: vector dim $n != centroid dim ${cent.length}")
+      }
+      var d = 0L
+      var i = 0
+      while (i < n && d < bestD) {
+        val t = vec.getLong(i) - cent(i)
+        d += t * t
+        i += 1
+      }
+      if (i == n && d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](best, bestD))
+  }
+}
+
+/** `struct(cluster int, dist bigint)` nearest-centroid assignment of an
+  * `array<bigint>` quantized vector. Codegen'd (one static call per row —
+  * the projection containing it stays in whole-stage codegen). */
+case class KMeansAssignExpr(child: Expression, centroids: Array[Array[Long]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("dist", LongType, nullable = false)))
+  override def prettyName: String = "kmeans_assign"
+
+  override def nullSafeEval(input: Any): Any =
+    KMeansKernel.assign(input.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "long[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.KMeansKernel.assign($c, $cRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+object KMeansExprs {
+  def assign(vec: Column, centroids: Array[Array[Long]]): Column = {
+    require(centroids.nonEmpty, "kmeans_assign needs at least one centroid")
+    Bridge.column(KMeansAssignExpr(Bridge.expression(vec), centroids))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.KMeansExprs
+
+/** Deterministic Lloyd k-means over embedding columns in exact integer
+  * fixed-point arithmetic — the semantic-clustering pass a corpus pipeline
+  * uses to organize documents by embedding neighborhood (topic balancing,
+  * cluster-based dedup/sampling). EXT row I3 (clustering variant); no
+  * reference-repo counterpart.
+  *
+  * Determinism contract (same rationale as [[graft.operators.PageRank]]):
+  * vectors are quantized to a 1e-6 grid, shifted non-negative so every
+  * truncating integer division is a floor in any engine, and seeded from
+  * the k lowest-id vectors — every assignment and centroid update is then
+  * a pure integer function of the input, bit-identical regardless of
+  * partitioning, parallelism, or engine, so a DuckDB oracle reproduces the
+  * full iteration exactly. (Floating-point Lloyd would be none of this:
+  * FP mean accumulation orders differ per shuffle.)
+  *
+  * Scale design: the corpus never leaves the executors. Per round, the
+  * driver sees exactly k×dim longs (the per-dimension sums arrive through
+  * a map-side-combined groupBy over posexploded vectors) and broadcasts
+  * them back inside the fused assignment kernel ([[KMeansKernel]]) — no
+  * join, no second corpus pass per round. The quantized input is
+  * localCheckpointed once, so R rounds cost R scans of one |corpus|×dim
+  * long table plus R k×dim collects; at 1000 executors the round count is
+  * the only serial factor.
+  */
+object KMeans {
+
+  val Scale = 1000000L
+
+  /** Quantize a float/double vector column to the non-negative 1e-6 grid:
+    * `floor(x * 1e6) + 1e6` per element (embeddings in [-1, 1] land in
+    * [0, 2e6]; the uniform shift cancels in every distance). */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(Scale)).cast("long") + lit(Scale))
+
+  /** Assignments after `updates` centroid refreshes from the k lowest-id
+    * seeds. Returns one row per input row: `id`, the passthrough columns,
+    * `cluster` (0-based seed rank) and `dist` (squared quantized-grid
+    * distance to the final centroid). */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, updates: Int,
+      passthrough: Seq[String] = Nil): DataFrame = {
+    require(k > 0 && updates >= 0, s"bad k=$k / updates=$updates")
+    val base = df
+      .select(col(idCol).as("vid") +: quantize(col(vecCol)).as("q") +:
+        passthrough.map(col): _*)
+      .filter(col("q").isNotNull)
+      .localCheckpoint() // quantize once; every round rescans this
+    var cents: Array[Array[Long]] = base.orderBy(col("vid")).limit(k)
+      .select(col("q")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    for (_ <- 1 to updates) {
+      val perDim = base
+        .select(KMeansExprs.assign(col("q"), cents)("cluster").as("c"),
+          posexplode(col("q")).as(Seq("i", "e")))
+        .groupBy(col("c"), col("i"))
+        .agg(sum(col("e")).as("s"), count(lit(1)).as("n"))
+        .collect() // k×dim rows — driver-small at any corpus size
+      val next = cents.map(_.clone()) // empty cluster keeps its centroid
+      perDim.foreach { r =>
+        // truncating div == floor: sums of shifted values are non-negative
+        next(r.getInt(0))(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+      }
+      cents = next
+    }
+    val asg = KMeansExprs.assign(col("q"), cents)
+    base.select(col("vid").as(idCol) +: passthrough.map(col) :+
+      asg("cluster").as("cluster") :+ asg("dist").as("dist"): _*)
+  }
+}

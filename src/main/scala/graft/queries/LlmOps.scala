@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Chunking, Decontamination, Dedup, Multimodal, Privacy, Sampling, Similarity, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
+import graft.llm.{Chunking, Decontamination, Dedup, KMeans, Multimodal, Privacy, Sampling, Similarity, TextAnalysis}
 
 /** SURVEY §2 Group I — LLM-data-pipeline operators as oracle-checked
   * queries over `documents` / `embeddings`.
@@ -295,6 +296,76 @@ object LlmOps {
       | JOIN norms na ON na.vec_id = query_id
       | JOIN norms nb ON nb.vec_id = neighbor_id)
       |WHERE rank <= 5""".stripMargin
+
+  /** I3f — deterministic integer-Lloyd k-means over the embedding corpus
+    * (k = 10 = label count, one centroid refresh from the lowest-id
+    * seeds): per-cluster size, exact integer inertia, and majority label.
+    * The oracle unrolls assign→update→assign as CTEs in the same
+    * fixed-point arithmetic — see [[graft.llm.KMeans]] for why that is
+    * bit-exact. */
+  def kmeansClusters(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val asg = KMeans.fit(e, "vec_id", "embedding", k = 10, updates = 1,
+      passthrough = Seq("label"))
+    val sizes = asg.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("inertia"))
+    val topLabel = asg.groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("cluster"))
+        .orderBy(col("n").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("label").as("top_label"))
+    sizes.join(topLabel, Seq("cluster"))
+      .select(col("cluster").cast("long").as("cluster_id"), col("n_vecs"),
+        col("inertia"), col("top_label"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private val kmeansClustersSql =
+    """WITH q AS (
+      | SELECT vec_id, label,
+      |  [CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT) + 1000000 for x in embedding] AS v
+      | FROM embeddings),
+      |seeds AS (
+      | SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v
+      | FROM q ORDER BY vec_id LIMIT 10),
+      |qf AS (SELECT vec_id, unnest(v) AS e, generate_subscripts(v,1) AS i FROM q),
+      |c0 AS (SELECT cid, unnest(v) AS e, generate_subscripts(v,1) AS i FROM seeds),
+      |d0 AS (
+      | SELECT qf.vec_id, c0.cid, SUM((qf.e - c0.e)*(qf.e - c0.e)) AS dist
+      | FROM qf JOIN c0 ON c0.i = qf.i GROUP BY 1, 2),
+      |a0 AS (
+      | SELECT vec_id, cid FROM (
+      |  SELECT vec_id, cid,
+      |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |  FROM d0) WHERE rn = 1),
+      |upd AS (
+      | SELECT a0.cid, qf.i,
+      |  CAST(SUM(qf.e) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS e
+      | FROM a0 JOIN qf ON qf.vec_id = a0.vec_id GROUP BY 1, 2),
+      |c1 AS (
+      | SELECT c0.cid, c0.i, COALESCE(u.e, c0.e) AS e
+      | FROM c0 LEFT JOIN upd u ON u.cid = c0.cid AND u.i = c0.i),
+      |d1 AS (
+      | SELECT qf.vec_id, c1.cid, SUM((qf.e - c1.e)*(qf.e - c1.e)) AS dist
+      | FROM qf JOIN c1 ON c1.i = qf.i GROUP BY 1, 2),
+      |a1 AS (
+      | SELECT vec_id, cid, dist FROM (
+      |  SELECT vec_id, cid, dist,
+      |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |  FROM d1) WHERE rn = 1),
+      |lab AS (
+      | SELECT a1.cid, q.label, COUNT(*) AS n
+      | FROM a1 JOIN q ON q.vec_id = a1.vec_id GROUP BY 1, 2),
+      |top AS (
+      | SELECT cid, label FROM (
+      |  SELECT cid, label,
+      |   ROW_NUMBER() OVER (PARTITION BY cid ORDER BY n DESC, label) AS rn
+      |  FROM lab) WHERE rn = 1)
+      |SELECT a1.cid AS cluster_id, COUNT(*) AS n_vecs,
+      | CAST(SUM(a1.dist) AS BIGINT) AS inertia, t.label AS top_label
+      |FROM a1 JOIN top t ON t.cid = a1.cid
+      |GROUP BY 1, t.label ORDER BY cluster_id""".stripMargin
 
   /** I3b — LSH-bucketed ANN top-k (rows-only: murmur3-hash buckets; recall
     * driver-verified by `i3_lsh_recall_gate`). 6 planes × 8 tables: 64
@@ -1183,6 +1254,7 @@ object LlmOps {
     "i3_ivf_recall_gate" -> ivfRecallGate _,
     "i3_pq_ann_topk" -> pqAnn _,
     "i3_pq_recall_gate" -> pqRecallGate _,
+    "i3_kmeans" -> kmeansClusters _,
     "i5_lang_id" -> langId _,
     "i5_quality_score" -> qualityScore _,
     "i5_token_counts" -> tokenCounts _,
@@ -1227,6 +1299,7 @@ object LlmOps {
     "i3_lsh_recall_gate" -> recallGateSql,
     "i3_ivf_recall_gate" -> recallGateSql,
     "i3_pq_recall_gate" -> recallGateSql,
+    "i3_kmeans" -> kmeansClustersSql,
     "i5_lang_id" -> langIdSql,
     "i5_quality_score" -> qualityScoreSql,
     "i5_token_counts" -> tokenCountsSql,
