@@ -203,6 +203,47 @@ object Relational {
       | true AS within_bound
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Rank-error gate for the quantile sketch (D8's quantile variant —
+    * `approx_percentile`, Spark's KLL-style mergeable sketch, the
+    * replacement for exact sort-based quantiles at 100 TB): for each
+    * requested percentile the sketch's answer must sit within the
+    * configured rank error (n/accuracy, +1 for interpolation slack) of
+    * its target rank. Exact ranks come from one conditional-aggregation
+    * scan (no sort, no join); a broken sketch (bad merge, wrong
+    * compression) fails the driver compare even though the raw quantile
+    * values are engine-specific. Two 1-row collects — both sides are
+    * full map-side-combined aggregates, so the driver never sees data. */
+  def quantileSketchGate(s: SparkSession, d: String): DataFrame = {
+    val pcts = Seq(10, 25, 50, 75, 90)
+    val accuracy = 1000
+    val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
+    val first = li.agg(
+      percentile_approx(col("x"),
+        array(pcts.map(p => lit(p / 100.0)): _*), lit(accuracy)).as("ap"),
+      count(lit(1)).as("n")).head()
+    val approx = first.getSeq[Double](0)
+    val n = first.getLong(1)
+    val rankExprs = approx.zipWithIndex.flatMap { case (v, i) =>
+      Seq(sum(when(col("x") < v, 1L).otherwise(0L)).as(s"lo_$i"),
+        sum(when(col("x") <= v, 1L).otherwise(0L)).as(s"hi_$i"))
+    }
+    val ranks = li.agg(rankExprs.head, rankExprs.tail: _*).head()
+    val eps = n.toDouble / accuracy + 1
+    val rows = pcts.zipWithIndex.map { case (p, i) =>
+      val lo = ranks.getLong(2 * i)
+      val hi = ranks.getLong(2 * i + 1)
+      val target = p / 100.0 * n
+      (p, n, lo <= target + eps && hi >= target - eps)
+    }
+    import s.implicits._
+    rows.toDF("pct_x100", "n_rows", "within_bound")
+  }
+
+  private val quantileSketchGateSql =
+    """SELECT p.pct_x100, (SELECT COUNT(*) FROM lineitem) AS n_rows,
+      | true AS within_bound
+      |FROM (VALUES (10),(25),(50),(75),(90)) p(pct_x100)""".stripMargin
+
   /** Ranking window: top-3 orders per customer. Same shape as the
     * reference's last-write-wins reader (B7/D10). */
   def topOrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
@@ -1628,6 +1669,7 @@ object Relational {
     "d08_distinct_counts" -> distinctCounts _,
     "d08_approx_distinct" -> approxDistinct _,
     "d08_approx_error_gate" -> approxDistinctGate _,
+    "d08_quantile_gate" -> quantileSketchGate _,
     "d10_window_topk_per_customer" -> topOrdersPerCustomer _,
     "d10_window_running_total" -> runningTotal _,
     "d10_window_lag_delta" -> eventDeltas _,
@@ -1685,6 +1727,7 @@ object Relational {
     "d04_semi_anti_customers" -> semiAntiCustomersSql,
     "d08_distinct_counts" -> distinctCountsSql,
     "d08_approx_error_gate" -> approxDistinctGateSql,
+    "d08_quantile_gate" -> quantileSketchGateSql,
     "d10_window_topk_per_customer" -> topOrdersPerCustomerSql,
     "d10_window_running_total" -> runningTotalSql,
     "d10_window_lag_delta" -> eventDeltasSql,
