@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.expressions.Window
-import graft.llm.{Chunking, Decontamination, Dedup, KMeans, Multimodal, Privacy, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Chunking, Decontamination, Dedup, KMeans, Multimodal, Privacy, Retrieval, Sampling, Similarity, TextAnalysis}
 
 /** SURVEY §2 Group I — LLM-data-pipeline operators as oracle-checked
   * queries over `documents` / `embeddings`.
@@ -366,6 +366,58 @@ object LlmOps {
       | CAST(SUM(a1.dist) AS BIGINT) AS inertia, t.label AS top_label
       |FROM a1 JOIN top t ON t.cid = a1.cid
       |GROUP BY 1, t.label ORDER BY cluster_id""".stripMargin
+
+  /** I3g — BM25 sparse retrieval: top-10 docs for three fixed term
+    * queries, scored in exact integer arithmetic (see
+    * [[graft.llm.Retrieval]] for the un-logged RSJ-odds formulation that
+    * makes the score cross-engine exact). */
+  def bm25TopK(s: SparkSession, d: String): DataFrame =
+    Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+      queries = Seq(
+        1 -> Seq("hash", "join"),
+        2 -> Seq("window", "merge", "batch"),
+        3 -> Seq("customer", "order", "line")),
+      k = 10)
+
+  private val bm25TopKSql =
+    """WITH docs0 AS (
+      | SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws
+      | FROM documents WHERE text IS NOT NULL),
+      |words AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM docs0),
+      |tf AS (
+      | SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+      | FROM words GROUP BY 1, 2),
+      |stats AS (
+      | SELECT COUNT(*) AS n_docs, CAST(SUM(len(ws)) AS BIGINT) AS t_tokens
+      | FROM docs0),
+      |qt AS (SELECT * FROM (VALUES
+      |  (1,'hash'),(1,'join'),
+      |  (2,'window'),(2,'merge'),(2,'batch'),
+      |  (3,'customer'),(3,'order'),(3,'line')) q(query_id, term)),
+      |dft AS (
+      | SELECT term, COUNT(*) AS df FROM tf
+      | WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+      |scored AS (
+      | SELECT qt.query_id, tf.doc_id,
+      |  CAST((CAST(22 AS HUGEINT) * tf.tf * s.t_tokens
+      |         * (2 * s.n_docs - 2 * d.df + 1) * 1000000)
+      |   // ((CAST(10 AS HUGEINT) * s.t_tokens * tf.tf
+      |         + CAST(3 AS HUGEINT) * s.t_tokens
+      |         + CAST(9 AS HUGEINT) * tf.dl * s.n_docs)
+      |       * (2 * d.df + 1)) AS BIGINT) AS score_u
+      | FROM tf
+      | JOIN qt ON qt.term = tf.term
+      | JOIN dft d ON d.term = tf.term
+      | CROSS JOIN stats s),
+      |agg AS (
+      | SELECT query_id, doc_id, CAST(SUM(score_u) AS BIGINT) AS score
+      | FROM scored GROUP BY 1, 2)
+      |SELECT query_id, doc_id, score, rank FROM (
+      | SELECT query_id, doc_id, score,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS rank
+      | FROM agg)
+      |WHERE rank <= 10""".stripMargin
 
   /** I3b — LSH-bucketed ANN top-k (rows-only: murmur3-hash buckets; recall
     * driver-verified by `i3_lsh_recall_gate`). 6 planes × 8 tables: 64
@@ -1255,6 +1307,7 @@ object LlmOps {
     "i3_pq_ann_topk" -> pqAnn _,
     "i3_pq_recall_gate" -> pqRecallGate _,
     "i3_kmeans" -> kmeansClusters _,
+    "i3_bm25_topk" -> bm25TopK _,
     "i5_lang_id" -> langId _,
     "i5_quality_score" -> qualityScore _,
     "i5_token_counts" -> tokenCounts _,
@@ -1300,6 +1353,7 @@ object LlmOps {
     "i3_ivf_recall_gate" -> recallGateSql,
     "i3_pq_recall_gate" -> recallGateSql,
     "i3_kmeans" -> kmeansClustersSql,
+    "i3_bm25_topk" -> bm25TopKSql,
     "i5_lang_id" -> langIdSql,
     "i5_quality_score" -> qualityScoreSql,
     "i5_token_counts" -> tokenCountsSql,
