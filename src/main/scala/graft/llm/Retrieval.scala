@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
   * Scale design: the postings table (the only corpus-sized intermediate)
   * is pruned by a broadcast join against the query term list BEFORE any
   * scoring — everything downstream is O(Σ df(query terms)). Per-term df
-  * and corpus stats ride in as broadcast 1-row/tiny joins, and the final
-  * top-k is a per-query window over the matched docs only.
+  * is a count-over-window on those pruned postings (no second postings
+  * pass in the plan), corpus stats ride in as a broadcast 1-row join, and
+  * the final top-k is a per-query window over the matched docs only.
   */
 object Retrieval {
 
@@ -52,10 +53,13 @@ object Retrieval {
     val stats = tokenized.agg(count(lit(1)).as("n_docs"),
       sum(size(col("ws"))).as("t_tokens"))
 
+    import org.apache.spark.sql.expressions.Window
     val pruned = tf.join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
-    val dft = pruned.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df as a count-over-window on the pruned postings: one pass, no
+    // second postings subtree in the plan (a separate groupBy branch would
+    // recompute the corpus-sized tf aggregation)
     val scored = pruned
-      .join(broadcast(dft), Seq("term"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .join(broadcast(qterms), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("score_u", expr(
@@ -68,7 +72,6 @@ object Retrieval {
           |  * (2 * df + 1))""".stripMargin))
     val agg = scored.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("score_u")).as("score"))
-    import org.apache.spark.sql.expressions.Window
     agg.withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("doc_id"))))

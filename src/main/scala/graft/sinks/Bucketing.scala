@@ -1,0 +1,34 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed storage layout (D1/D3's co-location path at scale).
+  *
+  * A join or aggregation on a bucketed key reads data already hash-
+  * partitioned on disk, so Catalyst plans it WITHOUT a shuffle: at 100 TB
+  * the dominant cost of a fact-fact join is the exchange of both sides,
+  * and pre-bucketing the stored tables on their join keys (same bucket
+  * count both sides) removes it from every downstream query — pay one
+  * shuffle at write time, amortized across all reads. `sortBy` inside the
+  * bucket additionally lets sort-merge join skip its per-task sort.
+  *
+  * BucketingSpec proves the contract on the physical plan: a same-key
+  * equi-join of two tables written through [[writeBucketed]] contains no
+  * ShuffleExchange, and per-key aggregation on the bucket key plans
+  * shuffle-free.
+  */
+object Bucketing {
+
+  /** Write `df` as a catalog table hash-bucketed (and bucket-sorted) on
+    * `key`. Bucket count is the lever to size per-task work: pick
+    * `buckets` so one bucket of the LARGEST co-bucketed table fits an
+    * executor core's memory at target scale. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write
+      .format("parquet") // managed: lives under spark.sql.warehouse.dir
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .saveAsTable(table)
+}

@@ -92,7 +92,19 @@ class PlanBudgetSpec extends AnyFunSuite {
     // once per self-join side plus the pair-count aggregate; at runtime
     // AQE replays one side's exchange (ReusedExchange — pinned in
     // PlanSpec), so only two materialize
-    "d03_basket_pairs" -> 3)
+    "d03_basket_pairs" -> 3,
+    // i8_triangles: post-checkpoint plan (edge build + degree fold run
+    // eagerly behind the oriented localCheckpoint) — wedge self-join
+    // exchanges both sides on src, closing semi-join exchanges both
+    // sides on (x, y), corner-count aggregate; top-25 is TakeOrdered
+    "i8_triangles" -> 5,
+    // i3_kmeans: assignment is shuffle-free (fused kernel); size + label
+    // aggregates, the majority-label window, and the ordered output
+    "i3_kmeans" -> 4,
+    // i3_bm25_topk: tf aggregate, query-term distinct, df window on the
+    // pruned postings, per-(query,doc) sum, rank window, 1-row stats agg
+    "i3_bm25_topk" -> 6,
+    "d08_quantile_gate" -> 0)
 
   // anchored to the tree-prefix start of a line so the exchange embedded in
   // a ReusedExchange node's description (", Exchange hashpartitioning(...)")
