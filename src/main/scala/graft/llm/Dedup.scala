@@ -189,6 +189,63 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** I2h — sorted-neighborhood near-dup pairs (Hernández & Stolfo's
+    * sorted-neighborhood method, SIGMOD 1995 — public literature): sort
+    * the corpus by a cheap clustering key (text prefix here — near-dups
+    * from truncation/edit share it), compare each document only to its
+    * `window` successors in the global sort order, then verify candidates
+    * with the exact word-n-gram Jaccard. A third blocking family next to
+    * shingle blocking and MinHash-LSH: candidate count is EXACTLY
+    * `window·N` by construction — no skew sensitivity at all, the
+    * guarantee the frequency-capped families can't give — at the price of
+    * recall limited to what the sort key co-locates.
+    *
+    * Scale design: the global rank comes from [[graft.operators.GlobalRank]]
+    * (range partition + zipWithIndex — no single-partition window); the
+    * neighbor self-join is an equi-join on `rank div window` blocks (the
+    * right side emits its own and its predecessor block, so every ≤window
+    * pair meets in exactly one block); shingle sets are built once and
+    * joined to the w·N candidate pairs by doc id. */
+  def sortedNeighborPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 8,
+      keyPrefixLen: Int = 24,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"), col(textCol).as("txt"),
+        substring(trim(col(textCol)), 1, keyPrefixLen).as("sk"))
+    val ranked = graft.operators.GlobalRank
+      .withGlobalRank(base, "rn", col("sk"), col("doc"))
+      .localCheckpoint() // candidate join + shingle build both read it
+    // integer `div` (not `/` + cast): double division drops rank
+    // precision past 2^53 rows
+    val a = ranked.select(col("doc").as("ia"), col("rn").as("rn_a"),
+      expr(s"rn div $window").as("blk"))
+    val b = ranked.select(col("doc").as("ib"), col("rn").as("rn_b"),
+      explode(array(expr(s"rn div $window"),
+        expr(s"rn div $window - 1"))).as("blk"))
+    val cand = a.join(b, Seq("blk"))
+      .filter(col("rn_b") > col("rn_a") && col("rn_b") <= col("rn_a") + window)
+      .select(least(col("ia"), col("ib")).as("ca"),
+        greatest(col("ia"), col("ib")).as("cb"))
+    val sh = ranked
+      .select(col("doc"), wordShingles(col("txt"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    cand
+      .join(sh.select(col("doc").as("ca"), col("sh").as("sh_a")), Seq("ca"))
+      .join(sh.select(col("doc").as("cb"), col("sh").as("sh_b")), Seq("cb"))
+      .select(col("ca").as("doc_a"), col("cb").as("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_shared"),
+        (size(col("sh_a")) + size(col("sh_b"))).as("n_total"))
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("n_total") - col("n_shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
+  }
+
   /** MinHash signature column: k independent hash functions
     * `h_i(s) = (a_i·xxhash64(s) + b_i) mod p` folded with min over the
     * shingle set. Computed entirely inside one projection (no explode, no

@@ -297,6 +297,44 @@ object LlmOps {
       | JOIN norms nb ON nb.vec_id = neighbor_id)
       |WHERE rank <= 5""".stripMargin
 
+  /** I2h — sorted-neighborhood near-dup pairs: prefix-sort blocking with
+    * exact word-3-gram Jaccard verification (see
+    * [[graft.llm.Dedup.sortedNeighborPairs]]). Candidates are defined by
+    * the global (prefix, doc_id) sort order — identical in both engines —
+    * so the oracle's single-partition ROW_NUMBER reproduces the engine's
+    * distributed zipWithIndex ranks exactly. */
+  def sortedNeighbors(s: SparkSession, d: String): DataFrame =
+    Dedup.sortedNeighborPairs(Tables.documents(s, d), "doc_id", "text",
+      window = 8, keyPrefixLen = 24, n = 3, threshold = 0.5)
+
+  private val sortedNeighborsSql =
+    """WITH base AS (
+      | SELECT doc_id, text, substr(trim(text), 1, 24) AS sk
+      | FROM documents WHERE text IS NOT NULL),
+      |r AS (
+      | SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sk, doc_id) AS rn
+      | FROM base),
+      |cand AS (
+      | SELECT LEAST(a.doc_id, b.doc_id) AS ca,
+      |        GREATEST(a.doc_id, b.doc_id) AS cb
+      | FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 8),
+      |ws AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM base),
+      |sh AS (
+      | SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |   for i in range(1, len(w) - 1)]) AS s
+      | FROM ws WHERE len(w) >= 3),
+      |scored AS (
+      | SELECT ca AS doc_a, cb AS doc_b,
+      |  len(list_intersect(sa.s, sb.s)) AS n_shared,
+      |  len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS un
+      | FROM cand
+      | JOIN sh sa ON sa.doc_id = ca
+      | JOIN sh sb ON sb.doc_id = cb)
+      |SELECT doc_a, doc_b, n_shared,
+      | CAST(n_shared AS DOUBLE) / un AS jaccard
+      |FROM scored
+      |WHERE CAST(n_shared AS DOUBLE) / un >= 0.5""".stripMargin
+
   /** I3f — deterministic integer-Lloyd k-means over the embedding corpus
     * (k = 10 = label count, one centroid refresh from the lowest-id
     * seeds): per-cluster size, exact integer inertia, and majority label.
@@ -1308,6 +1346,7 @@ object LlmOps {
     "i3_pq_recall_gate" -> pqRecallGate _,
     "i3_kmeans" -> kmeansClusters _,
     "i3_bm25_topk" -> bm25TopK _,
+    "i2_sorted_neighbors" -> sortedNeighbors _,
     "i5_lang_id" -> langId _,
     "i5_quality_score" -> qualityScore _,
     "i5_token_counts" -> tokenCounts _,
@@ -1354,6 +1393,7 @@ object LlmOps {
     "i3_pq_recall_gate" -> recallGateSql,
     "i3_kmeans" -> kmeansClustersSql,
     "i3_bm25_topk" -> bm25TopKSql,
+    "i2_sorted_neighbors" -> sortedNeighborsSql,
     "i5_lang_id" -> langIdSql,
     "i5_quality_score" -> qualityScoreSql,
     "i5_token_counts" -> tokenCountsSql,

@@ -104,7 +104,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     // i3_bm25_topk: tf aggregate, query-term distinct, df window on the
     // pruned postings, per-(query,doc) sum, rank window, 1-row stats agg
     "i3_bm25_topk" -> 6,
-    "d08_quantile_gate" -> 0)
+    "d08_quantile_gate" -> 0,
+    // i2_sorted_neighbors: post-checkpoint plan (range exchange +
+    // zipWithIndex ranking run eagerly behind the localCheckpoint) —
+    // block equi-join both sides, two shingle-verify joins (both sides
+    // each), all on the w·N candidate set
+    "i2_sorted_neighbors" -> 6)
 
   // anchored to the tree-prefix start of a line so the exchange embedded in
   // a ReusedExchange node's description (", Exchange hashpartitioning(...)")
