@@ -70,4 +70,29 @@ object AsOfJoin {
         payload.map(p => col(s"__last.$p").as(s"asof_$p")): _*)
     out
   }
+
+  /** As-of join with a max-staleness bound — the point-in-time-correct
+    * feature join of a training pipeline: a feature row older than
+    * `maxStaleness` at the probe's event time must NOT leak in (a model
+    * trained on it would see fresher data than serving ever will), so the
+    * matched payload is nulled when `left.time − right.time` exceeds the
+    * bound. Same single-shuffle union+window plan as [[asOf]] — the
+    * match's own timestamp rides inside the carried payload struct and the
+    * bound is one scan-level `when` on the way out. */
+  def asOfWithin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      maxStaleness: Column): DataFrame = {
+    val rt = s"__rt_$rightTime"
+    val joined = asOf(left, right.withColumn(rt, col(rightTime)),
+      key, leftTime, rightTime, payload :+ rt)
+    val fresh = col(s"asof_$rt") >= col(leftTime) - maxStaleness
+    payload.foldLeft(joined) { (df, p) =>
+      df.withColumn(s"asof_$p", when(fresh, col(s"asof_$p")))
+    }.drop(s"asof_$rt")
+  }
 }

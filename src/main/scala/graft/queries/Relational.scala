@@ -488,6 +488,38 @@ object Relational {
       |   ORDER BY o.ts DESC, o.event_id DESC LIMIT 1) AS prior_value
       |FROM events p WHERE p.event_type = 'purchase'""".stripMargin
 
+  /** Point-in-time-correct feature join (D6's staleness variant): each
+    * purchase gets its prior non-purchase event ONLY when that event is at
+    * most 30 minutes old at purchase time — the feature-freshness contract
+    * of a training pipeline ([[AsOfJoin.asOfWithin]]). The oracle keeps
+    * the same latest-prior pick and CASEs out stale matches. */
+  def asofStaleness(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val others = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("src_id"),
+        col("value").as("src_value"))
+    AsOfJoin.asOfWithin(purchases, others, "user_id", "ts", "ts",
+      Seq("src_id", "src_value"), expr("INTERVAL 30 MINUTES"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_src_id").as("prior_event_id"),
+        col("asof_src_value").as("prior_value"))
+  }
+
+  private val asofStalenessSql =
+    """SELECT p.event_id AS event_id, p.user_id AS user_id,
+      | CASE WHEN l.ts >= p.ts - INTERVAL 30 MINUTE THEN l.event_id END
+      |   AS prior_event_id,
+      | CASE WHEN l.ts >= p.ts - INTERVAL 30 MINUTE THEN l.value END
+      |   AS prior_value
+      |FROM events p LEFT JOIN LATERAL (
+      |  SELECT o.event_id, o.value, o.ts FROM events o
+      |  WHERE o.user_id = p.user_id AND o.event_type <> 'purchase'
+      |    AND o.ts <= p.ts
+      |  ORDER BY o.ts DESC, o.event_id DESC LIMIT 1) l ON true
+      |WHERE p.event_type = 'purchase'""".stripMargin
+
   /** Transitive closure over a synthetic binary-tree hierarchy (per-user
     * event rank rn, parent = rn/2) — the A7 subtree-selection kernel on
     * oracle-checkable data; the oracle is a recursive CTE. The edge set is
@@ -1683,6 +1715,7 @@ object Relational {
     "d15_math_fns" -> mathFns _,
     "d05_range_join_events" -> rangeJoinEvents _,
     "d06_asof_prior_event" -> asofPriorEvent _,
+    "d06_asof_staleness" -> asofStaleness _,
     "a7_closure_tree" -> closureTree _,
     "b7_last_write_wins" -> lastWriteWins _,
     "a9_anti_join_roots" -> neverOrderedParts _,
@@ -1741,6 +1774,7 @@ object Relational {
     "d15_math_fns" -> mathFnsSql,
     "d05_range_join_events" -> rangeJoinEventsSql,
     "d06_asof_prior_event" -> asofPriorEventSql,
+    "d06_asof_staleness" -> asofStalenessSql,
     "a7_closure_tree" -> closureTreeSql,
     "b7_last_write_wins" -> lastWriteWinsSql,
     "a9_anti_join_roots" -> neverOrderedPartsSql,

@@ -31,7 +31,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "d03_join_revenue_by_nation" -> 1, "d03_salted_skew_join" -> 1,
     "d03_shipping_priority" -> 1, "d04_semi_anti_customers" -> 0,
     "d05_interval_concurrency" -> 1, "d05_range_join_events" -> 1,
-    "d06_asof_prior_event" -> 1, "d07_above_customer_avg" -> 2,
+    "d06_asof_prior_event" -> 1, "d06_asof_staleness" -> 1, "d07_above_customer_avg" -> 2,
     "d07_agg_pricing" -> 1, "d07_big_spenders" -> 1, "d07_outliers" -> 1,
     "d07_percentiles" -> 1,
     "d07_retention_cohorts" -> 3, "d08_approx_distinct" -> 1,
