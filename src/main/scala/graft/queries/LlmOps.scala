@@ -795,6 +795,81 @@ object LlmOps {
     * kernels (lang-ID, quality, PII, content-hash dup, split), so the card
     * is deterministic with no float-mean drift. One scan evaluates every
     * kernel once per row; the content-hash dup side joins back on md5. */
+  /** I6g — expectation audit (the Deequ-style pre-training data-quality
+    * gate): named integrity checks over the fixture star schema, each one
+    * exact-integer — primary-key uniqueness, referential containment
+    * (orphan facts), not-null rate, value range, enum domain. One row per
+    * check: (check_name, violations, passed). A pipeline promotes a
+    * snapshot to training only when every `passed` is true; the oracle
+    * recomputes every count, so a broken check breaks the hash.
+    *
+    * Scale shape: each check is one column-pruned scan + aggregate (the
+    * orphan check an anti-join on the fact key); checks union into one
+    * result, no cross-check dependency, trivially parallel. */
+  def expectations(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val or = Tables.orders(s, d)
+    val pkDupes = or.groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("orders_pk_unique").as("check_name"), col("violations"))
+    val orphans = li.select(col("l_orderkey"))
+      .join(or.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("lineitem_fk_orders").as("check_name"), col("violations"))
+    val nulls = li.agg(
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("violations"))
+      .select(lit("lineitem_orderkey_not_null").as("check_name"),
+        col("violations"))
+    val range = li.agg(
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("violations"))
+      .select(lit("lineitem_quantity_range").as("check_name"),
+        col("violations"))
+    val domain = li.agg(
+      sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+        .as("violations"))
+      .select(lit("lineitem_returnflag_domain").as("check_name"),
+        col("violations"))
+    pkDupes.unionByName(orphans).unionByName(nulls)
+      .unionByName(range).unionByName(domain)
+      .withColumn("passed", col("violations") === 0L)
+  }
+
+  private val expectationsSql =
+    """SELECT 'orders_pk_unique' AS check_name,
+      | CAST(COALESCE((SELECT COUNT(*) FROM (
+      |   SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)), 0)
+      |  AS BIGINT) AS violations,
+      | COALESCE((SELECT COUNT(*) FROM (
+      |   SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)), 0) = 0
+      |  AS passed
+      |UNION ALL
+      |SELECT 'lineitem_fk_orders',
+      | CAST((SELECT COUNT(*) FROM lineitem l
+      |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |     WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+      | (SELECT COUNT(*) FROM lineitem l
+      |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |     WHERE o.o_orderkey = l.l_orderkey)) = 0
+      |UNION ALL
+      |SELECT 'lineitem_orderkey_not_null',
+      | CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS BIGINT),
+      | (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) = 0
+      |UNION ALL
+      |SELECT 'lineitem_quantity_range',
+      | CAST((SELECT COUNT(*) FROM lineitem
+      |   WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+      | (SELECT COUNT(*) FROM lineitem
+      |   WHERE l_quantity < 1 OR l_quantity > 50) = 0
+      |UNION ALL
+      |SELECT 'lineitem_returnflag_domain',
+      | CAST((SELECT COUNT(*) FROM lineitem
+      |   WHERE l_returnflag NOT IN ('A','N','R')) AS BIGINT),
+      | (SELECT COUNT(*) FROM lineitem
+      |   WHERE l_returnflag NOT IN ('A','N','R')) = 0""".stripMargin
+
   def dataCard(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val contentCounts = docs
@@ -1347,6 +1422,7 @@ object LlmOps {
     "i3_kmeans" -> kmeansClusters _,
     "i3_bm25_topk" -> bm25TopK _,
     "i2_sorted_neighbors" -> sortedNeighbors _,
+    "i6_expectations" -> expectations _,
     "i5_lang_id" -> langId _,
     "i5_quality_score" -> qualityScore _,
     "i5_token_counts" -> tokenCounts _,
@@ -1394,6 +1470,7 @@ object LlmOps {
     "i3_kmeans" -> kmeansClustersSql,
     "i3_bm25_topk" -> bm25TopKSql,
     "i2_sorted_neighbors" -> sortedNeighborsSql,
+    "i6_expectations" -> expectationsSql,
     "i5_lang_id" -> langIdSql,
     "i5_quality_score" -> qualityScoreSql,
     "i5_token_counts" -> tokenCountsSql,

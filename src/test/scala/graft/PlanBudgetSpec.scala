@@ -109,7 +109,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // zipWithIndex ranking run eagerly behind the localCheckpoint) —
     // block equi-join both sides, two shingle-verify joins (both sides
     // each), all on the w·N candidate set
-    "i2_sorted_neighbors" -> 6)
+    "i2_sorted_neighbors" -> 6,
+    // i6_expectations: five independent column-pruned aggregates (pk-dupe
+    // group, anti-join orphan probe + its 1-row counts) unioned
+    "i6_expectations" -> 6)
 
   // anchored to the tree-prefix start of a line so the exchange embedded in
   // a ReusedExchange node's description (", Exchange hashpartitioning(...)")
