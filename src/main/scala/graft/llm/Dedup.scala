@@ -215,11 +215,16 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val base = df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc"), col(textCol).as("txt"),
-        substring(trim(col(textCol)), 1, keyPrefixLen).as("sk"))
+    // rank only the narrow (doc, key) projection: the full text never
+    // rides the range exchange or the zipWithIndex Row round-trip
+    // (ranking the text-carrying rows measured ~2x slower at sf0.1);
+    // shingles join back by doc id from a pruned re-scan of the source
     val ranked = graft.operators.GlobalRank
-      .withGlobalRank(base, "rn", col("sk"), col("doc"))
-      .localCheckpoint() // candidate join + shingle build both read it
+      .withGlobalRank(
+        base.select(col(idCol).as("doc"),
+          substring(trim(col(textCol)), 1, keyPrefixLen).as("sk")),
+        "rn", col("sk"), col("doc"))
+      .localCheckpoint() // both candidate-join sides read it
     // integer `div` (not `/` + cast): double division drops rank
     // precision past 2^53 rows
     val a = ranked.select(col("doc").as("ia"), col("rn").as("rn_a"),
@@ -231,9 +236,15 @@ object Dedup {
       .filter(col("rn_b") > col("rn_a") && col("rn_b") <= col("rn_a") + window)
       .select(least(col("ia"), col("ib")).as("ca"),
         greatest(col("ia"), col("ib")).as("cb"))
-    val sh = ranked
-      .select(col("doc"), wordShingles(col("txt"), n).as("sh"))
+    // shingles hash to 64-bit before the verify join (long-compare
+    // intersects, ~2^-64 per-pair collision noise — the jaccardPairs
+    // convention) and sit behind a repartition barrier so ReusedExchange
+    // materializes the shingling ONCE for both join sides
+    val sh = base
+      .select(col(idCol).as("doc"),
+        transform(wordShingles(col(textCol), n), g => xxhash64(g)).as("sh"))
       .filter(size(col("sh")) > 0)
+      .repartition(col("doc"))
     cand
       .join(sh.select(col("doc").as("ca"), col("sh").as("sh_a")), Seq("ca"))
       .join(sh.select(col("doc").as("cb"), col("sh").as("sh_b")), Seq("cb"))

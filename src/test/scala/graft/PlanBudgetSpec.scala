@@ -107,9 +107,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "d08_quantile_gate" -> 0,
     // i2_sorted_neighbors: post-checkpoint plan (range exchange +
     // zipWithIndex ranking run eagerly behind the localCheckpoint) —
-    // block equi-join both sides, two shingle-verify joins (both sides
-    // each), all on the w·N candidate set
-    "i2_sorted_neighbors" -> 6,
+    // block equi-join both sides, the shared shingle barrier (ReusedExchange
+    // feeds both verify-join sides from one materialization), and the two
+    // verify-join exchanges on the w·N candidate set
+    "i2_sorted_neighbors" -> 4,
     // i6_expectations: five independent column-pruned aggregates (pk-dupe
     // group, anti-join orphan probe + its 1-row counts) unioned
     "i6_expectations" -> 6)
