@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{PageRank, Triangles}
+import graft.operators.{LabelPropagation, PageRank, Triangles}
 
 /** Graph-analytics queries (EXT row I8): iterative weight propagation over
   * an edge set — the link-authority prior a crawl-curation pipeline feeds
@@ -120,13 +120,64 @@ object GraphOps {
       |SELECT node, COUNT(*) AS n_triangles FROM corners
       |GROUP BY 1 ORDER BY n_triangles DESC, node LIMIT 25""".stripMargin
 
+  /** I8c — top-25 communities (by size) after two synchronous
+    * label-propagation rounds over the same high-quantity co-purchase
+    * graph as `i8_triangles` — the template-family collapse step. The
+    * oracle unrolls both rounds as CTEs with the identical
+    * most-frequent/min-label vote. */
+  def communityCounts(s: SparkSession, d: String): DataFrame = {
+    val basket = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 25)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(col("l_orderkey")).distinct()
+    val edges = basket.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(basket.select(col("l_orderkey"), col("l_partkey").as("b")),
+        Seq("l_orderkey"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    LabelPropagation.communities(edges, rounds = 2)
+      .groupBy(col("community")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(25)
+  }
+
+  private val communityCountsSql =
+    """WITH b AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_quantity >= 25),
+      |e AS (
+      |  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+      |  FROM b x JOIN b y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |e2 AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+      |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e2),
+      |r1 AS (
+      |  SELECT node, lbl FROM (
+      |    SELECT e2.v AS node, l.lbl, COUNT(*) AS c,
+      |      ROW_NUMBER() OVER (PARTITION BY e2.v
+      |        ORDER BY COUNT(*) DESC, l.lbl) AS rn
+      |    FROM e2 JOIN l0 l ON l.node = e2.u
+      |    GROUP BY e2.v, l.lbl) WHERE rn = 1),
+      |r2 AS (
+      |  SELECT node, lbl FROM (
+      |    SELECT e2.v AS node, l.lbl, COUNT(*) AS c,
+      |      ROW_NUMBER() OVER (PARTITION BY e2.v
+      |        ORDER BY COUNT(*) DESC, l.lbl) AS rn
+      |    FROM e2 JOIN r1 l ON l.node = e2.u
+      |    GROUP BY e2.v, l.lbl) WHERE rn = 1)
+      |SELECT lbl AS community, COUNT(*) AS n_members
+      |FROM r2 GROUP BY 1
+      |ORDER BY n_members DESC, community LIMIT 25""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i8_pagerank" -> pagerank _,
-    "i8_triangles" -> triangleCounts _
+    "i8_triangles" -> triangleCounts _,
+    "i8_communities" -> communityCounts _
   )
 
   val oracles: Map[String, String] = Map(
     "i8_pagerank" -> pagerankSql,
-    "i8_triangles" -> triangleCountsSql
+    "i8_triangles" -> triangleCountsSql,
+    "i8_communities" -> communityCountsSql
   )
 }

@@ -113,7 +113,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i2_sorted_neighbors" -> 4,
     // i6_expectations: five independent column-pruned aggregates (pk-dupe
     // group, anti-join orphan probe + its 1-row counts) unioned
-    "i6_expectations" -> 6)
+    "i6_expectations" -> 6,
+    // i8_communities: post-checkpoint plan (edge build eager) — round-2
+    // round-1 min-neighbor agg, round-2 vote count + struct-argmax
+    // aggregates, and the community-size count; top-25 is TakeOrdered
+    "i8_communities" -> 5)
 
   // anchored to the tree-prefix start of a line so the exchange embedded in
   // a ReusedExchange node's description (", Exchange hashpartitioning(...)")
