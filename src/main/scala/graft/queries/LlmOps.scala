@@ -359,8 +359,12 @@ object LlmOps {
       .orderBy(col("cluster_id"))
   }
 
-  private val kmeansClustersSql =
-    """WITH q AS (
+  /** Shared CTE chain computing the integer-Lloyd assignment `a1`
+    * (quantize → seed → assign → update → reassign) — the building block
+    * of both the `i3_kmeans` report and the `i6_cluster_balance`
+    * pipeline oracle. */
+  private val kmeansAssignCte =
+    """q AS (
       | SELECT vec_id, label,
       |  [CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT) + 1000000 for x in embedding] AS v
       | FROM embeddings),
@@ -391,7 +395,10 @@ object LlmOps {
       | SELECT vec_id, cid, dist FROM (
       |  SELECT vec_id, cid, dist,
       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-      |  FROM d1) WHERE rn = 1),
+      |  FROM d1) WHERE rn = 1)""".stripMargin
+
+  private val kmeansClustersSql =
+    s"""WITH $kmeansAssignCte,
       |lab AS (
       | SELECT a1.cid, q.label, COUNT(*) AS n
       | FROM a1 JOIN q ON q.vec_id = a1.vec_id GROUP BY 1, 2),
@@ -456,6 +463,42 @@ object LlmOps {
       |    ORDER BY score DESC, doc_id) AS rank
       | FROM agg)
       |WHERE rank <= 10""".stripMargin
+
+  /** I6h — cluster-balanced corpus composition: the semantic-clustering
+    * pass USED — k-means assignment ([[graft.llm.KMeans]]) feeds the
+    * deterministic per-stratum cap ([[graft.llm.Sampling.stratifiedCap]]
+    * with cluster as the stratum), the topic-balancing step that stops one
+    * embedding neighborhood from dominating a training mix. Per cluster:
+    * total size, kept size, and the exact sum of kept ids (pins WHICH
+    * rows survived, not just how many). */
+  def clusterBalance(s: SparkSession, d: String): DataFrame = {
+    val asg = KMeans.fit(Tables.embeddings(s, d), "vec_id", "embedding",
+      k = 10, updates = 1)
+    val kept = Sampling.stratifiedCap(asg, col("cluster"),
+      col("vec_id").cast("string"), col("vec_id"), cap = 40)
+    asg.groupBy(col("cluster")).agg(count(lit(1)).as("n_total"))
+      .join(kept.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("kept_id_sum")),
+        Seq("cluster"))
+      .select(col("cluster").cast("long").as("cluster_id"),
+        col("n_total"), col("n_kept"), col("kept_id_sum"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private lazy val clusterBalanceSql =
+    s"""WITH $kmeansAssignCte,
+      |ranked AS (
+      | SELECT vec_id, cid,
+      |  ROW_NUMBER() OVER (PARTITION BY cid
+      |    ORDER BY ${bucketSql("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC)
+      |   AS rn
+      | FROM a1),
+      |kept AS (SELECT vec_id, cid FROM ranked WHERE rn <= 40)
+      |SELECT a1.cid AS cluster_id, COUNT(*) AS n_total,
+      | (SELECT COUNT(*) FROM kept k WHERE k.cid = a1.cid) AS n_kept,
+      | (SELECT CAST(SUM(k.vec_id) AS BIGINT) FROM kept k WHERE k.cid = a1.cid)
+      |  AS kept_id_sum
+      |FROM a1 GROUP BY 1 ORDER BY cluster_id""".stripMargin
 
   /** I3b — LSH-bucketed ANN top-k (rows-only: murmur3-hash buckets; recall
     * driver-verified by `i3_lsh_recall_gate`). 6 planes × 8 tables: 64
@@ -1423,6 +1466,7 @@ object LlmOps {
     "i3_bm25_topk" -> bm25TopK _,
     "i2_sorted_neighbors" -> sortedNeighbors _,
     "i6_expectations" -> expectations _,
+    "i6_cluster_balance" -> clusterBalance _,
     "i5_lang_id" -> langId _,
     "i5_quality_score" -> qualityScore _,
     "i5_token_counts" -> tokenCounts _,
@@ -1471,6 +1515,7 @@ object LlmOps {
     "i3_bm25_topk" -> bm25TopKSql,
     "i2_sorted_neighbors" -> sortedNeighborsSql,
     "i6_expectations" -> expectationsSql,
+    "i6_cluster_balance" -> clusterBalanceSql,
     "i5_lang_id" -> langIdSql,
     "i5_quality_score" -> qualityScoreSql,
     "i5_token_counts" -> tokenCountsSql,

@@ -117,7 +117,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // i8_communities: post-checkpoint plan (edge build eager) — round-2
     // round-1 min-neighbor agg, round-2 vote count + struct-argmax
     // aggregates, and the community-size count; top-25 is TakeOrdered
-    "i8_communities" -> 5)
+    "i8_communities" -> 5,
+    // i6_cluster_balance: k-means assignment is kernel-only; the cap
+    // window on cluster, total/kept aggregates, and the ordered join-back
+    "i6_cluster_balance" -> 3)
 
   // anchored to the tree-prefix start of a line so the exchange embedded in
   // a ReusedExchange node's description (", Exchange hashpartitioning(...)")
