@@ -97,11 +97,18 @@ object Multimodal {
       * descriptor. Returns None when no installed reader decodes the
       * payload (caller falls back to the byte-moment stub). */
     def features(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
-      import java.awt.image.BufferedImage
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         catch { case scala.util.control.NonFatal(_) => null }
-      if (img == null) return None
+      if (img == null) None else Some(gridDescriptor(img, dim))
+    }
+
+    /** The descriptor body over an already-decoded raster — shared with
+      * [[VideoCodec.features]], whose DIB frame decode produces a
+      * BufferedImage without going through ImageIO. */
+    private[llm] def gridDescriptor(
+        img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+      import java.awt.image.BufferedImage
       val cells = math.max(1, dim / 3)
       val gh = math.max(1, math.sqrt(cells.toDouble).toInt)
       val gw = math.max(1, cells / gh)
@@ -123,7 +130,7 @@ object Multimodal {
         if (base + 2 < dim) out(base + 2) = (rgb & 0xff) / 255.0f
         i += 1
       }
-      Some(out)
+      out
     }
 
     /** REAL pixel-domain downscale (JDK-only: `java.awt.image`): full
@@ -293,9 +300,11 @@ object Multimodal {
   /** REAL video container metadata via a minimal RIFF/AVI header parse —
     * pure JVM, because METADATA needs no codec: the `avih` chunk
     * (MainAVIHeader, the public AVI RIFF layout) carries geometry, stream
-    * count, total frames and the per-frame period. Only pixel/frame
-    * DECODE stays stubbed — that genuinely needs a video codec, which
-    * neither the JDK nor this offline container has. */
+    * count, total frames and the per-frame period. Pixel decode is REAL
+    * for UNCOMPRESSED (BI_RGB 24-bit) streams — `db` chunks are plain
+    * bottom-up DIB rasters, no codec needed ([[firstFrame]]); only
+    * COMPRESSED streams stay stubbed, those genuinely need a codec the
+    * JDK and this offline container lack. */
   object VideoCodec {
 
     def looksLikeVideo(p: Array[Byte]): Boolean =
@@ -367,6 +376,89 @@ object Multimodal {
           (0L until durMs by step).take(32).map(ms => ms * 1000L / usf)
         }
       }
+
+    /** First video stream's BITMAPINFOHEADER out of the `strf` chunk:
+      * (width, height, bitCount, biCompression). Same bounded linear scan
+      * rationale as [[avihOffset]]. */
+    private def strfHeader(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      var i = 12
+      val lim = math.min(p.length - 48, 8192)
+      while (i < lim) {
+        if (p(i) == 's' && p(i + 1) == 't' && p(i + 2) == 'r' &&
+          p(i + 3) == 'f') {
+          val o = i + 8 // past fourcc + cb
+          return if (o + 40 > p.length) None
+          else Some((u32le(p, o + 4).toInt, u32le(p, o + 8).toInt,
+            (p(o + 14) & 0xff) | ((p(o + 15) & 0xff) << 8),
+            u32le(p, o + 16)))
+        }
+        i += 1
+      }
+      None
+    }
+
+    /** First frame of an UNCOMPRESSED (BI_RGB, 24-bit) AVI as a decoded
+      * raster — the one video family a pure-JVM decoder covers, which is
+      * exactly what raw-capture/intermediate AVIs ship; compressed streams
+      * (biCompression != 0, `dc` chunks) still fall back to the stub.
+      * Layout per the public DIB spec: bottom-up BGR rows, each row padded
+      * to a 4-byte boundary. The 16 MP cap bounds per-row allocation
+      * against hostile headers. */
+    def firstFrame(p: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      if (!looksLikeVideo(p)) return None
+      strfHeader(p) match {
+        case Some((w, h, 24, 0L)) if w > 0 && h > 0 && w.toLong * h <= 16000000L =>
+          var i = 12
+          while (i + 12 <= p.length) {
+            if (p(i) == 'L' && p(i + 1) == 'I' && p(i + 2) == 'S' &&
+              p(i + 3) == 'T' && p(i + 8) == 'm' && p(i + 9) == 'o' &&
+              p(i + 10) == 'v' && p(i + 11) == 'i') {
+              val listEnd = math.min(p.length.toLong, i + 8 + u32le(p, i + 4)).toInt
+              var j = i + 12
+              while (j + 8 <= listEnd) {
+                val sz = u32le(p, j + 4).toInt
+                if (p(j + 2) == 'd' && p(j + 3) == 'b' && sz > 0 &&
+                  j + 8 + sz <= p.length) {
+                  return decodeDib(p, j + 8, sz, w, h)
+                }
+                if (sz < 0) return None // hostile chunk size
+                j += 8 + sz + (sz & 1) // chunks are word-aligned
+              }
+              return None
+            }
+            i += 1
+          }
+          None
+        case _ => None
+      }
+    }
+
+    private def decodeDib(p: Array[Byte], off: Int, len: Int,
+        w: Int, h: Int): Option[java.awt.image.BufferedImage] = {
+      import java.awt.image.BufferedImage
+      val stride = ((w * 3 + 3) / 4) * 4
+      if (len < stride.toLong * h) return None
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        val row = off + (h - 1 - y) * stride // bottom-up
+        var x = 0
+        while (x < w) {
+          val b = p(row + x * 3) & 0xff
+          val g = p(row + x * 3 + 1) & 0xff
+          val r = p(row + x * 3 + 2) & 0xff
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      Some(img)
+    }
+
+    /** REAL video feature extraction for uncompressed AVIs: the shared
+      * grid color-layout descriptor over the decoded first frame. */
+    def features(p: Array[Byte], dim: Int): Option[Array[Float]] =
+      firstFrame(p).map(ImageCodec.gridDescriptor(_, dim))
   }
 
   /** Metadata dispatch: real `javax.imageio` / `javax.sound.sampled` /
@@ -531,11 +623,13 @@ object Multimodal {
         val mime = if (mimeIdx >= 0) r.getString(mimeIdx) else null
         val (w, h, c, d) = decodeMeta(payload, mime)
         // image payloads get the REAL grid color-layout descriptor, audio
-        // the REAL RMS-window envelope; video/doc payloads keep the
-        // deterministic byte-moment stub
+        // the REAL RMS-window envelope, uncompressed AVIs the descriptor
+        // over their REAL decoded first frame; compressed video and doc
+        // payloads keep the deterministic byte-moment stub
         val feats =
           (if (isImagePayload(payload, mime)) ImageCodec.features(payload, dim)
            else if (isAudioPayload(payload, mime)) AudioCodec.features(payload, dim)
+           else if (isVideoPayload(payload, mime)) VideoCodec.features(payload, dim)
            else None)
             .getOrElse(StubCodecs.features(payload, dim))
         Row.fromSeq(r.toSeq ++ Seq(w, h, c, d, feats.toSeq))

@@ -898,6 +898,75 @@ class LlmSpec extends AnyFunSuite {
     assert(Multimodal.sampleFrames(emptyMedia, everyMs = 1000).count() == 0)
   }
 
+  test("I4 uncompressed-AVI first-frame decode drives REAL video features") {
+    // playable minimal AVI: hdrl(avih + strl(strh, strf BITMAPINFOHEADER
+    // BI_RGB 24-bit)) + movi('00db' bottom-up BGR DIB frame)
+    def dibAvi(w: Int, h: Int, rgbAt: (Int, Int) => Int,
+        compression: Int = 0): Array[Byte] = {
+      val stride = ((w * 3 + 3) / 4) * 4
+      val frame = new Array[Byte](stride * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = rgbAt(x, y)
+        val row = (h - 1 - y) * stride // bottom-up
+        frame(row + x * 3) = (rgb & 0xff).toByte // B
+        frame(row + x * 3 + 1) = ((rgb >> 8) & 0xff).toByte // G
+        frame(row + x * 3 + 2) = ((rgb >> 16) & 0xff).toByte // R
+      }
+      val hdrlSz = 4 + 8 + 56 + 8 + 4 + 8 + 56 + 8 + 40
+      val moviSz = 4 + 8 + frame.length
+      val bb = java.nio.ByteBuffer
+        .allocate(12 + 8 + hdrlSz + 8 + moviSz)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(4 + 8 + hdrlSz + 8 + moviSz)
+      bb.put("AVI ".getBytes)
+      bb.put("LIST".getBytes); bb.putInt(hdrlSz); bb.put("hdrl".getBytes)
+      bb.put("avih".getBytes); bb.putInt(56)
+      bb.putInt(40000); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      bb.putInt(1); bb.putInt(0); bb.putInt(1); bb.putInt(0)
+      bb.putInt(w); bb.putInt(h)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      bb.put("LIST".getBytes); bb.putInt(4 + 8 + 56 + 8 + 40)
+      bb.put("strl".getBytes)
+      bb.put("strh".getBytes); bb.putInt(56)
+      bb.put("vids".getBytes); bb.put("DIB ".getBytes)
+      bb.position(bb.position() + 48) // rest of strh irrelevant here
+      bb.put("strf".getBytes); bb.putInt(40)
+      bb.putInt(40) // biSize
+      bb.putInt(w); bb.putInt(h)
+      bb.putShort(1.toShort); bb.putShort(24.toShort)
+      bb.putInt(compression); bb.putInt(frame.length)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      bb.put("LIST".getBytes); bb.putInt(moviSz); bb.put("movi".getBytes)
+      bb.put("00db".getBytes); bb.putInt(frame.length); bb.put(frame)
+      bb.array()
+    }
+    // left half pure red, right half pure blue, 8x4
+    val avi = dibAvi(8, 4, (x, _) => if (x < 4) 0xff0000 else 0x0000ff)
+    val img = Multimodal.VideoCodec.firstFrame(avi)
+    assert(img.isDefined)
+    assert(img.get.getWidth == 8 && img.get.getHeight == 4)
+    assert((img.get.getRGB(0, 0) & 0xffffff) == 0xff0000)
+    assert((img.get.getRGB(7, 3) & 0xffffff) == 0x0000ff)
+    // the shared descriptor separates the halves: dim=8 → 2x1 grid,
+    // cell 0 red-dominant, cell 1 blue-dominant
+    val f = Multimodal.VideoCodec.features(avi, 8).get
+    assert(f(0) > 0.9f && f(2) < 0.1f, f.toSeq)
+    assert(f(3) > 0.9f || f(5) > 0.9f) // cell 1: blue channel is f(5)
+    assert(f(5) > 0.9f && f(3) < 0.1f, f.toSeq)
+    // and it flows through the batch feature extractor as the REAL path
+    val media = Seq((12L, "video/x-msvideo", avi)).toDF("media_id", "mime", "payload")
+    val viaBatch = Multimodal.extractFeatures(media, dim = 8)
+      .select("features").collect().head.getSeq[Float](0)
+    assert(viaBatch == f.toSeq)
+    // COMPRESSED stream (biCompression != 0): decode refuses, stub stands
+    val compressed = dibAvi(8, 4, (_, _) => 0xff0000, compression = 1)
+    assert(Multimodal.VideoCodec.firstFrame(compressed).isEmpty)
+    val stubF = Multimodal.extractFeatures(
+      Seq((13L, "video/x-msvideo", compressed)).toDF("media_id", "mime", "payload"),
+      dim = 8).select("features").collect().head.getSeq[Float](0)
+    assert(stubF == Multimodal.StubCodecs.features(compressed, 8).toSeq)
+  }
+
   test("I4 real PNG/BMP resize via java.awt.image, stub for non-images") {
     def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
