@@ -38,13 +38,26 @@ object PageRank {
     val e = edges.select(col("u"), col("v"))
     val nodes = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node"))).distinct()
-      .localCheckpoint()
+    // out-degree folded into the edge table once — static across rounds
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("outdeg"))
+    ranksWithDegrees(e.join(deg, Seq("u")), nodes, iters)
+  }
+
+  /** Same recurrence over a PRE-DEGREED edge table (`u`, `v`, `outdeg`)
+    * and an explicit node table — the entry point for callers that can
+    * derive degrees cheaper than the generic distinct-and-group over the
+    * symmetric 2|E| edge table (e.g. a bipartite projection where each
+    * side's degree is a narrow groupBy of the base pair table plus a
+    * broadcast join — see queries.GraphOps.pagerank). Arithmetic is
+    * identical, so the oracle is unchanged. */
+  def ranksWithDegrees(edgesWithDeg: DataFrame, nodeTable: DataFrame,
+      iters: Int): DataFrame = {
+    val nodes = nodeTable.select(col("node")).localCheckpoint()
     val n = nodes.count()
     val r0 = Unit_ / n // integer division, same as the oracle's `//`
     val base = (15L * r0) / 100L
-    // out-degree folded into the edge table once — static across rounds
-    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = e.join(deg, Seq("u")).localCheckpoint()
+    val edgesDeg = edgesWithDeg.select(col("u"), col("v"), col("outdeg"))
+      .localCheckpoint()
     var ranks = nodes.select(col("node"), lit(r0).as("r"))
     for (i <- 1 to iters) {
       val contrib = edgesDeg

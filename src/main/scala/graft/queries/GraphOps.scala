@@ -26,12 +26,27 @@ object GraphOps {
   def pagerank(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.lineitem(s, d)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
-      .distinct()
-    val edges = pairs
-      .select(col("p").as("u"), (col("sk") + lit(SuppOffset)).as("v"))
-      .unionAll(pairs
-        .select((col("sk") + lit(SuppOffset)).as("u"), col("p").as("v")))
-    PageRank.ranks(edges, 3)
+      .repartition(col("p")).distinct()
+      .localCheckpoint() // one 600k-pair dedup serves degrees, edges, nodes
+    // bipartite degrees from the base PAIR table: two narrow groupBys
+    // (600k → |parts| / |supps|) broadcast back into the pair scan —
+    // cheaper than the generic distinct+group over the symmetric 2|E|
+    // edge union the plain ranks() entry point does
+    val degP = pairs.groupBy(col("p")).agg(count(lit(1)).as("pdeg"))
+    val degS = pairs.groupBy(col("sk")).agg(count(lit(1)).as("sdeg"))
+    val withDeg = pairs
+      .join(broadcast(degP), Seq("p"))
+      .join(broadcast(degS), Seq("sk"))
+    val edgesDeg = withDeg
+      .select(col("p").as("u"), (col("sk") + lit(SuppOffset)).as("v"),
+        col("pdeg").as("outdeg"))
+      .unionAll(withDeg.select((col("sk") + lit(SuppOffset)).as("u"),
+        col("p").as("v"), col("sdeg").as("outdeg")))
+    // part ids and offset supplier ids are disjoint: nodes = the two
+    // degree tables' keys, no 2|E| distinct
+    val nodes = degP.select(col("p").as("node"))
+      .unionAll(degS.select((col("sk") + lit(SuppOffset)).as("node")))
+    PageRank.ranksWithDegrees(edgesDeg, nodes, 3)
       .orderBy(col("rank_u").desc, col("node"))
       .limit(50)
   }
