@@ -58,23 +58,37 @@ object PageRank {
     val base = (15L * r0) / 100L
     val edgesDeg = edgesWithDeg.select(col("u"), col("v"), col("outdeg"))
       .localCheckpoint()
-    var ranks = nodes.select(col("node"), lit(r0).as("r"))
+    // The |V|-sized rank table never materializes between rounds: the
+    // rank formula `base + (85·s) div 100` is inlined into the NEXT
+    // round's edge join (a node absent from the contribution sums has
+    // rank `base` — exactly what the coalesce yields), so each round is
+    // ONE broadcast left-join into the big edge table plus one
+    // map-side-combined aggregate. The nodes⋈contrib join — formerly a
+    // per-round |V|⋈|V| sort-merge join, 3 sort+exchange stages at 3
+    // rounds — happens ONCE at the end. Bit-identical arithmetic.
+    def rankExpr = (lit(base) +
+      expr("(85 * coalesce(s, cast(0 as bigint))) div 100"))
+    var sums: Option[DataFrame] = None
     for (i <- 1 to iters) {
-      val contrib = edgesDeg
-        .join(ranks, edgesDeg("u") === ranks("node"))
-        .select(col("v"), expr("r div outdeg").as("c"))
+      val withRank = sums match {
+        case None => // round 1: every rank is the uniform r0
+          edgesDeg.withColumn("__r", lit(r0))
+        case Some(sv) =>
+          edgesDeg
+            .join(sv.select(col("v").as("__sn"), col("s")),
+              edgesDeg("u") === col("__sn"), "left")
+            .withColumn("__r", rankExpr)
+      }
+      val next = withRank
+        .select(col("v"), expr("__r div outdeg").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("s"))
-      ranks = nodes
-        .join(contrib, nodes("node") === contrib("v"), "left")
-        .select(col("node"),
-          (lit(base) + expr("(85 * coalesce(s, cast(0 as bigint))) div 100"))
-            .as("r"))
-      // chained rounds stay ONE job (the |V|-sized rank side broadcasts
-      // into the big edge table each round, so no round materializes);
       // checkpoint only every 8th round to bound lineage depth on long
       // runs — per-round pinning measured ~1.5× slower at 3 rounds
-      if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint()
+      sums = Some(if (i % 8 == 0 && i < iters) next.localCheckpoint() else next)
     }
-    ranks.select(col("node"), col("r").as("rank_u"))
+    nodes
+      .join(sums.get.select(col("v").as("__sn"), col("s")),
+        nodes("node") === col("__sn"), "left")
+      .select(col("node"), rankExpr.as("rank_u"))
   }
 }

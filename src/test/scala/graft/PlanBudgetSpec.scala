@@ -82,11 +82,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     "d07_promo_revenue" -> 1, "d08_part_supplier_counts" -> 2,
     "d07_small_qty_revenue" -> 3, "d04_sole_late_supplier" -> 2,
     "d04_dormant_customers" -> 2,
-    // i8_pagerank: the three chained rounds are one job — two exchanges
-    // per round (rank join + contribution aggregate, both on the node
-    // key); graph setup (pair distinct, degree fold) runs eagerly at
-    // construction behind a localCheckpoint and is invisible here.
-    "i8_pagerank" -> 6, "d10_sliding_distinct" -> 3,
+    // i8_pagerank: one contribution aggregate per round (the rank
+    // formula is inlined into the next round's broadcast edge join, so
+    // no per-round rank join survives); graph setup (pair distinct,
+    // degree fold) runs eagerly at construction behind a localCheckpoint
+    // and is invisible here.
+    "i8_pagerank" -> 3, "d10_sliding_distinct" -> 3,
     "d07_incremental_agg" -> 2, "i6_split_leakage" -> 4,
     // d03_basket_pairs: the STATIC plan carries the orderkey repartition
     // once per self-join side plus the pair-count aggregate; at runtime
