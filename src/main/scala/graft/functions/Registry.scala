@@ -56,8 +56,37 @@ object Registry {
     "graft_stopword_count" -> (stopwordCountBuilder(_)),
     // graft_hyperplane_lsh(vec, nPlanes, table) — literal plane/table ids
     "graft_hyperplane_lsh" -> (hyperplaneLshBuilder(_)),
+    // graft_kmeans_assign(vec, 'c1_1,c1_2;c2_1,c2_2;…') — literal
+    // centroid table (semicolon-separated centroids of comma-separated
+    // longs); returns struct(cluster, dist)
+    "graft_kmeans_assign" -> (kmeansAssignBuilder(_)),
     // aggregate: graft_top_k(struct(score, id), k) with literal k
     "graft_top_k" -> (topKBuilder(_)))
+
+  private def kmeansAssignBuilder(exprs: Seq[Expression]): Expression = {
+    val v = if (exprs(1).foldable) exprs(1).eval() else null
+    val parsed = v match {
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        try {
+          val cents = s.toString.split(";").map(_.trim).filter(_.nonEmpty)
+            .map(_.split(",").map(_.trim.toLong))
+          if (cents.nonEmpty && cents.map(_.length).distinct.length == 1)
+            Some(cents)
+          else None
+        } catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+    parsed match {
+      case Some(cents) => KMeansAssignExpr(exprs(0), cents)
+      case None => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INVALID_PARAMETER_VALUE.PATTERN",
+        messageParameters = Map(
+          "parameter" -> ("`centroids` (must be a string literal " +
+            "'c1_1,c1_2;c2_1,c2_2;…' of equal-length long vectors)"),
+          "functionName" -> "`graft_kmeans_assign`",
+          "value" -> exprs(1).sql))
+    }
+  }
 
   private def stopwordCountBuilder(exprs: Seq[Expression]): Expression = {
     val v = if (exprs(1).foldable) exprs(1).eval() else null

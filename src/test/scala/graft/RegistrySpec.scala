@@ -48,6 +48,23 @@ class RegistrySpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_stopword_count"))
   }
 
+  test("D18 graft_kmeans_assign SQL surface: argmin + literal validation") {
+    Registry.registerAll(spark)
+    val r = spark.sql(
+      """SELECT graft_kmeans_assign(array(0L, 0L), '0,0;10,10') AS a,
+        | graft_kmeans_assign(array(9L, 9L), '0,0;10,10') AS b,
+        | graft_kmeans_assign(array(5L, 5L), '0,0;10,10') AS tie""".stripMargin)
+      .head()
+    assert(r.getStruct(0).getInt(0) == 0 && r.getStruct(0).getLong(1) == 0L)
+    assert(r.getStruct(1).getInt(0) == 1 && r.getStruct(1).getLong(1) == 2L)
+    assert(r.getStruct(2).getInt(0) == 0) // equidistant → lower index
+    // ragged or non-literal centroid tables are analysis errors
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_kmeans_assign(array(0L), '1;2,3')").collect()
+    }
+    assert(e.getMessage.contains("graft_kmeans_assign"))
+  }
+
   test("D18 graft_top_k SQL aggregate: bounded heap, deterministic ties") {
     Registry.registerAll(spark)
     Seq((1L, 0.5, 10L), (1L, 0.9, 11L), (1L, 0.9, 12L), (1L, 0.1, 13L),
