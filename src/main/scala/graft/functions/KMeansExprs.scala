@@ -22,6 +22,10 @@ import org.apache.spark.sql.types._
   * `<` tie rule (ties keep the lower centroid index).
   */
 object KMeansKernel {
+  /** Per-dimension delta bound: dim·(2^25)² < 2^63 for any dim ≤ 8192, so
+    * the distance accumulator can never wrap. */
+  val MaxDelta: Long = 1L << 25
+
   /** Argmin centroid for `vec`: returns (cluster index, squared distance).
     * Ties break to the LOWER index (strict improvement required). */
   def assign(vec: ArrayData, cents: Array[Array[Long]]): InternalRow = {
@@ -39,6 +43,15 @@ object KMeansKernel {
       var i = 0
       while (i < n && d < bestD) {
         val t = vec.getLong(i) - cent(i)
+        // |t| ≤ 2^25 keeps dim·t² < 2^63 for any dim ≤ 8192 — the
+        // quantized 1e-6 grid sits at ~2^21, but the SQL surface accepts
+        // arbitrary bigints, and a silent t*t wrap would return a WRONG
+        // argmin instead of an error
+        if (t > MaxDelta || t < -MaxDelta) {
+          throw new IllegalArgumentException(
+            s"kmeans_assign: |element - centroid| = ${math.abs(t)} exceeds " +
+              s"2^25; inputs must sit on the quantized integer grid")
+        }
         d += t * t
         i += 1
       }

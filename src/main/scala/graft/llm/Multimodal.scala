@@ -377,14 +377,23 @@ object Multimodal {
         }
       }
 
-    /** First video stream's BITMAPINFOHEADER out of the `strf` chunk:
-      * (width, height, bitCount, biCompression). Same bounded linear scan
-      * rationale as [[avihOffset]]. */
+    /** The VIDEO stream's BITMAPINFOHEADER: (width, height, bitCount,
+      * biCompression). Streams are writer-ordered (audio-first is legal),
+      * so the scan anchors on the `strh` whose fccType is `vids` and takes
+      * the NEXT `strf` — a blind first-strf scan would misparse an
+      * audio stream's WAVEFORMATEX as a bitmap header. Same bounded
+      * linear-scan rationale as [[avihOffset]]. */
     private def strfHeader(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
       var i = 12
       val lim = math.min(p.length - 48, 8192)
+      var inVids = false
       while (i < lim) {
         if (p(i) == 's' && p(i + 1) == 't' && p(i + 2) == 'r' &&
+          p(i + 3) == 'h' && i + 12 <= p.length) {
+          inVids = p(i + 8) == 'v' && p(i + 9) == 'i' &&
+            p(i + 10) == 'd' && p(i + 11) == 's'
+        }
+        if (inVids && p(i) == 's' && p(i + 1) == 't' && p(i + 2) == 'r' &&
           p(i + 3) == 'f') {
           val o = i + 8 // past fourcc + cb
           return if (o + 40 > p.length) None
@@ -413,15 +422,18 @@ object Multimodal {
             if (p(i) == 'L' && p(i + 1) == 'I' && p(i + 2) == 'S' &&
               p(i + 3) == 'T' && p(i + 8) == 'm' && p(i + 9) == 'o' &&
               p(i + 10) == 'v' && p(i + 11) == 'i') {
-              val listEnd = math.min(p.length.toLong, i + 8 + u32le(p, i + 4)).toInt
-              var j = i + 12
+              // ALL size arithmetic in Long: a hostile chunk size near
+              // 2^31 would wrap Int bounds checks true and the chunk
+              // advance negative — an AIOOBE instead of the stub fallback
+              val listEnd = math.min(p.length.toLong, i + 8 + u32le(p, i + 4))
+              var j = i.toLong + 12
               while (j + 8 <= listEnd) {
-                val sz = u32le(p, j + 4).toInt
-                if (p(j + 2) == 'd' && p(j + 3) == 'b' && sz > 0 &&
+                val ji = j.toInt
+                val sz = u32le(p, ji + 4)
+                if (p(ji + 2) == 'd' && p(ji + 3) == 'b' && sz > 0 &&
                   j + 8 + sz <= p.length) {
-                  return decodeDib(p, j + 8, sz, w, h)
+                  return decodeDib(p, ji + 8, sz.toInt, w, h)
                 }
-                if (sz < 0) return None // hostile chunk size
                 j += 8 + sz + (sz & 1) // chunks are word-aligned
               }
               return None
@@ -456,9 +468,12 @@ object Multimodal {
     }
 
     /** REAL video feature extraction for uncompressed AVIs: the shared
-      * grid color-layout descriptor over the decoded first frame. */
+      * grid color-layout descriptor over the decoded first frame. Catches
+      * like the image/audio codecs: one malformed payload in a 100 TB
+      * corpus falls back to the stub, it does not kill the task. */
     def features(p: Array[Byte], dim: Int): Option[Array[Float]] =
-      firstFrame(p).map(ImageCodec.gridDescriptor(_, dim))
+      try firstFrame(p).map(ImageCodec.gridDescriptor(_, dim))
+      catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Metadata dispatch: real `javax.imageio` / `javax.sound.sampled` /

@@ -86,9 +86,13 @@ object PageRank {
       // runs — per-round pinning measured ~1.5× slower at 3 rounds
       sums = Some(if (i % 8 == 0 && i < iters) next.localCheckpoint() else next)
     }
-    nodes
-      .join(sums.get.select(col("v").as("__sn"), col("s")),
-        nodes("node") === col("__sn"), "left")
-      .select(col("node"), rankExpr.as("rank_u"))
+    sums match {
+      case Some(sv) => nodes
+        .join(sv.select(col("v").as("__sn"), col("s")),
+          nodes("node") === col("__sn"), "left")
+        .select(col("node"), rankExpr.as("rank_u"))
+      case None => // iters == 0: the uniform initial ranks
+        nodes.select(col("node"), lit(r0).as("rank_u"))
+    }
   }
 }

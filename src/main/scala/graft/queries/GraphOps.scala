@@ -92,6 +92,33 @@ object GraphOps {
       |SELECT node, r AS rank_u FROM it3
       |ORDER BY rank_u DESC, node LIMIT 50""".stripMargin
 
+  /** The high-quantity co-purchase graph shared by `i8_triangles` and
+    * `i8_communities`: distinct part pairs appearing together among an
+    * order's large (quantity ≥ 25) lines, `a < b`. Orderkey-only
+    * partitioning serves the (orderkey, partkey) dedup AND the basket
+    * self-join from one exchange (the d03_basket_pairs trick). */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val basket = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 25)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(col("l_orderkey")).distinct()
+    basket.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(basket.select(col("l_orderkey"), col("l_partkey").as("b")),
+        Seq("l_orderkey"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** The matching oracle CTE prefix (`b` baskets, `e` edges). */
+  private val copurchaseEdgesCte =
+    """b AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_quantity >= 25),
+      |e AS (
+      |  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+      |  FROM b x JOIN b y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)""".stripMargin
+
   /** I8b — top-25 triangle-participation nodes of the high-quantity
     * co-purchase graph (parts appearing together in an order's large
     * lines; ~325k edges over 20k parts at sf0.1). The oracle closes
@@ -99,30 +126,13 @@ object GraphOps {
     * degree-ordered orientation ([[graft.operators.Triangles]]) — same
     * triangle set, skew-proof wedge bound. */
   def triangleCounts(s: SparkSession, d: String): DataFrame = {
-    // orderkey-only partitioning serves the (orderkey, partkey) dedup AND
-    // the basket self-join from one exchange (the d03_basket_pairs trick)
-    val basket = Tables.lineitem(s, d)
-      .filter(col("l_quantity") >= 25)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .repartition(col("l_orderkey")).distinct()
-    val edges = basket.select(col("l_orderkey"), col("l_partkey").as("a"))
-      .join(basket.select(col("l_orderkey"), col("l_partkey").as("b")),
-        Seq("l_orderkey"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    Triangles.perNodeCounts(edges)
+    Triangles.perNodeCounts(copurchaseEdges(s, d))
       .orderBy(col("n_triangles").desc, col("node"))
       .limit(25)
   }
 
   private val triangleCountsSql =
-    """WITH b AS (
-      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-      |  WHERE l_quantity >= 25),
-      |e AS (
-      |  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
-      |  FROM b x JOIN b y
-      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+    s"""WITH $copurchaseEdgesCte,
       |t AS (
       |  SELECT e1.u AS w, e1.v AS x, e2.v AS y
       |  FROM e e1
@@ -141,29 +151,14 @@ object GraphOps {
     * oracle unrolls both rounds as CTEs with the identical
     * most-frequent/min-label vote. */
   def communityCounts(s: SparkSession, d: String): DataFrame = {
-    val basket = Tables.lineitem(s, d)
-      .filter(col("l_quantity") >= 25)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .repartition(col("l_orderkey")).distinct()
-    val edges = basket.select(col("l_orderkey"), col("l_partkey").as("a"))
-      .join(basket.select(col("l_orderkey"), col("l_partkey").as("b")),
-        Seq("l_orderkey"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    LabelPropagation.communities(edges, rounds = 2)
+    LabelPropagation.communities(copurchaseEdges(s, d), rounds = 2)
       .groupBy(col("community")).agg(count(lit(1)).as("n_members"))
       .orderBy(col("n_members").desc, col("community"))
       .limit(25)
   }
 
   private val communityCountsSql =
-    """WITH b AS (
-      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-      |  WHERE l_quantity >= 25),
-      |e AS (
-      |  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
-      |  FROM b x JOIN b y
-      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+    s"""WITH $copurchaseEdgesCte,
       |e2 AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
       |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e2),
       |r1 AS (

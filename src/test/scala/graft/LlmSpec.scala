@@ -902,7 +902,7 @@ class LlmSpec extends AnyFunSuite {
     // playable minimal AVI: hdrl(avih + strl(strh, strf BITMAPINFOHEADER
     // BI_RGB 24-bit)) + movi('00db' bottom-up BGR DIB frame)
     def dibAvi(w: Int, h: Int, rgbAt: (Int, Int) => Int,
-        compression: Int = 0): Array[Byte] = {
+        compression: Int = 0, audioFirst: Boolean = false): Array[Byte] = {
       val stride = ((w * 3 + 3) / 4) * 4
       val frame = new Array[Byte](stride * h)
       for (y <- 0 until h; x <- 0 until w) {
@@ -912,7 +912,8 @@ class LlmSpec extends AnyFunSuite {
         frame(row + x * 3 + 1) = ((rgb >> 8) & 0xff).toByte // G
         frame(row + x * 3 + 2) = ((rgb >> 16) & 0xff).toByte // R
       }
-      val hdrlSz = 4 + 8 + 56 + 8 + 4 + 8 + 56 + 8 + 40
+      val audsSz = if (audioFirst) 8 + 4 + 8 + 56 + 8 + 16 else 0
+      val hdrlSz = 4 + 8 + 56 + audsSz + 8 + 4 + 8 + 56 + 8 + 40
       val moviSz = 4 + 8 + frame.length
       val bb = java.nio.ByteBuffer
         .allocate(12 + 8 + hdrlSz + 8 + moviSz)
@@ -925,6 +926,20 @@ class LlmSpec extends AnyFunSuite {
       bb.putInt(1); bb.putInt(0); bb.putInt(1); bb.putInt(0)
       bb.putInt(w); bb.putInt(h)
       bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      if (audioFirst) {
+        // an AUDIO strl ahead of the video one (legal writer ordering):
+        // its WAVEFORMATEX strf is crafted so a blind first-strf scan
+        // would misread (24-bit, BI_RGB-ish) fields — the regression case
+        bb.put("LIST".getBytes); bb.putInt(4 + 8 + 56 + 8 + 16)
+        bb.put("strl".getBytes)
+        bb.put("strh".getBytes); bb.putInt(56)
+        bb.put("auds".getBytes); bb.putInt(0)
+        bb.position(bb.position() + 48)
+        bb.put("strf".getBytes); bb.putInt(16)
+        bb.putShort(1.toShort); bb.putShort(2.toShort) // PCM, stereo
+        bb.putInt(44100); bb.putInt(264600)
+        bb.putShort(6.toShort); bb.putShort(24.toShort) // 24-bit samples
+      }
       bb.put("LIST".getBytes); bb.putInt(4 + 8 + 56 + 8 + 40)
       bb.put("strl".getBytes)
       bb.put("strh".getBytes); bb.putInt(56)
@@ -958,6 +973,14 @@ class LlmSpec extends AnyFunSuite {
     val viaBatch = Multimodal.extractFeatures(media, dim = 8)
       .select("features").collect().head.getSeq[Float](0)
     assert(viaBatch == f.toSeq)
+    // writer puts the AUDIO stream first: the vids-anchored strf scan must
+    // still find the video header (a blind first-strf scan would misparse
+    // the WAVEFORMATEX) and decode the same frame
+    val audioFirst = dibAvi(8, 4, (x, _) => if (x < 4) 0xff0000 else 0x0000ff,
+      audioFirst = true)
+    val img2 = Multimodal.VideoCodec.firstFrame(audioFirst)
+    assert(img2.isDefined && img2.get.getWidth == 8 && img2.get.getHeight == 4)
+    assert((img2.get.getRGB(0, 0) & 0xffffff) == 0xff0000)
     // COMPRESSED stream (biCompression != 0): decode refuses, stub stands
     val compressed = dibAvi(8, 4, (_, _) => 0xff0000, compression = 1)
     assert(Multimodal.VideoCodec.firstFrame(compressed).isEmpty)
