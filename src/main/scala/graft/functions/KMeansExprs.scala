@@ -22,14 +22,20 @@ import org.apache.spark.sql.types._
   * `<` tie rule (ties keep the lower centroid index).
   */
 object KMeansKernel {
-  /** Per-dimension delta bound: dim·(2^25)² < 2^63 for any dim ≤ 8192, so
-    * the distance accumulator can never wrap. */
+  /** Per-dimension delta bound; with [[MaxDim]] it makes the accumulator
+    * provably wrap-free: dim·MaxDelta² ≤ 4096·2^50 = 2^62 < 2^63. */
   val MaxDelta: Long = 1L << 25
+  val MaxDim: Int = 4096
 
   /** Argmin centroid for `vec`: returns (cluster index, squared distance).
     * Ties break to the LOWER index (strict improvement required). */
   def assign(vec: ArrayData, cents: Array[Array[Long]]): InternalRow = {
     val n = vec.numElements()
+    if (n > MaxDim) {
+      throw new IllegalArgumentException(
+        s"kmeans_assign: dim $n exceeds $MaxDim — the delta bound alone " +
+          "no longer keeps the distance sum inside a Long")
+    }
     var best = 0
     var bestD = Long.MaxValue
     var c = 0
@@ -43,7 +49,7 @@ object KMeansKernel {
       var i = 0
       while (i < n && d < bestD) {
         val t = vec.getLong(i) - cent(i)
-        // |t| ≤ 2^25 keeps dim·t² < 2^63 for any dim ≤ 8192 — the
+        // |t| ≤ 2^25 with dim ≤ MaxDim keeps the sum wrap-free — the
         // quantized 1e-6 grid sits at ~2^21, but the SQL surface accepts
         // arbitrary bigints, and a silent t*t wrap would return a WRONG
         // argmin instead of an error

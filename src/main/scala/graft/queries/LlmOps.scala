@@ -1419,31 +1419,23 @@ object LlmOps {
     * ~10^19 rows. */
   def tableFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("source"),
-        conv(substring(md5(concat_ws("\u0001",
-          col("doc_id"), col("text"), col("lang"), col("source"),
-          col("n_chars"))), 1, 15), 16, 10)
-          .cast("decimal(20,0)").as("h"))
+      .select(col("source"), graft.functions.Fingerprint.rowFold(
+        Seq(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))).as("h"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("h").cast("decimal(38,0)")).cast("string").as("fingerprint"))
+        graft.functions.Fingerprint.sumFold(col("h")).as("fingerprint"))
 
-  private val tableFingerprintSql =
-    """WITH h AS (
-      |  SELECT source,
-      |    list_reduce(
-      |      [CAST(CASE WHEN ascii(substr(md5(concat_ws(chr(1), doc_id, text,
-      |            lang, source, n_chars)), i, 1)) < 58
-      |        THEN ascii(substr(md5(concat_ws(chr(1), doc_id, text, lang,
-      |            source, n_chars)), i, 1)) - 48
-      |        ELSE ascii(substr(md5(concat_ws(chr(1), doc_id, text, lang,
-      |            source, n_chars)), i, 1)) - 87 END AS BIGINT)
-      |       for i in range(1, 16)],
-      |      (acc, x) -> acc * 16 + x) AS v
+  private lazy val tableFingerprintSql = {
+    val fold = graft.functions.Fingerprint.rowFoldSql(
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    s"""WITH h AS (
+      |  SELECT source, $fold AS v
       |  FROM documents)
       |SELECT source, count(*) AS n_rows,
       | CAST(sum(v) AS VARCHAR) AS fingerprint
       |FROM h GROUP BY source""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i1_dedup_exact" -> dedupExact _,

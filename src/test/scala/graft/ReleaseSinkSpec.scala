@@ -40,6 +40,39 @@ class ReleaseSinkSpec extends AnyFunSuite {
     assert(m1 == m2)
   }
 
+  test("null-column rows do not collide (injective serialization)") {
+    // concat_ws would have serialized (null,"x") and ("x",null) identically
+    val d1 = Files.createTempDirectory("graft-release-n1").toString
+    val d2 = Files.createTempDirectory("graft-release-n2").toString
+    val m1 = ReleaseSink.writeRelease(
+      Seq((Option.empty[String], Some("x"), "train"))
+        .toDF("a", "b", "split"), d1, "split", Seq("a", "b"))
+    val m2 = ReleaseSink.writeRelease(
+      Seq((Some("x"), Option.empty[String], "train"))
+        .toDF("a", "b", "split"), d2, "split", Seq("a", "b"))
+    assert(m1("train")._2 != m2("train")._2)
+  }
+
+  test("an unvetted extra split on disk fails verification") {
+    val dir = Files.createTempDirectory("graft-release-x").toString
+    ReleaseSink.writeRelease(df, dir, "split", Seq("doc_id", "text"))
+    Seq((99L, "smuggled")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/split=extra")
+    val verdicts = ReleaseSink.verifyRelease(spark, dir)
+    assert(!verdicts("extra"))
+    assert(verdicts("train") && verdicts("val") && verdicts("test"))
+  }
+
+  test("null split values are rejected before anything is written") {
+    val dir = Files.createTempDirectory("graft-release-ns").toString + "/out"
+    val bad = Seq((1L, "x", Option.empty[String]), (2L, "y", Some("train")))
+      .toDF("doc_id", "text", "split")
+    intercept[IllegalArgumentException] {
+      ReleaseSink.writeRelease(bad, dir, "split", Seq("doc_id", "text"))
+    }
+    assert(!Files.exists(Paths.get(dir)))
+  }
+
   test("verify flags content drift after a partition is tampered with") {
     val dir = Files.createTempDirectory("graft-release-t").toString
     ReleaseSink.writeRelease(df, dir, "split", Seq("doc_id", "text"))
