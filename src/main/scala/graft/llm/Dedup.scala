@@ -384,6 +384,57 @@ object Dedup {
     }
   }
 
+  /** SemDeDup — cluster-scoped semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means the embedding space, then look for
+    * near-duplicate pairs ONLY within each cluster. Clustering is the
+    * candidate-blocking step: the quadratic pair search runs per cluster
+    * (Σ nᶜ² work, distributed across clusters) instead of n² globally —
+    * at 100 TB k scales with the corpus (the paper uses k=50,000 on
+    * LAION) so the per-cluster pair set stays bounded while the cluster
+    * self-join shuffles once on the cluster id.
+    *
+    * Drop rule (the deterministic greedy form): a document is dropped iff
+    * some SMALLER-id document in the same cluster has cosine ≥ threshold
+    * with it. Min-id-wins collapses transitive chains a~b~c to the single
+    * smallest id without a components pass, and the kept set is a pure
+    * function of the data — re-runs and repartitions keep the same corpus.
+    * Exact integer dot products on the 1e-6 quantized grid (same
+    * arithmetic as [[embeddingNearDups]]) keep the threshold comparison
+    * engine-exact.
+    *
+    * Returns one row per input: (idCol, cluster_id, kept). */
+  def semDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, updates: Int, threshold: Double): DataFrame = {
+    val asg = KMeans.fit(df, idCol, vecCol, k, updates)
+      .select(col(idCol).as("vid"), col("cluster"))
+    val base = df.select(col(idCol).as("vid"),
+      Similarity.quantize(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(
+        graft.functions.ArrayOps.longArrayDot(col("qv"), col("qv")).cast("double")))
+    // one partitioned frame reused three times (both self-join sides + the
+    // final flag join): checkpoint so the kmeans-assign kernel and the
+    // vid join run once, and the cluster partitioning is reused in place
+    val feat = base.join(asg, Seq("vid"))
+      .repartition(Par.of(df), col("cluster"))
+      .localCheckpoint()
+    val a = feat.select(col("cluster"), col("vid").as("va"),
+      col("qv").as("qva"), col("qn").as("qna"))
+    val b = feat.select(col("cluster"), col("vid").as("vb"),
+      col("qv").as("qvb"), col("qn").as("qnb"))
+    val dupIds = a.join(b, Seq("cluster"))
+      .filter(col("va") < col("vb"))
+      .filter(col("qna") * col("qnb") > 0d &&
+        graft.functions.ArrayOps.longArrayDot(col("qva"), col("qvb")).cast("double")
+          / (col("qna") * col("qnb")) >= threshold)
+      .select(col("vb").as("vid")).distinct()
+    feat.select(col("vid"), col("cluster"))
+      .join(dupIds.withColumn("__dup", lit(1)), Seq("vid"), "left")
+      .select(col("vid").as(idCol),
+        col("cluster").cast("long").as("cluster_id"),
+        col("__dup").isNull.as("kept"))
+  }
+
   /** Exact bit-partition of the 64-bit fingerprint into `c` chunks:
     * (shift, mask) per chunk, widths differing by at most one bit so every
     * bit is covered and every shift stays < 64 (a `shiftright` ≥ 64 aliases

@@ -54,6 +54,41 @@ object Sampling {
     df.filter(hashBucket(content) < rate)
   }
 
+  /** D4-style prototypicality pruning (Tirumala et al. 2023,
+    * arXiv:2308.12284 — the selection step D4 runs AFTER SemDeDup,
+    * [[Dedup.semDedup]]): k-means the embedding space, then within each
+    * cluster drop the `dropPct`% of points CLOSEST to the centroid — the
+    * most "prototypical" mass is the most redundant, and pruning it
+    * measurably improves LM data efficiency. Ranking uses the exact
+    * integer squared distance [[KMeans.fit]] emits (tie-broken by id), so
+    * the kept set is a pure function of the data. One k-means pass plus
+    * one window over the assignment — the window partitions by cluster,
+    * so no stratum ever sorts outside its own partition at 100 TB.
+    *
+    * Returns survivors: (idCol, cluster_id, dist, proto_rank) where
+    * proto_rank 1 = closest to centroid; rows with
+    * `proto_rank <= floor(n_cluster * dropPct / 100)` are pruned. */
+  def protoPrune(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, updates: Int, dropPct: Int): DataFrame = {
+    require(dropPct >= 0 && dropPct <= 100, s"bad dropPct: $dropPct")
+    val asg = KMeans.fit(df, idCol, vecCol, k, updates)
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("dist").asc, col(idCol).asc)
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+    asg
+      .withColumn("__rnk", row_number().over(byDist))
+      .withColumn("__n", count(lit(1)).over(whole))
+      // floor() is exact below 2^53 and matches DuckDB's `//` on
+      // non-negative counts; Spark's `/` alone would be double division
+      .filter(col("__rnk") > floor(col("__n") * dropPct / 100).cast("long"))
+      .select(col(idCol),
+        col("cluster").cast("long").as("cluster_id"),
+        col("dist"),
+        col("__rnk").cast("long").as("proto_rank"))
+  }
+
   /** Stratified cap: at most `cap` rows per stratum (e.g. per language),
     * kept deterministically — rows ranked by content-hash bucket with an
     * id tie-break, so the KEPT SET is a pure function of the data, like

@@ -412,6 +412,57 @@ object LlmOps {
       |FROM a1 JOIN top t ON t.cid = a1.cid
       |GROUP BY 1, t.label ORDER BY cluster_id""".stripMargin
 
+  /** I2j — SemDeDup (cluster-scoped semantic dedup, Abbas et al. 2023):
+    * same k-means assignment as `i3_kmeans` (k=10, one update — the
+    * oracle reuses the CTE chain verbatim), pair search confined to each
+    * cluster, min-id-wins keep rule. See [[graft.llm.Dedup.semDedup]]. */
+  def semDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+      k = 10, updates = 1, threshold = 0.35)
+
+  private val semDedupSql =
+    s"""WITH $kmeansAssignCte,
+      |qs AS (
+      | SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS v
+      | FROM embeddings),
+      |fl AS (SELECT vec_id, unnest(v) AS e, generate_subscripts(v,1) AS i FROM qs),
+      |nr AS (SELECT vec_id, sqrt(CAST(SUM(e*e) AS DOUBLE)) AS nrm FROM fl GROUP BY 1),
+      |dots AS (
+      | SELECT aa.vec_id AS va, bb.vec_id AS vb, SUM(fa.e*fb.e) AS dot
+      | FROM a1 aa JOIN a1 bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+      | JOIN fl fa ON fa.vec_id = aa.vec_id
+      | JOIN fl fb ON fb.vec_id = bb.vec_id AND fb.i = fa.i
+      | GROUP BY 1, 2),
+      |dups AS (
+      | SELECT DISTINCT d.vb AS vec_id
+      | FROM dots d
+      | JOIN nr na ON na.vec_id = d.va
+      | JOIN nr nb ON nb.vec_id = d.vb
+      | WHERE na.nrm * nb.nrm > 0
+      |  AND CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) >= 0.35)
+      |SELECT a1.vec_id, CAST(a1.cid AS BIGINT) AS cluster_id,
+      | (dups.vec_id IS NULL) AS kept
+      |FROM a1 LEFT JOIN dups ON dups.vec_id = a1.vec_id""".stripMargin
+
+  /** I6j — D4 prototypicality pruning (Tirumala et al. 2023): drop the
+    * 25% of each k-means cluster closest to its centroid. Exact integer
+    * distances from the shared assignment; the oracle reuses the
+    * `i3_kmeans` CTE chain and windows over it. */
+  def protoPrune(s: SparkSession, d: String): DataFrame =
+    Sampling.protoPrune(Tables.embeddings(s, d), "vec_id", "embedding",
+      k = 10, updates = 1, dropPct = 25)
+
+  private val protoPruneSql =
+    s"""WITH $kmeansAssignCte,
+      |r AS (
+      | SELECT vec_id, cid, CAST(dist AS BIGINT) AS d,
+      |  ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rnk,
+      |  COUNT(*) OVER (PARTITION BY cid) AS n_c
+      | FROM a1)
+      |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, d AS dist,
+      | CAST(rnk AS BIGINT) AS proto_rank
+      |FROM r WHERE rnk > (n_c * 25) // 100""".stripMargin
+
   /** I3g — BM25 sparse retrieval: top-10 docs for three fixed term
     * queries, scored in exact integer arithmetic (see
     * [[graft.llm.Retrieval]] for the un-logged RSJ-odds formulation that
@@ -1455,6 +1506,8 @@ object LlmOps {
     "i3_pq_ann_topk" -> pqAnn _,
     "i3_pq_recall_gate" -> pqRecallGate _,
     "i3_kmeans" -> kmeansClusters _,
+    "i2_semdedup" -> semDedup _,
+    "i6_proto_prune" -> protoPrune _,
     "i3_bm25_topk" -> bm25TopK _,
     "i2_sorted_neighbors" -> sortedNeighbors _,
     "i6_expectations" -> expectations _,
@@ -1504,6 +1557,8 @@ object LlmOps {
     "i3_ivf_recall_gate" -> recallGateSql,
     "i3_pq_recall_gate" -> recallGateSql,
     "i3_kmeans" -> kmeansClustersSql,
+    "i2_semdedup" -> semDedupSql,
+    "i6_proto_prune" -> protoPruneSql,
     "i3_bm25_topk" -> bm25TopKSql,
     "i2_sorted_neighbors" -> sortedNeighborsSql,
     "i6_expectations" -> expectationsSql,

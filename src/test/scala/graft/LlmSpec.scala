@@ -1329,4 +1329,48 @@ class LlmSpec extends AnyFunSuite {
     assert(scored.forall(r => r.getLong(2) > 0 && r.getLong(2) <= r.getLong(3)))
     assert(scored.forall(r => r.getDouble(4) > 0 && r.getDouble(4) <= 1.0))
   }
+
+  test("I2 SemDeDup: drop set = exact smaller-id same-cluster neighbors") {
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Dedup.semDedup(e, "vec_id", "embedding",
+      k = 10, updates = 1, threshold = 0.35)
+    assert(out.count() == e.count()) // one verdict per input
+    // independent recompute: global exact pairs (embeddingNearDups)
+    // restricted to same-cluster — a doc must be dropped iff it has a
+    // smaller-id same-cluster neighbor at >= threshold, and only then
+    val cl = out.select(col("vec_id"), col("cluster_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.35)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expectDropped = pairs.collect {
+      case (a, b) if cl(a) == cl(b) => math.max(a, b)
+    }.toSet
+    val dropped = out.filter(!col("kept")).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped == expectDropped)
+    // cross-cluster near-dups are the documented recall loss, never drops
+    val crossOnly = pairs.filter { case (a, b) => cl(a) != cl(b) }
+      .map(p => math.max(p._1, p._2)).toSet -- expectDropped
+    assert(crossOnly.forall(!dropped.contains(_)))
+  }
+
+  test("I6 proto-prune keeps exactly the far-from-centroid tail per cluster") {
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val asg = graft.llm.KMeans.fit(e, "vec_id", "embedding", k = 10, updates = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val out = llm.Sampling.protoPrune(e, "vec_id", "embedding",
+      k = 10, updates = 1, dropPct = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // reference: per cluster, sort by (dist, id), drop floor(n/4) head
+    val expected = asg.groupBy(_._2).toSeq.flatMap { case (c, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      val drop = sorted.length * 25 / 100
+      sorted.drop(drop).zipWithIndex.map { case ((id, _, d), i) =>
+        (id, c.toLong, d, (drop + i + 1).toLong)
+      }
+    }.toSet
+    assert(out.toSet == expected)
+    assert(out.length < asg.length) // something was actually pruned
+  }
 }

@@ -102,6 +102,15 @@ class PlanBudgetSpec extends AnyFunSuite {
     // i3_kmeans: assignment is shuffle-free (fused kernel); size + label
     // aggregates, the majority-label window, and the ordered output
     "i3_kmeans" -> 4,
+    // i2_semdedup: post-checkpoint plan — the cluster self-join reuses the
+    // checkpointed cluster partitioning on BOTH sides (0 exchanges, the
+    // design win of blocking by cluster); what remains is the dup-id
+    // distinct and the final kept-flag left join (vid exchange both sides
+    // + dup side distinct folds into it)
+    "i2_semdedup" -> 4,
+    // i6_proto_prune: one exchange — the per-cluster rank window; the
+    // kmeans assignment itself is the shuffle-free fused kernel
+    "i6_proto_prune" -> 1,
     // i3_bm25_topk: tf aggregate, query-term distinct, df window on the
     // pruned postings, per-(query,doc) sum, rank window, 1-row stats agg
     "i3_bm25_topk" -> 6,
