@@ -48,6 +48,36 @@ object Similarity {
     when(qn * cn > 0d,
       dotQ(qv, cv).cast("double") / (qn * cn)).otherwise(lit(null))
 
+  /** I3h — hard-negative mining for contrastive/retrieval training (the
+    * negative-selection step of DPR-style dual-encoder pipelines,
+    * Karpukhin et al. 2020, arXiv:2004.04906): for each query vector, the
+    * top-k most SIMILAR corpus vectors bearing a DIFFERENT label — the
+    * near-misses that make the hardest training negatives.
+    *
+    * Scale shape is the reverse of [[bruteForceTopK]]: the QUERY side
+    * broadcasts (a mining batch is thousands of rows; the corpus is the
+    * 100 TB side), so the whole mine is ONE linear partitioned corpus
+    * scan feeding the bounded-heap top-k aggregate — corpus rows never
+    * shuffle, only |Q|·k winners do. Null-label rows never match a
+    * `label <> label` predicate in either engine, so they are excluded
+    * symmetrically. Exact integer dots on the 1e-6 grid keep ranks
+    * engine-exact. Returns (query_id, neg_id, cos_sim, rank). */
+  def hardNegatives(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+        quantize(col(vecCol)).as("qv"), col(labelCol).as("q_label"))
+      .withColumn("qn", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        quantize(col(vecCol)).as("cv"), col(labelCol).as("c_label"))
+      .withColumn("cn", sqrt(dotQ(col("cv"), col("cv")).cast("double")))
+    val pairs = broadcast(q).join(c, col("q_label") =!= col("c_label"))
+      .withColumn("cos_sim", safeCosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .filter(col("cos_sim").isNotNull)
+    topKPerQuery(pairs, k)
+      .withColumnRenamed("neighbor_id", "neg_id")
+  }
+
   /** I3a — brute-force cosine top-k neighbors for each query vector.
     * The corpus side is broadcast when it fits (queries stream past it);
     * for corpus >> memory use [[lshTopK]] instead. */

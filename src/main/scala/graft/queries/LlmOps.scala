@@ -297,6 +297,48 @@ object LlmOps {
       | JOIN norms nb ON nb.vec_id = neighbor_id)
       |WHERE rank <= 5""".stripMargin
 
+  /** I3h — hard-negative mining: for the 50 lowest-id query vectors, the
+    * top-5 most similar corpus vectors with a DIFFERENT label. See
+    * [[graft.llm.Similarity.hardNegatives]] for the broadcast-queries
+    * one-corpus-scan shape. */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    // the 50-row mining batch comes off a TERMINAL TakeOrdered collect
+    // (per-partition top-50 + driver merge — same bounded-seed pattern as
+    // KMeans.fit): a non-terminal orderBy().limit() would range-shuffle
+    // the whole corpus just to pick 50 rows
+    val batch = e.select(col("vec_id"), col("embedding"), col("label"))
+      .orderBy(col("vec_id")).limit(50)
+    val qs = s.createDataFrame(
+      java.util.Arrays.asList(batch.collect(): _*), batch.schema)
+    Similarity.hardNegatives(qs, e, "vec_id", "embedding", "label", k = 5)
+  }
+
+  private val hardNegativesSql =
+    """WITH q AS (
+      | SELECT vec_id, label, [CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS v
+      | FROM embeddings),
+      |qs AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 50),
+      |flat AS (SELECT vec_id, unnest(v) AS e, generate_subscripts(v,1) AS i FROM q),
+      |qflat AS (SELECT vec_id, unnest(v) AS e, generate_subscripts(v,1) AS i FROM qs),
+      |norms AS (SELECT vec_id, SUM(e*e) AS nrm FROM flat GROUP BY 1),
+      |dots AS (
+      | SELECT a.vec_id AS query_id, b.vec_id AS neg_id, SUM(a.e*b.e) AS dot
+      | FROM qflat a JOIN flat b ON a.i = b.i GROUP BY 1, 2)
+      |SELECT query_id, neg_id, cos_sim, rank FROM (
+      | SELECT d.query_id, d.neg_id,
+      |  CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cos_sim,
+      |  ROW_NUMBER() OVER (PARTITION BY d.query_id
+      |   ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) DESC,
+      |    d.neg_id ASC) AS rank
+      | FROM dots d
+      | JOIN q la ON la.vec_id = d.query_id
+      | JOIN q lb ON lb.vec_id = d.neg_id
+      | JOIN norms na ON na.vec_id = d.query_id
+      | JOIN norms nb ON nb.vec_id = d.neg_id
+      | WHERE la.label <> lb.label)
+      |WHERE rank <= 5""".stripMargin
+
   /** I2h — sorted-neighborhood near-dup pairs: prefix-sort blocking with
     * exact word-3-gram Jaccard verification (see
     * [[graft.llm.Dedup.sortedNeighborPairs]]). Candidates are defined by
@@ -1508,6 +1550,7 @@ object LlmOps {
     "i3_kmeans" -> kmeansClusters _,
     "i2_semdedup" -> semDedup _,
     "i6_proto_prune" -> protoPrune _,
+    "i3_hard_negatives" -> hardNegatives _,
     "i3_bm25_topk" -> bm25TopK _,
     "i2_sorted_neighbors" -> sortedNeighbors _,
     "i6_expectations" -> expectations _,
@@ -1559,6 +1602,7 @@ object LlmOps {
     "i3_kmeans" -> kmeansClustersSql,
     "i2_semdedup" -> semDedupSql,
     "i6_proto_prune" -> protoPruneSql,
+    "i3_hard_negatives" -> hardNegativesSql,
     "i3_bm25_topk" -> bm25TopKSql,
     "i2_sorted_neighbors" -> sortedNeighborsSql,
     "i6_expectations" -> expectationsSql,

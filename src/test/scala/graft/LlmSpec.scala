@@ -1355,6 +1355,35 @@ class LlmSpec extends AnyFunSuite {
     assert(crossOnly.forall(!dropped.contains(_)))
   }
 
+  test("I3 hard negatives match a driver-side brute-force reference") {
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.hardNegatives(
+      e.orderBy(col("vec_id")).limit(20), e, "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // driver-side reference over the same quantized grid
+    val rows = e.select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x * 1e6).toLong).toArray,
+        if (r.isNullAt(2)) None else Some(r.getInt(2))))
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val queries = rows.sortBy(_._1).take(20)
+    val expected = queries.flatMap { case (qid, qv, ql) =>
+      rows.filter { case (_, _, cl) =>
+        ql.isDefined && cl.isDefined && cl != ql } // label mismatch only
+        .map { case (nid, nv, _) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }.take(3).zipWithIndex
+        .map { case ((nid, _), i) => (qid, nid, i + 1) }
+    }.toSet
+    assert(out.toSet == expected)
+    // structural: never a same-label or self pair
+    val lab = rows.map(r => r._1 -> r._3).toMap
+    assert(out.forall { case (q, n, _) => q != n && lab(q) != lab(n) })
+  }
+
   test("I6 proto-prune keeps exactly the far-from-centroid tail per cluster") {
     val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val asg = graft.llm.KMeans.fit(e, "vec_id", "embedding", k = 10, updates = 1)

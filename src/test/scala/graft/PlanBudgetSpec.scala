@@ -111,6 +111,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // i6_proto_prune: one exchange — the per-cluster rank window; the
     // kmeans assignment itself is the shuffle-free fused kernel
     "i6_proto_prune" -> 1,
+    // i3_hard_negatives: the 50-row mining batch is a local relation
+    // (terminal TakeOrdered collect) broadcast against the corpus, which
+    // never shuffles; the partial top-k heap combines map-side, so the
+    // only exchange is the |Q|-keyed final aggregate
+    "i3_hard_negatives" -> 1,
     // i3_bm25_topk: tf aggregate, query-term distinct, df window on the
     // pruned postings, per-(query,doc) sum, rank window, 1-row stats agg
     "i3_bm25_topk" -> 6,
