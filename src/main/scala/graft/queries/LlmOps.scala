@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.expressions.Window
-import graft.llm.{Chunking, Decontamination, Dedup, KMeans, Multimodal, Privacy, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Chunking, Decontamination, Dedup, KMeans, Multimodal, Privacy, Retrieval, Sampling, Similarity, Snapshots, TextAnalysis}
 
 /** SURVEY §2 Group I — LLM-data-pipeline operators as oracle-checked
   * queries over `documents` / `embeddings`.
@@ -1102,6 +1102,38 @@ object LlmOps {
        | WHEN ${bucketSql(col)} < 90 THEN 'val'
        | ELSE 'test' END""".stripMargin
 
+  /** I6k — snapshot diff between two corpus versions
+    * ([[graft.llm.Snapshots.diff]]): version B is derived
+    * deterministically from the fixture corpus — content-bucket < 5 docs
+    * get revised text, buckets [5,10) are dropped (removed), and buckets
+    * ≥ 95 also appear re-keyed (added) — so both engines can construct
+    * the identical second snapshot and the diff classification is fully
+    * hash-checkable. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    def bucket = Sampling.hashBucket(col("text"))
+    val b = a.filter(bucket < 5)
+      .select(col("doc_id"), concat(col("text"), lit(" rev2")).as("text"))
+      .unionByName(a.filter(bucket >= 10).select(col("doc_id"), col("text")))
+      .unionByName(a.filter(bucket >= 95)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Snapshots.diff(a, b, "doc_id", "text")
+  }
+
+  private lazy val snapshotDiffSql =
+    s"""WITH bkt AS (
+       | SELECT doc_id, text, ${bucketSql("text")} AS bucket FROM documents),
+       |b AS (
+       | SELECT doc_id, text || ' rev2' AS text FROM bkt WHERE bucket < 5
+       | UNION ALL SELECT doc_id, text FROM bkt WHERE bucket >= 10
+       | UNION ALL SELECT doc_id + 1000000, text FROM bkt WHERE bucket >= 95)
+       |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       | CASE WHEN a.doc_id IS NULL THEN 'added'
+       |      WHEN b.doc_id IS NULL THEN 'removed'
+       |      WHEN md5(a.text) IS DISTINCT FROM md5(b.text) THEN 'changed'
+       |      ELSE 'unchanged' END AS change_type
+       |FROM documents a FULL OUTER JOIN b ON b.doc_id = a.doc_id""".stripMargin
+
   /** I6a — deterministic content-hash dataset split: membership is a pure
     * function of the text, so the same document lands in the same split
     * across engines, runs, and repartitions (a rand()/row_number() split
@@ -1551,6 +1583,7 @@ object LlmOps {
     "i2_semdedup" -> semDedup _,
     "i6_proto_prune" -> protoPrune _,
     "i3_hard_negatives" -> hardNegatives _,
+    "i6_snapshot_diff" -> snapshotDiff _,
     "i3_bm25_topk" -> bm25TopK _,
     "i2_sorted_neighbors" -> sortedNeighbors _,
     "i6_expectations" -> expectations _,
@@ -1603,6 +1636,7 @@ object LlmOps {
     "i2_semdedup" -> semDedupSql,
     "i6_proto_prune" -> protoPruneSql,
     "i3_hard_negatives" -> hardNegativesSql,
+    "i6_snapshot_diff" -> snapshotDiffSql,
     "i3_bm25_topk" -> bm25TopKSql,
     "i2_sorted_neighbors" -> sortedNeighborsSql,
     "i6_expectations" -> expectationsSql,

@@ -1355,6 +1355,24 @@ class LlmSpec extends AnyFunSuite {
     assert(crossOnly.forall(!dropped.contains(_)))
   }
 
+  test("I6 snapshot diff distinguishes null content from absent rows") {
+    val oldS = Seq(
+      (1L, Option("a")), (2L, Option("b")), (3L, Option.empty[String]),
+      (4L, Option("d")), (6L, Option.empty[String])).toDF("doc_id", "text")
+    val newS = Seq(
+      (1L, Option("a")), (2L, Option("B")), (3L, Option("c")),
+      (5L, Option("e")), (6L, Option.empty[String])).toDF("doc_id", "text")
+    val out = graft.llm.Snapshots.diff(oldS, newS, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "unchanged", // same content
+      2L -> "changed", // content differs
+      3L -> "changed", // null -> text is a change, not an add
+      4L -> "removed", // id gone from the new snapshot
+      5L -> "added", // id new in the new snapshot
+      6L -> "unchanged")) // null content in both versions
+  }
+
   test("I3 hard negatives match a driver-side brute-force reference") {
     val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.hardNegatives(

@@ -116,6 +116,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // never shuffles; the partial top-k heap combines map-side, so the
     // only exchange is the |Q|-keyed final aggregate
     "i3_hard_negatives" -> 1,
+    // i6_snapshot_diff: the full-outer id join exchanges both snapshots;
+    // digests cross the shuffle, never document payloads. Co-bucketed
+    // snapshot layouts (SinksSpec's catalog tables) would make it 0
+    "i6_snapshot_diff" -> 2,
     // i3_bm25_topk: tf aggregate, query-term distinct, df window on the
     // pruned postings, per-(query,doc) sum, rank window, 1-row stats agg
     "i3_bm25_topk" -> 6,
