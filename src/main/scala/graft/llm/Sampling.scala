@@ -89,6 +89,65 @@ object Sampling {
         col("__rnk").cast("long").as("proto_rank"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    * every document by how target-like its token distribution is —
+    * `weight = mean_tokens p_target(bucket) / mean_tokens p_raw(bucket)`
+    * under Laplace-smoothed hashed-unigram models — the importance-
+    * resampling signal that up-weights crawl documents resembling a
+    * curated target domain. This is the arithmetic-mean likelihood ratio
+    * (exact-BIGINT hit sums, the `lmScore` formulation) rather than the
+    * paper's log-sum: sums of logs are float-order-dependent, integer hit
+    * sums are not, and the ranking they induce agrees on everything but
+    * pathological outlier tokens.
+    *
+    * Scale design: the model is `2 × nBuckets` longs built by ONE
+    * map-side-combined aggregation over the token stream and collected
+    * (256 buckets = 4 KB — bounded regardless of vocabulary, which is the
+    * point of DSIR's hashing); scoring is a single shuffle-free codegen
+    * scan with the tables broadcast by closure
+    * ([[graft.functions.DsirKernel]] — same shape as the k-means
+    * assignment kernel). No token explode, join, or per-doc re-aggregation
+    * on the scoring path.
+    *
+    * Returns one row per input row: idCol, is_target, n_tokens, hits_t,
+    * hits_r, weight — weight NULL for token-less documents. Downstream
+    * selects by weight (top-k via TakeOrdered, or an approx-quantile
+    * threshold at scale). */
+  def dsirWeights(
+      df: DataFrame, idCol: String, textCol: String, isTarget: Column,
+      nBuckets: Int = 256): DataFrame = {
+    require(nBuckets > 0, s"bad nBuckets: $nBuckets")
+    val toks = df
+      .select(isTarget.cast("boolean").as("tgt"),
+        explode(split(trim(col(textCol)), " +")).as("w"))
+      .filter(col("w") =!= "")
+    val model = toks
+      .groupBy(hashBucket(col("w"), nBuckets).as("b"))
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      .collect() // ≤ nBuckets rows — bounded by construction
+    val ct = new Array[Long](nBuckets)
+    val cr = new Array[Long](nBuckets)
+    var nT = 0L
+    var nR = 0L
+    model.foreach { r =>
+      val b = r.getLong(0).toInt
+      ct(b) = r.getLong(1); cr(b) = r.getLong(2)
+      nT += r.getLong(1); nR += r.getLong(2)
+    }
+    df.select(col(idCol), isTarget.cast("boolean").as("is_target"),
+        graft.functions.DsirExprs.hits(col(textCol), ct, cr).as("__h"))
+      .select(col(idCol), col("is_target"),
+        col("__h.n_tokens").as("n_tokens"),
+        col("__h.hits_t").as("hits_t"),
+        col("__h.hits_r").as("hits_r"))
+      .withColumn("weight",
+        when(col("n_tokens") > 0,
+          (col("hits_t").cast("double") / lit((nT + nBuckets).toDouble)) /
+            (col("hits_r").cast("double") / lit((nR + nBuckets).toDouble)))
+          .otherwise(lit(null).cast("double")))
+  }
+
   /** Stratified cap: at most `cap` rows per stratum (e.g. per language),
     * kept deterministically — rows ranked by content-hash bucket with an
     * id tie-break, so the KEPT SET is a pure function of the data, like

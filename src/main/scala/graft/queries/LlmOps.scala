@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.expressions.Window
-import graft.llm.{Chunking, Decontamination, Dedup, KMeans, Multimodal, Privacy, Retrieval, Sampling, Similarity, Snapshots, TextAnalysis}
+import graft.llm.{Bpe, Chunking, Decontamination, Dedup, KMeans, Multimodal, Privacy, QualityClassifier, Retrieval, Sampling, Similarity, Snapshots, TextAnalysis}
 
 /** SURVEY §2 Group I — LLM-data-pipeline operators as oracle-checked
   * queries over `documents` / `embeddings`.
@@ -1089,13 +1089,13 @@ object LlmOps {
   /** The oracle's md5-bucket arithmetic: first 8 (lowercase) md5 hex
     * digits folded digit-by-digit into a BIGINT, mod 100 — the exact value
     * of Spark's `conv(substring(md5(c),1,8),16,10) % 100`. */
-  private def bucketSql(col: String): String =
+  private def bucketSql(col: String, nBuckets: Int = 100): String =
     s"""list_reduce(
        | [CAST(CASE WHEN ascii(substr(md5($col), i, 1)) < 58
        |   THEN ascii(substr(md5($col), i, 1)) - 48
        |   ELSE ascii(substr(md5($col), i, 1)) - 87 END AS BIGINT)
        |  for i in range(1, 9)],
-       | (acc, x) -> acc * 16 + x) % 100""".stripMargin
+       | (acc, x) -> acc * 16 + x) % $nBuckets""".stripMargin
 
   private def splitSql(col: String): String =
     s"""CASE WHEN ${bucketSql(col)} < 80 THEN 'train'
@@ -1562,6 +1562,138 @@ object LlmOps {
       |FROM h GROUP BY source""".stripMargin
   }
 
+  /** Fitted LR full-corpus accuracy on the driver fixtures (LrCalib run,
+    * lr=1/8 × 200 iters, 80% content-hash training split, 2026-08-14):
+    * 0.936 / 0.920 / 0.915 at sf 0.001/0.01/0.1 — floors sit under the
+    * measured values and far above the ~55% base rate a diverged or
+    * broken model would score. (The fixtures' `lang`/`source` columns are
+    * INDEPENDENT of the text — a shared 31-word vocabulary — so the
+    * teachable label is the length-quality rule below; float LR on exact
+    * word counts maxes out at 0.64 against `lang`.) */
+  private[graft] val LrAccFloors =
+    Map("0.001" -> 0.85, "0.01" -> 0.85, "0.1" -> 0.85)
+
+  /** I5m — model-based quality gate: fit the hashed bag-of-words integer
+    * logistic regression ([[QualityClassifier]]) on the deterministic 80%
+    * content-hash split, score the WHOLE corpus with one broadcast kernel
+    * scan, and gate on full-corpus accuracy. The label is the C4-style
+    * length-quality rule (≥ 50 whitespace tokens) — the model has to
+    * RECOVER it from per-token weights alone, so the gate fails if the
+    * integer GD diverges, the kernel mis-tokenizes, or the fitted weights
+    * drift across partitionings (they are bit-exact by construction). The
+    * oracle pins the corpus size and the floor verdict. */
+  def lrQualityGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val label = (size(split(trim(col("text")), " +")) >= 50).cast("int")
+    val model = QualityClassifier.fit(docs, "text", label,
+      buckets = 1024, iters = 200, lrNum = 1, lrDen = 8, trainPct = 80)
+    val floor = floorFor(LrAccFloors, d, conservative = 0.75)
+    QualityClassifier.score(docs, "text", model)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === (label === 1), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("n_docs"),
+        (col("n_correct").cast("double") / col("n_docs").cast("double")
+          >= floor).as("acc_floor_met"))
+  }
+
+  private val lrQualityGateSql =
+    """SELECT COUNT(*) AS n_docs, true AS acc_floor_met FROM documents"""
+
+  /** I6n — DSIR importance weights ([[Sampling.dsirWeights]]): target =
+    * `lang = 'en'` documents, raw = the whole corpus, 256 md5 hash
+    * buckets. The oracle rebuilds both unigram models and every hit sum
+    * exactly (same md5 bucket, exact BIGINT sums, identically-shaped final
+    * division). */
+  def dsirWeights(s: SparkSession, d: String): DataFrame =
+    Sampling.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+      col("lang") === "en", nBuckets = 256)
+
+  private val dsirWeightsSql =
+    s"""WITH tk AS (
+      | SELECT doc_id, tgt, ${bucketSql("w", 256)} AS b FROM (
+      |  SELECT doc_id, lang = 'en' AS tgt,
+      |   unnest(regexp_split_to_array(trim(text), ' +')) AS w
+      |  FROM documents)
+      | WHERE w <> ''),
+      |model AS (
+      | SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct, COUNT(*) AS cr
+      | FROM tk GROUP BY b),
+      |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr FROM model),
+      |agg AS (
+      | SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(m.ct + 1) AS BIGINT) AS hits_t,
+      |  CAST(SUM(m.cr + 1) AS BIGINT) AS hits_r
+      | FROM tk JOIN model m ON tk.b = m.b GROUP BY doc_id)
+      |SELECT d.doc_id, d.lang = 'en' AS is_target,
+      | CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(a.n_tokens, 0) END AS n_tokens,
+      | CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(a.hits_t, 0) END AS hits_t,
+      | CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(a.hits_r, 0) END AS hits_r,
+      | CASE WHEN COALESCE(a.n_tokens, 0) > 0 THEN
+      |  (CAST(a.hits_t AS DOUBLE) / CAST(t.nt + 256 AS DOUBLE)) /
+      |  (CAST(a.hits_r AS DOUBLE) / CAST(t.nr + 256 AS DOUBLE)) END AS weight
+      |FROM documents d
+      |LEFT JOIN agg a ON a.doc_id = d.doc_id
+      |CROSS JOIN tot t""".stripMargin
+
+  /** I5n — BPE round-0 statistics: the top-50 adjacent character pairs
+    * over the corpus's whitespace words (overlapping adjacency — the
+    * plain frequency view; the TRAINER counts non-overlapping, see
+    * [[Bpe]]). Deterministic order: count desc, then pair. */
+  def bpeStats(s: SparkSession, d: String): DataFrame = {
+    val chars = split(col("w"), "")
+    Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), " +")).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => struct(element_at(chars, i).as("l"),
+          element_at(chars, i + 1).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l"), col("r"))
+      .limit(50)
+  }
+
+  private val bpeStatsSql =
+    """WITH w AS (
+      | SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS w
+      | FROM documents),
+      |p AS (
+      | SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r
+      | FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w WHERE w <> ''))
+      |SELECT l, r, COUNT(*) AS n FROM p GROUP BY 1, 2
+      |ORDER BY n DESC, l, r LIMIT 50""".stripMargin
+
+  /** I5o — BPE training conservation gate: learn 20 merges ([[Bpe.train]]
+    * — distributed type-frequency scan, driver merge loop on the bounded
+    * type table), re-encode the corpus with the distributed
+    * [[graft.functions.BpeKernel]], and check the exact identity
+    * `tokens_after == tokens_before - Σ merge counts` that greedy-left
+    * non-overlapping counting guarantees. The oracle recomputes
+    * `tokens_before` (total character symbols over all words) exactly and
+    * pins the merge count and the conservation verdict. */
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val model = Bpe.train(docs, "text", nMerges = 20)
+    val tokensAfter = docs
+      .agg(sum(graft.functions.BpeExprs.encodeCount(col("text"), model.merges))
+        .as("ta"))
+      .head().getLong(0)
+    val conserve =
+      tokensAfter == model.tokensBefore - model.mergedTotal
+    s.range(1).select(
+      lit(model.merges.length).as("n_merges"),
+      lit(model.tokensBefore).as("tokens_before"),
+      lit(conserve).as("conserve_ok"))
+  }
+
+  private val bpeTrainSql =
+    """SELECT 20 AS n_merges,
+      | (SELECT CAST(SUM(len(w)) AS BIGINT) FROM (
+      |   SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS w
+      |   FROM documents) WHERE w <> '') AS tokens_before,
+      | true AS conserve_ok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i1_dedup_exact" -> dedupExact _,
     "i1_bloom_reference_dedup" -> bloomReferenceDedup _,
@@ -1617,7 +1749,11 @@ object LlmOps {
     "i2_editdist_blocked" -> editdistBlocked _,
     "d08_heavy_hitters" -> heavyHitters _,
     "i5_inverted_index" -> invertedIndex _,
-    "i6_table_fingerprint" -> tableFingerprint _
+    "i6_table_fingerprint" -> tableFingerprint _,
+    "i5_lr_quality_gate" -> lrQualityGate _,
+    "i6_dsir_weights" -> dsirWeights _,
+    "i5_bpe_stats" -> bpeStats _,
+    "i5_bpe_train" -> bpeTrain _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1670,6 +1806,10 @@ object LlmOps {
     "i2_editdist_blocked" -> editdistBlockedSql,
     "d08_heavy_hitters" -> heavyHittersSql,
     "i5_inverted_index" -> invertedIndexSql,
-    "i6_table_fingerprint" -> tableFingerprintSql
+    "i6_table_fingerprint" -> tableFingerprintSql,
+    "i5_lr_quality_gate" -> lrQualityGateSql,
+    "i6_dsir_weights" -> dsirWeightsSql,
+    "i5_bpe_stats" -> bpeStatsSql,
+    "i5_bpe_train" -> bpeTrainSql
   )
 }

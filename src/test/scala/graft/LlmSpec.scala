@@ -1420,4 +1420,61 @@ class LlmSpec extends AnyFunSuite {
     assert(out.toSet == expected)
     assert(out.length < asg.length) // something was actually pruned
   }
+
+  test("I6 DSIR hit sums match a declarative recompute exactly") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = llm.Sampling.dsirWeights(docs, "doc_id", "text",
+      col("lang") === "en", nBuckets = 64)
+    // independent recompute: explode + join + group, no kernel
+    val toks = docs
+      .select(col("doc_id"), (col("lang") === "en").as("tgt"),
+        explode(split(trim(col("text")), " +")).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("b", llm.Sampling.hashBucket(col("w"), 64))
+    val model = toks.groupBy("b")
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+    val ref = toks.join(model, "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("ct") + 1).as("hits_t"),
+        sum(col("cr") + 1).as("hits_r"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val got = out.collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ref(id),
+        s"kernel/declarative hits disagree for doc $id")
+    }
+  }
+
+  test("I6 DSIR up-weights target-like documents and is repartition-stable") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = llm.Sampling.dsirWeights(docs, "doc_id", "text",
+      col("lang") === "en").collect()
+    val (tgt, rest) = out.partition(_.getBoolean(1))
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getDouble(5)).sum / rs.length
+    assert(mean(tgt) > mean(rest),
+      "target documents must average a higher importance weight")
+    val again = llm.Sampling.dsirWeights(docs.repartition(17), "doc_id",
+      "text", col("lang") === "en").collect()
+    assert(out.map(r => r.getLong(0) -> r.getDouble(5)).toMap ==
+      again.map(r => r.getLong(0) -> r.getDouble(5)).toMap)
+  }
+
+  test("I6 DSIR degenerate texts: empty yields NULL weight") {
+    import spark.implicits._
+    val df = Seq((0L, "alpha beta", "en"), (1L, "", "de"),
+      (2L, null.asInstanceOf[String], "de"), (3L, "alpha alpha", "de"))
+      .toDF("doc_id", "text", "lang")
+    val rows = llm.Sampling.dsirWeights(df, "doc_id", "text",
+      col("lang") === "en").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).isNullAt(5) && rows(2L).isNullAt(5))
+    assert(rows(1L).getLong(2) == 0L) // empty text: zero tokens, not null
+    assert(rows(2L).isNullAt(2)) // null text: null token count
+    assert(!rows(0L).isNullAt(5) && rows(0L).getDouble(5) > 0)
+  }
 }
