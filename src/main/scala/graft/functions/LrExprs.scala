@@ -62,6 +62,31 @@ object LrKernel {
     math.floor(p * Scale).toLong
   }
 
+  /** Bucket ids of every token of `text`, in order — the pre-tokenized
+    * form the driver-local GD loop iterates over (tokenize once, not once
+    * per iteration; bit-identical sums either way). */
+  def bucketIds(text: UTF8String, nBuckets: Int): Array[Int] = {
+    val s = text.toString
+    val out = new java.util.ArrayList[Integer](16)
+    var h = 0
+    var inTok = false
+    val n = s.length
+    var i = 0
+    while (i <= n) {
+      val c = if (i < n) s.charAt(i) else ' '
+      if (c != ' ') { h = h * 31 + c; inTok = true }
+      else if (inTok) {
+        out.add(java.lang.Math.floorMod(h, nBuckets))
+        h = 0; inTok = false
+      }
+      i += 1
+    }
+    val arr = new Array[Int](out.size)
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    arr
+  }
+
   /** Adds `coeff` (= pFp - y*Scale) into `grad` once per token occurrence
     * — equivalent to `grad[b] += coeff * count[b]` without materializing
     * counts. Slot `grad.length - 1` is the intercept. */

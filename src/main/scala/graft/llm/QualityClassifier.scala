@@ -79,9 +79,13 @@ object QualityClassifier {
     import org.apache.spark.unsafe.types.UTF8String
     def rowText(row: org.apache.spark.sql.Row): UTF8String =
       UTF8String.fromString(if (row.isNullAt(0)) "" else row.getString(0))
-    val local: Array[(UTF8String, Int)] =
+    // local path pre-tokenizes ONCE into bucket-id arrays (strings scan
+    // 200× otherwise); the distributed path re-scans per pass — the
+    // sample affords n×len ints in driver memory, the corpus does not
+    val local: Array[(Array[Int], Int)] =
       if (n <= localFitMaxDocs)
-        base.collect().map(r => (rowText(r), r.getInt(1)))
+        base.collect().map(r =>
+          (LrKernel.bucketIds(rowText(r), buckets), r.getInt(1)))
       else null
     val rdd = if (local == null) base.select(col("t"), col("y")).rdd else null
     val w = new Array[Long](buckets)
@@ -92,10 +96,14 @@ object QualityClassifier {
           val g = new Array[Long](buckets + 1)
           var d = 0
           while (d < local.length) {
-            val (t, y) = local(d)
-            val coeff = LrKernel.probFp(LrKernel.logitFp(t, w, b0)) -
-              y * LrKernel.Scale
-            LrKernel.addGrad(t, coeff, g)
+            val (toks, y) = local(d)
+            var z = b0
+            var k = 0
+            while (k < toks.length) { z += w(toks(k)); k += 1 }
+            val coeff = LrKernel.probFp(z) - y * LrKernel.Scale
+            k = 0
+            while (k < toks.length) { g(toks(k)) += coeff; k += 1 }
+            g(buckets) += coeff
             d += 1
           }
           g
