@@ -89,6 +89,30 @@ object Sampling {
         col("__rnk").cast("long").as("proto_rank"))
   }
 
+  /** Token-budget corpus assembly: keep documents per stratum (source,
+    * language, …) until a TOKEN budget is exhausted — the unit that
+    * actually prices an LLM training mixture ("20B tokens of web, 5B of
+    * code"), where a doc-count cap ([[stratifiedCap]]) would skew toward
+    * whichever source writes longer documents. Selection order inside a
+    * stratum is (content-hash bucket, id) — the same deterministic,
+    * re-run-stable order the other sampling operators use — and a doc is
+    * kept iff the running token total INCLUDING it stays ≤ `budget`, so
+    * the kept set is a pure function of the data. One window per stratum
+    * (running sum, rows frame); no stratum ever sorts outside its own
+    * partition. Returns kept rows with `n_tokens` and `cum_tokens`. */
+  def tokenBudgetCap(
+      df: DataFrame, stratum: Column, content: Column, idCol: Column,
+      tokens: Column, budget: Long): DataFrame = {
+    require(budget >= 0, s"bad token budget: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(hashBucket(content).asc, idCol.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("n_tokens", tokens)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
     * every document by how target-like its token distribution is —
     * `weight = mean_tokens p_target(bucket) / mean_tokens p_raw(bucket)`

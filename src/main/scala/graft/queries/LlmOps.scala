@@ -1636,6 +1636,35 @@ object LlmOps {
       |LEFT JOIN agg a ON a.doc_id = d.doc_id
       |CROSS JOIN tot t""".stripMargin
 
+  /** I6o — token-budget mixture assembly ([[Sampling.tokenBudgetCap]]):
+    * per source, keep documents in deterministic content-hash order until
+    * 600 whitespace tokens are banked — the token-priced variant of
+    * `i6_stratified_cap`. The oracle recomputes the running sum with the
+    * identical window. */
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nTokens = size(filter(split(trim(col("text")), " +"), w => w =!= ""))
+      .cast("long")
+    Sampling.tokenBudgetCap(docs, col("source"), col("text"), col("doc_id"),
+        nTokens, budget = 600L)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  private val tokenBudgetSql =
+    s"""WITH t AS (
+      | SELECT doc_id, source,
+      |  CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'),
+      |    w -> w <> '')) AS BIGINT) AS n_tokens,
+      |  ${bucketSql("text")} AS b
+      | FROM documents),
+      |c AS (
+      | SELECT doc_id, source, n_tokens,
+      |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY b, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      | FROM t)
+      |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM c WHERE cum_tokens <= 600""".stripMargin
+
   /** I5n — BPE round-0 statistics: the top-50 adjacent character pairs
     * over the corpus's whitespace words (overlapping adjacency — the
     * plain frequency view; the TRAINER counts non-overlapping, see
@@ -1753,7 +1782,8 @@ object LlmOps {
     "i5_lr_quality_gate" -> lrQualityGate _,
     "i6_dsir_weights" -> dsirWeights _,
     "i5_bpe_stats" -> bpeStats _,
-    "i5_bpe_train" -> bpeTrain _
+    "i5_bpe_train" -> bpeTrain _,
+    "i6_token_budget" -> tokenBudget _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1810,6 +1840,7 @@ object LlmOps {
     "i5_lr_quality_gate" -> lrQualityGateSql,
     "i6_dsir_weights" -> dsirWeightsSql,
     "i5_bpe_stats" -> bpeStatsSql,
-    "i5_bpe_train" -> bpeTrainSql
+    "i5_bpe_train" -> bpeTrainSql,
+    "i6_token_budget" -> tokenBudgetSql
   )
 }

@@ -1421,6 +1421,35 @@ class LlmSpec extends AnyFunSuite {
     assert(out.length < asg.length) // something was actually pruned
   }
 
+  test("I6 token-budget cap keeps the hash-order prefix per stratum") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    val nTokens = size(split(trim(col("text")), " +")).cast("long")
+    val budget = 600L
+    val out = llm.Sampling.tokenBudgetCap(docs, col("source"), col("text"),
+      col("doc_id"), nTokens, budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // reference: driver-side per-source greedy prefix in (bucket, id) order
+    val all = docs.select(col("doc_id"), col("source"), nTokens.as("n"),
+      llm.Sampling.hashBucket(col("text")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // same contract as the operator: keep rows whose RUNNING total stays
+    // within budget (monotone sum, so this is the hash-order prefix)
+    val expected = all.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (r._4, r._1)).flatMap { case (id, _, n, _) =>
+        cum += n
+        if (cum <= budget) Some((id, src, n, cum)) else None
+      }
+    }.toSet
+    assert(out.toSet == expected)
+    assert(out.nonEmpty && out.length < all.length, "budget must truncate")
+    // per-source token totals never exceed the budget
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.map(_._3).sum <= budget, s"source $src over budget")
+    }
+  }
+
   test("I6 DSIR hit sums match a declarative recompute exactly") {
     val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = llm.Sampling.dsirWeights(docs, "doc_id", "text",
