@@ -1665,6 +1665,33 @@ object LlmOps {
       |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
       |FROM c WHERE cum_tokens <= 600""".stripMargin
 
+  /** Fixture blocklist: six phrases spanning the frequency range (one
+    * never matches — the automaton must not false-positive on shared
+    * prefixes like `dup`). ~20% of docs block at every sf. */
+  private val BlocklistPatterns = Seq("big dup", "dup row",
+    "hash merge table", "slow table", "stream stream", "vector join")
+
+  /** I7e — multi-phrase blocklist filter (C4-style badwords pass): one
+    * Aho–Corasick scan per document ([[graft.functions.AhoCorasick]])
+    * instead of one substring search per pattern; returns the distinct-
+    * pattern hit count and the block decision. The oracle re-derives
+    * every hit with per-pattern padded-substring checks. */
+  def blocklist(s: SparkSession, d: String): DataFrame = {
+    val hits = graft.functions.BlocklistExprs.hits(col("text"), BlocklistPatterns)
+    Tables.documents(s, d)
+      .select(col("doc_id"), hits.as("n_patterns"),
+        (hits > 0).as("blocked"))
+  }
+
+  private val blocklistSql = {
+    val cases = BlocklistPatterns.map(p =>
+      s"(CASE WHEN position(' $p ' IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""SELECT doc_id, $cases AS n_patterns,
+       | ($cases) > 0 AS blocked
+       |FROM documents""".stripMargin
+  }
+
   /** I5n — BPE round-0 statistics: the top-50 adjacent character pairs
     * over the corpus's whitespace words (overlapping adjacency — the
     * plain frequency view; the TRAINER counts non-overlapping, see
@@ -1783,7 +1810,8 @@ object LlmOps {
     "i6_dsir_weights" -> dsirWeights _,
     "i5_bpe_stats" -> bpeStats _,
     "i5_bpe_train" -> bpeTrain _,
-    "i6_token_budget" -> tokenBudget _
+    "i6_token_budget" -> tokenBudget _,
+    "i7_blocklist" -> blocklist _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1841,6 +1869,7 @@ object LlmOps {
     "i6_dsir_weights" -> dsirWeightsSql,
     "i5_bpe_stats" -> bpeStatsSql,
     "i5_bpe_train" -> bpeTrainSql,
-    "i6_token_budget" -> tokenBudgetSql
+    "i6_token_budget" -> tokenBudgetSql,
+    "i7_blocklist" -> blocklistSql
   )
 }
