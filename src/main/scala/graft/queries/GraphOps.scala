@@ -179,15 +179,51 @@ object GraphOps {
       |FROM r2 GROUP BY 1
       |ORDER BY n_members DESC, community LIMIT 25""".stripMargin
 
+  /** I8d — 20-core of the co-purchase graph ([[graft.operators.KCore]]):
+    * synchronous peeling run to TRUE convergence (3/8/10 rounds at sf
+    * 0.001/0.01/0.1), the graph-cohesion filter that thins weakly-embedded
+    * spam/boilerplate families before link-authority scoring. The oracle
+    * unrolls 12 peeling rounds — more than any fixture needs — and relies
+    * on peeling being IDEMPOTENT at the fixpoint: extra rounds are
+    * no-ops, so one fixed-depth CTE chain checks the converged engine
+    * result at every scale factor. */
+  def kcore(s: SparkSession, d: String): DataFrame =
+    graft.operators.KCore.core(copurchaseEdges(s, d), k = 20)
+
+  private val kcoreSql = {
+    val rounds = 12
+    // AS MATERIALIZED is load-bearing: each round references the previous
+    // one twice, so an inlining planner would expand the chain 2^12-fold
+    // ("too many open files" on the base parquet before anything runs)
+    val peels = (1 to rounds).map { i =>
+      s"""a$i AS MATERIALIZED (
+        |  SELECT s.u FROM sym s
+        |  JOIN a${i - 1} x ON s.u = x.u
+        |  JOIN a${i - 1} y ON s.v = y.u
+        |  GROUP BY s.u HAVING COUNT(*) >= 20)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $copurchaseEdgesCte,
+      |sym AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+      |a0 AS MATERIALIZED (SELECT DISTINCT u FROM sym),
+      |$peels
+      |SELECT s.u AS node, COUNT(*) AS core_degree
+      |FROM sym s
+      |JOIN a$rounds x ON s.u = x.u
+      |JOIN a$rounds y ON s.v = y.u
+      |GROUP BY s.u""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i8_pagerank" -> pagerank _,
     "i8_triangles" -> triangleCounts _,
-    "i8_communities" -> communityCounts _
+    "i8_communities" -> communityCounts _,
+    "i8_kcore" -> kcore _
   )
 
   val oracles: Map[String, String] = Map(
     "i8_pagerank" -> pagerankSql,
     "i8_triangles" -> triangleCountsSql,
-    "i8_communities" -> communityCountsSql
+    "i8_communities" -> communityCountsSql,
+    "i8_kcore" -> kcoreSql
   )
 }
