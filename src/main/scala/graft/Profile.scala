@@ -121,32 +121,46 @@ object Profile {
     }
     if (only.contains("scratch")) {
       import org.apache.spark.sql.functions._
-      val docs = queries.Tables.documents(spark, sfDir)
       def time[A](label: String)(f: => A): A = {
         val t0 = System.nanoTime(); val r = f
         println(f"  ${(System.nanoTime() - t0) / 1e9}%7.2f  $label"); r
       }
-      time("warmup count")(docs.count())
-      val sh = docs.select(col("doc_id").as("doc"),
-        llm.Dedup.charShingles(col("text"), 5).as("sh")).repartition(col("doc"))
-      time("shingles only")(sh.count())
-      val sig = sh.select(col("doc"), llm.Dedup.minHashSignature(col("sh"), 64).as("sig"))
-      time("shingles+sig")(sig.count())
-      val sigs2 = docs.select(col("doc_id").as("doc"),
-        llm.Dedup.minHashSignature(llm.Dedup.charShingles(col("text"), 5), 64).as("sig"))
-        .repartition(col("doc"))
-      val bands = sigs2.select(col("doc"),
-        posexplode(transform(sequence(lit(0), lit(15)),
-          j => hash(concat_ws(",", slice(col("sig"), j * 4 + 1, lit(4))), j)))
-          .as(Seq("band_idx", "band_hash")))
-      time("bands count")(bands.count())
-      val other = bands.select(col("doc").as("doc_b"), col("band_idx"), col("band_hash"))
-      time("join pre-distinct")(bands.join(other, Seq("band_idx", "band_hash"))
-        .filter(col("doc") < col("doc_b")).count())
-      time("full candidates 1st")(
-        llm.Dedup.minHashCandidates(docs, "doc_id", "text").count())
-      time("full candidates 2nd")(
-        llm.Dedup.minHashCandidates(docs, "doc_id", "text").count())
+      val li = queries.Tables.lineitem(spark, sfDir)
+      time("warmup")(li.count())
+      val basket = li.filter(col("l_quantity") >= 25)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .repartition(col("l_orderkey")).distinct()
+      val edges = basket.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(basket.select(col("l_orderkey"), col("l_partkey").as("b")),
+          Seq("l_orderkey"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      time("edges 1st")(edges.count())
+      time("edges 2nd")(edges.count())
+      val t0 = System.nanoTime()
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+        .repartition(col("u")).localCheckpoint()
+      println(f"  ${(System.nanoTime() - t0) / 1e9}%7.2f  sym checkpoint")
+      var deg = time("deg0")(sym.groupBy(col("u")).agg(count(lit(1)).as("deg")).localCheckpoint())
+      var r = 0
+      while (r < 15) {
+        val t1 = System.nanoTime()
+        val doomed = deg.filter(col("deg") < 20).select(col("u"))
+        val empty = doomed.isEmpty
+        val t2 = System.nanoTime()
+        if (empty) { println(f"  round $r%2d: isEmpty ${(t2-t1)/1e9}%.2f -> converged"); r = 99 }
+        else {
+          val dec = sym.join(doomed.select(col("u").as("v")), "v")
+            .groupBy(col("u")).agg(count(lit(1)).as("dec"))
+          deg = deg.filter(col("deg") >= 20)
+            .join(dec, Seq("u"), "left")
+            .select(col("u"), (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
+            .localCheckpoint()
+          println(f"  round $r%2d: isEmpty ${(t2-t1)/1e9}%.2f ckpt ${(System.nanoTime()-t2)/1e9}%.2f")
+          r += 1
+        }
+      }
       spark.stop(); return
     }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

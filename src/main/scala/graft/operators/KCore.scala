@@ -32,38 +32,109 @@ import org.apache.spark.sql.functions._
 object KCore {
 
   /** Nodes of the `k`-core of the undirected graph given as unique
-    * `a < b` edge pairs, with each node's within-core degree. */
-  def core(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    * `a < b` edge pairs, with each node's within-core degree.
+    *
+    * The loop is DELTA-based: instead of recounting degrees over the
+    * surviving subgraph every round (a full-edge-set aggregation × the
+    * cascade depth), it maintains the degree table and, per round,
+    * decrements only the neighbors of the just-peeled nodes —
+    * `deg'(u) = deg(u) − |dead neighbors|`, exactly the synchronous
+    * recount because every peeled edge had a doomed endpoint. The doomed
+    * set is usually tiny, so the per-round join against the (static,
+    * pre-partitioned) edge table broadcasts it; the carried state is one
+    * |V|-row degree table, localCheckpointed per round. */
+  /** Below this many (undirected) edges the peel runs driver-side on the
+    * collected edge list — synchronous rounds over a 325k-edge graph are
+    * microseconds in one array pass but ~0.5 s per round as Spark jobs
+    * (the loop is all scheduling overhead at that size). Results are
+    * identical by construction (same synchronous recurrence;
+    * KCoreSpec pins local/distributed equality). The same bounded-
+    * collect-budget pattern as `Closure.LocalWalkMaxEdges`. */
+  val LocalPeelMaxEdges: Long = 5000000L
+
+  def core(edges: DataFrame, k: Int, maxRounds: Int = 50,
+      localPeelMaxEdges: Long = LocalPeelMaxEdges): DataFrame = {
     require(k >= 1, s"bad k: $k")
+    val spark = edges.sparkSession
+    if (edges.count() <= localPeelMaxEdges) {
+      import java.lang.{Long => JLong}
+      val pairs = edges.select(col("a").cast("long"), col("b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val adj = new java.util.HashMap[JLong, java.util.ArrayList[JLong]]()
+      def add(u: Long, v: Long): Unit = {
+        var l = adj.get(JLong.valueOf(u))
+        if (l == null) {
+          l = new java.util.ArrayList[JLong]()
+          adj.put(JLong.valueOf(u), l)
+        }
+        l.add(JLong.valueOf(v))
+      }
+      pairs.foreach { case (a, b) => add(a, b); add(b, a) }
+      val deg = new java.util.HashMap[JLong, JLong]()
+      adj.forEach((u, l) => deg.put(u, JLong.valueOf(l.size.toLong)))
+      var rounds = 0
+      var running = true
+      while (running) {
+        val dead = new java.util.ArrayList[JLong]()
+        deg.forEach((u, d) => if (d.longValue() < k) dead.add(u))
+        if (dead.isEmpty) running = false
+        else if (rounds >= maxRounds) {
+          throw new IllegalStateException(
+            s"k-core peeling did not converge in $maxRounds rounds — " +
+              "raise maxRounds")
+        } else {
+          // synchronous: remove all doomed, then decrement their alive
+          // neighbors — identical to the distributed delta recurrence
+          dead.forEach(u => deg.remove(u))
+          dead.forEach { u =>
+            adj.get(u).forEach { v =>
+              val d = deg.get(v)
+              if (d != null) deg.put(v, JLong.valueOf(d.longValue() - 1L))
+            }
+          }
+          rounds += 1
+        }
+      }
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](deg.size)
+      deg.forEach((u, d) =>
+        rows.add(org.apache.spark.sql.Row(u.longValue(), d.longValue())))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("core_degree",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      return spark.createDataFrame(rows, schema)
+    }
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
       .repartition(col("u"))
-      .localCheckpoint() // one shuffle serves every round's degree count
-    var alive = sym.select(col("u")).distinct().localCheckpoint()
-    var n = alive.count()
+      .localCheckpoint() // one shuffle serves every round's delta join
+    var deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     var rounds = 0
     while (true) {
+      val doomed = deg.filter(col("deg") < k).select(col("u"))
+      if (doomed.isEmpty) {
+        // fixpoint: `deg` counts only alive-alive edges — the core degree
+        return deg.select(col("u").as("node"), col("deg").as("core_degree"))
+      }
       if (rounds >= maxRounds) {
         throw new IllegalStateException(
-          s"k-core peeling did not converge in $maxRounds rounds " +
-            s"($n nodes still alive) — raise maxRounds")
+          s"k-core peeling did not converge in $maxRounds rounds — " +
+            "raise maxRounds")
       }
-      // degrees among currently-alive nodes; survivors keep their degree
-      val survivors = sym
-        .join(alive, "u")
-        .join(alive.select(col("u").as("v")), "v")
+      // per-alive-node count of dead neighbors; edges between two doomed
+      // nodes decrement a node the filter below removes anyway
+      val dec = sym
+        .join(doomed.select(col("u").as("v")), "v")
         .groupBy(col("u"))
-        .agg(count(lit(1)).as("deg"))
+        .agg(count(lit(1)).as("dec"))
+      deg = deg
         .filter(col("deg") >= k)
+        .join(dec, Seq("u"), "left")
+        .select(col("u"),
+          (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
         .localCheckpoint()
-      val m = survivors.count()
-      if (m == n) {
-        // fixpoint: nothing was peeled, so `deg` was computed among the
-        // final core itself — it IS the within-core degree
-        return survivors.select(col("u").as("node"), col("deg").as("core_degree"))
-      }
-      alive = survivors.select(col("u"))
-      n = m
       rounds += 1
     }
     throw new IllegalStateException("unreachable")

@@ -58,6 +58,21 @@ class KCoreSpec extends AnyFunSuite {
       "fixture 20-core must be a proper non-empty subgraph")
   }
 
+  test("local and forced-distributed peels agree exactly") {
+    val li = graft.queries.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val basket = li.filter(col("l_quantity") >= 25)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = basket.as("x").join(basket.as("y"), col("x.o") === col("y.o"))
+      .filter(col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      .localCheckpoint()
+    val local = KCore.core(edges, k = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = KCore.core(edges, k = 20, localPeelMaxEdges = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+  }
+
   test("peeling is idempotent: the core of the core is itself") {
     val li = graft.queries.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val basket = li.filter(col("l_quantity") >= 25)
