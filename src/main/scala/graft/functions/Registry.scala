@@ -60,8 +60,36 @@ object Registry {
     // centroid table (semicolon-separated centroids of comma-separated
     // longs); returns struct(cluster, dist)
     "graft_kmeans_assign" -> (kmeansAssignBuilder(_)),
+    // graft_blocklist_hits(text, 'phrase one,phrase two,…') — literal
+    // comma-separated phrase list, one Aho–Corasick scan per row
+    "graft_blocklist_hits" -> (blocklistHitsBuilder(_)),
     // aggregate: graft_top_k(struct(score, id), k) with literal k
     "graft_top_k" -> (topKBuilder(_)))
+
+  private def blocklistHitsBuilder(exprs: Seq[Expression]): Expression = {
+    val v = if (exprs(1).foldable) exprs(1).eval() else null
+    v match {
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        val patterns = s.toString.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        try new AhoCorasick(patterns.toArray) // validate at analysis time
+        catch {
+          case e: IllegalArgumentException =>
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "INVALID_PARAMETER_VALUE.PATTERN",
+              messageParameters = Map(
+                "parameter" -> s"`patterns` (${e.getMessage})",
+                "functionName" -> "`graft_blocklist_hits`",
+                "value" -> exprs(1).sql))
+        }
+        BlocklistHitsExpr(exprs(0), patterns)
+      case _ => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INVALID_PARAMETER_VALUE.PATTERN",
+        messageParameters = Map(
+          "parameter" -> "`patterns` (must be a string literal: 'p1,p2,…')",
+          "functionName" -> "`graft_blocklist_hits`",
+          "value" -> exprs(1).sql))
+    }
+  }
 
   private def kmeansAssignBuilder(exprs: Seq[Expression]): Expression = {
     val v = if (exprs(1).foldable) exprs(1).eval() else null

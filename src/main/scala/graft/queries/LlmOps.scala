@@ -1609,12 +1609,14 @@ object LlmOps {
     Sampling.dsirWeights(Tables.documents(s, d), "doc_id", "text",
       col("lang") === "en", nBuckets = 256)
 
-  private val dsirWeightsSql =
-    s"""WITH tk AS (
+  /** DSIR CTE chain over any (doc_id, lang, text) relation — shared by
+    * the standalone oracle and the composed `i6_curation_v3` oracle. */
+  private def dsirCtesOver(rel: String) =
+    s"""tk AS (
       | SELECT doc_id, tgt, ${bucketSql("w", 256)} AS b FROM (
       |  SELECT doc_id, lang = 'en' AS tgt,
       |   unnest(regexp_split_to_array(trim(text), ' +')) AS w
-      |  FROM documents)
+      |  FROM $rel)
       | WHERE w <> ''),
       |model AS (
       | SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct, COUNT(*) AS cr
@@ -1624,17 +1626,25 @@ object LlmOps {
       | SELECT doc_id, COUNT(*) AS n_tokens,
       |  CAST(SUM(m.ct + 1) AS BIGINT) AS hits_t,
       |  CAST(SUM(m.cr + 1) AS BIGINT) AS hits_r
-      | FROM tk JOIN model m ON tk.b = m.b GROUP BY doc_id)
-      |SELECT d.doc_id, d.lang = 'en' AS is_target,
+      | FROM tk JOIN model m ON tk.b = m.b GROUP BY doc_id)""".stripMargin
+
+  /** Per-doc DSIR scoring select over the same relation the model was
+    * built from (must follow [[dsirCtesOver]] in the WITH chain). */
+  private def dsirSelectOver(rel: String) =
+    s"""SELECT d.doc_id, d.lang = 'en' AS is_target,
       | CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(a.n_tokens, 0) END AS n_tokens,
       | CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(a.hits_t, 0) END AS hits_t,
       | CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(a.hits_r, 0) END AS hits_r,
       | CASE WHEN COALESCE(a.n_tokens, 0) > 0 THEN
       |  (CAST(a.hits_t AS DOUBLE) / CAST(t.nt + 256 AS DOUBLE)) /
       |  (CAST(a.hits_r AS DOUBLE) / CAST(t.nr + 256 AS DOUBLE)) END AS weight
-      |FROM documents d
+      |FROM $rel d
       |LEFT JOIN agg a ON a.doc_id = d.doc_id
       |CROSS JOIN tot t""".stripMargin
+
+  private val dsirWeightsSql =
+    s"""WITH ${dsirCtesOver("documents")}
+      |${dsirSelectOver("documents")}""".stripMargin
 
   /** I6o — token-budget mixture assembly ([[Sampling.tokenBudgetCap]]):
     * per source, keep documents in deterministic content-hash order until
@@ -1687,9 +1697,65 @@ object LlmOps {
     val cases = BlocklistPatterns.map(p =>
       s"(CASE WHEN position(' $p ' IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""SELECT doc_id, $cases AS n_patterns,
-       | ($cases) > 0 AS blocked
+    // null text → null hits (the expression's null contract; the CASE sum
+    // alone would claim 0)
+    s"""SELECT doc_id,
+       | CASE WHEN text IS NULL THEN NULL ELSE $cases END AS n_patterns,
+       | CASE WHEN text IS NULL THEN NULL ELSE ($cases) > 0 END AS blocked
        |FROM documents""".stripMargin
+  }
+
+  /** I6p — mixture-assembly pipeline v3, composing the session-8
+    * operators end to end: blocklist safety pass → DSIR target-likeness
+    * threshold (model built over the SURVIVORS, not the raw corpus) →
+    * per-source token-budget assembly → deterministic split label. Every
+    * stage is the already-oracle-checked operator; the composed oracle
+    * chains their SQL over the same filtered relation, so this row
+    * verifies the COMPOSITION (stage ordering, model scoping, column
+    * flow), which is what a production curation run actually executes. */
+  def curationV3(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val hits = graft.functions.BlocklistExprs.hits(col("text"), BlocklistPatterns)
+    val clean = docs.filter(coalesce(hits, lit(0)) === 0)
+    val weighted = Sampling.dsirWeights(clean, "doc_id", "text",
+      col("lang") === "en", nBuckets = 256)
+    val selected = weighted.filter(col("weight") >= 0.99).select("doc_id")
+    val base = docs.join(selected, "doc_id")
+    val nTokens = size(filter(split(trim(col("text")), " +"), w => w =!= ""))
+      .cast("long")
+    Sampling.tokenBudgetCap(base, col("source"), col("text"), col("doc_id"),
+        nTokens, budget = 400L)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), Sampling.splitLabel(col("text")).as("split"))
+  }
+
+  private lazy val curationV3Sql = {
+    val cases = BlocklistPatterns.map(p =>
+      s"(CASE WHEN position(' $p ' IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH clean AS (
+      | SELECT doc_id, text, lang, source FROM documents
+      | WHERE COALESCE($cases, 0) = 0),
+      |${dsirCtesOver("clean")},
+      |weighted AS (${dsirSelectOver("clean")}),
+      |sel AS (
+      | SELECT c.doc_id, c.source, c.text FROM clean c
+      | JOIN weighted w ON w.doc_id = c.doc_id
+      | WHERE w.weight >= 0.99),
+      |t AS (
+      | SELECT doc_id, source, text,
+      |  CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'),
+      |    w -> w <> '')) AS BIGINT) AS n_tokens,
+      |  ${bucketSql("text")} AS b
+      | FROM sel),
+      |c AS (
+      | SELECT doc_id, source, text, n_tokens,
+      |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY b, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      | FROM t)
+      |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+      | ${splitSql("text")} AS split
+      |FROM c WHERE cum_tokens <= 400""".stripMargin
   }
 
   /** I5n — BPE round-0 statistics: the top-50 adjacent character pairs
@@ -1811,7 +1877,8 @@ object LlmOps {
     "i5_bpe_stats" -> bpeStats _,
     "i5_bpe_train" -> bpeTrain _,
     "i6_token_budget" -> tokenBudget _,
-    "i7_blocklist" -> blocklist _
+    "i7_blocklist" -> blocklist _,
+    "i6_curation_v3" -> curationV3 _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1870,6 +1937,7 @@ object LlmOps {
     "i5_bpe_stats" -> bpeStatsSql,
     "i5_bpe_train" -> bpeTrainSql,
     "i6_token_budget" -> tokenBudgetSql,
-    "i7_blocklist" -> blocklistSql
+    "i7_blocklist" -> blocklistSql,
+    "i6_curation_v3" -> curationV3Sql
   )
 }

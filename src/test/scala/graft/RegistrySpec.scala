@@ -48,6 +48,24 @@ class RegistrySpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_stopword_count"))
   }
 
+  test("D18 graft_blocklist_hits SQL surface") {
+    Registry.registerAll(spark)
+    val r = spark.sql(
+      """SELECT graft_blocklist_hits('a slow table and a big dup here',
+        |  'slow table,big dup,dup row') AS hits,
+        | graft_blocklist_hits('nothing to see', 'slow table') AS clean,
+        | graft_blocklist_hits(CAST(NULL AS STRING), 'slow table') AS nul
+        |""".stripMargin).head()
+    assert(r.getAs[Int]("hits") == 2)
+    assert(r.getAs[Int]("clean") == 0)
+    assert(r.isNullAt(2))
+    // malformed phrase lists fail at analysis with the function named
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_blocklist_hits('x', 'Bad Case')").collect()
+    }
+    assert(e.getMessage.contains("graft_blocklist_hits"))
+  }
+
   test("D18 graft_kmeans_assign SQL surface: argmin + literal validation") {
     Registry.registerAll(spark)
     val r = spark.sql(
