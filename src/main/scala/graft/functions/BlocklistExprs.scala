@@ -115,11 +115,30 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
   def hits(text: UTF8String): Int = java.lang.Long.bitCount(matchMask(text))
 }
 
+object AhoCorasick {
+  /** Small per-JVM automaton cache: validation at Column-construction
+    * time, the expression's lazy field, and executor-side deserialization
+    * would otherwise each rebuild the trie + failure links + dense table
+    * for the same pattern list (noticeable at the ~400-phrase production
+    * scale). Bounded: real pipelines use a handful of lists. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String], AhoCorasick]()
+  private val MaxCached = 64
+
+  def of(patterns: Seq[String]): AhoCorasick = {
+    val hit = cache.get(patterns)
+    if (hit != null) return hit
+    val built = new AhoCorasick(patterns.toArray) // validates; may throw
+    if (cache.size < MaxCached) cache.putIfAbsent(patterns, built)
+    built
+  }
+}
+
 /** `int` count of distinct blocklist patterns present in `child`. */
 case class BlocklistHitsExpr(child: Expression, patterns: Seq[String])
     extends UnaryExpression {
 
-  @transient private lazy val ac = new AhoCorasick(patterns.toArray)
+  @transient private lazy val ac = AhoCorasick.of(patterns)
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "blocklist_hits"
@@ -139,7 +158,7 @@ case class BlocklistHitsExpr(child: Expression, patterns: Seq[String])
 
 object BlocklistExprs {
   def hits(text: Column, patterns: Seq[String]): Column = {
-    new AhoCorasick(patterns.toArray) // fail fast, driver-side
+    AhoCorasick.of(patterns) // fail fast, driver-side; instance cached
     Bridge.column(BlocklistHitsExpr(Bridge.expression(text), patterns))
   }
 }

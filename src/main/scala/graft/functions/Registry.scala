@@ -71,7 +71,7 @@ object Registry {
     v match {
       case s: org.apache.spark.unsafe.types.UTF8String =>
         val patterns = s.toString.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-        try new AhoCorasick(patterns.toArray) // validate at analysis time
+        try AhoCorasick.of(patterns) // validate at analysis time; cached
         catch {
           case e: IllegalArgumentException =>
             throw new org.apache.spark.sql.AnalysisException(

@@ -104,11 +104,17 @@ object Sampling {
       df: DataFrame, stratum: Column, content: Column, idCol: Column,
       tokens: Column, budget: Long): DataFrame = {
     require(budget >= 0, s"bad token budget: $budget")
+    // null contract, aligned with the DuckDB oracle in both places it
+    // could silently diverge: a null token count participates as 0 (the
+    // row is kept, not dropped by a NULL running sum), and null content
+    // buckets order NULLS LAST (DuckDB's ASC default; Spark's default is
+    // nulls-first)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratum).orderBy(hashBucket(content).asc, idCol.asc)
+      .partitionBy(stratum)
+      .orderBy(hashBucket(content).asc_nulls_last, idCol.asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("n_tokens", tokens)
+    df.withColumn("n_tokens", coalesce(tokens, lit(0L)))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budget)
   }

@@ -56,10 +56,15 @@ object KCore {
       localPeelMaxEdges: Long = LocalPeelMaxEdges): DataFrame = {
     require(k >= 1, s"bad k: $k")
     val spark = edges.sparkSession
-    if (edges.count() <= localPeelMaxEdges) {
+    // materialize ONCE: the caller's edge plan is typically the expensive
+    // subtree (scan → distinct → self-join → distinct), and it feeds the
+    // budget count AND the collect (local) / both sym branches
+    // (distributed) — without this it would execute 2-3 times
+    val e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b")).localCheckpoint()
+    if (e.count() <= localPeelMaxEdges) {
       import java.lang.{Long => JLong}
-      val pairs = edges.select(col("a").cast("long"), col("b").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
       val adj = new java.util.HashMap[JLong, java.util.ArrayList[JLong]]()
       def add(u: Long, v: Long): Unit = {
         var l = adj.get(JLong.valueOf(u))
@@ -105,8 +110,8 @@ object KCore {
           org.apache.spark.sql.types.LongType, nullable = false)))
       return spark.createDataFrame(rows, schema)
     }
-    val sym = edges.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
       .repartition(col("u"))
       .localCheckpoint() // one shuffle serves every round's delta join
     var deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))

@@ -183,7 +183,7 @@ object GraphOps {
     * synchronous peeling run to TRUE convergence (3/8/10 rounds at sf
     * 0.001/0.01/0.1), the graph-cohesion filter that thins weakly-embedded
     * spam/boilerplate families before link-authority scoring. The oracle
-    * unrolls 12 peeling rounds — more than any fixture needs — and relies
+    * unrolls 20 peeling rounds — 2× the deepest fixture cascade — and relies
     * on peeling being IDEMPOTENT at the fixpoint: extra rounds are
     * no-ops, so one fixed-depth CTE chain checks the converged engine
     * result at every scale factor. */
@@ -191,9 +191,12 @@ object GraphOps {
     graft.operators.KCore.core(copurchaseEdges(s, d), k = 20)
 
   private val kcoreSql = {
-    val rounds = 12
+    // 2× headroom over the deepest measured fixture cascade (10 rounds at
+    // sf0.1) — post-convergence rounds are no-op joins over the converged
+    // set, so the only cost of margin is a few tiny CTE evaluations
+    val rounds = 20
     // AS MATERIALIZED is load-bearing: each round references the previous
-    // one twice, so an inlining planner would expand the chain 2^12-fold
+    // one twice, so an inlining planner would expand the chain 2^20-fold
     // ("too many open files" on the base parquet before anything runs)
     val peels = (1 to rounds).map { i =>
       s"""a$i AS MATERIALIZED (

@@ -1663,8 +1663,8 @@ object LlmOps {
   private val tokenBudgetSql =
     s"""WITH t AS (
       | SELECT doc_id, source,
-      |  CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'),
-      |    w -> w <> '')) AS BIGINT) AS n_tokens,
+      |  COALESCE(CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'),
+      |    w -> w <> '')) AS BIGINT), 0) AS n_tokens,
       |  ${bucketSql("text")} AS b
       | FROM documents),
       |c AS (
@@ -1744,8 +1744,8 @@ object LlmOps {
       | WHERE w.weight >= 0.99),
       |t AS (
       | SELECT doc_id, source, text,
-      |  CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'),
-      |    w -> w <> '')) AS BIGINT) AS n_tokens,
+      |  COALESCE(CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'),
+      |    w -> w <> '')) AS BIGINT), 0) AS n_tokens,
       |  ${bucketSql("text")} AS b
       | FROM sel),
       |c AS (

@@ -1450,6 +1450,21 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("I6 token-budget null content participates as 0 tokens, ordered last") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma", "s"), (2L, null.asInstanceOf[String], "s"),
+      (3L, "delta", "s")).toDF("doc_id", "text", "src")
+    val nTokens = size(split(trim(col("text")), " +")).cast("long")
+    val out = llm.Sampling.tokenBudgetCap(df, col("src"), col("text"),
+      col("doc_id"), nTokens, budget = 10L)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // null-text doc: 0 tokens, sorted AFTER the non-null buckets (DuckDB
+    // NULLS LAST parity), kept because the running total never moves
+    assert(out(2L) == ((0L, 4L)))
+    assert(out.keySet == Set(1L, 2L, 3L))
+  }
+
   test("I6 DSIR hit sums match a declarative recompute exactly") {
     val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = llm.Sampling.dsirWeights(docs, "doc_id", "text",
