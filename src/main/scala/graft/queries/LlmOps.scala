@@ -1758,6 +1758,56 @@ object LlmOps {
       |FROM c WHERE cum_tokens <= 400""".stripMargin
   }
 
+  /** I5p — lexical diversity per document: token count, type count,
+    * type-token ratio, and hapax count (words occurring exactly once IN
+    * the document) — the vocabulary-quality signals a Gopher-style filter
+    * thresholds (word-salad has TTR ≈ 1 and all-hapax; boilerplate/spam
+    * repeats, so both collapse). Pure column expressions over a sorted
+    * token array (neighbor-inequality counts runs of length 1 without a
+    * per-word explode or any shuffle), so the scan runs at codegen speed
+    * at 100 TB; the hapax result is sort-collation-independent because it
+    * only needs equal tokens adjacent. */
+  def lexicalDiversity(s: SparkSession, d: String): DataFrame = {
+    val words = filter(split(trim(col("text")), " +"), w => w =!= "")
+    val sorted = array_sort(words)
+    val n = size(sorted)
+    // i-th element is a hapax iff it differs from both neighbors; the
+    // greatest/least clamps keep element_at in range (the i=1 / i=n
+    // disjuncts already decide those edges — clamped compares are equal,
+    // never consulted)
+    val hapax = size(filter(sequence(lit(1), n), i =>
+      (i === 1 ||
+        element_at(sorted, greatest(i - 1, lit(1))) =!= element_at(sorted, i)) &&
+        (i === n ||
+          element_at(sorted, least(i + 1, n)) =!= element_at(sorted, i))))
+    Tables.documents(s, d).select(col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      size(array_distinct(sorted)).cast("long").as("n_types"),
+      when(n > 0, size(array_distinct(sorted)).cast("double") / n.cast("double"))
+        .as("ttr"),
+      when(n > 0, hapax.cast("long")).otherwise(
+        when(col("text").isNotNull, lit(0L))).as("n_hapax"))
+  }
+
+  private val lexicalDiversitySql =
+    """WITH t AS (
+      | SELECT doc_id, text,
+      |  list_sort(list_filter(regexp_split_to_array(trim(text), ' +'),
+      |    w -> w <> '')) AS ws
+      | FROM documents)
+      |SELECT doc_id,
+      | CAST(len(ws) AS BIGINT) AS n_tokens,
+      | CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+      | CASE WHEN len(ws) > 0
+      |  THEN CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+      | END AS ttr,
+      | CASE WHEN len(ws) > 0 THEN CAST(len(
+      |   [i for i in range(1, len(ws) + 1)
+      |    if (i = 1 OR ws[i-1] <> ws[i]) AND (i = len(ws) OR ws[i+1] <> ws[i])]
+      |  ) AS BIGINT)
+      |  WHEN text IS NOT NULL THEN 0 END AS n_hapax
+      |FROM t""".stripMargin
+
   /** I5n — BPE round-0 statistics: the top-50 adjacent character pairs
     * over the corpus's whitespace words (overlapping adjacency — the
     * plain frequency view; the TRAINER counts non-overlapping, see
@@ -1878,7 +1928,8 @@ object LlmOps {
     "i5_bpe_train" -> bpeTrain _,
     "i6_token_budget" -> tokenBudget _,
     "i7_blocklist" -> blocklist _,
-    "i6_curation_v3" -> curationV3 _
+    "i6_curation_v3" -> curationV3 _,
+    "i5_lexical_diversity" -> lexicalDiversity _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1938,6 +1989,7 @@ object LlmOps {
     "i5_bpe_train" -> bpeTrainSql,
     "i6_token_budget" -> tokenBudgetSql,
     "i7_blocklist" -> blocklistSql,
-    "i6_curation_v3" -> curationV3Sql
+    "i6_curation_v3" -> curationV3Sql,
+    "i5_lexical_diversity" -> lexicalDiversitySql
   )
 }

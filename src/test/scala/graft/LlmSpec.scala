@@ -1450,6 +1450,27 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("I5 lexical diversity: types, TTR, and hapax runs") {
+    import spark.implicits._
+    // drive the REAL query through a documents-shaped temp dir so the
+    // operator's own expressions (not a copy) are what's asserted
+    val dir = java.nio.file.Files.createTempDirectory("lexdiv").toString
+    Seq((1L, "a a b c c c d", "en", "s", 13L), (2L, "", "en", "s", 0L),
+      (3L, null.asInstanceOf[String], "en", "s", 0L), (4L, "x", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.LlmOps.queries("i5_lexical_diversity")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // (doc_id, n_tokens, n_types, ttr, n_hapax)
+    assert(rows(1L).getLong(1) == 7 && rows(1L).getLong(2) == 4)
+    assert(math.abs(rows(1L).getDouble(3) - 4.0 / 7.0) < 1e-15)
+    assert(rows(1L).getLong(4) == 2) // hapax: b, d
+    assert(rows(4L).getLong(1) == 1 && rows(4L).getLong(4) == 1)
+    assert(rows(2L).getLong(1) == 0 && rows(2L).isNullAt(3) &&
+      rows(2L).getLong(4) == 0)
+    assert(rows(3L).isNullAt(1) && rows(3L).isNullAt(4))
+  }
+
   test("I6 token-budget null content participates as 0 tokens, ordered last") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma", "s"), (2L, null.asInstanceOf[String], "s"),

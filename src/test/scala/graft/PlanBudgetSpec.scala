@@ -60,6 +60,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i5_bpe_stats" -> 1, "i5_bpe_train" -> 0,
     "i6_token_budget" -> 1, "i7_blocklist" -> 0,
     "i8_kcore" -> 0, "i6_curation_v3" -> 1,
+    "i5_lexical_diversity" -> 0,
     "i4_multimodal_meta" -> 0, "i5_bigram_lm" -> 1,
     "i5_fingerprints" -> 0, "i5_lang_id" -> 0,
     "i5_langid_confusion" -> 1, "i5_lm_score" -> 5,
