@@ -86,6 +86,32 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("session-8 scan kernels: codegen'd shuffle-free single-pass plans") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      // DSIR scoring: model broadcast by closure — one scan, no exchange,
+      // no join, codegen'd projection
+      val dsir = graft.queries.LlmOps.queries("i6_dsir_weights")(spark, sf)
+      val dsirPlan = executedPlan(dsir)
+      assert(!dsirPlan.contains("Exchange") && !dsirPlan.contains("Join"),
+        dsirPlan)
+      assert(dsirPlan.split("\n").exists(l =>
+        l.contains("Project") && l.trim.startsWith("*")), dsirPlan)
+      // blocklist: Aho–Corasick expression in a starred projection
+      val bl = graft.queries.LlmOps.queries("i7_blocklist")(spark, sf)
+      val blPlan = executedPlan(bl)
+      assert(!blPlan.contains("Exchange"), blPlan)
+      assert(blPlan.split("\n").exists(l =>
+        l.contains("Project") && l.trim.startsWith("*")), blPlan)
+      // lexical diversity: sorted-array neighbor scan, no explode/shuffle
+      val lex = graft.queries.LlmOps.queries("i5_lexical_diversity")(spark, sf)
+      val lexPlan = executedPlan(lex)
+      assert(!lexPlan.contains("Exchange") && !lexPlan.contains("Generate"),
+        lexPlan)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("decontamination broadcasts the benchmark grams, corpus stays streamed") {
     val docs = graft.queries.Tables.documents(spark, sf)
     val flagged = graft.llm.Decontamination.flagContaminated(
