@@ -60,6 +60,18 @@ def main():
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
             n_fail += 1
             continue
+        # The driver's hasher canonicalizes type tags, so a DuckDB type with
+        # no Spark analogue (HUGEINT from SUM over ints, unsigned ints) hash-
+        # mismatches even when every value is equal. Fail locally so local
+        # green implies driver green; fix = CAST in the oracle SQL.
+        bad_types = [(c, str(t)) for c, t in zip(exp_cols, exp.types)
+                     if str(t).upper() in ("HUGEINT", "UHUGEINT", "UTINYINT",
+                                           "USMALLINT", "UINTEGER", "UBIGINT")]
+        if bad_types:
+            print(f"FAIL {name}: oracle emits non-Spark types {bad_types} "
+                  f"(cast to BIGINT in the oracle SQL)")
+            n_fail += 1
+            continue
         g, e = canon(got_rows, got_cols), canon(exp_rows, exp_cols)
         if g == e:
             print(f"PASS {name}: {len(g)} rows")

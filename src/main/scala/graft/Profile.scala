@@ -153,10 +153,12 @@ object Profile {
         else {
           val dec = sym.join(doomed.select(col("u").as("v")), "v")
             .groupBy(col("u")).agg(count(lit(1)).as("dec"))
+          val prevDeg = deg
           deg = deg.filter(col("deg") >= 20)
             .join(dec, Seq("u"), "left")
             .select(col("u"), (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
             .localCheckpoint()
+          graft.operators.Checkpoints.release(prevDeg)
           println(f"  round $r%2d: isEmpty ${(t2-t1)/1e9}%.2f ckpt ${(System.nanoTime()-t2)/1e9}%.2f")
           r += 1
         }

@@ -94,7 +94,14 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
   private val outArr: Array[Long] = outMask.toArray
 
   /** Bitmask of distinct patterns present in the padded, case-folded
-    * text. */
+    * text.
+    *
+    * Case folding is ASCII-only (A-Z → a-z) and any char ≥ 128 resets the
+    * automaton — matching the documented ASCII-phrase scope. A SQL-side
+    * Unicode `lower()` is more permissive on exotic codepoints whose
+    * lowercase IS an ASCII letter (e.g. U+212A KELVIN SIGN → 'k'), so
+    * non-ASCII corpora must be pre-normalized (NFKC + lowercase) before
+    * this scan if oracle parity on such text matters. */
   def matchMask(text: UTF8String): Long = {
     val s = text.toString
     var mask = 0L

@@ -402,7 +402,9 @@ object Dedup {
     * arithmetic as [[embeddingNearDups]]) keep the threshold comparison
     * engine-exact.
     *
-    * Returns one row per input: (idCol, cluster_id, kept). */
+    * Returns one row per input: (idCol, cluster_id, kept). Rows whose
+    * embedding is null never enter the clustering ([[KMeans.fit]] skips
+    * null vectors) and come back with cluster_id = null, kept = true. */
   def semDedup(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, updates: Int, threshold: Double): DataFrame = {
@@ -414,8 +416,11 @@ object Dedup {
         graft.functions.ArrayOps.longArrayDot(col("qv"), col("qv")).cast("double")))
     // one partitioned frame reused three times (both self-join sides + the
     // final flag join): checkpoint so the kmeans-assign kernel and the
-    // vid join run once, and the cluster partitioning is reused in place
-    val feat = base.join(asg, Seq("vid"))
+    // vid join run once, and the cluster partitioning is reused in place.
+    // Left join keeps null-embedding rows (cluster = null); the cluster
+    // equi-join below never matches null keys, so they skip the pair
+    // search and surface as kept.
+    val feat = base.join(asg, Seq("vid"), "left")
       .repartition(Par.of(df), col("cluster"))
       .localCheckpoint()
     val a = feat.select(col("cluster"), col("vid").as("va"),

@@ -29,9 +29,15 @@ object ModelStore {
   }
 
   def loadLr(spark: SparkSession, path: String): LrModel = {
-    val rows = spark.read.parquet(path)
+    val raw = spark.read.parquet(path)
       .select(col("bucket").cast("int"), col("weight").cast("long"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val rows = raw.toMap
+    // duplicate bucket rows would otherwise collapse last-write-wins in
+    // collect order AND shift the inferred bucket count — fail loudly
+    require(rows.size == raw.length,
+      s"LR model at $path has duplicate bucket rows " +
+        s"(${raw.length} rows, ${rows.size} distinct buckets)")
     require(rows.contains(-1), s"LR model at $path has no intercept row")
     val buckets = rows.size - 1
     val w = new Array[Long](buckets)

@@ -15,8 +15,11 @@ import org.apache.spark.sql.types._
   * see [[Multimodal.AudioCodec]] — features are RMS-energy windows).
   * Video container METADATA and timeline frame-sampling are REAL
   * (minimal RIFF/AVI `avih` header parse, [[Multimodal.VideoCodec]] —
-  * pure JVM, no codec needed for headers); only video pixel/frame DECODE
-  * remains STUBBED — that genuinely needs a codec absent from the JDK
+  * pure JVM, no codec needed for headers), and frame DECODE is real for
+  * the two families the JDK covers: uncompressed BI_RGB `db` frames
+  * (plain DIB rasters) and MJPEG `dc` frames (per-frame JPEG via
+  * `javax.imageio`). Only OTHER compressed codecs (mpeg4/h264/...)
+  * remain STUBBED — those genuinely need a decoder absent from the JDK
   * and this offline container. Every stub is deterministic (derived from
   * payload bytes) so the Spark-side plumbing — schema, per-partition
   * batch iteration, partitioning, feature shapes — is real and testable;
@@ -302,9 +305,10 @@ object Multimodal {
     * (MainAVIHeader, the public AVI RIFF layout) carries geometry, stream
     * count, total frames and the per-frame period. Pixel decode is REAL
     * for UNCOMPRESSED (BI_RGB 24-bit) streams — `db` chunks are plain
-    * bottom-up DIB rasters, no codec needed ([[firstFrame]]); only
-    * COMPRESSED streams stay stubbed, those genuinely need a codec the
-    * JDK and this offline container lack. */
+    * bottom-up DIB rasters, no codec needed — and for MJPEG streams,
+    * whose `dc` chunks are complete JPEGs `javax.imageio` decodes
+    * ([[firstFrame]]); other compressed codecs stay stubbed, those
+    * genuinely need a decoder the JDK and this offline container lack. */
   object VideoCodec {
 
     def looksLikeVideo(p: Array[Byte]): Boolean =
@@ -406,43 +410,73 @@ object Multimodal {
       None
     }
 
-    /** First frame of an UNCOMPRESSED (BI_RGB, 24-bit) AVI as a decoded
-      * raster — the one video family a pure-JVM decoder covers, which is
-      * exactly what raw-capture/intermediate AVIs ship; compressed streams
-      * (biCompression != 0, `dc` chunks) still fall back to the stub.
-      * Layout per the public DIB spec: bottom-up BGR rows, each row padded
-      * to a 4-byte boundary. The 16 MP cap bounds per-row allocation
-      * against hostile headers. */
+    /** biCompression fourccs of Motion-JPEG streams ('MJPG' and the
+      * lowercase variant some writers emit), little-endian u32. */
+    private val MjpgCodes = Set(0x47504A4DL, 0x67706A6DL)
+
+    /** First frame of an AVI the JVM can decode without an external codec:
+      *  - UNCOMPRESSED (BI_RGB, 24-bit): `db` chunks are plain bottom-up
+      *    BGR DIB rasters — what raw-capture/intermediate AVIs ship;
+      *  - MJPEG ('MJPG'): each `dc` chunk is a complete baseline JPEG,
+      *    which `javax.imageio` decodes — the one COMPRESSED codec with a
+      *    JDK decoder (frames that omit the Huffman tables, a legacy MJPEG
+      *    variant, are rejected by the FFD8 sniff → stub fallback).
+      * Anything else (mpeg4/h264/... `dc` streams) falls back to the stub.
+      * The 16 MP cap bounds per-frame allocation against hostile headers. */
     def firstFrame(p: Array[Byte]): Option[java.awt.image.BufferedImage] = {
       if (!looksLikeVideo(p)) return None
       strfHeader(p) match {
         case Some((w, h, 24, 0L)) if w > 0 && h > 0 && w.toLong * h <= 16000000L =>
-          var i = 12
-          while (i + 12 <= p.length) {
-            if (p(i) == 'L' && p(i + 1) == 'I' && p(i + 2) == 'S' &&
-              p(i + 3) == 'T' && p(i + 8) == 'm' && p(i + 9) == 'o' &&
-              p(i + 10) == 'v' && p(i + 11) == 'i') {
-              // ALL size arithmetic in Long: a hostile chunk size near
-              // 2^31 would wrap Int bounds checks true and the chunk
-              // advance negative — an AIOOBE instead of the stub fallback
-              val listEnd = math.min(p.length.toLong, i + 8 + u32le(p, i + 4))
-              var j = i.toLong + 12
-              while (j + 8 <= listEnd) {
-                val ji = j.toInt
-                val sz = u32le(p, ji + 4)
-                if (p(ji + 2) == 'd' && p(ji + 3) == 'b' && sz > 0 &&
-                  j + 8 + sz <= p.length) {
-                  return decodeDib(p, ji + 8, sz.toInt, w, h)
-                }
-                j += 8 + sz + (sz & 1) // chunks are word-aligned
-              }
-              return None
-            }
-            i += 1
+          firstMoviChunk(p, 'd', 'b').flatMap { case (off, len) =>
+            decodeDib(p, off, len, w, h)
           }
-          None
+        case Some((w, h, _, comp)) if MjpgCodes(comp) &&
+          w > 0 && h > 0 && w.toLong * h <= 16000000L =>
+          firstMoviChunk(p, 'd', 'c').flatMap { case (off, len) =>
+            decodeJpegFrame(p, off, len)
+          }
         case _ => None
       }
+    }
+
+    /** Offset and length of the first `##<c2><c3>` payload chunk inside
+      * the `movi` LIST (the two-char suffix selects `db` raw frames or
+      * `dc` compressed frames). ALL size arithmetic in Long: a hostile
+      * chunk size near 2^31 would wrap Int bounds checks true and the
+      * chunk advance negative — an AIOOBE instead of the stub fallback. */
+    private def firstMoviChunk(p: Array[Byte], c2: Char, c3: Char): Option[(Int, Int)] = {
+      var i = 12
+      while (i + 12 <= p.length) {
+        if (p(i) == 'L' && p(i + 1) == 'I' && p(i + 2) == 'S' &&
+          p(i + 3) == 'T' && p(i + 8) == 'm' && p(i + 9) == 'o' &&
+          p(i + 10) == 'v' && p(i + 11) == 'i') {
+          val listEnd = math.min(p.length.toLong, i + 8 + u32le(p, i + 4))
+          var j = i.toLong + 12
+          while (j + 8 <= listEnd) {
+            val ji = j.toInt
+            val sz = u32le(p, ji + 4)
+            if (p(ji + 2) == c2 && p(ji + 3) == c3 && sz > 0 &&
+              j + 8 + sz <= p.length) {
+              return Some((ji + 8, sz.toInt))
+            }
+            j += 8 + sz + (sz & 1) // chunks are word-aligned
+          }
+          return None
+        }
+        i += 1
+      }
+      None
+    }
+
+    /** One MJPEG frame = one complete JPEG byte stream. Sniff the SOI
+      * marker first so a tables-omitted legacy frame (or garbage) takes
+      * the stub path instead of an ImageIO exception per row. */
+    private def decodeJpegFrame(p: Array[Byte], off: Int,
+        len: Int): Option[java.awt.image.BufferedImage] = {
+      if (len < 4 || (p(off) & 0xff) != 0xFF || (p(off + 1) & 0xff) != 0xD8)
+        return None
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(p, off, len)))
     }
 
     private def decodeDib(p: Array[Byte], off: Int, len: Int,
@@ -467,7 +501,8 @@ object Multimodal {
       Some(img)
     }
 
-    /** REAL video feature extraction for uncompressed AVIs: the shared
+    /** REAL video feature extraction for JDK-decodable AVIs (uncompressed
+      * BI_RGB + MJPEG): the shared
       * grid color-layout descriptor over the decoded first frame. Catches
       * like the image/audio codecs: one malformed payload in a 100 TB
       * corpus falls back to the stub, it does not kill the task. */

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Storage hygiene for iterative localCheckpoint loops.
+  *
+  * `Dataset.localCheckpoint()` caches the materialized rows as RDD blocks
+  * in the block manager, and `Dataset.unpersist()` does NOT release them
+  * (it only clears CacheManager entries, and checkpoint caching happens a
+  * level below). A loop that checkpoints per round therefore pins
+  * O(rounds × |V|) of blocks until the driver GCs the RDD references —
+  * on a long-lived session that is storage-quota leakage, not memory
+  * safety. The checkpointed RDD is reachable from the frame's analyzed
+  * plan (the `LogicalRDD` leaf the checkpoint rewrote it to), so the
+  * blocks can be dropped eagerly the moment a successor round has
+  * materialized.
+  */
+private[graft] object Checkpoints {
+
+  /** Release the block-manager storage behind a localCheckpoint-ed frame.
+    * Safe to call only once every downstream consumer has either finished
+    * or been re-checkpointed — i.e. the standard loop shape
+    * `val prev = state; state = step(state).localCheckpoint();
+    * Checkpoints.release(prev)` (the new eager checkpoint materialized
+    * BEFORE the release).
+    *
+    * Deliberately acts only when the frame's ROOT is the checkpoint leaf
+    * (what `localCheckpoint()` returns): walking an arbitrary derived plan
+    * would also unpersist any SHARED checkpoint leaves it references
+    * (e.g. a loop's static edge table), and a localCheckpoint RDD whose
+    * blocks are dropped cannot recompute — its lineage is truncated by
+    * design. No-op on anything else. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+}

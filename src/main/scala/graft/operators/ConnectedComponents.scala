@@ -121,6 +121,9 @@ object ConnectedComponents {
       // appears once or twice in the union; twice ⇔ in both rounds
       changed = next.unionAll(edges).groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("n")).filter(col("n") =!= 2).count()
+      // the changed count was this round's last read of the old edges —
+      // free its blocks before rebinding
+      Checkpoints.release(edges)
       edges = next
       i += 1
     }

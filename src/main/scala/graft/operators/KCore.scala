@@ -134,12 +134,16 @@ object KCore {
         .join(doomed.select(col("u").as("v")), "v")
         .groupBy(col("u"))
         .agg(count(lit(1)).as("dec"))
+      val prev = deg
       deg = deg
         .filter(col("deg") >= k)
         .join(dec, Seq("u"), "left")
         .select(col("u"),
           (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
         .localCheckpoint()
+      // the new checkpoint materialized eagerly above — drop the prior
+      // round's blocks now, or a deep cascade pins O(rounds × |V|)
+      Checkpoints.release(prev)
       rounds += 1
     }
     throw new IllegalStateException("unreachable")

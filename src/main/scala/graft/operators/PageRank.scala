@@ -69,6 +69,7 @@ object PageRank {
     def rankExpr = (lit(base) +
       expr("(85 * coalesce(s, cast(0 as bigint))) div 100"))
     var sums: Option[DataFrame] = None
+    var lastCkpt: Option[DataFrame] = None
     for (i <- 1 to iters) {
       val withRank = sums match {
         case None => // round 1: every rank is the uniform r0
@@ -83,8 +84,17 @@ object PageRank {
         .select(col("v"), expr("__r div outdeg").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("s"))
       // checkpoint only every 8th round to bound lineage depth on long
-      // runs — per-round pinning measured ~1.5× slower at 3 rounds
-      sums = Some(if (i % 8 == 0 && i < iters) next.localCheckpoint() else next)
+      // runs — per-round pinning measured ~1.5× slower at 3 rounds;
+      // release the superseded sums checkpoint (tracked separately —
+      // `sums` itself is usually a derived plan whose leaves include the
+      // SHARED edgesDeg checkpoint, which must stay resident) so a long
+      // run holds at most one |V|-sized snapshot in block storage
+      if (i % 8 == 0 && i < iters) {
+        val ck = next.localCheckpoint()
+        lastCkpt.foreach(Checkpoints.release)
+        lastCkpt = Some(ck)
+        sums = Some(ck)
+      } else sums = Some(next)
     }
     sums match {
       case Some(sv) => nodes

@@ -89,7 +89,7 @@ object GraphOps {
       |  LEFT JOIN it2 r ON r.node = e.u
       |  LEFT JOIN deg d ON d.u = e.u
       |  GROUP BY n.node, p.n)
-      |SELECT node, r AS rank_u FROM it3
+      |SELECT node, CAST(r AS BIGINT) AS rank_u FROM it3
       |ORDER BY rank_u DESC, node LIMIT 50""".stripMargin
 
   /** The high-quantity co-purchase graph shared by `i8_triangles` and

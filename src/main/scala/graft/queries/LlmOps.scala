@@ -1048,13 +1048,13 @@ object LlmOps {
        | JOIN q ON q.doc_id = d.doc_id
        | JOIN cc ON md5(d.text) = cc.h)
        |SELECT source, COUNT(*) AS n_docs,
-       | SUM(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) AS n_en,
-       | SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS n_quality_ok,
-       | SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS n_pii_docs,
-       | SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
-       | SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
-       | SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
-       | SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+       | CAST(SUM(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       | CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+       | CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+       | CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       | CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       | CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       | CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
        |FROM j GROUP BY source""".stripMargin
   }
 

@@ -154,9 +154,11 @@ object Relational {
 
   /** Approximate count-distinct (HLL++, D8's approx variant): single-pass,
     * fixed-size sketch state — the cardinality estimator that replaces
-    * exact distinct at 100 TB. Rows-only check (sketch implementations
-    * differ across engines by design); the estimate's accuracy is
-    * driver-verified by `d08_approx_error_gate`. */
+    * exact distinct at 100 TB. Not a battery row of its own: the raw
+    * estimates are engine-specific by design (no cross-engine oracle
+    * exists), and `d08_approx_error_gate` already runs this exact sketch
+    * and oracle-checks its error bound — a bare rows-only entry added no
+    * signal on top of the gate. */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
@@ -962,8 +964,8 @@ object Relational {
       | FROM ev)
       |SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
       | COUNT(*) AS clicks,
-      | SUM(CASE WHEN next_purchase_us - t_us <= 3600000000 THEN 1 ELSE 0 END)
-      |   AS converted,
+      | CAST(SUM(CASE WHEN next_purchase_us - t_us <= 3600000000
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS converted,
       | COUNT(DISTINCT CASE WHEN next_purchase_us - t_us <= 3600000000
       |   THEN user_id END) AS converting_users
       |FROM nxt WHERE event_type = 'click'
@@ -1699,7 +1701,6 @@ object Relational {
     "d11_topk_orders" -> topOrders _,
     "d04_semi_anti_customers" -> semiAntiCustomers _,
     "d08_distinct_counts" -> distinctCounts _,
-    "d08_approx_distinct" -> approxDistinct _,
     "d08_approx_error_gate" -> approxDistinctGate _,
     "d08_quantile_gate" -> quantileSketchGate _,
     "d10_window_topk_per_customer" -> topOrdersPerCustomer _,

@@ -39,6 +39,95 @@ object GithubArtifacts {
     def download(repo: String, artifactId: String): Option[Array[Byte]]
   }
 
+  /** Parse a GitHub artifact-list response body into a [[PageResult]] —
+    * pure, so the field mapping is unit-testable offline. Shape per the
+    * REST API the reference paginates (`github_helpers.py:15-39`):
+    * `{"total_count": N, "artifacts": [{"id":…, "name":…, "expired":…}]}`.
+    * Ids arrive as JSON numbers but travel as strings here (the pipeline
+    * only ever interpolates them into URLs and cache filenames). */
+  private[graft] def parseListPage(body: String): PageResult = {
+    val obj = graft.model.Json.parse(body) match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case other => throw new IllegalStateException(
+        s"artifact list response is not a JSON object: ${other.getClass.getSimpleName}")
+    }
+    def asLong(v: Any, field: String): Long = v match {
+      case l: Long => l
+      case d: Double if d.isWhole => d.toLong
+      case other => throw new IllegalStateException(
+        s"artifact list field $field is not an integer: $other")
+    }
+    val total = asLong(obj.getOrElse("total_count",
+      throw new IllegalStateException("artifact list response has no total_count")),
+      "total_count")
+    val entries = obj.getOrElse("artifacts", Vector.empty) match {
+      case v: Vector[_] => v.map {
+        case e: Map[_, _] =>
+          val m = e.asInstanceOf[Map[String, Any]]
+          ArtifactEntry(
+            id = asLong(m.getOrElse("id",
+              throw new IllegalStateException("artifact entry has no id")), "id").toString,
+            name = m.getOrElse("name", "").asInstanceOf[String],
+            expired = m.getOrElse("expired", false) == true)
+        case other => throw new IllegalStateException(
+          s"artifact entry is not an object: $other")
+      }
+      case other => throw new IllegalStateException(
+        s"artifacts field is not an array: $other")
+    }
+    PageResult(entries, total)
+  }
+
+  /** Live REST transport over the JDK's `java.net.http` — no new
+    * dependency, and CONSTRUCTION does no I/O, so it is safe to
+    * instantiate in an offline environment (first use fails instead).
+    * Request shapes mirror the reference (`github_helpers.py:75-105`):
+    * list = `GET {base}/repos/{repo}/actions/artifacts?per_page&page`;
+    * download = `GET …/artifacts/{id}/zip` following the 302 redirect to
+    * the blob store, with 410 → None (expired between list and fetch) and
+    * any other non-200 a hard error. Contract tests stay on the fake
+    * transport; this class only adds the wire layer. */
+  final class HttpTransport(
+      token: String,
+      apiBase: String = "https://api.github.com",
+      requestTimeout: java.time.Duration = java.time.Duration.ofSeconds(60))
+      extends Transport {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    private lazy val client = HttpClient.newBuilder()
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .connectTimeout(requestTimeout)
+      .build()
+    private def get(uri: String): HttpRequest =
+      HttpRequest.newBuilder(java.net.URI.create(uri))
+        .timeout(requestTimeout)
+        .header("Accept", "application/vnd.github+json")
+        .header("Authorization", s"Bearer $token")
+        .header("X-GitHub-Api-Version", "2022-11-28")
+        .GET().build()
+
+    def listPage(repo: String, perPage: Int, page: Int): PageResult = {
+      val resp = client.send(
+        get(s"$apiBase/repos/$repo/actions/artifacts?per_page=$perPage&page=$page"),
+        HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new IllegalStateException(
+          s"GitHub artifact list failed: HTTP ${resp.statusCode()} for $repo page $page")
+      parseListPage(resp.body())
+    }
+
+    def download(repo: String, artifactId: String): Option[Array[Byte]] = {
+      val resp = client.send(
+        get(s"$apiBase/repos/$repo/actions/artifacts/$artifactId/zip"),
+        HttpResponse.BodyHandlers.ofByteArray())
+      resp.statusCode() match {
+        case 200 => Some(resp.body())
+        case 410 => None // expired after the list (github_helpers.py:98-105)
+        case c => throw new IllegalStateException(
+          s"GitHub artifact download failed: HTTP $c for $repo artifact $artifactId")
+      }
+    }
+  }
+
   /** Repo/token validation (`github_helpers.py:42-49`). */
   def validateRepoSetup(repo: String, tokenPresent: Boolean): Unit = {
     if (repo.split("/", -1).length != 2)

@@ -6,7 +6,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** H9 — streaming approximate distinct per event-time window: HyperLogLog
   * registers as keyed `flatMapGroupsWithState` state (the streaming
-  * counterpart of `d08_approx_distinct`).
+  * counterpart of the batch `approx_count_distinct` surface that
+  * `d08_approx_error_gate` oracle-checks).
   *
   * An exact streaming distinct needs state proportional to the number of
   * distinct values per window — unbounded on an open feed of user ids /

@@ -33,6 +33,40 @@ class GithubArtifactsSpec extends AnyFunSuite {
     }
   }
 
+  test("live-transport list-page parser maps the REST response shape") {
+    val body =
+      """{"total_count": 3, "artifacts": [
+        |  {"id": 101, "name": "opentelemetry-outputs-v1-run7",
+        |   "expired": false, "size_in_bytes": 2048},
+        |  {"id": 102, "name": "coverage-report", "expired": false},
+        |  {"id": 103, "name": "opentelemetry-outputs-v1-run8", "expired": true}
+        |]}""".stripMargin
+    val page = GithubArtifacts.parseListPage(body)
+    assert(page.totalCount == 3L)
+    assert(page.artifacts == Seq(
+      ArtifactEntry("101", "opentelemetry-outputs-v1-run7", expired = false),
+      ArtifactEntry("102", "coverage-report", expired = false),
+      ArtifactEntry("103", "opentelemetry-outputs-v1-run8", expired = true)))
+    // empty page: artifacts [] with the grand total still present
+    val empty = GithubArtifacts.parseListPage("""{"total_count": 3, "artifacts": []}""")
+    assert(empty.artifacts.isEmpty && empty.totalCount == 3L)
+    // malformed responses fail loudly, not as silent empty pages
+    intercept[IllegalStateException] {
+      GithubArtifacts.parseListPage("""{"artifacts": []}""")
+    }
+    intercept[IllegalStateException] {
+      GithubArtifacts.parseListPage("""{"total_count": 1, "artifacts": [{"name":"x"}]}""")
+    }
+  }
+
+  test("live transport construction performs no I/O") {
+    // offline safety: building the transport must not touch the network;
+    // the wire layer is exercised only on first call (which this
+    // environment cannot make — contract tests stay on the fake)
+    val t = new GithubArtifacts.HttpTransport(token = "dummy")
+    assert(t != null)
+  }
+
   test("paginator walks pages until empty and checks total_count") {
     val t = new FakeTransport((1 to 7).map(entry(_)))
     val got = GithubArtifacts.listArtifacts(t, "owner/repo", perPage = 3)

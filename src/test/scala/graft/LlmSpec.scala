@@ -990,6 +990,73 @@ class LlmSpec extends AnyFunSuite {
     assert(stubF == Multimodal.StubCodecs.features(compressed, 8).toSeq)
   }
 
+  test("I4 MJPEG-AVI first-frame decode via per-frame JPEG") {
+    // same minimal container as the DIB test, but the video strf carries
+    // biCompression 'MJPG' and the movi payload is a '00dc' chunk holding
+    // one complete JPEG — the one compressed codec javax.imageio decodes
+    def mjpgAvi(w: Int, h: Int, frame: Array[Byte]): Array[Byte] = {
+      val padded = if (frame.length % 2 == 1) frame :+ 0.toByte else frame
+      val hdrlSz = 4 + 8 + 56 + 8 + 4 + 8 + 56 + 8 + 40
+      val moviSz = 4 + 8 + padded.length
+      val bb = java.nio.ByteBuffer
+        .allocate(12 + 8 + hdrlSz + 8 + moviSz)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(4 + 8 + hdrlSz + 8 + moviSz)
+      bb.put("AVI ".getBytes)
+      bb.put("LIST".getBytes); bb.putInt(hdrlSz); bb.put("hdrl".getBytes)
+      bb.put("avih".getBytes); bb.putInt(56)
+      bb.putInt(40000); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      bb.putInt(1); bb.putInt(0); bb.putInt(1); bb.putInt(0)
+      bb.putInt(w); bb.putInt(h)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      bb.put("LIST".getBytes); bb.putInt(4 + 8 + 56 + 8 + 40)
+      bb.put("strl".getBytes)
+      bb.put("strh".getBytes); bb.putInt(56)
+      bb.put("vids".getBytes); bb.put("MJPG".getBytes)
+      bb.position(bb.position() + 48)
+      bb.put("strf".getBytes); bb.putInt(40)
+      bb.putInt(40) // biSize
+      bb.putInt(w); bb.putInt(h)
+      bb.putShort(1.toShort); bb.putShort(24.toShort)
+      bb.put("MJPG".getBytes) // biCompression fourcc, LE = 0x47504A4D
+      bb.putInt(frame.length)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      bb.put("LIST".getBytes); bb.putInt(moviSz); bb.put("movi".getBytes)
+      bb.put("00dc".getBytes); bb.putInt(frame.length); bb.put(padded)
+      bb.array()
+    }
+    val w = 32; val h = 16
+    val src = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      src.setRGB(x, y, if (x < w / 2) 0xff0000 else 0x0000ff)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "jpg", baos))
+    val avi = mjpgAvi(w, h, baos.toByteArray)
+    val img = Multimodal.VideoCodec.firstFrame(avi)
+    assert(img.isDefined)
+    assert(img.get.getWidth == w && img.get.getHeight == h)
+    // JPEG is lossy: assert channel dominance away from the seam
+    val left = img.get.getRGB(4, h / 2)
+    val right = img.get.getRGB(w - 5, h / 2)
+    assert(((left >> 16) & 0xff) > 180 && (left & 0xff) < 100, left.toHexString)
+    assert((right & 0xff) > 180 && ((right >> 16) & 0xff) < 100, right.toHexString)
+    // flows through the batch extractor as the REAL path: dim=8 → 2x1
+    // grid, cell 0 red-dominant (f(0)), cell 1 blue-dominant (f(5))
+    val feats = Multimodal.extractFeatures(
+      Seq((14L, "video/x-msvideo", avi)).toDF("media_id", "mime", "payload"),
+      dim = 8).select("features").collect().head.getSeq[Float](0)
+    assert(feats(0) > 0.6f && feats(2) < 0.4f, feats)
+    assert(feats(5) > 0.6f && feats(3) < 0.4f, feats)
+    // a 'dc' chunk that is not a JPEG (no FFD8 SOI) refuses → stub stands
+    val junk = mjpgAvi(w, h, Array.fill[Byte](64)(0x11))
+    assert(Multimodal.VideoCodec.firstFrame(junk).isEmpty)
+    val stubF = Multimodal.extractFeatures(
+      Seq((15L, "video/x-msvideo", junk)).toDF("media_id", "mime", "payload"),
+      dim = 8).select("features").collect().head.getSeq[Float](0)
+    assert(stubF == Multimodal.StubCodecs.features(junk, 8).toSeq)
+  }
+
   test("I4 real PNG/BMP resize via java.awt.image, stub for non-images") {
     def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
@@ -1172,6 +1239,24 @@ class LlmSpec extends AnyFunSuite {
     assert(fr.select(TextAnalysis.langId(col("text"))).head().getString(0) == "fr")
     val none = Seq((3L, "zzz qqq www")).toDF("doc_id", "text")
     assert(none.select(TextAnalysis.langId(col("text"))).head().getString(0) == "und")
+  }
+
+  test("I5 lang_id(null) = 'und' end-to-end through the registered query") {
+    // the driver fixtures carry no null text, so a regression in the
+    // LangIdExpr null path would be invisible to the oracle battery —
+    // pin it through the SAME entry point Verify runs (a documents table
+    // with the fixture's schema, one row of null text)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nulltext").toString
+    Seq(
+      (1L, "the cat and the dog is in the house with all of them",
+        "en", "src0", 52L),
+      (2L, null.asInstanceOf[String], "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val out = SparkEntry.queries("i5_lang_id")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "und", "null text must classify as 'und', not null/crash")
   }
 
   test("I5 bigram LM score: exact stats on a hand-computed corpus") {

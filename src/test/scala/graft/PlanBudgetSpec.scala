@@ -34,7 +34,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "d06_asof_prior_event" -> 1, "d06_asof_staleness" -> 1, "d07_above_customer_avg" -> 2,
     "d07_agg_pricing" -> 1, "d07_big_spenders" -> 1, "d07_outliers" -> 1,
     "d07_percentiles" -> 1,
-    "d07_retention_cohorts" -> 3, "d08_approx_distinct" -> 1,
+    "d07_retention_cohorts" -> 3,
     "d08_approx_error_gate" -> 4, "d08_cms_gate" -> 1,
     "d08_distinct_counts" -> 2, "d09_cube_orders" -> 1,
     "d09_grouping_sets" -> 1, "d09_pivot_event_types" -> 2,
