@@ -560,6 +560,44 @@ object Relational {
       | FROM closure c JOIN edges e ON e.parent = c.descendant)
       |SELECT ancestor, descendant, CAST(depth AS INT) AS depth FROM closure""".stripMargin
 
+  /** A7 on the SQL SURFACE: the same synthetic-tree transitive closure as
+    * [[closureTree]], but expressed as Spark-native `WITH RECURSIVE`
+    * (UnionLoop, Spark 4.x) — the declarative form a SQL-only consumer
+    * writes for the reference's subtree walk
+    * (`CL/opentelemetry_helpers.py:295-308`), previously reachable only
+    * through the library operator. The UnionLoop plan iterates the
+    * recursive step (one edges join per depth level, the loop-carried
+    * frontier shrinking each round); the one-shuffle grouped walk of
+    * [[Closure.treeClosureGrouped]] remains the 100 TB batch path —
+    * registering BOTH pins engine-vs-engine recursion semantics
+    * (cycle-free expansion, depth arithmetic) against DuckDB's
+    * recursive CTE. */
+  def closureRecursiveSql(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val ranked = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("rn", row_number().over(w))
+    // materialize the edge derivation ONCE: the UnionLoop re-executes its
+    // anchor/step subplans each iteration, so an un-checkpointed view
+    // would replay the window + self-join per depth level
+    ranked.filter(col("rn") > 1)
+      .join(ranked.select(col("user_id").as("p_user"),
+        col("event_id").as("parent"), col("rn").as("p_rn")),
+        col("user_id") === col("p_user") &&
+          col("p_rn") === floor(col("rn") / 2).cast("int"))
+      .select(col("parent"), col("event_id").as("child"))
+      .localCheckpoint()
+      .createOrReplaceTempView("__a7_sql_edges")
+    s.sql(
+      """WITH RECURSIVE closure (ancestor, descendant, depth) AS (
+        |  SELECT parent, child, 1 FROM __a7_sql_edges
+        |  UNION ALL
+        |  SELECT c.ancestor, e.child, c.depth + 1
+        |  FROM closure c JOIN __a7_sql_edges e ON e.parent = c.descendant
+        |)
+        |SELECT ancestor, descendant, depth FROM closure""".stripMargin)
+  }
+
   /** Last-write-wins dedup (the reference's legacy reader policy, B7):
     * keep the latest event per (user, type) via a desc ranking window. */
   def lastWriteWins(s: SparkSession, d: String): DataFrame = {
@@ -1718,6 +1756,7 @@ object Relational {
     "d06_asof_prior_event" -> asofPriorEvent _,
     "d06_asof_staleness" -> asofStaleness _,
     "a7_closure_tree" -> closureTree _,
+    "a7_closure_recursive_sql" -> closureRecursiveSql _,
     "b7_last_write_wins" -> lastWriteWins _,
     "a9_anti_join_roots" -> neverOrderedParts _,
     "d16_array_fns" -> arrayFns _,
@@ -1777,6 +1816,7 @@ object Relational {
     "d06_asof_prior_event" -> asofPriorEventSql,
     "d06_asof_staleness" -> asofStalenessSql,
     "a7_closure_tree" -> closureTreeSql,
+    "a7_closure_recursive_sql" -> closureTreeSql,
     "b7_last_write_wins" -> lastWriteWinsSql,
     "a9_anti_join_roots" -> neverOrderedPartsSql,
     "d16_array_fns" -> arrayFnsSql,

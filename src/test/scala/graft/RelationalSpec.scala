@@ -95,6 +95,20 @@ class RelationalSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("SQL-surface WITH RECURSIVE closure equals the grouped-walk operator") {
+    // two independent engine paths over the same tree: the UnionLoop
+    // recursion (spark.sql WITH RECURSIVE) and the library's one-shuffle
+    // grouped walk — their (ancestor, descendant, depth) sets must agree
+    // exactly, and depth must span past the trivial first level
+    val viaSql = Relational.closureRecursiveSql(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaOp = Relational.closureTree(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaSql.nonEmpty)
+    assert(viaSql == viaOp)
+    assert(viaSql.map(_._3).max >= 3, "fixture tree should recurse ≥ 3 deep")
+  }
+
   test("percentiles match a brute-force sorted-array interpolation") {
     val got = Relational.percentiles(spark, sf).collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),
