@@ -205,6 +205,57 @@ object Relational {
       | true AS within_bound
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Exact-register HyperLogLog (D8's sketch surface with a FULL oracle):
+    * per (group, bucket) the register value itself. Unlike the
+    * engine-specific `approx_count_distinct` sketch (which only admits
+    * the `d08_approx_error_gate` bound check), these registers are a
+    * pure function of the data computable identically by ANY engine with
+    * md5: bucket = the digest's first 8 hex chars mod 256, rho = 33 −
+    * bit-length of the 32-bit value in hex chars 9-16 (bit-length via
+    * the binary-string length — integer arithmetic end to end, no libm,
+    * so the oracle hash-matches register-for-register). The floating
+    * estimate and its accuracy live in the spec, which folds THESE
+    * registers through the harmonic-mean estimator and checks the error
+    * against the exact count. Scale shape: registers are the textbook
+    * mergeable summary — map-side partial MAX per (group, bucket), ONE
+    * shuffle of ≤ |groups|×256 rows regardless of input volume, and
+    * register tables from disjoint corpus shards merge by element-wise
+    * MAX. Streaming twin: [[graft.streaming.ApproxDistinct]] proves the
+    * same register-fold discipline under micro-batching (with xxhash64,
+    * which stays engine-internal — hence the md5 variant here for the
+    * cross-engine pin). */
+  def hllRegisters(s: SparkSession, d: String): DataFrame = {
+    val hex = md5(col("l_partkey").cast("string"))
+    val h1 = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val w = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    val rho = when(w === 0L, lit(33)).otherwise(lit(33) - length(bin(w)))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), (h1 % 256).as("bucket"), rho.as("rho"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** The oracle's md5-hex-slice → BIGINT parse (same fold as LlmOps'
+    * content buckets): chars [start, start+8) of the digest. */
+  private def hexValSql(arg: String, start: Int): String =
+    s"""list_reduce(
+       | [CAST(CASE WHEN ascii(substr(md5($arg), i, 1)) < 58
+       |   THEN ascii(substr(md5($arg), i, 1)) - 48
+       |   ELSE ascii(substr(md5($arg), i, 1)) - 87 END AS BIGINT)
+       |  for i in range($start, ${start + 8})],
+       | (acc, x) -> acc * 16 + x)""".stripMargin
+
+  private val hllRegistersSql =
+    s"""WITH h AS (
+       | SELECT l_returnflag,
+       |  ${hexValSql("CAST(l_partkey AS VARCHAR)", 1)} AS h1,
+       |  ${hexValSql("CAST(l_partkey AS VARCHAR)", 9)} AS w
+       | FROM lineitem)
+       |SELECT l_returnflag, h1 % 256 AS bucket,
+       | CAST(MAX(CASE WHEN w = 0 THEN 33
+       |   ELSE 33 - length(to_base(w, 2)) END) AS INT) AS max_rho
+       |FROM h GROUP BY l_returnflag, bucket""".stripMargin
+
   /** Rank-error gate for the quantile sketch (D8's quantile variant —
     * `approx_percentile`, Spark's KLL-style mergeable sketch, the
     * replacement for exact sort-based quantiles at 100 TB): for each
@@ -1740,6 +1791,7 @@ object Relational {
     "d04_semi_anti_customers" -> semiAntiCustomers _,
     "d08_distinct_counts" -> distinctCounts _,
     "d08_approx_error_gate" -> approxDistinctGate _,
+    "d08_hll_registers" -> hllRegisters _,
     "d08_quantile_gate" -> quantileSketchGate _,
     "d10_window_topk_per_customer" -> topOrdersPerCustomer _,
     "d10_window_running_total" -> runningTotal _,
@@ -1800,6 +1852,7 @@ object Relational {
     "d04_semi_anti_customers" -> semiAntiCustomersSql,
     "d08_distinct_counts" -> distinctCountsSql,
     "d08_approx_error_gate" -> approxDistinctGateSql,
+    "d08_hll_registers" -> hllRegistersSql,
     "d08_quantile_gate" -> quantileSketchGateSql,
     "d10_window_topk_per_customer" -> topOrdersPerCustomerSql,
     "d10_window_running_total" -> runningTotalSql,
