@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -36,6 +36,43 @@ object Multimodal {
       StructField("height", IntegerType),
       StructField("n_channels", IntegerType),
       StructField("duration_ms", LongType))))))
+
+  /** Extension → mime for the ingestion path (only the formats a codec
+    * here understands get a specific type; everything else stays the
+    * generic octet-stream the stub handles). */
+  private val ExtMime = Seq(
+    "png" -> "image/png", "jpg" -> "image/jpeg", "jpeg" -> "image/jpeg",
+    "gif" -> "image/gif", "bmp" -> "image/bmp",
+    "wav" -> "audio/x-wav", "aiff" -> "audio/x-aiff", "aif" -> "audio/x-aiff",
+    "au" -> "audio/basic", "avi" -> "video/x-msvideo")
+
+  /** Ingest a directory tree of media files as the (media_id, mime,
+    * payload) frame every I4 pipeline stage consumes. `binaryFile` is
+    * Spark's distributed binary source: the driver only LISTS paths,
+    * executors read the bytes — so a 100 TB image corpus lands as opaque
+    * payload rows with zero driver-side byte movement, and
+    * `maxPartitionBytes` packs many small files per task. media_id is
+    * the xxhash64 of the file path (stable across re-listing — the same
+    * content-addressable id discipline as the text dedup keys); mime
+    * comes from the extension and falls back to octet-stream, where the
+    * magic-byte sniffs of the codecs take over anyway. `source_path`
+    * and `length` ride along for lineage. */
+  def readMediaDir(spark: SparkSession, dir: String,
+      glob: String = "*"): DataFrame = {
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    val mime = ExtMime.foldLeft(lit("application/octet-stream")) {
+      case (acc, (e, m)) => when(ext === e, m).otherwise(acc)
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        mime.as("mime"),
+        col("content").as("payload"),
+        col("path").as("source_path"),
+        col("length"))
+  }
 
   /** REAL image metadata via the JDK's `javax.imageio` (PNG / JPEG / GIF /
     * BMP — zero new dependencies). Header-only: `ImageReader.getWidth(0)`

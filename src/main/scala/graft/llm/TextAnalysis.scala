@@ -19,20 +19,25 @@ object TextAnalysis {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Mean word length (0.0 for empty docs); integer-exact numerator and
+  /** Mean word length (0.0 for empty docs, null for null docs — the
+    * composite `when` would otherwise default null text to the empty-doc
+    * 0.0 and hide missing data); integer-exact numerator and
     * denominator, one deterministic double division. */
   def meanWordLength(text: Column): Column = {
     val words = split(text, " +")
     val totalLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
-    when(size(words) > 0, totalLen.cast("double") / size(words).cast("double"))
+    when(text.isNull, lit(null).cast("double"))
+      .when(size(words) > 0, totalLen.cast("double") / size(words).cast("double"))
       .otherwise(lit(0.0))
   }
 
-  /** Punctuation character ratio. */
+  /** Punctuation character ratio (null text → null, same rationale as
+    * [[meanWordLength]]). */
   def punctRatio(text: Column): Column =
-    when(length(text) > 0,
-      (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", "")))
-        .cast("double") / length(text).cast("double"))
+    when(text.isNull, lit(null).cast("double"))
+      .when(length(text) > 0,
+        (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", "")))
+          .cast("double") / length(text).cast("double"))
       .otherwise(lit(0.0))
 
   /** Per-language stopword hit count — single-pass token-set kernel
@@ -86,14 +91,17 @@ object TextAnalysis {
 
   /** Composite quality score in [0,1]: penalizes very short docs, high
     * punctuation density, and missing stopwords. Integer-ratio based —
-    * deterministic across engines. */
+    * deterministic across engines. Null text → null: without the guard,
+    * `least(null, 1.0)` SKIPS nulls, so a null doc would score its
+    * length component as perfect. */
   def qualityScore(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
     val punctPenalty = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
     val stopScore = least(
       stopwordHits(text, stopwordTable.values.flatten.toSeq).cast("double") / 10.0,
       lit(1.0))
-    (lenScore + punctPenalty + stopScore) / 3.0
+    when(text.isNull, lit(null).cast("double"))
+      .otherwise((lenScore + punctPenalty + stopScore) / 3.0)
   }
 
   /** Duplicate-token fraction: 1 − |distinct tokens| / |tokens| — the

@@ -1139,6 +1139,42 @@ class LlmSpec extends AnyFunSuite {
     assert(rb != br) // same mean color, different layout → different descriptor
   }
 
+  test("I4 binaryFile ingestion: media dir → (media_id, mime, payload) → real meta") {
+    // the distributed entry point: executors read bytes, driver only
+    // lists paths — write a small media tree and flow it end-to-end
+    // through the same decodeMeta batch the synthesized fixtures use
+    val dir = java.nio.file.Files.createTempDirectory("graft-mediadir")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    val img = new java.awt.image.BufferedImage(
+      24, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    put("pic.PNG", baos.toByteArray) // uppercase ext: mapping must fold case
+    put("note.txt", "not media at all".getBytes("UTF-8"))
+    val media = Multimodal.readMediaDir(spark, dir.toString)
+    val rows = media.collect()
+    assert(rows.length == 2)
+    val byMime = rows.map(r => r.getString(1) ->
+      (r.getLong(0), r.getAs[Array[Byte]](2), r.getString(3), r.getLong(4))).toMap
+    assert(byMime.keySet == Set("image/png", "application/octet-stream"))
+    val (_, pngPayload, pngPath, pngLen) = byMime("image/png")
+    assert(pngPath.endsWith("pic.PNG") && pngLen == pngPayload.length)
+    // ids are distinct and stable across re-listing
+    assert(rows.map(_.getLong(0)).distinct.length == 2)
+    assert(Multimodal.readMediaDir(spark, dir.toString).collect()
+      .map(_.getLong(0)).sorted.toSeq == rows.map(_.getLong(0)).sorted.toSeq)
+    // glob filter narrows the listing before any bytes are read
+    assert(Multimodal.readMediaDir(spark, dir.toString, glob = "*.txt")
+      .count() == 1)
+    // and the ingested frame drives the REAL metadata path
+    val meta = Multimodal.extractFeatures(
+      media.select("media_id", "mime", "payload"))
+      .select(col("mime"), col("width"), col("height")).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(meta("image/png") == ((24, 16)))
+  }
+
   test("I4 real audio: WAV metadata, RMS features, frame sampling") {
     import javax.sound.sampled._
     // synthesize a PCM16 mono WAV: `seconds` of a sine at `amp`
@@ -1239,6 +1275,35 @@ class LlmSpec extends AnyFunSuite {
     assert(fr.select(TextAnalysis.langId(col("text"))).head().getString(0) == "fr")
     val none = Seq((3L, "zzz qqq www")).toDF("doc_id", "text")
     assert(none.select(TextAnalysis.langId(col("text"))).head().getString(0) == "und")
+  }
+
+  test("I5 every scalar text kernel tolerates null text (no crash, null or default)") {
+    // the driver fixtures carry no null text; a production corpus will.
+    // Sweep the whole scalar scan-kernel surface over a null row: nothing
+    // may throw, lang_id defaults to 'und', the numeric kernels
+    // null-propagate (Spark convention for null input)
+    val df = Seq((1L, "some ordinary text here"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val rows = df.select(col("id"),
+      TextAnalysis.tokenCount(col("t")).as("tc"),
+      TextAnalysis.meanWordLength(col("t")).as("mwl"),
+      TextAnalysis.punctRatio(col("t")).as("pr"),
+      TextAnalysis.stopwordHits(col("t"), TextAnalysis.stopwordTable("en")).as("sw"),
+      TextAnalysis.langId(col("t")).as("lang"),
+      TextAnalysis.qualityScore(col("t")).as("q"),
+      TextAnalysis.dupTokenRatio(col("t")).as("dtr"),
+      TextAnalysis.topTokenShare(col("t")).as("tts"),
+      TextAnalysis.fingerprint(col("t")).as("fp"),
+      TextAnalysis.simHash(col("t")).as("sh"))
+      .orderBy(col("id")).collect()
+    val real = rows(0)
+    val nul = rows(1)
+    // the real row is fully defined
+    for (i <- 1 to 10) assert(!real.isNullAt(i), s"real row col $i")
+    // the null row: lang defaults, everything else null-propagates
+    assert(nul.getString(5) == "und")
+    for (i <- Seq(1, 2, 3, 4, 6, 7, 8, 9, 10))
+      assert(nul.isNullAt(i), s"null row col $i should be null")
   }
 
   test("I5 lang_id(null) = 'und' end-to-end through the registered query") {

@@ -49,4 +49,60 @@ class SourceFormatsSpec extends AnyFunSuite {
       .head()
     assert(keysA == keysB)
   }
+
+  test("range-partitioned layout lets parquet stats skip non-matching files") {
+    // 100 TB scan design: a time-series corpus written repartitionByRange
+    // on its filter key gives every file a narrow min/max band, so the
+    // parquet reader's row-group statistics drop non-matching groups
+    // before they reach the scan output. A hash-shuffled layout of the
+    // SAME data spreads every time band across every file — row-group
+    // stats prune nothing. The scan-node output-row metric measures the
+    // difference directly.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val total = ev.count()
+    val clusteredDir = Files.createTempDirectory("graft-layout-range").toString
+    val shuffledDir = Files.createTempDirectory("graft-layout-hash").toString
+    // INT96 (Spark's legacy default) carries no pushdown-usable stats —
+    // a 100 TB time-series corpus must be written as TIMESTAMP_MICROS
+    // for the skipping below to exist at all
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val prevTsType = spark.conf.get(tsTypeKey)
+    try {
+      spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+      ev.repartitionByRange(8, col("ts")).sortWithinPartitions(col("ts"))
+        .write.mode("overwrite").parquet(clusteredDir)
+      ev.repartition(8, col("event_id"))
+        .write.mode("overwrite").parquet(shuffledDir)
+    } finally spark.conf.set(tsTypeKey, prevTsType)
+    // a ~10% time slice in the middle of the range (exact quantiles:
+    // relativeError 0 — the probe must be deterministic)
+    val Array(lo, hi) = ev.withColumn("ts_us", unix_micros(col("ts")))
+      .stat.approxQuantile("ts_us", Array(0.45, 0.55), 0.0)
+    def scannedRows(dir: String): (Long, Long) = {
+      // filter on the RAW column with timestamp literals — a predicate
+      // wrapped in a function (e.g. unix_micros(ts) >= x) cannot be
+      // pushed to the parquet reader and would skip nothing
+      val q = spark.read.parquet(dir)
+        .filter(col("ts") >= timestamp_micros(lit(lo.toLong)) &&
+          col("ts") < timestamp_micros(lit(hi.toLong)))
+      val matching = q.count()
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves()
+        .collect { case s: FileSourceScanExec => s }
+      assert(scan.nonEmpty, "expected a FileSourceScanExec leaf")
+      (scan.map(_.metrics("numOutputRows").value).sum, matching)
+    }
+    val (clusteredScan, m1) = scannedRows(clusteredDir)
+    val (shuffledScan, m2) = scannedRows(shuffledDir)
+    assert(m1 == m2 && m1 > 0)
+    // clustered: only the 1-2 files whose band intersects the slice emit
+    // rows; shuffled: every file's row group intersects, nothing skipped
+    assert(clusteredScan <= total / 2,
+      s"clustered layout should skip most row groups: $clusteredScan of $total")
+    assert(shuffledScan >= (total * 9) / 10,
+      s"hash layout should scan ~everything: $shuffledScan of $total")
+    assert(clusteredScan < shuffledScan / 2)
+  }
 }
