@@ -507,13 +507,24 @@ object Multimodal {
 
     /** One MJPEG frame = one complete JPEG byte stream. Sniff the SOI
       * marker first so a tables-omitted legacy frame (or garbage) takes
-      * the stub path instead of an ImageIO exception per row. */
+      * the stub path instead of an ImageIO exception per row. The 16 MP
+      * cap is re-checked against the JPEG's OWN header dimensions
+      * (header-only read, like [[ImageCodec.decodeMeta]]) — the AVI strf
+      * header already passed the cap upstream, but a hostile frame whose
+      * embedded SOF claims huge dimensions would otherwise drive the
+      * full-decode allocation past it. */
     private def decodeJpegFrame(p: Array[Byte], off: Int,
         len: Int): Option[java.awt.image.BufferedImage] = {
       if (len < 4 || (p(off) & 0xff) != 0xFF || (p(off + 1) & 0xff) != 0xD8)
         return None
-      Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(p, off, len)))
+      val frame = java.util.Arrays.copyOfRange(p, off, off + len)
+      ImageCodec.decodeMeta(frame) match {
+        case Some((jw, jh, _)) if jw > 0 && jh > 0 &&
+          jw.toLong * jh <= 16000000L =>
+          Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(frame)))
+        case _ => None
+      }
     }
 
     private def decodeDib(p: Array[Byte], off: Int, len: Int,

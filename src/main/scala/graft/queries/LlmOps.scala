@@ -1090,12 +1090,7 @@ object LlmOps {
     * digits folded digit-by-digit into a BIGINT, mod 100 — the exact value
     * of Spark's `conv(substring(md5(c),1,8),16,10) % 100`. */
   private def bucketSql(col: String, nBuckets: Int = 100): String =
-    s"""list_reduce(
-       | [CAST(CASE WHEN ascii(substr(md5($col), i, 1)) < 58
-       |   THEN ascii(substr(md5($col), i, 1)) - 48
-       |   ELSE ascii(substr(md5($col), i, 1)) - 87 END AS BIGINT)
-       |  for i in range(1, 9)],
-       | (acc, x) -> acc * 16 + x) % $nBuckets""".stripMargin
+    s"${Relational.hexValSql(col, 1)} % $nBuckets"
 
   private def splitSql(col: String): String =
     s"""CASE WHEN ${bucketSql(col)} < 80 THEN 'train'

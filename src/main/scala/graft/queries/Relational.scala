@@ -235,9 +235,11 @@ object Relational {
       .agg(max(col("rho")).as("max_rho"))
   }
 
-  /** The oracle's md5-hex-slice → BIGINT parse (same fold as LlmOps'
-    * content buckets): chars [start, start+8) of the digest. */
-  private def hexValSql(arg: String, start: Int): String =
+  /** The oracle's md5-hex-slice → BIGINT parse: chars [start, start+8)
+    * of the digest. ONE definition of this finicky ASCII-arithmetic fold
+    * for the whole oracle battery — LlmOps' content buckets delegate
+    * here with start = 1. */
+  private[queries] def hexValSql(arg: String, start: Int): String =
     s"""list_reduce(
        | [CAST(CASE WHEN ascii(substr(md5($arg), i, 1)) < 58
        |   THEN ascii(substr(md5($arg), i, 1)) - 48
@@ -580,19 +582,26 @@ object Relational {
     * walk ([[Closure.treeClosureGrouped]]); the generic iterative
     * [[Closure.transitiveClosure]] (exercised by the span ops + specs)
     * remains the fallback for unpartitionable graphs. */
-  def closureTree(s: SparkSession, d: String): DataFrame = {
+  def closureTree(s: SparkSession, d: String): DataFrame =
+    Closure.treeClosureGrouped(syntheticTreeEdges(s, d), "user_id")
+      .select(col("ancestor"), col("descendant"), col("depth"))
+
+  /** The shared synthetic-tree edge derivation (per-user event rank rn,
+    * parent = rn/2) — ONE definition so [[closureTree]] and
+    * [[closureRecursiveSql]] provably walk the SAME tree (RelationalSpec
+    * asserts their closures set-equal; a divergence here would only
+    * surface as that spec's confusing failure). */
+  private def syntheticTreeEdges(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
     val ranked = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("ts"))
       .withColumn("rn", row_number().over(w))
-    val edges = ranked.filter(col("rn") > 1)
+    ranked.filter(col("rn") > 1)
       .join(ranked.select(col("user_id").as("p_user"),
         col("event_id").as("parent"), col("rn").as("p_rn")),
         col("user_id") === col("p_user") &&
           col("p_rn") === floor(col("rn") / 2).cast("int"))
       .select(col("user_id"), col("parent"), col("event_id").as("child"))
-    Closure.treeClosureGrouped(edges, "user_id")
-      .select(col("ancestor"), col("descendant"), col("depth"))
   }
 
   private val closureTreeSql =
@@ -623,30 +632,38 @@ object Relational {
     * registering BOTH pins engine-vs-engine recursion semantics
     * (cycle-free expansion, depth arithmetic) against DuckDB's
     * recursive CTE. */
+  /** The prior invocation's checkpointed edge table, released when the
+    * next invocation supersedes it — without this, every battery run of
+    * the query pins another edge snapshot in block storage for the life
+    * of the session (the same leak class [[graft.operators.Checkpoints]]
+    * fixes in the iterative operators). Single-threaded battery
+    * discipline: concurrent invocations in ONE session would release a
+    * checkpoint the other still reads. */
+  @volatile private var prevRecursiveEdges: Option[DataFrame] = None
+
   def closureRecursiveSql(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
-    val ranked = Tables.events(s, d)
-      .select(col("event_id"), col("user_id"), col("ts"))
-      .withColumn("rn", row_number().over(w))
     // materialize the edge derivation ONCE: the UnionLoop re-executes its
     // anchor/step subplans each iteration, so an un-checkpointed view
     // would replay the window + self-join per depth level
-    ranked.filter(col("rn") > 1)
-      .join(ranked.select(col("user_id").as("p_user"),
-        col("event_id").as("parent"), col("rn").as("p_rn")),
-        col("user_id") === col("p_user") &&
-          col("p_rn") === floor(col("rn") / 2).cast("int"))
-      .select(col("parent"), col("event_id").as("child"))
+    val edges = syntheticTreeEdges(s, d)
+      .select(col("parent"), col("child"))
       .localCheckpoint()
-      .createOrReplaceTempView("__a7_sql_edges")
-    s.sql(
-      """WITH RECURSIVE closure (ancestor, descendant, depth) AS (
-        |  SELECT parent, child, 1 FROM __a7_sql_edges
-        |  UNION ALL
-        |  SELECT c.ancestor, e.child, c.depth + 1
-        |  FROM closure c JOIN __a7_sql_edges e ON e.parent = c.descendant
-        |)
-        |SELECT ancestor, descendant, depth FROM closure""".stripMargin)
+    // a unique view name per invocation (no cross-invocation races), and
+    // the view is dropped as soon as the plan below has bound to it
+    val view = s"__a7_sql_edges_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    edges.createOrReplaceTempView(view)
+    val out = try s.sql(
+      s"""WITH RECURSIVE closure (ancestor, descendant, depth) AS (
+         |  SELECT parent, child, 1 FROM $view
+         |  UNION ALL
+         |  SELECT c.ancestor, e.child, c.depth + 1
+         |  FROM closure c JOIN $view e ON e.parent = c.descendant
+         |)
+         |SELECT ancestor, descendant, depth FROM closure""".stripMargin)
+    finally s.catalog.dropTempView(view)
+    prevRecursiveEdges.foreach(graft.operators.Checkpoints.release)
+    prevRecursiveEdges = Some(edges)
+    out
   }
 
   /** Last-write-wins dedup (the reference's legacy reader policy, B7):

@@ -83,10 +83,15 @@ object GithubArtifacts {
     * instantiate in an offline environment (first use fails instead).
     * Request shapes mirror the reference (`github_helpers.py:75-105`):
     * list = `GET {base}/repos/{repo}/actions/artifacts?per_page&page`;
-    * download = `GET …/artifacts/{id}/zip` following the 302 redirect to
-    * the blob store, with 410 → None (expired between list and fetch) and
-    * any other non-200 a hard error. Contract tests stay on the fake
-    * transport; this class only adds the wire layer. */
+    * download = `GET …/artifacts/{id}/zip`, whose 302 to the blob store
+    * is followed MANUALLY and WITHOUT the Authorization header —
+    * `java.net.http.HttpClient` re-sends all user headers across
+    * cross-origin redirects (unlike python requests, which strips auth
+    * on host change, the behavior the reference silently relies on), and
+    * the SAS-signed blob URL rejects requests that also carry a bearer
+    * token. 410 → None (expired between list and fetch); any other
+    * non-200 is a hard error. Contract tests stay on the fake transport;
+    * this class only adds the wire layer. */
   final class HttpTransport(
       token: String,
       apiBase: String = "https://api.github.com",
@@ -94,20 +99,23 @@ object GithubArtifacts {
       extends Transport {
     import java.net.http.{HttpClient, HttpRequest, HttpResponse}
     private lazy val client = HttpClient.newBuilder()
-      .followRedirects(HttpClient.Redirect.NORMAL)
+      .followRedirects(HttpClient.Redirect.NEVER) // redirects handled below
       .connectTimeout(requestTimeout)
       .build()
-    private def get(uri: String): HttpRequest =
-      HttpRequest.newBuilder(java.net.URI.create(uri))
+    private def get(uri: String, auth: Boolean): HttpRequest = {
+      val b = HttpRequest.newBuilder(java.net.URI.create(uri))
         .timeout(requestTimeout)
         .header("Accept", "application/vnd.github+json")
-        .header("Authorization", s"Bearer $token")
+        .GET()
+      if (auth) b.header("Authorization", s"Bearer $token")
         .header("X-GitHub-Api-Version", "2022-11-28")
-        .GET().build()
+      b.build()
+    }
 
     def listPage(repo: String, perPage: Int, page: Int): PageResult = {
       val resp = client.send(
-        get(s"$apiBase/repos/$repo/actions/artifacts?per_page=$perPage&page=$page"),
+        get(s"$apiBase/repos/$repo/actions/artifacts?per_page=$perPage&page=$page",
+          auth = true),
         HttpResponse.BodyHandlers.ofString())
       if (resp.statusCode() != 200)
         throw new IllegalStateException(
@@ -116,15 +124,27 @@ object GithubArtifacts {
     }
 
     def download(repo: String, artifactId: String): Option[Array[Byte]] = {
-      val resp = client.send(
-        get(s"$apiBase/repos/$repo/actions/artifacts/$artifactId/zip"),
-        HttpResponse.BodyHandlers.ofByteArray())
-      resp.statusCode() match {
-        case 200 => Some(resp.body())
-        case 410 => None // expired after the list (github_helpers.py:98-105)
-        case c => throw new IllegalStateException(
-          s"GitHub artifact download failed: HTTP $c for $repo artifact $artifactId")
+      var uri = s"$apiBase/repos/$repo/actions/artifacts/$artifactId/zip"
+      var auth = true // only the api.github.com hop is authenticated
+      var hops = 0
+      while (hops < 5) {
+        val resp = client.send(get(uri, auth),
+          HttpResponse.BodyHandlers.ofByteArray())
+        resp.statusCode() match {
+          case 200 => return Some(resp.body())
+          case 410 => return None // expired after list (github_helpers.py:98-105)
+          case 301 | 302 | 303 | 307 | 308 =>
+            uri = resp.headers().firstValue("location").orElseThrow(() =>
+              new IllegalStateException(
+                s"redirect without Location for $repo artifact $artifactId"))
+            auth = false
+            hops += 1
+          case c => throw new IllegalStateException(
+            s"GitHub artifact download failed: HTTP $c for $repo artifact $artifactId")
+        }
       }
+      throw new IllegalStateException(
+        s"too many redirects downloading $repo artifact $artifactId")
     }
   }
 
