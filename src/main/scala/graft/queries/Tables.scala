@@ -41,4 +41,29 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Every fixture table under `dir`, by name. */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register each table present in `dir` as a session temp view (missing
+    * files are skipped, so a corpus-only directory registers just its
+    * corpus tables). This is the SQL-only consumer's entry point: with
+    * the views registered and `GraftExtensions` on the session, the whole
+    * SQL surface — including the custom functions and the recursive
+    * closure — runs through `spark.sql` alone. Views stay plain scans
+    * (same pushdown rationale as the loaders above); `events` goes
+    * through its layout-normalizing reader. Returns the registered
+    * names. */
+  def registerAll(s: SparkSession, d: String): Seq[String] =
+    names.filter { n =>
+      val path = new org.apache.hadoop.fs.Path(s"$d/$n.parquet")
+      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val present = fs.exists(path)
+      if (present) {
+        val df = if (n == "events") events(s, d) else table(s, d, n)
+        df.createOrReplaceTempView(n)
+      }
+      present
+    }
 }

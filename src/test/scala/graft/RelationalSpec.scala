@@ -109,6 +109,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(viaSql.map(_._3).max >= 3, "fixture tree should recurse ≥ 3 deep")
   }
 
+  test("registerAll exposes the fixture tables to pure-SQL consumers") {
+    val registered = graft.queries.Tables.registerAll(spark, sf)
+    assert(registered.toSet == graft.queries.Tables.names.toSet)
+    // a pure spark.sql query over the views matches the DataFrame API
+    val viaSql = spark.sql(
+      """SELECT n_name, COUNT(*) AS n FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaApi = graft.queries.Tables.customer(spark, sf)
+      .join(graft.queries.Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+    // the events view carries the normalized timestamp layout
+    assert(spark.sql("SELECT ts FROM events LIMIT 1").schema("ts")
+      .dataType.typeName == "timestamp")
+    // a directory with only some tables registers just those
+    val partial = java.nio.file.Files.createTempDirectory("graft-partial").toString
+    graft.queries.Tables.documents(spark, sf)
+      .write.mode("overwrite").parquet(partial + "/documents.parquet")
+    assert(graft.queries.Tables.registerAll(spark, partial) == Seq("documents"))
+    // restore the full views for any later test in this session
+    graft.queries.Tables.registerAll(spark, sf)
+  }
+
   test("HLL registers match a driver-side md5 recompute and estimate well") {
     val got = Relational.hllRegisters(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
