@@ -52,6 +52,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("H-EXT checkpoint recovery: restart resumes exactly-once with state") {
+    // the operational contract a long-running 100 TB feed depends on: a
+    // stopped query restarted from its checkpoint must (1) not re-emit
+    // finalized windows, (2) carry OPEN window state across the restart,
+    // (3) carry the WATERMARK across the restart so late data stays
+    // dropped. All three fail loudly here if checkpointing regresses.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val src = Files.createTempDirectory("graft-ckpt-src").toString
+    val out = Files.createTempDirectory("graft-ckpt-out").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-state").toString
+    val schema = StructType(Seq(
+      StructField("user", StringType), StructField("ts", TimestampType)))
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(src, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def startQuery() = spark.readStream.schema(schema).json(src)
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("n"))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    def ev(t: String) = s"""{"user":"u1","ts":"2024-03-01T$t"}"""
+    // phase 1: two events in window 10:00, then one at 10:05 that pushes
+    // the watermark past 10:01 and finalizes the first window
+    writeFile("p1.jsonl", Seq(ev("10:00:10"), ev("10:00:20"), ev("10:05:00")))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val after1 = spark.read.schema(
+      StructType(Seq(StructField("win_start", TimestampType),
+        StructField("n", LongType))))
+      .parquet(out).collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(after1 == Map("2024-03-01 10:00:00.0" -> 2L))
+    // phase 2 (fresh query from the SAME checkpoint): a LATE 10:00 event
+    // (behind the recovered watermark — must stay dropped), another
+    // 10:05 event (joins the RECOVERED open-window count), and a far
+    // event finalizing 10:05
+    writeFile("p2.jsonl", Seq(ev("10:00:30"), ev("10:05:10"), ev("10:15:00")))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val after2 = spark.read.schema(
+      StructType(Seq(StructField("win_start", TimestampType),
+        StructField("n", LongType))))
+      .parquet(out).collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1))
+    // exactly-once: ONE row per finalized window — 10:00 NOT re-emitted
+    // (and not incremented by the late event), 10:05 counts BOTH sides
+    // of the restart
+    assert(after2.sorted.toSeq == Seq(
+      "2024-03-01 10:00:00.0" -> 2L, "2024-03-01 10:05:00.0" -> 2L))
+  }
+
   test("H3 session windows per trace") {
     val dir = spanDir
     val q = SpanStream.traceSessions(SpanStream.readSpanStream(spark, dir), "30 seconds")
