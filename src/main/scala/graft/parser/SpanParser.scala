@@ -499,31 +499,53 @@ object Notebooks {
       else s"""<pre class="input">${escapeHtml(textOf(cell.get("source")))}</pre>"""
     val outs = cell.get("outputs") match {
       case Some(os: Vector[_]) => os.collect {
-        case o: ListMap[_, _] =>
-          val out = renderOutput(o.asInstanceOf[ListMap[String, Any]])
-          s"""<pre class="output">${escapeHtml(out)}</pre>"""
+        case o: ListMap[_, _] => renderOutput(o.asInstanceOf[ListMap[String, Any]])
       }.mkString("\n")
       case _ => ""
     }
     s"""<div class="cell $tpe">\n$src\n$outs</div>"""
   }
 
-  /** Textual payload of one cell output, by nbformat `output_type`. */
+  private def outPre(s: String): String =
+    s"""<pre class="output">${escapeHtml(s)}</pre>"""
+
+  /** IPython colors tracebacks/streams with ANSI SGR sequences; nbconvert
+    * converts them to styled spans — here they are stripped, so the HTML
+    * carries the text rather than raw escape bytes. */
+  private[graft] def stripAnsi(s: String): String =
+    s.replaceAll("\\x1B\\[[0-9;]*[A-Za-z]", "")
+
+  /** One nbformat output → its final HTML fragment. Rich-data precedence
+    * mirrors nbconvert: `image/png` embeds as a data-URI `<img>`,
+    * `text/html` passes through as markup (nbconvert emits it raw — the
+    * notebook author's own HTML), `text/plain` renders escaped. */
   private def renderOutput(o: ListMap[String, Any]): String =
     o.get("output_type") match {
-      case Some("stream") => textOf(o.get("text"))
+      case Some("stream") => outPre(stripAnsi(textOf(o.get("text"))))
       case Some("execute_result") | Some("display_data") =>
         o.get("data") match {
           case Some(d: ListMap[_, _]) =>
-            textOf(d.asInstanceOf[ListMap[String, Any]].get("text/plain"))
+            val data = d.asInstanceOf[ListMap[String, Any]]
+            data.get("image/png") match {
+              case Some(b64) =>
+                // base64 arrives as a string or line list, often
+                // newline-broken — data URIs need it contiguous
+                val clean = textOf(Some(b64)).replaceAll("\\s", "")
+                s"""<img class="output" src="data:image/png;base64,$clean"/>"""
+              case None => data.get("text/html") match {
+                case Some(h) =>
+                  s"""<div class="output html">${textOf(Some(h))}</div>"""
+                case None => outPre(textOf(data.get("text/plain")))
+              }
+            }
           case _ => ""
         }
       case Some("error") =>
         val name = textOf(o.get("ename"))
         val value = textOf(o.get("evalue"))
         val tb = textOf(o.get("traceback"))
-        s"$name: $value\n$tb"
-      case _ => textOf(o.get("text"))
+        outPre(stripAnsi(s"$name: $value\n$tb"))
+      case _ => outPre(textOf(o.get("text")))
     }
 
   /** nbformat sources/outputs are a string or a list of line strings. */
@@ -539,8 +561,9 @@ object Notebooks {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
   /** Minimal markdown → HTML for notebook markdown cells: ATX headers,
-    * `**bold**`, `*italic*`, and `` `code` `` spans — the constructs the
-    * reference's own notebook fixtures use. Escapes FIRST, then wraps, so
+    * `**bold**`, `*italic*`, `` `code` `` spans, bullet/ordered lists,
+    * and fenced code blocks — the constructs notebook markdown actually
+    * uses. Escapes FIRST, then wraps, so
     * payload text can never inject markup; replacement text is
     * regex-quoted so `$`/`\` in the content survive. Code-span contents
     * are shielded behind placeholders while the emphasis passes run —
@@ -567,12 +590,52 @@ object Notebooks {
         Regex.quoteReplacement(s"<code>${codes(m.group(1).toInt)}</code>"))
     }
     val header = "^(#{1,6})\\s+(.*)$".r
-    md.linesIterator.map {
-      case header(hashes, rest) =>
-        val n = hashes.length
-        s"<h$n>${inline(rest)}</h$n>"
-      case l if l.trim.isEmpty => ""
-      case l => s"<p>${inline(l)}</p>"
-    }.mkString("\n")
+    val bullet = "^\\s*[-*]\\s+(.*)$".r
+    val ordered = "^\\s*\\d+[.)]\\s+(.*)$".r
+    val fence = "^\\s*```".r
+    val lines = md.linesIterator.toVector
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < lines.length) {
+      lines(i) match {
+        // fenced code block: verbatim <pre><code>, no inline markup —
+        // nbconvert keeps fence contents untouched
+        case l if fence.findFirstIn(l).isDefined =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          i += 1
+          while (i < lines.length && fence.findFirstIn(lines(i)).isEmpty) {
+            buf += lines(i)
+            i += 1
+          }
+          i += 1 // closing fence (or end of input on an unclosed block)
+          out += s"<pre><code>${escapeHtml(buf.mkString("\n"))}</code></pre>"
+        case bullet(_) =>
+          val items = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (i < lines.length && bullet.findFirstIn(lines(i)).isDefined) {
+            val bullet(item) = lines(i)
+            items += s"<li>${inline(item)}</li>"
+            i += 1
+          }
+          out += items.mkString("<ul>\n", "\n", "\n</ul>")
+        case ordered(_) =>
+          val items = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (i < lines.length && ordered.findFirstIn(lines(i)).isDefined) {
+            val ordered(item) = lines(i)
+            items += s"<li>${inline(item)}</li>"
+            i += 1
+          }
+          out += items.mkString("<ol>\n", "\n", "\n</ol>")
+        case header(hashes, rest) =>
+          out += s"<h${hashes.length}>${inline(rest)}</h${hashes.length}>"
+          i += 1
+        case l if l.trim.isEmpty =>
+          out += ""
+          i += 1
+        case l =>
+          out += s"<p>${inline(l)}</p>"
+          i += 1
+      }
+    }
+    out.mkString("\n")
   }
 }

@@ -208,6 +208,50 @@ class ExternalProcessSpec extends AnyFunSuite {
     assert(nul.contains("before 7 after"))
   }
 
+  test("markdown lists, fenced code, ANSI tracebacks, rich outputs (E8/B5)") {
+    import scala.collection.immutable.ListMap
+    val ipynb = graft.model.Json.render(ListMap(
+      "cells" -> Vector(
+        ListMap(
+          "cell_type" -> "markdown",
+          "source" -> ("steps:\n- load *data*\n- fit\n1. first\n2) second\n" +
+            "```\nraw **not bold** <tag>\n```\ntail")),
+        ListMap(
+          "cell_type" -> "code",
+          "source" -> "plot()",
+          "outputs" -> Vector(
+            ListMap("output_type" -> "display_data",
+              "data" -> ListMap(
+                "image/png" -> Vector("aGVs\n", "bG8=\n"),
+                "text/plain" -> "<Figure>")),
+            ListMap("output_type" -> "execute_result",
+              "data" -> ListMap("text/html" -> "<table><tr><td>1</td></tr></table>",
+                "text/plain" -> "df")),
+            ListMap("output_type" -> "error",
+              "ename" -> "ValueError", "evalue" -> "bad",
+              "traceback" -> Vector("\u001b[0;31mValueError\u001b[0m: bad")),
+            ListMap("output_type" -> "stream",
+              "text" -> "plain [bracketed] text")))),
+      "nbformat" -> 4))
+    val html = graft.parser.Notebooks.convertIpynbToHtml(ipynb)
+    // lists: bullets → <ul>, ordered (both "1." and "2)") → <ol>
+    assert(html.contains("<ul>\n<li>load <em>data</em></li>\n<li>fit</li>\n</ul>"))
+    assert(html.contains("<ol>\n<li>first</li>\n<li>second</li>\n</ol>"))
+    // fenced block: verbatim, escaped, no emphasis applied
+    assert(html.contains("<pre><code>raw **not bold** &lt;tag&gt;</code></pre>"))
+    assert(html.contains("<p>tail</p>"))
+    // rich outputs, nbconvert precedence: png beats text/plain and embeds
+    // as a contiguous data URI; text/html passes through as markup
+    assert(html.contains("""<img class="output" src="data:image/png;base64,aGVsbG8="/>"""))
+    assert(html.contains("""<div class="output html"><table><tr><td>1</td></tr></table></div>"""))
+    assert(!html.contains("&lt;Figure&gt;"))
+    // ANSI SGR sequences are stripped from tracebacks, bracketed plain
+    // text survives untouched
+    assert(html.contains("ValueError: bad"))
+    assert(!html.contains("0;31m"))
+    assert(html.contains("plain [bracketed] text"))
+  }
+
   test("E8 ok notebook: cells executed in order, P injected, evaluated ipynb + html") {
     assume(python3Available, "python3 not on PATH")
     val engine = new Engine(spark, 4)
