@@ -1178,6 +1178,73 @@ object LlmOps {
        |JOIN sp sb ON sb.doc_id = doc_b
        |GROUP BY 1, 2""".stripMargin
 
+  /** I6p — filter-attrition funnel: the per-stage survivor report every
+    * production curation pipeline publishes ("which filter removed how
+    * many docs"). One cumulative-AND pass over the scored corpus: input →
+    * language → quality floor → repetition cap → exact dedup, each stage
+    * a (stage_idx, stage, n_kept, n_removed) row. The scan computes every
+    * per-doc signal ONCE behind the pushdown fence; the stage counts are
+    * conditional sums in a single map-side-combined aggregate, and the
+    * dedup stage is a SEPARATE dedupe-first count — a conditional
+    * COUNT(DISTINCT) in the same aggregate would plan an Expand that
+    * triples every input row through the shuffle (the d08 lesson). Two
+    * corpus scans, three tiny shuffles, no Expand — the shape that holds
+    * at 100 TB. */
+  def filterAttrition(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = docs
+      .repartition(graft.llm.Par.of(docs))
+      .select(col("text"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.dupTokenRatio(col("text")).as("dup_ratio"))
+      .withColumn("__fence", monotonically_increasing_id())
+    val f1 = col("lang") === "en"
+    val f2 = col("quality") >= 0.5
+    val f3 = col("dup_ratio") <= 0.8
+    val base = scored.agg(
+      count(lit(1)).as("n0"),
+      sum(when(f1, 1L).otherwise(0L)).as("n1"),
+      sum(when(f1 && f2, 1L).otherwise(0L)).as("n2"),
+      sum(when(f1 && f2 && f3, 1L).otherwise(0L)).as("n3"))
+    val dedup = scored.filter(f1 && f2 && f3)
+      .select(md5(col("text")).as("h")).distinct()
+      .agg(count(lit(1)).as("n4"))
+    base.crossJoin(dedup).select(expr(
+      """stack(5,
+        | 0, 'input',       n0, cast(0 as bigint),
+        | 1, 'lang_en',     n1, n0 - n1,
+        | 2, 'quality',     n2, n1 - n2,
+        | 3, 'repetition',  n3, n2 - n3,
+        | 4, 'exact_dedup', n4, n3 - n4) AS (stage_idx, stage, n_kept, n_removed)""".stripMargin))
+  }
+
+  private lazy val filterAttritionSql =
+    s"""WITH lang AS ($langIdSql), q AS (${qualitySqlOver("documents", "text")}),
+       |rep AS ($repetitionSql),
+       |flags AS (
+       | SELECT d.text,
+       |  lang.pred_lang = 'en' AS f1,
+       |  q.quality >= 0.5 AS f2,
+       |  rep.dup_ratio <= 0.8 AS f3
+       | FROM documents d
+       | JOIN lang ON lang.doc_id = d.doc_id
+       | JOIN q ON q.doc_id = d.doc_id
+       | JOIN rep ON rep.doc_id = d.doc_id),
+       |agg AS (SELECT COUNT(*) AS n0,
+       |  CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |  CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |  CAST(SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |  COUNT(DISTINCT CASE WHEN f1 AND f2 AND f3 THEN md5(text) END) AS n4
+       | FROM flags)
+       |SELECT * FROM (
+       | SELECT 0 AS stage_idx, 'input' AS stage, n0 AS n_kept,
+       |   CAST(0 AS BIGINT) AS n_removed FROM agg
+       | UNION ALL SELECT 1, 'lang_en', n1, n0 - n1 FROM agg
+       | UNION ALL SELECT 2, 'quality', n2, n1 - n2 FROM agg
+       | UNION ALL SELECT 3, 'repetition', n3, n2 - n3 FROM agg
+       | UNION ALL SELECT 4, 'exact_dedup', n4, n3 - n4 FROM agg)""".stripMargin
+
   /** I6b — END-TO-END corpus curation, the composed pipeline a
     * training-data user actually runs: language filter → quality floor →
     * exact dedup (min-id representative) → deterministic split. Every
@@ -1910,6 +1977,7 @@ object LlmOps {
     "i6_dataset_split" -> datasetSplit _,
     "i6_split_leakage" -> splitLeakage _,
     "i6_corpus_curation" -> corpusCuration _,
+    "i6_filter_attrition" -> filterAttrition _,
     "i6_stratified_cap" -> stratifiedCap _,
     "i6_mixture_sample" -> mixtureSample _,
     "i7_pii_scrub" -> piiScrub _,
@@ -1971,6 +2039,7 @@ object LlmOps {
     "i6_dataset_split" -> datasetSplitSql,
     "i6_split_leakage" -> splitLeakageSql,
     "i6_corpus_curation" -> corpusCurationSql,
+    "i6_filter_attrition" -> filterAttritionSql,
     "i6_stratified_cap" -> stratifiedCapSql,
     "i6_mixture_sample" -> mixtureSampleSql,
     "i7_pii_scrub" -> piiScrubSql,

@@ -1306,6 +1306,27 @@ class LlmSpec extends AnyFunSuite {
       assert(nul.isNullAt(i), s"null row col $i should be null")
   }
 
+  test("I6 filter-attrition funnel is internally consistent") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.LlmOps.filterAttrition(spark, sf)
+      .orderBy(col("stage_idx")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(t => (t._1, t._2)).toSeq == Seq(
+      (0, "input"), (1, "lang_en"), (2, "quality"),
+      (3, "repetition"), (4, "exact_dedup")))
+    // stage 0 is the corpus size; the funnel never grows; every removal
+    // count is exactly the preceding stage's loss
+    assert(rows(0)._3 ==
+      graft.queries.Tables.documents(spark, sf).count())
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, s"funnel grew at ${b._2}")
+      assert(b._4 == a._3 - b._3, s"removal mismatch at ${b._2}")
+    }
+    assert(rows(0)._4 == 0L)
+    // the funnel actually cuts something on the fixture corpus
+    assert(rows.last._3 < rows.head._3)
+  }
+
   test("I5 lang_id(null) = 'und' end-to-end through the registered query") {
     // the driver fixtures carry no null text, so a regression in the
     // LangIdExpr null path would be invisible to the oracle battery —
