@@ -157,9 +157,41 @@ object LlmOps {
     Dedup.minHashCandidates(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** I2c — SimHash near-dup pairs (rows-only: xxhash64-dependent). */
+  private val simhashContainmentSql =
+    s"""WITH high AS (${ngramJaccardSqlAt(0.7)})
+      |SELECT COUNT(*) AS n_high_pairs, true AS recall_floor_met
+      |FROM high""".stripMargin
+
+  /** I2c — SimHash near-dup pairs (rows-only: xxhash64-dependent;
+    * semantics driver-verified by `i2_simhash_containment`). */
   def simhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 10)
+
+  /** Recall gate for the SimHash pair generator (the sketch-gate pattern
+    * of [[minhashContainmentGate]]): the driver cannot hash-compare the
+    * xxhash64-derived 64-bit sketches, but it CAN check the property that
+    * makes them useful — pairs with word-3-gram Jaccard ≥ 0.7 must
+    * overwhelmingly sit within hamming ≤ 10 of each other's fingerprint.
+    * Unlike the LSH band gate, ZERO misses is not the expected value:
+    * a 64-bit sign sketch of a j≈0.7 pair has expected hamming near the
+    * cutoff (≈ 64·θ/π for the implied vector angle), so a small tail
+    * legitimately lands outside — measured 0 missed at sf0.001/sf0.01
+    * and 3 of 256 at sf0.1. The gate pins the exact high-pair count and
+    * a ≥90% recall floor in integer arithmetic, both engine-exact. */
+  def simhashContainmentGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val high = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.7, maxShingleFreq = Some(1000),
+      shingler = Dedup.wordShingles)
+      .select("doc_a", "doc_b")
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 10)
+      .select("doc_a", "doc_b")
+    val missed = high.join(pairs, Seq("doc_a", "doc_b"), "left_anti")
+    high.agg(count(lit(1)).as("n_high_pairs"))
+      .crossJoin(missed.agg(count(lit(1)).as("m")))
+      .select(col("n_high_pairs"),
+        (col("m") * 10 <= col("n_high_pairs")).as("recall_floor_met"))
+  }
 
   /** I2d — embedding-cosine near-dup pairs (exact all-pairs; the
     * LSH-blocked variant is LlmSpec-covered). The fixture embeddings are
@@ -1949,6 +1981,7 @@ object LlmOps {
     "i2_minhash_lsh_candidates" -> minhashCandidates _,
     "i2_minhash_containment" -> minhashContainmentGate _,
     "i2_simhash_pairs" -> simhashPairs _,
+    "i2_simhash_containment" -> simhashContainmentGate _,
     "i2_embedding_neardup" -> embeddingNearDups _,
     "i2_neardup_blocked_gate" -> neardupBlockedGate _,
     "i3_cosine_topk" -> cosineTopK _,
@@ -2014,6 +2047,7 @@ object LlmOps {
     "i2_ngram_jaccard" -> ngramJaccardSql,
     "i2_fuzzy_dedup_e2e" -> fuzzyDedupE2eSql,
     "i2_minhash_containment" -> minhashContainmentSql,
+    "i2_simhash_containment" -> simhashContainmentSql,
     "i2_embedding_neardup" -> embeddingNearDupsSql,
     "i2_neardup_blocked_gate" -> neardupBlockedGateSql,
     "i3_cosine_topk" -> cosineTopKSql,

@@ -55,6 +55,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i1_dedup_exact" -> 1, "i2_dup_spans" -> 2,
     "i2_editdist_blocked" -> 0, "i2_embedding_neardup" -> 0,
     "i2_fuzzy_dedup_e2e" -> 0, "i2_minhash_containment" -> 11,
+    "i2_simhash_containment" -> 12,
     "i2_minhash_lsh_candidates" -> 4, "i2_neardup_blocked_gate" -> 11,
     "i2_ngram_jaccard" -> 3, "i2_simhash_pairs" -> 3,
     "i2_span_cut" -> 2, "i3_cosine_topk" -> 0,
