@@ -488,6 +488,25 @@ class LlmSpec extends AnyFunSuite {
     assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L)))
   }
 
+  test("I2 simhash recall gate agrees with a brute-force hamming recompute") {
+    val sfd = "/root/testdata/sf0.001"
+    val d = graft.queries.Tables.documents(spark, sfd)
+    val high = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.7,
+      maxShingleFreq = Some(1000), shingler = Dedup.wordShingles)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = d.select(col("doc_id"), TextAnalysis.simHash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val missed = high.count { case (a, b) =>
+      java.lang.Long.bitCount(sh(a) ^ sh(b)) > 10
+    }
+    val row = graft.queries.LlmOps.simhashContainmentGate(spark, sfd).head()
+    assert(row.getLong(0) == high.size)
+    assert(row.getBoolean(1) == (missed * 10 <= high.size))
+    assert(missed == 0,
+      "sf0.001 high-Jaccard pairs all sit inside the hamming budget")
+  }
+
   test("I2 simhash wide radius: pairs equal all-pairs result; bands stay fine") {
     val d = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
     val radius = 10
