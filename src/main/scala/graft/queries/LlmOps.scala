@@ -1277,6 +1277,66 @@ object LlmOps {
        | UNION ALL SELECT 3, 'repetition', n3, n2 - n3 FROM agg
        | UNION ALL SELECT 4, 'exact_dedup', n4, n3 - n4 FROM agg)""".stripMargin
 
+  /** I6q — per-document provenance: the record-level complement of
+    * [[filterAttrition]] — every input doc gets a verdict naming the
+    * FIRST funnel stage that removed it (`removed:lang` /
+    * `removed:quality` / `removed:repetition` / `removed:duplicate`) or
+    * `kept`. This is the audit table a production pipeline publishes
+    * next to a release so any upstream owner can answer "why is my
+    * document not in the training set". Same one-scan flag projection
+    * behind the fence; the dedup verdict ranks ONLY stage-3 survivors
+    * (min-doc_id representative, the corpusCuration rule) in one
+    * content-hash window, left-joined back so removed docs never enter
+    * the window shuffle. */
+  def docProvenance(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = docs
+      .repartition(graft.llm.Par.of(docs))
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.dupTokenRatio(col("text")).as("dup_ratio"))
+      .withColumn("__fence", monotonically_increasing_id())
+    val f1 = col("lang") === "en"
+    val f2 = col("quality") >= 0.5
+    val f3 = col("dup_ratio") <= 0.8
+    val surv = scored.filter(f1 && f2 && f3)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .select(col("doc_id"), col("rn"))
+    scored.join(surv, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!f1, "removed:lang")
+          .when(!f2, "removed:quality")
+          .when(!f3, "removed:repetition")
+          .when(col("rn") > 1, "removed:duplicate")
+          .otherwise("kept").as("verdict"))
+  }
+
+  private lazy val docProvenanceSql =
+    s"""WITH lang AS ($langIdSql), q AS (${qualitySqlOver("documents", "text")}),
+       |rep AS ($repetitionSql),
+       |flags AS (
+       | SELECT d.doc_id, d.text,
+       |  lang.pred_lang = 'en' AS f1,
+       |  q.quality >= 0.5 AS f2,
+       |  rep.dup_ratio <= 0.8 AS f3
+       | FROM documents d
+       | JOIN lang ON lang.doc_id = d.doc_id
+       | JOIN q ON q.doc_id = d.doc_id
+       | JOIN rep ON rep.doc_id = d.doc_id),
+       |surv AS (
+       | SELECT doc_id,
+       |  ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       | FROM flags WHERE f1 AND f2 AND f3)
+       |SELECT f.doc_id,
+       | CASE WHEN NOT f.f1 THEN 'removed:lang'
+       |      WHEN NOT f.f2 THEN 'removed:quality'
+       |      WHEN NOT f.f3 THEN 'removed:repetition'
+       |      WHEN s.rn > 1 THEN 'removed:duplicate'
+       |      ELSE 'kept' END AS verdict
+       |FROM flags f LEFT JOIN surv s ON s.doc_id = f.doc_id""".stripMargin
+
   /** I6b — END-TO-END corpus curation, the composed pipeline a
     * training-data user actually runs: language filter → quality floor →
     * exact dedup (min-id representative) → deterministic split. Every
@@ -2011,6 +2071,7 @@ object LlmOps {
     "i6_split_leakage" -> splitLeakage _,
     "i6_corpus_curation" -> corpusCuration _,
     "i6_filter_attrition" -> filterAttrition _,
+    "i6_doc_provenance" -> docProvenance _,
     "i6_stratified_cap" -> stratifiedCap _,
     "i6_mixture_sample" -> mixtureSample _,
     "i7_pii_scrub" -> piiScrub _,
@@ -2074,6 +2135,7 @@ object LlmOps {
     "i6_split_leakage" -> splitLeakageSql,
     "i6_corpus_curation" -> corpusCurationSql,
     "i6_filter_attrition" -> filterAttritionSql,
+    "i6_doc_provenance" -> docProvenanceSql,
     "i6_stratified_cap" -> stratifiedCapSql,
     "i6_mixture_sample" -> mixtureSampleSql,
     "i7_pii_scrub" -> piiScrubSql,

@@ -1346,6 +1346,23 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.last._3 < rows.head._3)
   }
 
+  test("I6 doc provenance verdicts reconcile exactly with the attrition funnel") {
+    val sfd = "/root/testdata/sf0.001"
+    val verdicts = graft.queries.LlmOps.docProvenance(spark, sfd)
+      .groupBy(col("verdict")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val funnel = graft.queries.LlmOps.filterAttrition(spark, sfd)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // every input doc got exactly one verdict
+    assert(verdicts.values.sum == funnel("input")._1)
+    // each per-doc removal class sums to its funnel stage's removal count
+    assert(verdicts.getOrElse("removed:lang", 0L) == funnel("lang_en")._2)
+    assert(verdicts.getOrElse("removed:quality", 0L) == funnel("quality")._2)
+    assert(verdicts.getOrElse("removed:repetition", 0L) == funnel("repetition")._2)
+    assert(verdicts.getOrElse("removed:duplicate", 0L) == funnel("exact_dedup")._2)
+    assert(verdicts.getOrElse("kept", 0L) == funnel("exact_dedup")._1)
+  }
+
   test("I5 lang_id(null) = 'und' end-to-end through the registered query") {
     // the driver fixtures carry no null text, so a regression in the
     // LangIdExpr null path would be invisible to the oracle battery —

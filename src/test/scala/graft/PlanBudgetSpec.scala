@@ -40,7 +40,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "d07_retention_cohorts" -> 3,
     "d08_approx_error_gate" -> 4, "d08_cms_gate" -> 1,
     "d08_hll_registers" -> 1,
-    "i6_filter_attrition" -> 3,
+    "i6_filter_attrition" -> 3, "i6_doc_provenance" -> 1,
     "d08_distinct_counts" -> 2, "d09_cube_orders" -> 1,
     "d09_grouping_sets" -> 1, "d09_pivot_event_types" -> 2,
     "d09_rollup_quantities" -> 1, "d10_funnel" -> 3,
