@@ -3,20 +3,32 @@
 
 The oracle battery proves Spark == DuckDB on the driver's fixtures; this
 script proves the equivalence is not fixture-memorized. It derives a new
-dataset from a source sf directory by a SEEDED row sample (so value
-domains, FK structure, and distributions stay valid — no domain
-knowledge is re-encoded here) plus a seeded duplication pass over
-`documents` (fresh ids, same text) that shifts every dedup/near-dup
-result, then the normal Verify + check.py pipeline runs against it:
+dataset from a source sf directory and the normal Verify + check.py
+pipeline runs against it:
 
     python3 scripts/fuzz.py /root/testdata/sf0.01 /tmp/fuzz1 --seed 7
     sbt -batch "runMain graft.Verify /tmp/fuzz1/data /tmp/fuzz1/out"
     python3 scripts/check.py /tmp/fuzz1/data /tmp/fuzz1/out
 
+Perturbation scheme — REFERENTIALLY CLOSED, so FK-dependent operators
+measure real semantics rather than orphan noise:
+ - dimensions (region, nation, customer, supplier, part) stay whole:
+   dropping a dimension member models nothing and only manufactures
+   orphans;
+ - `orders` takes a seeded bernoulli sample of ORDER rows, and
+   `lineitem` keeps exactly the lines of sampled orders — order-atomic
+   (per-order baskets/aggregates stay meaningful) and a genuine volume
+   perturbation of the whole fact tier;
+ - `events`, `documents`, `embeddings` sample independently (no FK into
+   the TPC-H tier);
+ - `documents` additionally re-adds a seeded 5% slice as fresh-id
+   duplicates (ids offset past the sampled MAX, so the scheme is safe
+   for any id range) — every dedup/provenance family gains members the
+   fixture never had.
+
 Every oracle row recomputes from the same perturbed parquet, so any
 fixture-specific constant hiding in an oracle or query surfaces as a
 FAIL here even while the driver's fixed-fixture gate stays green.
-
 Sampling uses DuckDB's REPEATABLE bernoulli sample — same seed, same
 dataset, bit-for-bit.
 """
@@ -26,59 +38,55 @@ import sys
 
 import duckdb
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
-
-# Dimension tables stay complete: sampling away a nation/region would
-# not model any real corpus change, it would just break FK joins in ways
-# no operator is expected to survive.
-KEEP_WHOLE = {"region", "nation"}
+KEEP_WHOLE = ["region", "nation", "customer", "supplier", "part"]
+INDEPENDENT = ["events", "embeddings"]
 
 
 def build(src: str, dest: str, seed: int, pct: int) -> None:
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
-    for t in TABLES:
-        src_path = os.path.join(src, f"{t}.parquet")
-        if not os.path.exists(src_path):
-            continue
-        out = os.path.join(dest, f"{t}.parquet")
-        if t in KEEP_WHOLE:
-            con.execute(
-                f"COPY (SELECT * FROM '{src_path}') TO '{out}' (FORMAT PARQUET)")
-        elif t == "documents":
-            # sample, then re-add a seeded 5% slice as fresh-id duplicates:
-            # every dedup family gains members the fixture never had
-            con.execute(f"""
-                COPY (
-                  WITH sampled AS (
-                    SELECT * FROM '{src_path}'
-                    USING SAMPLE {pct} PERCENT (bernoulli, {seed})),
-                  dupes AS (
-                    SELECT doc_id + 10000000 AS doc_id, text, lang, source,
-                           n_chars
-                    FROM sampled
-                    USING SAMPLE 5 PERCENT (bernoulli, {seed + 1}))
-                  SELECT * FROM sampled UNION ALL SELECT * FROM dupes
-                ) TO '{out}' (FORMAT PARQUET)""")
-        elif t == "lineitem":
-            # keep order atomicity: sample ORDERS of lineitems, not lines —
-            # per-order aggregates (baskets, Q18 shapes) stay meaningful
-            con.execute(f"""
-                COPY (
-                  SELECT l.* FROM '{src_path}' l
-                  WHERE l.l_orderkey IN (
-                    SELECT DISTINCT l_orderkey FROM '{src_path}'
-                    USING SAMPLE {pct} PERCENT (bernoulli, {seed}))
-                ) TO '{out}' (FORMAT PARQUET)""")
-        else:
-            con.execute(f"""
-                COPY (
-                  SELECT * FROM '{src_path}'
-                  USING SAMPLE {pct} PERCENT (bernoulli, {seed})
-                ) TO '{out}' (FORMAT PARQUET)""")
+
+    def copy(name: str, select: str) -> None:
+        out = os.path.join(dest, f"{name}.parquet")
+        con.execute(f"COPY ({select}) TO '{out}' (FORMAT PARQUET)")
         n = con.sql(f"SELECT COUNT(*) FROM '{out}'").fetchone()[0]
-        print(f"  {t}: {n} rows")
+        print(f"  {name}: {n} rows")
+
+    def path(name: str) -> str:
+        return os.path.join(src, f"{name}.parquet")
+
+    for t in KEEP_WHOLE:
+        if os.path.exists(path(t)):
+            copy(t, f"SELECT * FROM '{path(t)}'")
+
+    # fact tier: sample ORDERS, take the referential closure into lineitem
+    if os.path.exists(path("orders")):
+        copy("orders", f"""
+            SELECT * FROM '{path("orders")}'
+            USING SAMPLE {pct} PERCENT (bernoulli, {seed})""")
+        if os.path.exists(path("lineitem")):
+            copy("lineitem", f"""
+                SELECT l.* FROM '{path("lineitem")}' l
+                WHERE l.l_orderkey IN (
+                  SELECT o_orderkey FROM '{os.path.join(dest, "orders.parquet")}')""")
+
+    for t in INDEPENDENT:
+        if os.path.exists(path(t)):
+            copy(t, f"""
+                SELECT * FROM '{path(t)}'
+                USING SAMPLE {pct} PERCENT (bernoulli, {seed})""")
+
+    if os.path.exists(path("documents")):
+        copy("documents", f"""
+            WITH sampled AS (
+              SELECT * FROM '{path("documents")}'
+              USING SAMPLE {pct} PERCENT (bernoulli, {seed})),
+            dupes AS (
+              SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM sampled) AS doc_id,
+                     text, lang, source, n_chars
+              FROM sampled
+              USING SAMPLE 5 PERCENT (bernoulli, {seed + 1}))
+            SELECT * FROM sampled UNION ALL SELECT * FROM dupes""")
 
 
 def main() -> None:

@@ -1222,18 +1222,48 @@ object LlmOps {
     * triples every input row through the shuffle (the d08 lesson). Two
     * corpus scans, three tiny shuffles, no Expand — the shape that holds
     * at 100 TB. */
-  def filterAttrition(s: SparkSession, d: String): DataFrame = {
+  /** ONE definition of the audit funnel's stages for BOTH the aggregate
+    * report ([[filterAttrition]]) and the per-doc verdicts
+    * ([[docProvenance]]) — the two are sold as exact complements (a
+    * cross-query spec reconciles them), so their stage predicates must
+    * be constitutionally incapable of diverging. Returns the fenced
+    * scored frame with boolean stage flags f1 (language), f2 (quality
+    * floor), f3 (repetition cap). */
+  private def funnelFlags(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val scored = docs
+    docs
       .repartition(graft.llm.Par.of(docs))
-      .select(col("text"),
+      .select(col("doc_id"), col("text"),
         TextAnalysis.langId(col("text")).as("lang"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
         TextAnalysis.dupTokenRatio(col("text")).as("dup_ratio"))
       .withColumn("__fence", monotonically_increasing_id())
-    val f1 = col("lang") === "en"
-    val f2 = col("quality") >= 0.5
-    val f3 = col("dup_ratio") <= 0.8
+      .select(col("doc_id"), col("text"),
+        (col("lang") === "en").as("f1"),
+        (col("quality") >= 0.5).as("f2"),
+        (col("dup_ratio") <= 0.8).as("f3"))
+  }
+
+  /** The matching oracle CTE chain, ending in a `flags` relation with
+    * (doc_id, text, f1, f2, f3) — shared by both audit oracles. */
+  private lazy val funnelFlagsCtes =
+    s"""lang AS ($langIdSql), q AS (${qualitySqlOver("documents", "text")}),
+       |rep AS ($repetitionSql),
+       |flags AS (
+       | SELECT d.doc_id, d.text,
+       |  lang.pred_lang = 'en' AS f1,
+       |  q.quality >= 0.5 AS f2,
+       |  rep.dup_ratio <= 0.8 AS f3
+       | FROM documents d
+       | JOIN lang ON lang.doc_id = d.doc_id
+       | JOIN q ON q.doc_id = d.doc_id
+       | JOIN rep ON rep.doc_id = d.doc_id)""".stripMargin
+
+  def filterAttrition(s: SparkSession, d: String): DataFrame = {
+    val scored = funnelFlags(s, d)
+    val f1 = col("f1")
+    val f2 = col("f2")
+    val f3 = col("f3")
     val base = scored.agg(
       count(lit(1)).as("n0"),
       sum(when(f1, 1L).otherwise(0L)).as("n1"),
@@ -1252,17 +1282,7 @@ object LlmOps {
   }
 
   private lazy val filterAttritionSql =
-    s"""WITH lang AS ($langIdSql), q AS (${qualitySqlOver("documents", "text")}),
-       |rep AS ($repetitionSql),
-       |flags AS (
-       | SELECT d.text,
-       |  lang.pred_lang = 'en' AS f1,
-       |  q.quality >= 0.5 AS f2,
-       |  rep.dup_ratio <= 0.8 AS f3
-       | FROM documents d
-       | JOIN lang ON lang.doc_id = d.doc_id
-       | JOIN q ON q.doc_id = d.doc_id
-       | JOIN rep ON rep.doc_id = d.doc_id),
+    s"""WITH $funnelFlagsCtes,
        |agg AS (SELECT COUNT(*) AS n0,
        |  CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
        |  CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
@@ -1289,17 +1309,10 @@ object LlmOps {
     * content-hash window, left-joined back so removed docs never enter
     * the window shuffle. */
   def docProvenance(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val scored = docs
-      .repartition(graft.llm.Par.of(docs))
-      .select(col("doc_id"), col("text"),
-        TextAnalysis.langId(col("text")).as("lang"),
-        TextAnalysis.qualityScore(col("text")).as("quality"),
-        TextAnalysis.dupTokenRatio(col("text")).as("dup_ratio"))
-      .withColumn("__fence", monotonically_increasing_id())
-    val f1 = col("lang") === "en"
-    val f2 = col("quality") >= 0.5
-    val f3 = col("dup_ratio") <= 0.8
+    val scored = funnelFlags(s, d)
+    val f1 = col("f1")
+    val f2 = col("f2")
+    val f3 = col("f3")
     val surv = scored.filter(f1 && f2 && f3)
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
@@ -1314,17 +1327,7 @@ object LlmOps {
   }
 
   private lazy val docProvenanceSql =
-    s"""WITH lang AS ($langIdSql), q AS (${qualitySqlOver("documents", "text")}),
-       |rep AS ($repetitionSql),
-       |flags AS (
-       | SELECT d.doc_id, d.text,
-       |  lang.pred_lang = 'en' AS f1,
-       |  q.quality >= 0.5 AS f2,
-       |  rep.dup_ratio <= 0.8 AS f3
-       | FROM documents d
-       | JOIN lang ON lang.doc_id = d.doc_id
-       | JOIN q ON q.doc_id = d.doc_id
-       | JOIN rep ON rep.doc_id = d.doc_id),
+    s"""WITH $funnelFlagsCtes,
        |surv AS (
        | SELECT doc_id,
        |  ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
