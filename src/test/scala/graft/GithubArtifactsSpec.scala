@@ -67,6 +67,73 @@ class GithubArtifactsSpec extends AnyFunSuite {
     assert(t != null)
   }
 
+  test("live transport against a loopback server: auth, redirect, 410") {
+    // the wire layer end-to-end without egress: a JDK HttpServer plays
+    // both the API host and the blob store. Pins the three behaviors the
+    // reference's python flow gets for free from `requests` and the JDK
+    // client does NOT: bearer auth reaches the API hop, the 302 to the
+    // blob store is followed WITHOUT the Authorization header (a SAS URL
+    // rejects it), and 410 means skip-not-fail.
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val seenAuth = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def record(ex: HttpExchange): Unit =
+      seenAuth.put(ex.getRequestURI.getPath,
+        Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("<none>"))
+    def respond(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+      ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      ex.close()
+    }
+    val port = server.getAddress.getPort
+    server.createContext("/repos/o/r/actions/artifacts", (ex: HttpExchange) => {
+      record(ex)
+      ex.getRequestURI.getPath match {
+        case p if p.endsWith("/7/zip") =>
+          // API hop answers 302 to the "blob store" path
+          ex.getResponseHeaders.add("Location", s"http://127.0.0.1:$port/blob/7")
+          respond(ex, 302, Array.empty)
+        case p if p.endsWith("/8/zip") =>
+          respond(ex, 410, Array.empty) // expired between list and fetch
+        case p if p.endsWith("/artifacts") =>
+          val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+          val body =
+            if (q.contains("page=1"))
+              """{"total_count": 1, "artifacts": [
+                |  {"id": 7, "name": "opentelemetry-outputs-v1", "expired": false}
+                |]}""".stripMargin
+            else """{"total_count": 1, "artifacts": []}"""
+          respond(ex, 200, body.getBytes("UTF-8"))
+        case _ => respond(ex, 404, Array.empty)
+      }
+    })
+    server.createContext("/blob/7", (ex: HttpExchange) => {
+      record(ex)
+      // a SAS-signed store rejects bearer-carrying requests — replicate
+      if (ex.getRequestHeaders.containsKey("Authorization"))
+        respond(ex, 400, Array.empty)
+      else respond(ex, 200, "zipbytes!".getBytes("UTF-8"))
+    })
+    server.start()
+    try {
+      val t = new GithubArtifacts.HttpTransport(
+        token = "tok123", apiBase = s"http://127.0.0.1:$port")
+      val page = t.listPage("o/r", perPage = 30, page = 1)
+      assert(page.totalCount == 1L &&
+        page.artifacts == Seq(entry(7)))
+      assert(seenAuth.get("/repos/o/r/actions/artifacts") == "Bearer tok123")
+      val bytes = t.download("o/r", "7")
+      assert(bytes.map(new String(_, "UTF-8")) == Some("zipbytes!"))
+      assert(seenAuth.get("/repos/o/r/actions/artifacts/7/zip") == "Bearer tok123")
+      assert(seenAuth.get("/blob/7") == "<none>",
+        "Authorization must NOT cross the redirect to the blob store")
+      assert(t.download("o/r", "8").isEmpty) // 410 → skip, not throw
+      // and the whole source path: list → filter → fetch via the LIVE wire
+      val zips = GithubArtifacts.artifactZips(t, Some("o/r"), None).toVector
+      assert(zips.map(new String(_, "UTF-8")) == Vector("zipbytes!"))
+    } finally server.stop(0)
+  }
+
   test("paginator walks pages until empty and checks total_count") {
     val t = new FakeTransport((1 to 7).map(entry(_)))
     val got = GithubArtifacts.listArtifacts(t, "owner/repo", perPage = 3)
