@@ -50,6 +50,27 @@ class SourceFormatsSpec extends AnyFunSuite {
     assert(keysA == keysB)
   }
 
+  test("XML round-trip with explicit schema preserves typed columns") {
+    // Spark 4 ships the XML datasource natively — the remaining
+    // interchange format enterprise corpus drops arrive in. Writer emits
+    // string-ish element text, so the read side applies the explicit
+    // schema (same discipline as the CSV round-trip).
+    val dir = Files.createTempDirectory("graft-xml").toString
+    val docs = graft.queries.Tables.documents(spark, sf)
+    docs.write.mode("overwrite").format("xml")
+      .option("rootTag", "corpus").option("rowTag", "doc").save(dir)
+    val back = spark.read.format("xml").option("rowTag", "doc")
+      .schema(docs.schema).load(dir)
+    assert(back.count() == docs.count())
+    val a = docs.select(md5(concat_ws("",
+      docs.columns.map(c => col(c).cast("string")): _*)).as("h"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    val b = back.select(md5(concat_ws("",
+      back.columns.map(c => col(c).cast("string")): _*)).as("h"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("range-partitioned layout lets parquet stats skip non-matching files") {
     // 100 TB scan design: a time-series corpus written repartitionByRange
     // on its filter key gives every file a narrow min/max band, so the
