@@ -734,6 +734,33 @@ object Relational {
       | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Semi-structured access through Spark 4's VARIANT type: `parse_json`
+    * once, then typed `variant_get` paths — the open-schema column
+    * pattern that replaces string re-parsing per field at 100 TB (the
+    * variant binary encoding parses ONCE per row; every subsequent path
+    * access is a binary probe, and shredded-variant stats can push down
+    * in newer parquet). Aggregates stay exact: counts, an integer sum,
+    * order-independent MIN/MAX on the double — no FP accumulation in
+    * the checked output. (D17) */
+  def variantShred(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"),
+        col("value"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k").cast("long")).as("k_sum"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"))
+
+  private val variantShredSql =
+    """SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+      | MIN(value) AS v_min,
+      | MAX(value) AS v_max
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Correlated scalar aggregate via join: each order vs its customer's
     * average order value (self-join aggregate shape). (D7+D3) */
   def aboveCustomerAvg(s: SparkSession, d: String): DataFrame = {
@@ -1830,6 +1857,7 @@ object Relational {
     "a9_anti_join_roots" -> neverOrderedParts _,
     "d16_array_fns" -> arrayFns _,
     "d17_json_fns" -> jsonFns _,
+    "d17_variant_shred" -> variantShred _,
     "d07_above_customer_avg" -> aboveCustomerAvg _,
     "d12_union_tagged" -> unionTagged _,
     "d09_pivot_event_types" -> pivotEventTypes _,
@@ -1891,6 +1919,7 @@ object Relational {
     "a9_anti_join_roots" -> neverOrderedPartsSql,
     "d16_array_fns" -> arrayFnsSql,
     "d17_json_fns" -> jsonFnsSql,
+    "d17_variant_shred" -> variantShredSql,
     "d07_above_customer_avg" -> aboveCustomerAvgSql,
     "d12_union_tagged" -> unionTaggedSql,
     "d09_pivot_event_types" -> pivotEventTypesSql,

@@ -51,7 +51,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "d12_setops_custkeys" -> 1, "d12_union_tagged" -> 0,
     "d13_string_fns" -> 0, "d14_date_fns" -> 1,
     "d15_math_fns" -> 0, "d16_array_fns" -> 0,
-    "d17_json_fns" -> 1, "i1_bloom_reference_dedup" -> 0,
+    "d17_json_fns" -> 1, "d17_variant_shred" -> 1, "i1_bloom_reference_dedup" -> 0,
     "i1_dedup_exact" -> 1, "i2_dup_spans" -> 2,
     "i2_editdist_blocked" -> 0, "i2_embedding_neardup" -> 0,
     "i2_fuzzy_dedup_e2e" -> 0, "i2_minhash_containment" -> 11,

@@ -136,6 +136,24 @@ class RelationalSpec extends AnyFunSuite {
     graft.queries.Tables.registerAll(spark, sf)
   }
 
+  test("D17 variant_get path agrees with a get_json_object recompute") {
+    // two independent semi-structured access paths: VARIANT (parse once,
+    // binary probes) vs per-field string re-parse — identical results
+    val viaVariant = Relational.variantShred(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val viaString = graft.queries.Tables.events(spark, sf)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("k_sum"),
+        min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(viaVariant == viaString && viaVariant.nonEmpty)
+  }
+
   test("HLL registers match a driver-side md5 recompute and estimate well") {
     val got = Relational.hllRegisters(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
