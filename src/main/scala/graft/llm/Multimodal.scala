@@ -456,8 +456,9 @@ object Multimodal {
       *    BGR DIB rasters — what raw-capture/intermediate AVIs ship;
       *  - MJPEG ('MJPG'): each `dc` chunk is a complete baseline JPEG,
       *    which `javax.imageio` decodes — the one COMPRESSED codec with a
-      *    JDK decoder (frames that omit the Huffman tables, a legacy MJPEG
-      *    variant, are rejected by the FFD8 sniff → stub fallback).
+      *    JDK decoder. Legacy tables-omitted frames decode too: the
+      *    Annex-K standard Huffman tables are spliced before SOS (the
+      *    MJPEG spec's mandated default).
       * Anything else (mpeg4/h264/... `dc` streams) falls back to the stub.
       * The 16 MP cap bounds per-frame allocation against hostile headers. */
     def firstFrame(p: Array[Byte]): Option[java.awt.image.BufferedImage] = {
@@ -506,13 +507,17 @@ object Multimodal {
     }
 
     /** One MJPEG frame = one complete JPEG byte stream. Sniff the SOI
-      * marker first so a tables-omitted legacy frame (or garbage) takes
-      * the stub path instead of an ImageIO exception per row. The 16 MP
-      * cap is re-checked against the JPEG's OWN header dimensions
-      * (header-only read, like [[ImageCodec.decodeMeta]]) — the AVI strf
-      * header already passed the cap upstream, but a hostile frame whose
-      * embedded SOF claims huge dimensions would otherwise drive the
-      * full-decode allocation past it. */
+      * marker first so garbage takes the stub path instead of an ImageIO
+      * exception per row. The 16 MP cap is re-checked against the JPEG's
+      * OWN header dimensions (header-only read, like
+      * [[ImageCodec.decodeMeta]]) — the AVI strf header already passed the
+      * cap upstream, but a hostile frame whose embedded SOF claims huge
+      * dimensions would otherwise drive the full-decode allocation past
+      * it. Legacy MJPEG frames that OMIT the Huffman tables (the original
+      * Microsoft MJPEG spec says decoders must assume the fixed tables of
+      * ITU T.81 Annex K) get the standard DHT segment spliced in before
+      * SOS — `javax.imageio` alone would throw "Huffman table was not
+      * defined". */
     private def decodeJpegFrame(p: Array[Byte], off: Int,
         len: Int): Option[java.awt.image.BufferedImage] = {
       if (len < 4 || (p(off) & 0xff) != 0xFF || (p(off + 1) & 0xff) != 0xD8)
@@ -522,9 +527,92 @@ object Multimodal {
         case Some((jw, jh, _)) if jw > 0 && jh > 0 &&
           jw.toLong * jh <= 16000000L =>
           Option(javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(frame)))
+            new java.io.ByteArrayInputStream(withHuffmanTables(frame))))
         case _ => None
       }
+    }
+
+    /** Walk the frame's marker segments up to SOS; if no DHT (0xFFC4) is
+      * present, return a copy with the Annex-K standard tables spliced
+      * immediately before SOS. A malformed segment walk (lost marker
+      * sync, truncated length) returns the frame unchanged — ImageIO then
+      * fails it into the per-row catch, same as any corrupt payload. */
+    private[graft] def withHuffmanTables(frame: Array[Byte]): Array[Byte] = {
+      var i = 2
+      while (i + 4 <= frame.length) {
+        if ((frame(i) & 0xff) != 0xFF) return frame // lost marker sync
+        (frame(i + 1) & 0xff) match {
+          case 0xFF => i += 1 // fill byte
+          case 0xC4 => return frame // tables present — decode as-is
+          case 0xDA => // SOS with no DHT seen: splice the standard tables
+            val out = new Array[Byte](frame.length + StdDht.length)
+            System.arraycopy(frame, 0, out, 0, i)
+            System.arraycopy(StdDht, 0, out, i, StdDht.length)
+            System.arraycopy(frame, i, out, i + StdDht.length, frame.length - i)
+            return out
+          case _ =>
+            i += 2 + (((frame(i + 2) & 0xff) << 8) | (frame(i + 3) & 0xff))
+        }
+      }
+      frame
+    }
+
+    /** The fixed Huffman tables of ITU T.81 Annex K (tables K.3–K.6) as
+      * one DHT segment — DC/AC, luminance/chrominance. These are the
+      * tables every baseline encoder ships and the MJPEG spec mandates
+      * for tables-omitted frames. */
+    private lazy val StdDht: Array[Byte] = {
+      val dcLumBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+      val dcChrBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+      val dcVals = (0 to 11).toArray
+      val acLumBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+      val acLumVals = Array(
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+        0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+        0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+        0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+        0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+        0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+      val acChrBits = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+      val acChrVals = Array(
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+        0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+        0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+        0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+        0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+        0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+        0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+        0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+      val payload = new java.io.ByteArrayOutputStream()
+      def table(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+        payload.write((cls << 4) | id)
+        bits.foreach(payload.write)
+        vals.foreach(payload.write)
+      }
+      table(0, 0, dcLumBits, dcVals)
+      table(0, 1, dcChrBits, dcVals)
+      table(1, 0, acLumBits, acLumVals)
+      table(1, 1, acChrBits, acChrVals)
+      val body = payload.toByteArray
+      val segLen = body.length + 2
+      Array[Byte](0xFF.toByte, 0xC4.toByte,
+        ((segLen >> 8) & 0xff).toByte, (segLen & 0xff).toByte) ++ body
     }
 
     private def decodeDib(p: Array[Byte], off: Int, len: Int,

@@ -36,4 +36,31 @@ private[graft] object Checkpoints {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ =>
     }
+
+  /** Per-(session, slot) registry for checkpoints that live until the NEXT
+    * invocation of the same query supersedes them (the recursive-SQL
+    * queries hand a checkpointed input to a lazily-consumed result, so
+    * they cannot release in a try/finally). Keyed weakly by SparkSession:
+    * one session's supersede can never release an RDD belonging to another
+    * session's context, and a closed session's entries vanish (its blocks
+    * die with the context). Remaining caveat, documented at the call
+    * sites: two CONCURRENT invocations of the SAME query in ONE session
+    * still race — consume the returned frame before re-invoking. */
+  private val slots: java.util.Map[
+      org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap())
+
+  /** Register `df` as slot `slot`'s live checkpoint for session `s`,
+    * releasing whatever the slot previously held. Returns `df`. */
+  def supersede(s: org.apache.spark.sql.SparkSession, slot: String,
+      df: DataFrame): DataFrame = {
+    val m = slots.synchronized {
+      slots.computeIfAbsent(
+        s, _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }
+    Option(m.put(slot, df)).foreach(release)
+    df
+  }
 }

@@ -529,8 +529,11 @@ object Notebooks {
             data.get("image/png") match {
               case Some(b64) =>
                 // base64 arrives as a string or line list, often
-                // newline-broken — data URIs need it contiguous
-                val clean = textOf(Some(b64)).replaceAll("\\s", "")
+                // newline-broken — data URIs need it contiguous. Strip to
+                // the base64 alphabet (not just whitespace): anything else
+                // in a src attribute is attribute-breakout markup, and a
+                // valid payload never contains other characters.
+                val clean = textOf(Some(b64)).replaceAll("[^A-Za-z0-9+/=]", "")
                 s"""<img class="output" src="data:image/png;base64,$clean"/>"""
               case None => data.get("text/html") match {
                 case Some(h) =>

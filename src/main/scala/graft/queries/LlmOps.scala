@@ -674,21 +674,28 @@ object LlmOps {
   private def qualitySqlOver(rel: String, t: String): String = {
     val allStop = TextAnalysis.stopwordTable.values.flatten.toSeq
       .map(w => s"\\b$w\\b").mkString("|")
+    // Null text must yield NULL mean_word_len/punct_ratio/quality here too:
+    // DuckDB's LEAST skips NULL operands (a null component would silently
+    // score perfect), so the null branch is explicit, matching the Spark
+    // kernels' null-propagation in TextAnalysis.
     s"""SELECT doc_id,
        | LENGTH($t) AS n_chars_text,
        | LEN(regexp_split_to_array($t, ' +')) AS n_words,
-       | CASE WHEN LEN(regexp_split_to_array($t, ' +')) > 0 THEN
+       | CASE WHEN $t IS NULL THEN NULL
+       |   WHEN LEN(regexp_split_to_array($t, ' +')) > 0 THEN
        |   CAST(LIST_SUM([LENGTH(w) FOR w IN regexp_split_to_array($t, ' +')]) AS DOUBLE)
        |     / LEN(regexp_split_to_array($t, ' +')) ELSE 0.0 END AS mean_word_len,
-       | CASE WHEN LENGTH($t) > 0 THEN
+       | CASE WHEN $t IS NULL THEN NULL
+       |   WHEN LENGTH($t) > 0 THEN
        |   CAST(LENGTH($t) - LENGTH(regexp_replace($t, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
        |     / LENGTH($t) ELSE 0.0 END AS punct_ratio,
+       | CASE WHEN $t IS NULL THEN NULL ELSE
        | (LEAST(CAST(LENGTH($t) AS DOUBLE) / 500.0, 1.0)
        |  + (1.0 - LEAST((CASE WHEN LENGTH($t) > 0 THEN
        |      CAST(LENGTH($t) - LENGTH(regexp_replace($t, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
        |        / LENGTH($t) ELSE 0.0 END) * 5.0, 1.0))
        |  + LEAST(CAST(len(regexp_extract_all(lower($t), '$allStop')) AS DOUBLE) / 10.0, 1.0)
-       | ) / 3.0 AS quality
+       | ) / 3.0 END AS quality
        |FROM $rel""".stripMargin
   }
 
@@ -1237,11 +1244,14 @@ object LlmOps {
         TextAnalysis.langId(col("text")).as("lang"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
         TextAnalysis.dupTokenRatio(col("text")).as("dup_ratio"))
-      .withColumn("__fence", monotonically_increasing_id())
       .select(col("doc_id"), col("text"),
         (col("lang") === "en").as("f1"),
         (col("quality") >= 0.5).as("f2"),
         (col("dup_ratio") <= 0.8).as("f3"))
+      // fence LAST so it is live in the frame consumers filter on (the
+      // corpusCuration pattern); a fence below a projection that drops it
+      // is pruned away and fences nothing.
+      .withColumn("__fence", monotonically_increasing_id())
   }
 
   /** The matching oracle CTE chain, ending in a `flags` relation with

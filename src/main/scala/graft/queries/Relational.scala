@@ -632,15 +632,6 @@ object Relational {
     * registering BOTH pins engine-vs-engine recursion semantics
     * (cycle-free expansion, depth arithmetic) against DuckDB's
     * recursive CTE. */
-  /** The prior invocation's checkpointed edge table, released when the
-    * next invocation supersedes it — without this, every battery run of
-    * the query pins another edge snapshot in block storage for the life
-    * of the session (the same leak class [[graft.operators.Checkpoints]]
-    * fixes in the iterative operators). Single-threaded battery
-    * discipline: concurrent invocations in ONE session would release a
-    * checkpoint the other still reads. */
-  @volatile private var prevRecursiveEdges: Option[DataFrame] = None
-
   def closureRecursiveSql(s: SparkSession, d: String): DataFrame = {
     // materialize the edge derivation ONCE: the UnionLoop re-executes its
     // anchor/step subplans each iteration, so an un-checkpointed view
@@ -661,10 +652,152 @@ object Relational {
          |)
          |SELECT ancestor, descendant, depth FROM closure""".stripMargin)
     finally s.catalog.dropTempView(view)
-    prevRecursiveEdges.foreach(graft.operators.Checkpoints.release)
-    prevRecursiveEdges = Some(edges)
+    // the checkpoint must outlive this call (the result is lazy); the next
+    // invocation's supersede releases it — see Checkpoints.supersede
+    graft.operators.Checkpoints.supersede(s, "a7_sql_edges", edges)
     out
   }
+
+  /** Shared derivation for the A8/A10 SQL-surface rows: the per-user probe
+    * table (root = rn 1, mid = rn 2, leaf = the deepest node) over the
+    * synthetic tree, restricted to users with ≥3 events so the probe ids
+    * are distinct (the reference asserts distinct path elements,
+    * `opentelemetry_helpers.py:358`). One groupBy over the ranked events —
+    * no joins. The booleans/counts downstream VARY per user (the fixture's
+    * per-user event counts range ~49–86, so whether the deepest node lies
+    * in rn 2's binary subtree is data-dependent), which is what makes the
+    * hash compare pin real recursion, not a constant. */
+  private def treeProbes(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), row_number().over(w).as("rn"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("rn") === 1, col("event_id"))).as("root_id"),
+        max(when(col("rn") === 2, col("event_id"))).as("mid_id"),
+        expr("max_by(event_id, rn)").as("leaf_id"),
+        max(col("rn")).as("maxrn"))
+      .filter(col("maxrn") >= 3)
+      .select(col("user_id"), col("root_id"), col("mid_id"), col("leaf_id"))
+  }
+
+  /** The DuckDB-side prelude shared by the A8/A10 recursive oracles —
+    * identical ev/edges/probes derivation to the Spark frames above. */
+  private val recursiveProbePreludeSql =
+    """ev AS (
+      | SELECT event_id, user_id,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+      | FROM events),
+      |edges AS (
+      | SELECT c.user_id, p.event_id AS parent, c.event_id AS child
+      | FROM ev c JOIN ev p ON c.user_id = p.user_id AND p.rn = c.rn // 2
+      | WHERE c.rn > 1),
+      |probes AS (
+      | SELECT user_id,
+      |  MAX(CASE WHEN rn = 1 THEN event_id END) AS root_id,
+      |  MAX(CASE WHEN rn = 2 THEN event_id END) AS mid_id,
+      |  ARG_MAX(event_id, rn) AS leaf_id
+      | FROM ev GROUP BY user_id HAVING MAX(rn) >= 3)""".stripMargin
+
+  /** A8 on the SQL SURFACE: `contains_path` as `WITH RECURSIVE` — the
+    * reference's `traverse_from` seeded at each probe node
+    * (`opentelemetry_helpers.py:295-308`), with `contains_path(root, mid,
+    * leaf)` decided pairwise over the walks (`:323-362`). Unlike the
+    * boolean gate row [[SpanAlgebra.pathContainment]] (one customer, a
+    * constant oracle), this computes a per-user verdict whose truth VARIES
+    * with the tree shape, recursion semantics checked engine-vs-engine.
+    * The walk is seeded from the three probe nodes only — O(probe
+    * subtrees), not the full O(n·depth) closure of the A7 row, which is
+    * exactly how a path check should scale: at 100 TB you walk the
+    * subtrees you ask about, not the forest. */
+  def pathRecursiveSql(s: SparkSession, d: String): DataFrame = {
+    // checkpoint both UnionLoop inputs: the loop re-executes its step (and
+    // the outer query its anchor) per iteration, so an un-checkpointed
+    // window/self-join derivation would replay per depth level
+    val edges = syntheticTreeEdges(s, d).localCheckpoint()
+    val probes = treeProbes(s, d).localCheckpoint()
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (ev, pv) = (s"__a8_sql_edges_$tag", s"__a8_sql_probes_$tag")
+    edges.createOrReplaceTempView(ev)
+    probes.createOrReplaceTempView(pv)
+    val out = try s.sql(
+      s"""WITH RECURSIVE walk (user_id, src, node) AS (
+         |  SELECT user_id, root_id, root_id FROM $pv
+         |  UNION ALL SELECT user_id, mid_id, mid_id FROM $pv
+         |  UNION ALL SELECT user_id, leaf_id, leaf_id FROM $pv
+         |  UNION ALL
+         |  SELECT w.user_id, w.src, e.child
+         |  FROM walk w JOIN $ev e ON e.user_id = w.user_id AND e.parent = w.node
+         |)
+         |SELECT p.user_id,
+         |  bool_or(w.src = p.root_id AND w.node = p.mid_id)
+         |    AND bool_or(w.src = p.mid_id AND w.node = p.leaf_id) AS path_ok,
+         |  bool_or(w.src = p.leaf_id AND w.node = p.mid_id) AS reversed_ok
+         |FROM $pv p JOIN walk w ON w.user_id = p.user_id
+         |GROUP BY p.user_id""".stripMargin)
+    finally { s.catalog.dropTempView(ev); s.catalog.dropTempView(pv) }
+    graft.operators.Checkpoints.supersede(s, "a8_sql_edges", edges)
+    graft.operators.Checkpoints.supersede(s, "a8_sql_probes", probes)
+    out
+  }
+
+  private val pathRecursiveSqlOracle =
+    s"""WITH RECURSIVE $recursiveProbePreludeSql,
+       |walk (user_id, src, node) AS (
+       |  SELECT user_id, root_id, root_id FROM probes
+       |  UNION ALL SELECT user_id, mid_id, mid_id FROM probes
+       |  UNION ALL SELECT user_id, leaf_id, leaf_id FROM probes
+       |  UNION ALL
+       |  SELECT w.user_id, w.src, e.child
+       |  FROM walk w JOIN edges e ON e.user_id = w.user_id AND e.parent = w.node
+       |)
+       |SELECT p.user_id,
+       |  BOOL_OR(w.src = p.root_id AND w.node = p.mid_id)
+       |    AND BOOL_OR(w.src = p.mid_id AND w.node = p.leaf_id) AS path_ok,
+       |  BOOL_OR(w.src = p.leaf_id AND w.node = p.mid_id) AS reversed_ok
+       |FROM probes p JOIN walk w ON w.user_id = p.user_id
+       |GROUP BY p.user_id""".stripMargin
+
+  /** A10 on the SQL SURFACE: `bound_by(mid, inclusive=true)` as `WITH
+    * RECURSIVE` (`opentelemetry_helpers.py:310-321`) — the bounded
+    * sub-UDT's node count and height per user, the graph-shape summary a
+    * SQL-only consumer computes about a subtree. Seeded at one node per
+    * user; the recursion touches only the bounded subtree. */
+  def boundByRecursiveSql(s: SparkSession, d: String): DataFrame = {
+    val edges = syntheticTreeEdges(s, d).localCheckpoint()
+    val probes = treeProbes(s, d).localCheckpoint()
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (ev, pv) = (s"__a10_sql_edges_$tag", s"__a10_sql_probes_$tag")
+    edges.createOrReplaceTempView(ev)
+    probes.createOrReplaceTempView(pv)
+    val out = try s.sql(
+      s"""WITH RECURSIVE sub (user_id, node, rel_depth) AS (
+         |  SELECT user_id, mid_id, 0 FROM $pv
+         |  UNION ALL
+         |  SELECT t.user_id, e.child, t.rel_depth + 1
+         |  FROM sub t JOIN $ev e ON e.user_id = t.user_id AND e.parent = t.node
+         |)
+         |SELECT user_id, COUNT(*) AS n_nodes,
+         |  CAST(MAX(rel_depth) AS INT) AS height
+         |FROM sub GROUP BY user_id""".stripMargin)
+    finally { s.catalog.dropTempView(ev); s.catalog.dropTempView(pv) }
+    graft.operators.Checkpoints.supersede(s, "a10_sql_edges", edges)
+    graft.operators.Checkpoints.supersede(s, "a10_sql_probes", probes)
+    out
+  }
+
+  private val boundByRecursiveSqlOracle =
+    s"""WITH RECURSIVE $recursiveProbePreludeSql,
+       |sub (user_id, node, rel_depth) AS (
+       |  SELECT user_id, mid_id, 0 FROM probes
+       |  UNION ALL
+       |  SELECT t.user_id, e.child, t.rel_depth + 1
+       |  FROM sub t JOIN edges e ON e.user_id = t.user_id AND e.parent = t.node
+       |)
+       |SELECT user_id, COUNT(*) AS n_nodes,
+       |  CAST(MAX(rel_depth) AS INT) AS height
+       |FROM sub GROUP BY user_id""".stripMargin
 
   /** Last-write-wins dedup (the reference's legacy reader policy, B7):
     * keep the latest event per (user, type) via a desc ranking window. */
@@ -1853,6 +1986,8 @@ object Relational {
     "d06_asof_staleness" -> asofStaleness _,
     "a7_closure_tree" -> closureTree _,
     "a7_closure_recursive_sql" -> closureRecursiveSql _,
+    "a8_path_recursive_sql" -> pathRecursiveSql _,
+    "a10_bound_by_recursive_sql" -> boundByRecursiveSql _,
     "b7_last_write_wins" -> lastWriteWins _,
     "a9_anti_join_roots" -> neverOrderedParts _,
     "d16_array_fns" -> arrayFns _,
@@ -1915,6 +2050,8 @@ object Relational {
     "d06_asof_staleness" -> asofStalenessSql,
     "a7_closure_tree" -> closureTreeSql,
     "a7_closure_recursive_sql" -> closureTreeSql,
+    "a8_path_recursive_sql" -> pathRecursiveSqlOracle,
+    "a10_bound_by_recursive_sql" -> boundByRecursiveSqlOracle,
     "b7_last_write_wins" -> lastWriteWinsSql,
     "a9_anti_join_roots" -> neverOrderedPartsSql,
     "d16_array_fns" -> arrayFnsSql,

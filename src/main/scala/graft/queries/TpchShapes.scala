@@ -282,6 +282,80 @@ object TpchShapes {
       |                  AND o_orderdate >= TIMESTAMP '2000-08-01')
       |GROUP BY c_nationkey""".stripMargin
 
+  /** Q6 — forecasting revenue change: the canonical scan-filter-aggregate.
+    * One pass, zero joins, one-row result; every predicate (shipdate year,
+    * discount band, quantity cap) sits in PushedFilters at the parquet
+    * scan, and the single SUM is a map-side partial aggregate — the
+    * textbook shape whose 100 TB cost is exactly one read of the filtered
+    * columns. Money math stays DECIMAL through the sum, one double cast on
+    * the final row (the promoRevenue discipline). The discount band is an
+    * exact IEEE comparison on the raw stored doubles — identical in both
+    * engines because both read the same parquet bits. (D2, D7)
+    */
+  def forecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"))
+
+  private val forecastRevenueSql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |   * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Q15 — top supplier: the grouped-max view + join-back, as the windowed
+    * rewrite (the d04_sole_late_supplier discipline). The original's
+    * `revenue` view is the (suppkey, decimal-sum) aggregate; the
+    * correlated `= (SELECT MAX(...))` becomes `rank() OVER (ORDER BY
+    * total_rev DESC) = 1` — one pass over the view instead of a second
+    * aggregate branch that would re-scan lineitem (an uncached view is
+    * COMPUTED per reference; the naive max-subquery plan reads the fact
+    * table twice, which at 100 TB doubles the query). The global window
+    * funnels only |suppliers-with-sales| slim rows to one partition; the
+    * winner joins the supplier dimension broadcast. Ranking compares the
+    * exact DECIMAL sums, so no double-rounding tie ambiguity; ties all
+    * rank 1 and surface ordered by suppkey, exactly as the spec's ORDER BY
+    * resolves them. (D7, D10)
+    */
+  def topSupplier(s: SparkSession, d: String): DataFrame = {
+    val discPrice = dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPrice).as("total_rev"))
+      .withColumn("rk", rank().over(Window.orderBy(col("total_rev").desc)))
+      .filter(col("rk") === 1)
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val topSupplierSql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |     * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d04_priority_exists" -> priorityExists _,
     "d07_line_priority_classes" -> linePriorityClasses _,
@@ -289,7 +363,9 @@ object TpchShapes {
     "d08_part_supplier_counts" -> partSupplierCounts _,
     "d07_small_qty_revenue" -> smallQtyRevenue _,
     "d04_sole_late_supplier" -> soleLateSupplier _,
-    "d04_dormant_customers" -> dormantCustomers _
+    "d04_dormant_customers" -> dormantCustomers _,
+    "d07_forecast_revenue" -> forecastRevenue _,
+    "d10_top_supplier" -> topSupplier _
   )
 
   val oracles: Map[String, String] = Map(
@@ -299,6 +375,8 @@ object TpchShapes {
     "d08_part_supplier_counts" -> partSupplierCountsSql,
     "d07_small_qty_revenue" -> smallQtyRevenueSql,
     "d04_sole_late_supplier" -> soleLateSupplierSql,
-    "d04_dormant_customers" -> dormantCustomersSql
+    "d04_dormant_customers" -> dormantCustomersSql,
+    "d07_forecast_revenue" -> forecastRevenueSql,
+    "d10_top_supplier" -> topSupplierSql
   )
 }

@@ -134,10 +134,19 @@ object GithubArtifacts {
           case 200 => return Some(resp.body())
           case 410 => return None // expired after list (github_helpers.py:98-105)
           case 301 | 302 | 303 | 307 | 308 =>
-            uri = resp.headers().firstValue("location").orElseThrow(() =>
+            val location = resp.headers().firstValue("location").orElseThrow(() =>
               new IllegalStateException(
                 s"redirect without Location for $repo artifact $artifactId"))
-            auth = false
+            // python requests (the reference's client) strips Authorization
+            // only when the ORIGIN changes (`Session.should_strip_auth`:
+            // hostname or port differ); a same-origin hop (e.g. a renamed
+            // repo's 301 on api.github.com) must stay authenticated or the
+            // retry 401s. Cross-origin (the blob-store 302) drops auth —
+            // JDK HttpClient would re-send it, which is why redirects are
+            // followed manually here.
+            val target = java.net.URI.create(uri).resolve(location)
+            auth = auth && sameOrigin(target, java.net.URI.create(apiBase))
+            uri = target.toString
             hops += 1
           case c => throw new IllegalStateException(
             s"GitHub artifact download failed: HTTP $c for $repo artifact $artifactId")
@@ -145,6 +154,14 @@ object GithubArtifacts {
       }
       throw new IllegalStateException(
         s"too many redirects downloading $repo artifact $artifactId")
+    }
+
+    private def sameOrigin(a: java.net.URI, b: java.net.URI): Boolean = {
+      def port(u: java.net.URI): Int =
+        if (u.getPort != -1) u.getPort
+        else if (u.getScheme == "https") 443
+        else 80
+      a.getScheme == b.getScheme && a.getHost == b.getHost && port(a) == port(b)
     }
   }
 

@@ -76,6 +76,9 @@ class GithubArtifactsSpec extends AnyFunSuite {
     // rejects it), and 410 means skip-not-fail.
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // the blob store is a SEPARATE server: a real artifact 302 lands on a
+    // different origin, and the auth-stripping rule is origin-based
+    val blobServer = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     val seenAuth = new java.util.concurrent.ConcurrentHashMap[String, String]()
     def record(ex: HttpExchange): Unit =
       seenAuth.put(ex.getRequestURI.getPath,
@@ -86,15 +89,22 @@ class GithubArtifactsSpec extends AnyFunSuite {
       ex.close()
     }
     val port = server.getAddress.getPort
+    val blobPort = blobServer.getAddress.getPort
     server.createContext("/repos/o/r/actions/artifacts", (ex: HttpExchange) => {
       record(ex)
       ex.getRequestURI.getPath match {
         case p if p.endsWith("/7/zip") =>
-          // API hop answers 302 to the "blob store" path
-          ex.getResponseHeaders.add("Location", s"http://127.0.0.1:$port/blob/7")
+          // API hop answers 302 to the blob store on the OTHER origin
+          ex.getResponseHeaders.add("Location", s"http://127.0.0.1:$blobPort/blob/7")
           respond(ex, 302, Array.empty)
         case p if p.endsWith("/8/zip") =>
           respond(ex, 410, Array.empty) // expired between list and fetch
+        case p if p.endsWith("/9/zip") =>
+          // renamed repo: same-origin 301 onto the new repo path — python
+          // requests KEEPS auth on a same-origin hop, and so must we
+          ex.getResponseHeaders.add(
+            "Location", s"http://127.0.0.1:$port/repos/o/r2/actions/artifacts/9/zip")
+          respond(ex, 301, Array.empty)
         case p if p.endsWith("/artifacts") =>
           val q = Option(ex.getRequestURI.getQuery).getOrElse("")
           val body =
@@ -107,7 +117,15 @@ class GithubArtifactsSpec extends AnyFunSuite {
         case _ => respond(ex, 404, Array.empty)
       }
     })
-    server.createContext("/blob/7", (ex: HttpExchange) => {
+    server.createContext("/repos/o/r2/actions/artifacts", (ex: HttpExchange) => {
+      record(ex)
+      // the renamed-repo target requires the bearer to have survived the hop
+      if (Option(ex.getRequestHeaders.getFirst("Authorization"))
+            .contains("Bearer tok123"))
+        respond(ex, 200, "renamed!".getBytes("UTF-8"))
+      else respond(ex, 401, Array.empty)
+    })
+    blobServer.createContext("/blob/7", (ex: HttpExchange) => {
       record(ex)
       // a SAS-signed store rejects bearer-carrying requests — replicate
       if (ex.getRequestHeaders.containsKey("Authorization"))
@@ -115,6 +133,7 @@ class GithubArtifactsSpec extends AnyFunSuite {
       else respond(ex, 200, "zipbytes!".getBytes("UTF-8"))
     })
     server.start()
+    blobServer.start()
     try {
       val t = new GithubArtifacts.HttpTransport(
         token = "tok123", apiBase = s"http://127.0.0.1:$port")
@@ -128,10 +147,14 @@ class GithubArtifactsSpec extends AnyFunSuite {
       assert(seenAuth.get("/blob/7") == "<none>",
         "Authorization must NOT cross the redirect to the blob store")
       assert(t.download("o/r", "8").isEmpty) // 410 → skip, not throw
+      // renamed-repo 301: same-origin, so the bearer must survive the hop
+      assert(t.download("o/r", "9").map(new String(_, "UTF-8")) == Some("renamed!"))
+      assert(seenAuth.get("/repos/o/r2/actions/artifacts/9/zip") == "Bearer tok123",
+        "Authorization must survive a same-origin redirect")
       // and the whole source path: list → filter → fetch via the LIVE wire
       val zips = GithubArtifacts.artifactZips(t, Some("o/r"), None).toVector
       assert(zips.map(new String(_, "UTF-8")) == Vector("zipbytes!"))
-    } finally server.stop(0)
+    } finally { server.stop(0); blobServer.stop(0) }
   }
 
   test("paginator walks pages until empty and checks total_count") {

@@ -1074,6 +1074,54 @@ class LlmSpec extends AnyFunSuite {
       Seq((15L, "video/x-msvideo", junk)).toDF("media_id", "mime", "payload"),
       dim = 8).select("features").collect().head.getSeq[Float](0)
     assert(stubF == Multimodal.StubCodecs.features(junk, 8).toSeq)
+
+    // LEGACY tables-omitted MJPEG: strip every DHT segment from the frame
+    // (what old capture hardware shipped; the MJPEG spec says decoders
+    // must assume the Annex-K tables). ImageIO alone throws on it — the
+    // splice path must decode it to the same picture.
+    def stripDht(jpeg: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(jpeg(0)); out.write(jpeg(1))
+      var i = 2
+      var inScan = false
+      while (i < jpeg.length) {
+        if (!inScan && i + 4 <= jpeg.length && (jpeg(i) & 0xff) == 0xFF &&
+          (jpeg(i + 1) & 0xff) != 0xFF) {
+          val m = jpeg(i + 1) & 0xff
+          val segLen = ((jpeg(i + 2) & 0xff) << 8) | (jpeg(i + 3) & 0xff)
+          if (m == 0xC4) i += 2 + segLen // drop the DHT
+          else {
+            out.write(jpeg, i, 2 + segLen); i += 2 + segLen
+            if (m == 0xDA) inScan = true
+          }
+        } else { out.write(jpeg(i)); i += 1 }
+      }
+      out.toByteArray
+    }
+    val bare = stripDht(baos.toByteArray)
+    assert(bare.length < baos.toByteArray.length)
+    // sanity: no DHT marker survives the strip
+    assert(!bare.sliding(2).exists(s =>
+      (s(0) & 0xff) == 0xFF && (s(1) & 0xff) == 0xC4))
+    // the splice restores a DHT segment and the result decodes
+    // PIXEL-IDENTICAL to the original tabled frame: the Annex-K tables we
+    // splice are exactly the ones the encoder wrote (and stripDht cut)
+    val spliced = Multimodal.VideoCodec.withHuffmanTables(bare)
+    assert(spliced.sliding(2).exists(s =>
+      (s(0) & 0xff) == 0xFF && (s(1) & 0xff) == 0xC4))
+    val origImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(baos.toByteArray))
+    val splicedImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(spliced))
+    for (x <- 0 until w; y <- 0 until h)
+      assert(splicedImg.getRGB(x, y) == origImg.getRGB(x, y), s"($x,$y)")
+    val legacy = Multimodal.VideoCodec.firstFrame(mjpgAvi(w, h, bare))
+    assert(legacy.isDefined)
+    assert(legacy.get.getWidth == w && legacy.get.getHeight == h)
+    val lleft = legacy.get.getRGB(4, h / 2)
+    val lright = legacy.get.getRGB(w - 5, h / 2)
+    assert(((lleft >> 16) & 0xff) > 180 && (lleft & 0xff) < 100, lleft.toHexString)
+    assert((lright & 0xff) > 180 && ((lright >> 16) & 0xff) < 100, lright.toHexString)
   }
 
   test("I4 real PNG/BMP resize via java.awt.image, stub for non-images") {

@@ -26,6 +26,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // 0: the UnionLoop leaf plans its per-iteration step lazily, so the
     // recursion's inner joins are invisible to the outer structural count
     "a7_closure_recursive_sql" -> 0,
+    // recursive-CTE rows: the UnionLoop's per-iteration joins are planned
+    // lazily (invisible to the structural count); what IS counted is the
+    // outer probe join + per-user aggregate
+    "a8_path_recursive_sql" -> 1,
+    "a10_bound_by_recursive_sql" -> 1,
     "a8_path_containment" -> 0, "a9_anti_join_roots" -> 0,
     "b1b2_dep_forms_agree" -> 0, "b3_task_runs" -> 5,
     "b4_workflow_timing" -> 0, "b5_artifact_rows" -> 0,
@@ -93,6 +98,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "d07_promo_revenue" -> 1, "d08_part_supplier_counts" -> 2,
     "d07_small_qty_revenue" -> 3, "d04_sole_late_supplier" -> 2,
     "d04_dormant_customers" -> 2,
+    "d07_forecast_revenue" -> 1, "d10_top_supplier" -> 2,
     // i8_pagerank: one contribution aggregate per round (the rank
     // formula is inlined into the next round's broadcast edge join, so
     // no per-round rank join survives); graph setup (pair distinct,

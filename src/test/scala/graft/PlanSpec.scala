@@ -307,4 +307,32 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("Q6 forecast revenue pushes every predicate to the lineitem scan") {
+    // the scan's PushedFilters list is long enough to hit the default
+    // 100-char metadata truncation — widen it for this assertion
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    val plan =
+      try executedPlan(graft.queries.TpchShapes.forecastRevenue(spark, sf))
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    // all three predicate families reach PushedFilters — the 100 TB cost
+    // is one filtered read, never a post-scan filter of the whole table
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_discount"), plan)
+    assert(plan.contains("LessThan(l_quantity"), plan)
+    // no join, no window — a pure scan-aggregate
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("Q15 top supplier broadcasts the max row and the supplier dim") {
+    val full = executedPlan(graft.queries.TpchShapes.topSupplier(spark, sf))
+    val plan = full.split("== Initial Plan ==")(0)
+    // the revenue view shuffles once on suppkey; the global max comes back
+    // as a broadcast (nested-loop on a one-row build side), and supplier
+    // joins broadcast — no sort-merge join anywhere
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }

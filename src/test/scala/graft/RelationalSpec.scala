@@ -109,6 +109,44 @@ class RelationalSpec extends AnyFunSuite {
     assert(viaSql.map(_._3).max >= 3, "fixture tree should recurse ≥ 3 deep")
   }
 
+  test("recursive-SQL path/bound_by rows agree with the closure operator") {
+    // independent recompute: derive every probe verdict from the LIBRARY
+    // operator's full closure (a different engine path than the UnionLoop
+    // the queries run), and require exact per-user agreement
+    val closure = Relational.closureTree(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val reach = closure.map(c => (c._1, c._2)).toSet
+    val probes = spark.sql(
+      s"""SELECT user_id,
+         | MAX(CASE WHEN rn = 1 THEN event_id END) AS root_id,
+         | MAX(CASE WHEN rn = 2 THEN event_id END) AS mid_id,
+         | MAX_BY(event_id, rn) AS leaf_id
+         |FROM (SELECT event_id, user_id, ROW_NUMBER() OVER (
+         |   PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+         |  FROM parquet.`$sf/events.parquet`)
+         |GROUP BY user_id HAVING MAX(rn) >= 3""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(probes.nonEmpty)
+    val expectedPath = probes.map { case (u, root, mid, leaf) =>
+      (u, reach((root, mid)) && reach((mid, leaf)), reach((leaf, mid)))
+    }.toSet
+    val gotPath = Relational.pathRecursiveSql(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
+    assert(gotPath == expectedPath)
+    assert(gotPath.exists(_._2) , "some probe path should hold")
+    assert(gotPath.forall(!_._3), "reversed walks must all be rejected")
+
+    val bySrc = closure.groupBy(_._1)
+    val expectedBound = probes.map { case (u, _, mid, _) =>
+      val under = bySrc.getOrElse(mid, Array.empty[(Long, Long, Int)])
+      (u, under.length + 1L, if (under.isEmpty) 0 else under.map(_._3).max)
+    }.toSet
+    val gotBound = Relational.boundByRecursiveSql(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotBound == expectedBound)
+    assert(gotBound.exists(_._3 >= 2), "some bounded subtree should be ≥2 deep")
+  }
+
   test("registerAll exposes the fixture tables to pure-SQL consumers") {
     val registered = graft.queries.Tables.registerAll(spark, sf)
     assert(registered.toSet == graft.queries.Tables.names.toSet)
