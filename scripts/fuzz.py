@@ -26,6 +26,23 @@ measure real semantics rather than orphan noise:
    for any id range) — every dedup/provenance family gains members the
    fixture never had.
 
+Hot-key tier (--hot K, default off): amplifies ONE key family per table
+so the salted-join, heavy-hitters, window and triangle paths run under
+REAL skew rather than the fixtures' near-uniform keys, still
+referentially closed:
+ - the busiest sampled customer's orders are duplicated K times under
+   FRESH orderkeys but the SAME o_custkey (hot customer key), and each
+   duplicated order's lineitem basket follows under the same offset
+   (order-atomic, so per-order aggregates stay meaningful);
+ - the busiest user's events are duplicated min(K, 200) times under
+   fresh event_ids and the same user_id — one user's synthetic tree
+   grows ~200x deeper/wider than its peers (the window/recursion skew
+   case); capped because the per-user closure is O(n log n) rows and
+   the DuckDB oracle must recompute it too;
+ - one sampled document is duplicated min(K, 50) times under fresh
+   doc_ids — a giant identical-text class for the dedup family; capped
+   because identical-text classes cost O(K^2) in every PAIR oracle.
+
 Every oracle row recomputes from the same perturbed parquet, so any
 fixture-specific constant hiding in an oracle or query surfaces as a
 FAIL here even while the driver's fixed-fixture gate stays green.
@@ -42,7 +59,7 @@ KEEP_WHOLE = ["region", "nation", "customer", "supplier", "part"]
 INDEPENDENT = ["events", "embeddings"]
 
 
-def build(src: str, dest: str, seed: int, pct: int) -> None:
+def build(src: str, dest: str, seed: int, pct: int, hot: int = 0) -> None:
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
 
@@ -55,6 +72,9 @@ def build(src: str, dest: str, seed: int, pct: int) -> None:
     def path(name: str) -> str:
         return os.path.join(src, f"{name}.parquet")
 
+    def out(name: str) -> str:
+        return os.path.join(dest, f"{name}.parquet")
+
     for t in KEEP_WHOLE:
         if os.path.exists(path(t)):
             copy(t, f"SELECT * FROM '{path(t)}'")
@@ -64,17 +84,71 @@ def build(src: str, dest: str, seed: int, pct: int) -> None:
         copy("orders", f"""
             SELECT * FROM '{path("orders")}'
             USING SAMPLE {pct} PERCENT (bernoulli, {seed})""")
+        if hot > 0:
+            # hot customer: duplicate its orders hot times, fresh orderkeys
+            # (k-th replica offset by k * (max_orderkey + 1)), same custkey
+            hot_cust = con.sql(f"""
+                SELECT o_custkey FROM '{out("orders")}'
+                GROUP BY 1 ORDER BY COUNT(*) DESC, o_custkey LIMIT 1
+                """).fetchone()[0]
+            print(f"  hot customer: {hot_cust} x{hot}")
+            con.execute(f"""
+                CREATE OR REPLACE TEMP TABLE hot_orders AS
+                SELECT o.*, r.range AS k,
+                  o.o_orderkey + (r.range + 1)
+                    * (SELECT MAX(o_orderkey) + 1 FROM '{out("orders")}')
+                    AS new_orderkey
+                FROM '{out("orders")}' o, range({hot}) r
+                WHERE o.o_custkey = {hot_cust}""")
+            con.execute(f"""
+                COPY (
+                  SELECT * FROM '{out("orders")}'
+                  UNION ALL
+                  SELECT * EXCLUDE (k, new_orderkey)
+                    REPLACE (new_orderkey AS o_orderkey) FROM hot_orders
+                ) TO '{out("orders")}.tmp' (FORMAT PARQUET)""")
+            os.replace(out("orders") + ".tmp", out("orders"))
         if os.path.exists(path("lineitem")):
             copy("lineitem", f"""
                 SELECT l.* FROM '{path("lineitem")}' l
                 WHERE l.l_orderkey IN (
-                  SELECT o_orderkey FROM '{os.path.join(dest, "orders.parquet")}')""")
+                  SELECT o_orderkey FROM '{out("orders")}')""")
+            if hot > 0:
+                # the duplicated orders' baskets follow under the same offset
+                con.execute(f"""
+                    COPY (
+                      SELECT * FROM '{out("lineitem")}'
+                      UNION ALL
+                      SELECT l.* REPLACE (h.new_orderkey AS l_orderkey)
+                      FROM '{out("lineitem")}' l
+                      JOIN hot_orders h ON l.l_orderkey = h.o_orderkey
+                    ) TO '{out("lineitem")}.tmp' (FORMAT PARQUET)""")
+                os.replace(out("lineitem") + ".tmp", out("lineitem"))
 
     for t in INDEPENDENT:
         if os.path.exists(path(t)):
             copy(t, f"""
                 SELECT * FROM '{path(t)}'
                 USING SAMPLE {pct} PERCENT (bernoulli, {seed})""")
+
+    if hot > 0 and os.path.exists(out("events")):
+        hot_ev = min(hot, 200)
+        hot_user = con.sql(f"""
+            SELECT user_id FROM '{out("events")}'
+            GROUP BY 1 ORDER BY COUNT(*) DESC, user_id LIMIT 1
+            """).fetchone()[0]
+        print(f"  hot user: {hot_user} x{hot_ev}")
+        con.execute(f"""
+            COPY (
+              SELECT * FROM '{out("events")}'
+              UNION ALL
+              SELECT e.* REPLACE (e.event_id + (r.range + 1)
+                * (SELECT MAX(event_id) + 1 FROM '{out("events")}')
+                AS event_id)
+              FROM '{out("events")}' e, range({hot_ev}) r
+              WHERE e.user_id = {hot_user}
+            ) TO '{out("events")}.tmp' (FORMAT PARQUET)""")
+        os.replace(out("events") + ".tmp", out("events"))
 
     if os.path.exists(path("documents")):
         copy("documents", f"""
@@ -87,6 +161,22 @@ def build(src: str, dest: str, seed: int, pct: int) -> None:
               FROM sampled
               USING SAMPLE 5 PERCENT (bernoulli, {seed + 1}))
             SELECT * FROM sampled UNION ALL SELECT * FROM dupes""")
+        if hot > 0:
+            # one giant identical-text class: every dedup family must
+            # collapse it, every pair oracle pays O(K^2) on it — capped
+            hot_doc = min(hot, 50)
+            print(f"  hot document: min doc_id x{hot_doc}")
+            con.execute(f"""
+                COPY (
+                  SELECT * FROM '{out("documents")}'
+                  UNION ALL
+                  SELECT d.* REPLACE (d.doc_id + (r.range + 2)
+                    * (SELECT MAX(doc_id) + 1 FROM '{out("documents")}')
+                    AS doc_id)
+                  FROM '{out("documents")}' d, range({hot_doc}) r
+                  WHERE d.doc_id = (SELECT MIN(doc_id) FROM '{out("documents")}')
+                ) TO '{out("documents")}.tmp' (FORMAT PARQUET)""")
+            os.replace(out("documents") + ".tmp", out("documents"))
 
 
 def main() -> None:
@@ -96,10 +186,15 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--pct", type=int, default=80,
                     help="bernoulli sample percentage (default 80)")
+    ap.add_argument("--hot", type=int, default=0,
+                    help="hot-key amplification factor (0 = off); duplicates "
+                         "one customer's orders+baskets x HOT, one user's "
+                         "events x min(HOT,200), one document x min(HOT,50)")
     args = ap.parse_args()
     data = os.path.join(args.work, "data")
-    print(f"building perturbed dataset (seed={args.seed}, pct={args.pct})")
-    build(args.src, data, args.seed, args.pct)
+    print(f"building perturbed dataset (seed={args.seed}, pct={args.pct}, "
+          f"hot={args.hot})")
+    build(args.src, data, args.seed, args.pct, args.hot)
     print("now run:")
     print(f'  sbt -batch "runMain graft.Verify {data} {args.work}/out"')
     print(f"  python3 scripts/check.py {data} {args.work}/out")

@@ -1,0 +1,151 @@
+#!/usr/bin/env python3
+"""Scale-up dataset generator: N key-offset shards of an sf directory.
+
+Builds the measurement substrate for the BASELINE.md scale-exponent
+audits (sessions 6-10): every table is replicated N times with ALL
+PK/FK columns shifted per copy, so the result is N disjoint,
+referentially consistent shards — volume grows Nx while per-key
+structure (tree depth, basket size, per-user event counts) is
+UNCHANGED, which is what distinguishes a volume measurement from a
+density one.
+
+    python3 scripts/scaleup.py /root/testdata/sf0.1 /tmp/scale16x 16
+
+Per-table scheme:
+ - orders/lineitem: o_orderkey/l_orderkey += k*(max+1), o_custkey/
+   c_custkey += k*(max+1), part/supplier keys likewise — each shard
+   joins only within itself;
+ - events: event_id and user_id offset — Nx trees of unchanged depth;
+ - embeddings: vec_id offset, vectors unchanged;
+ - documents: doc_id offset AND the text of copy k>0 word-shuffled by
+   a seeded per-copy permutation (the session-7 refinement): copies
+   share almost no word 3-grams, so the near-dup pair workload grows
+   ~Nx (true volume), not ~N^2x (a manufactured dup-density workload;
+   informative too, but a different experiment — session 6 ran it).
+   A rotation or sort would NOT break 3-gram overlap; a seeded shuffle
+   does, like the reverse/interleave family used at 4x.
+ - region/nation: replicated UNCHANGED (they are genuinely small
+   dimensions at any scale; offsetting nationkey would just grow a
+   25-row broadcast to 400 rows and change no plan).
+
+Dimension keys referenced by fact FKs (customer, part, supplier) ARE
+offset so shards stay closed; their n_nationkey/s_nationkey stay in
+range because nation is not offset.
+"""
+import argparse
+import os
+import random
+
+import duckdb
+
+
+def shuffle_words_sql():
+    """Register a deterministic per-(copy, doc) word shuffle UDF."""
+    def shuffle_text(text: str, seed: int) -> str:
+        if text is None:
+            return None
+        words = text.split(" ")
+        rnd = random.Random(seed)
+        rnd.shuffle(words)
+        return " ".join(words)
+    return shuffle_text
+
+
+def build(src: str, dest: str, n: int) -> None:
+    os.makedirs(dest, exist_ok=True)
+    con = duckdb.connect()
+    con.create_function("shuffle_words", shuffle_words_sql(),
+                        ["VARCHAR", "BIGINT"], "VARCHAR")
+
+    def path(t):
+        return os.path.join(src, f"{t}.parquet")
+
+    def out(t):
+        return os.path.join(dest, f"{t}.parquet")
+
+    def copy(t, select):
+        con.execute(f"COPY ({select}) TO '{out(t)}' (FORMAT PARQUET)")
+        c = con.sql(f"SELECT COUNT(*) FROM '{out(t)}'").fetchone()[0]
+        print(f"  {t}: {c} rows")
+
+    def off(col, base):
+        return f"{col} + r.range * ({base})"
+
+    for t in ("region", "nation"):
+        if os.path.exists(path(t)):
+            copy(t, f"SELECT * FROM '{path(t)}'")
+
+    reps = f"range({n}) r"
+
+    if os.path.exists(path("customer")):
+        mx = con.sql(f"SELECT MAX(c_custkey)+1 FROM '{path('customer')}'").fetchone()[0]
+        copy("customer", f"""
+            SELECT c.* REPLACE ({off('c_custkey', mx)} AS c_custkey)
+            FROM '{path("customer")}' c, {reps}""")
+    if os.path.exists(path("supplier")):
+        mx = con.sql(f"SELECT MAX(s_suppkey)+1 FROM '{path('supplier')}'").fetchone()[0]
+        copy("supplier", f"""
+            SELECT s.* REPLACE ({off('s_suppkey', mx)} AS s_suppkey)
+            FROM '{path("supplier")}' s, {reps}""")
+    if os.path.exists(path("part")):
+        mx = con.sql(f"SELECT MAX(p_partkey)+1 FROM '{path('part')}'").fetchone()[0]
+        copy("part", f"""
+            SELECT p.* REPLACE ({off('p_partkey', mx)} AS p_partkey)
+            FROM '{path("part")}' p, {reps}""")
+
+    if os.path.exists(path("orders")):
+        mo = con.sql(f"SELECT MAX(o_orderkey)+1 FROM '{path('orders')}'").fetchone()[0]
+        mc = con.sql(f"SELECT MAX(o_custkey)+1 FROM '{path('orders')}'").fetchone()[0]
+        copy("orders", f"""
+            SELECT o.* REPLACE ({off('o_orderkey', mo)} AS o_orderkey,
+                                {off('o_custkey', mc)} AS o_custkey)
+            FROM '{path("orders")}' o, {reps}""")
+    if os.path.exists(path("lineitem")):
+        mo = con.sql(f"SELECT MAX(l_orderkey)+1 FROM '{path('lineitem')}'").fetchone()[0]
+        mp = con.sql(f"SELECT MAX(l_partkey)+1 FROM '{path('lineitem')}'").fetchone()[0]
+        ms = con.sql(f"SELECT MAX(l_suppkey)+1 FROM '{path('lineitem')}'").fetchone()[0]
+        copy("lineitem", f"""
+            SELECT l.* REPLACE ({off('l_orderkey', mo)} AS l_orderkey,
+                                {off('l_partkey', mp)} AS l_partkey,
+                                {off('l_suppkey', ms)} AS l_suppkey)
+            FROM '{path("lineitem")}' l, {reps}""")
+
+    if os.path.exists(path("events")):
+        me = con.sql(f"SELECT MAX(event_id)+1 FROM '{path('events')}'").fetchone()[0]
+        mu = con.sql(f"SELECT MAX(user_id)+1 FROM '{path('events')}'").fetchone()[0]
+        copy("events", f"""
+            SELECT e.* REPLACE ({off('event_id', me)} AS event_id,
+                                {off('user_id', mu)} AS user_id)
+            FROM '{path("events")}' e, {reps}""")
+
+    if os.path.exists(path("embeddings")):
+        cols = [r[0] for r in con.sql(
+            f"DESCRIBE SELECT * FROM '{path('embeddings')}'").fetchall()]
+        key = "vec_id" if "vec_id" in cols else cols[0]
+        mv = con.sql(f"SELECT MAX({key})+1 FROM '{path('embeddings')}'").fetchone()[0]
+        copy("embeddings", f"""
+            SELECT v.* REPLACE ({off(key, mv)} AS {key})
+            FROM '{path("embeddings")}' v, {reps}""")
+
+    if os.path.exists(path("documents")):
+        md = con.sql(f"SELECT MAX(doc_id)+1 FROM '{path('documents')}'").fetchone()[0]
+        copy("documents", f"""
+            SELECT d.* REPLACE (
+              {off('doc_id', md)} AS doc_id,
+              CASE WHEN r.range = 0 THEN d.text
+                   ELSE shuffle_words(d.text, r.range * 1000003 + d.doc_id)
+              END AS text)
+            FROM '{path("documents")}' d, {reps}""")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("src")
+    ap.add_argument("dest")
+    ap.add_argument("n", type=int)
+    args = ap.parse_args()
+    print(f"building {args.n}x key-offset shards of {args.src} -> {args.dest}")
+    build(args.src, args.dest, args.n)
+
+
+main()

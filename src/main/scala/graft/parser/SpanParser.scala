@@ -494,8 +494,20 @@ object Notebooks {
     // markdown cells render AS markup (headers/emphasis/code spans — what
     // the reference's nbconvert output carries and its tests assert on,
     // `notebooks_helpers.py:126-155`); code cells keep the literal <pre>
+    val attachments = cell.get("attachments") match {
+      case Some(a: ListMap[_, _]) =>
+        a.asInstanceOf[ListMap[String, Any]].collect {
+          case (name, mimes: ListMap[_, _]) =>
+            mimes.asInstanceOf[ListMap[String, Any]].collectFirst {
+              case (mime, data) if mime.startsWith("image/") =>
+                name -> (mime, textOf(data))
+            }
+        }.flatten.toMap
+      case _ => Map.empty[String, (String, String)]
+    }
     val src =
-      if (tpe == "markdown") renderMarkdown(textOf(cell.get("source")))
+      if (tpe == "markdown")
+        renderMarkdown(textOf(cell.get("source")), attachments)
       else s"""<pre class="input">${escapeHtml(textOf(cell.get("source")))}</pre>"""
     val outs = cell.get("outputs") match {
       case Some(os: Vector[_]) => os.collect {
@@ -565,32 +577,55 @@ object Notebooks {
 
   /** Minimal markdown → HTML for notebook markdown cells: ATX headers,
     * `**bold**`, `*italic*`, `` `code` `` spans, bullet/ordered lists,
-    * and fenced code blocks — the constructs notebook markdown actually
-    * uses. Escapes FIRST, then wraps, so
+    * fenced code blocks, `$...$`/`$$...$$` math, and
+    * `![alt](attachment:name)` cell-attachment images — the constructs
+    * notebook markdown actually uses. Escapes FIRST, then wraps, so
     * payload text can never inject markup; replacement text is
     * regex-quoted so `$`/`\` in the content survive. Code-span contents
     * are shielded behind placeholders while the emphasis passes run —
     * nbconvert keeps code spans VERBATIM, so `` `*args` ``/`` `**kwargs` ``
-    * must not sprout <em>/<strong> inside the <code> tag. */
-  private[graft] def renderMarkdown(md: String): String = {
+    * must not sprout <em>/<strong> inside the <code> tag. Math spans get
+    * the same shield with their `$` delimiters kept intact: nbconvert
+    * passes TeX through untouched for MathJax, so `$a*b*c$` must reach
+    * the page as written (escaped, unemphasized), not as `a<em>b</em>c`.
+    * Attachment images resolve against the cell's `attachments` dict to
+    * a base64 data URI exactly like rich outputs; an unresolvable name
+    * stays literal text, matching nbconvert's broken-ref behavior. */
+  private[graft] def renderMarkdown(md: String,
+      attachments: Map[String, (String, String)] = Map.empty): String = {
     import scala.util.matching.Regex
     def wrap(t: String, re: Regex, tag: String): String =
       re.replaceAllIn(t, m =>
         Regex.quoteReplacement(s"<$tag>${m.group(1)}</$tag>"))
     def inline(s: String): String = {
-      val codes = scala.collection.mutable.ArrayBuffer.empty[String]
+      val frags = scala.collection.mutable.ArrayBuffer.empty[String]
+      def shield(html: String): String = {
+        frags += html
+        Regex.quoteReplacement(s"\u0000${frags.size - 1}\u0000")
+      }
       // NUL delimits the placeholders, so literal NULs in the cell text
       // (legal JSON, via its \u0000 escape) are stripped first — they'd
-      // otherwise form phantom placeholders indexing past `codes`
-      var t = "`([^`]+)`".r.replaceAllIn(
-        escapeHtml(s).replace("\u0000", ""), m => {
-          codes += m.group(1)
-          s"\u0000${codes.size - 1}\u0000"
+      // otherwise form phantom placeholders indexing past `frags`
+      var t = escapeHtml(s).replace("\u0000", "")
+      t = "!\\[([^\\]]*)\\]\\(attachment:([^)]+)\\)".r.replaceAllIn(t, m =>
+        attachments.get(m.group(2)) match {
+          case Some((mime, b64)) =>
+            val clean = b64.replaceAll("[^A-Za-z0-9+/=]", "")
+            // escapeHtml leaves `"` alone (fine in text, not in an
+            // attribute) — quote it here so alt can't break out
+            val alt = m.group(1).replace("\"", "&quot;")
+            shield(s"""<img class="attachment" alt="$alt" """ +
+              s"""src="data:$mime;base64,$clean"/>""")
+          case None => Regex.quoteReplacement(m.matched)
         })
+      t = "`([^`]+)`".r.replaceAllIn(t, m => shield(s"<code>${m.group(1)}</code>"))
+      // math, display then inline, delimiters preserved for MathJax
+      t = "\\$\\$([^$]+)\\$\\$".r.replaceAllIn(t, m => shield(m.matched))
+      t = "\\$([^$]+)\\$".r.replaceAllIn(t, m => shield(m.matched))
       t = wrap(t, "\\*\\*([^*]+)\\*\\*".r, "strong")
       t = wrap(t, "\\*([^*]+)\\*".r, "em")
       "\u0000([0-9]+)\u0000".r.replaceAllIn(t, m =>
-        Regex.quoteReplacement(s"<code>${codes(m.group(1).toInt)}</code>"))
+        Regex.quoteReplacement(frags(m.group(1).toInt)))
     }
     val header = "^(#{1,6})\\s+(.*)$".r
     val bullet = "^\\s*[-*]\\s+(.*)$".r
@@ -612,6 +647,18 @@ object Notebooks {
           }
           i += 1 // closing fence (or end of input on an unclosed block)
           out += s"<pre><code>${escapeHtml(buf.mkString("\n"))}</code></pre>"
+        // display-math block on its own lines: TeX passes through escaped
+        // but otherwise untouched (MathJax consumes the $$ delimiters)
+        case l if l.trim == "$$" =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          i += 1
+          while (i < lines.length && lines(i).trim != "$$") {
+            buf += lines(i)
+            i += 1
+          }
+          i += 1 // closing $$ (or end of input on an unclosed block)
+          out += "<div class=\"math\">$$\n" +
+            escapeHtml(buf.mkString("\n")) + "\n$$</div>"
         case bullet(_) =>
           val items = scala.collection.mutable.ArrayBuffer.empty[String]
           while (i < lines.length && bullet.findFirstIn(lines(i)).isDefined) {

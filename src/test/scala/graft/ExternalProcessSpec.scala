@@ -252,6 +252,45 @@ class ExternalProcessSpec extends AnyFunSuite {
     assert(html.contains("plain [bracketed] text"))
   }
 
+  test("markdown math passthrough and cell attachments (E8/B5)") {
+    import scala.collection.immutable.ListMap
+    val ipynb = graft.model.Json.render(ListMap(
+      "cells" -> Vector(
+        ListMap(
+          "cell_type" -> "markdown",
+          // inline math with * and _ that emphasis must NOT touch, code
+          // span beside it, display math inline and as a block
+          "source" -> ("energy $E = m*c^2$ and `a*b` inline\n" +
+            "$$\\sum_{i=1}^{n} x_i < 1$$\n" +
+            "$$\n\\frac{a}{b} **not bold**\n$$\n" +
+            "after *emph*")),
+        ListMap(
+          "cell_type" -> "markdown",
+          "source" -> ("see ![the \"plot\"](attachment:plot.png) and " +
+            "![missing](attachment:nope.png)"),
+          "attachments" -> ListMap(
+            "plot.png" -> ListMap(
+              "image/png" -> Vector("aGVs\n", "bG8=\n"))))),
+      "nbformat" -> 4))
+    val html = graft.parser.Notebooks.convertIpynbToHtml(ipynb)
+    // inline math: delimiters and content verbatim, no <em> inside
+    assert(html.contains("$E = m*c^2$"), html)
+    assert(html.contains("<code>a*b</code>"))
+    // single-line display math survives as-is
+    assert(html.contains("$$\\sum_{i=1}^{n} x_i &lt; 1$$"), html)
+    // block display math: own div, ** NOT bolded, escaped only
+    assert(html.contains("<div class=\"math\">$$\n\\frac{a}{b} **not bold**\n$$</div>"), html)
+    assert(!html.contains("<strong>not bold</strong>"))
+    // emphasis still applies outside math
+    assert(html.contains("<em>emph</em>"))
+    // attachment resolves to a contiguous data URI with quoted alt
+    assert(html.contains(
+      """<img class="attachment" alt="the &quot;plot&quot;" src="data:image/png;base64,aGVsbG8="/>"""),
+      html)
+    // unresolvable attachment name stays literal text
+    assert(html.contains("![missing](attachment:nope.png)"))
+  }
+
   test("E8 ok notebook: cells executed in order, P injected, evaluated ipynb + html") {
     assume(python3Available, "python3 not on PATH")
     val engine = new Engine(spark, 4)
