@@ -25,8 +25,15 @@ object Decontamination {
       idCol: String,
       textCol: String,
       n: Int = 8): DataFrame = {
+    // grams hash to 64-bit BEFORE the join (the jaccardPairs convention):
+    // an 8-word gram string is ~60 bytes, its hash 8 — the broadcast
+    // table, the build-side hash map, and every probe shrink ~8x, and at
+    // a real eval-set size (millions of distinct grams) that is the
+    // difference between a broadcastable guard and an 80 MB+ ship.
+    // Collision risk is the usual ~2^-64 per probe.
     def grams(df: DataFrame) = df.select(col(idCol).as("id"),
-      explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      explode(transform(Dedup.wordShingles(col(textCol), n),
+        g => xxhash64(g))).as("gram"))
     val benchGrams = grams(benchmark).select(col("gram")).distinct()
     val hits = grams(corpus)
       .join(broadcast(benchGrams), Seq("gram"), "left_semi")
@@ -58,7 +65,8 @@ object Decontamination {
         explode(sequence(lit(1), size(col("ws")) - (n - 1))).as("i"),
         col("ws"))
       .select(col("id"), col("i"),
-        concat_ws(" ", slice(col("ws"), col("i"), lit(n))).as("gram"))
+        // same hash-before-join shrink as [[flagContaminated]]
+        xxhash64(concat_ws(" ", slice(col("ws"), col("i"), lit(n)))).as("gram"))
     val benchGrams = positioned(benchmark).select(col("gram")).distinct()
     val marked = positioned(corpus)
       .join(broadcast(benchGrams), Seq("gram"), "left_semi")

@@ -508,6 +508,21 @@ object Notebooks {
     val src =
       if (tpe == "markdown")
         renderMarkdown(textOf(cell.get("source")), attachments)
+      else if (tpe == "raw") {
+        // nbconvert includes a raw cell VERBATIM when its declared
+        // mimetype matches the export format (text/html here) and drops
+        // it otherwise; an undeclared mimetype is included — raw cells
+        // exist precisely to inject format-specific markup
+        val mime = cell.get("metadata") match {
+          case Some(m: ListMap[_, _]) =>
+            m.asInstanceOf[ListMap[String, Any]].get("raw_mimetype") match {
+              case Some(s: String) => Some(s)
+              case _ => None
+            }
+          case _ => None
+        }
+        if (mime.forall(_ == "text/html")) textOf(cell.get("source")) else ""
+      }
       else s"""<pre class="input">${escapeHtml(textOf(cell.get("source")))}</pre>"""
     val outs = cell.get("outputs") match {
       case Some(os: Vector[_]) => os.collect {
@@ -576,8 +591,8 @@ object Notebooks {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
   /** Minimal markdown → HTML for notebook markdown cells: ATX headers,
-    * `**bold**`, `*italic*`, `` `code` `` spans, bullet/ordered lists,
-    * fenced code blocks, `$...$`/`$$...$$` math, and
+    * `**bold**`, `*italic*`, `` `code` `` spans, bullet/ordered lists
+    * (indentation-nested), fenced code blocks, `$...$`/`$$...$$` math, and
     * `![alt](attachment:name)` cell-attachment images — the constructs
     * notebook markdown actually uses. Escapes FIRST, then wraps, so
     * payload text can never inject markup; replacement text is
@@ -628,9 +643,40 @@ object Notebooks {
         Regex.quoteReplacement(frags(m.group(1).toInt)))
     }
     val header = "^(#{1,6})\\s+(.*)$".r
-    val bullet = "^\\s*[-*]\\s+(.*)$".r
-    val ordered = "^\\s*\\d+[.)]\\s+(.*)$".r
+    val bullet = "^(\\s*)[-*]\\s+(.*)$".r
+    val ordered = "^(\\s*)(\\d+)[.)]\\s+(.*)$".r
     val fence = "^\\s*```".r
+    def listLine(l: String): Option[(Int, Boolean, String)] = l match {
+      case bullet(ind, rest) => Some((ind.length, false, rest))
+      case ordered(ind, _, rest) => Some((ind.length, true, rest))
+      case _ => None
+    }
+    // Indentation-nested list run → nested <ul>/<ol>: an item deeper than
+    // its predecessor opens a child list INSIDE the predecessor's <li>
+    // (the nbconvert/commonmark shape), and a marker-type switch at the
+    // same depth closes the list and opens a sibling of the other type.
+    def renderList(items: Vector[(Int, Boolean, String)]): String = {
+      val blocks = scala.collection.mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < items.length) {
+        val base = items(j)._1
+        val ord = items(j)._2
+        val lis = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (j < items.length && items(j)._1 >= base &&
+               !(items(j)._1 == base && items(j)._2 != ord)) {
+          val text = items(j)._3
+          var k = j + 1
+          while (k < items.length && items(k)._1 > base) k += 1
+          val kids = items.slice(j + 1, k)
+          val kidHtml = if (kids.isEmpty) "" else "\n" + renderList(kids)
+          lis += s"<li>${inline(text)}$kidHtml</li>"
+          j = k
+        }
+        val tag = if (ord) "ol" else "ul"
+        blocks += lis.mkString(s"<$tag>\n", "\n", s"\n</$tag>")
+      }
+      blocks.mkString("\n")
+    }
     val lines = md.linesIterator.toVector
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
@@ -659,22 +705,14 @@ object Notebooks {
           i += 1 // closing $$ (or end of input on an unclosed block)
           out += "<div class=\"math\">$$\n" +
             escapeHtml(buf.mkString("\n")) + "\n$$</div>"
-        case bullet(_) =>
-          val items = scala.collection.mutable.ArrayBuffer.empty[String]
-          while (i < lines.length && bullet.findFirstIn(lines(i)).isDefined) {
-            val bullet(item) = lines(i)
-            items += s"<li>${inline(item)}</li>"
+        case l if listLine(l).isDefined =>
+          val items =
+            scala.collection.mutable.ArrayBuffer.empty[(Int, Boolean, String)]
+          while (i < lines.length && listLine(lines(i)).isDefined) {
+            items += listLine(lines(i)).get
             i += 1
           }
-          out += items.mkString("<ul>\n", "\n", "\n</ul>")
-        case ordered(_) =>
-          val items = scala.collection.mutable.ArrayBuffer.empty[String]
-          while (i < lines.length && ordered.findFirstIn(lines(i)).isDefined) {
-            val ordered(item) = lines(i)
-            items += s"<li>${inline(item)}</li>"
-            i += 1
-          }
-          out += items.mkString("<ol>\n", "\n", "\n</ol>")
+          out += renderList(items.toVector)
         case header(hashes, rest) =>
           out += s"<h${hashes.length}>${inline(rest)}</h${hashes.length}>"
           i += 1

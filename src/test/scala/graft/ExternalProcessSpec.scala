@@ -291,6 +291,48 @@ class ExternalProcessSpec extends AnyFunSuite {
     assert(html.contains("![missing](attachment:nope.png)"))
   }
 
+  test("markdown nested lists and raw cells (E8/B5)") {
+    import scala.collection.immutable.ListMap
+    val ipynb = graft.model.Json.render(ListMap(
+      "cells" -> Vector(
+        ListMap(
+          "cell_type" -> "markdown",
+          // two-level bullet nesting, an ordered child list, a dedent
+          // back to the top level, and a marker switch at the top level
+          "source" -> ("- top *one*\n  - child a\n  - child b\n- top two\n" +
+            "1. ord one\n   1. ord child\n2. ord two")),
+        ListMap(
+          "cell_type" -> "raw",
+          "source" -> "<section id=\"inject\">verbatim &raw;</section>",
+          "metadata" -> ListMap("raw_mimetype" -> "text/html")),
+        ListMap(
+          "cell_type" -> "raw",
+          "source" -> "no declared mimetype — still included"),
+        ListMap(
+          "cell_type" -> "raw",
+          "source" -> "\\LaTeX-only payload",
+          "metadata" -> ListMap("raw_mimetype" -> "text/latex"))),
+      "nbformat" -> 4))
+    val html = graft.parser.Notebooks.convertIpynbToHtml(ipynb)
+    // child items nest INSIDE the parent's <li> (commonmark/nbconvert
+    // shape), and the dedented sibling closes the child list
+    assert(html.contains(
+      "<li>top <em>one</em>\n<ul>\n<li>child a</li>\n<li>child b</li>\n</ul></li>"),
+      html)
+    assert(html.contains("<li>top two</li>\n</ul>"))
+    // ordered nesting inside an ordered parent
+    assert(html.contains(
+      "<li>ord one\n<ol>\n<li>ord child</li>\n</ol></li>"), html)
+    // marker switch at the same depth: the <ul> run closes before the <ol>
+    assert(html.contains("</ul>\n<ol>\n<li>ord one"))
+    // html raw cell passes through VERBATIM (no escaping — that is the
+    // point of a raw cell), undeclared mimetype is included too,
+    // non-html mimetype is dropped
+    assert(html.contains("<section id=\"inject\">verbatim &raw;</section>"))
+    assert(html.contains("no declared mimetype — still included"))
+    assert(!html.contains("LaTeX-only payload"))
+  }
+
   test("E8 ok notebook: cells executed in order, P injected, evaluated ipynb + html") {
     assume(python3Available, "python3 not on PATH")
     val engine = new Engine(spark, 4)
