@@ -78,6 +78,34 @@ object Similarity {
       .withColumnRenamed("neighbor_id", "neg_id")
   }
 
+  /** I3f — query-batch retrieval serving: exact top-k cosine neighbors
+    * for a SMALL query batch against an UNBOUNDED corpus — the production
+    * regime the self-join ANN fixtures can't show (there the query set IS
+    * the corpus, so total work grows ~n² as the corpus grows; here the
+    * batch is fixed and the whole serve is ONE linear corpus scan). Dual
+    * of [[bruteForceTopK]]'s bounded-corpus contract and the same shape
+    * as [[hardNegatives]] without the label predicate: the QUERY side
+    * broadcasts, corpus rows never shuffle — each partition scores the
+    * batch map-side and only ≤ |Q|·k winners reach the single shuffle
+    * (the bounded-heap partial aggregate). Batch and corpus may overlap;
+    * a shared id pairs with itself at cos 1.0 like any other neighbor.
+    * Exact integer dots on the 1e-6 grid keep ranks engine-exact, so the
+    * output is fully oracle-checkable (no hash dependence). */
+  def batchTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int = 5): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+        quantize(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        quantize(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(dotQ(col("cv"), col("cv")).cast("double")))
+    val pairs = c.crossJoin(broadcast(q))
+      .withColumn("cos_sim", safeCosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .filter(col("cos_sim").isNotNull)
+    topKPerQuery(pairs, k)
+  }
+
   /** I3a — brute-force cosine top-k neighbors for each query vector.
     * The corpus side is broadcast when it fits (queries stream past it);
     * for corpus >> memory use [[lshTopK]] instead. */
@@ -478,6 +506,107 @@ object Similarity {
     cents
   }
 
+  /** Deterministic bounded training sample for the sample-fit/full-assign
+    * quantizer trainers: first `maxTrainSample` rows by id — stable across
+    * partitioning, layouts, and scale-ups that append ids. `feats` must be
+    * `(id: long, v: array)`. */
+  private def boundedSample(
+      feats: DataFrame, maxTrainSample: Int): Array[Array[Double]] =
+    feats.orderBy(col("id")).limit(maxTrainSample).collect()
+      .map(_.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
+
+  /** Driver-side cosine Lloyd for the IVF coarse quantizer: deterministic
+    * min-id init (first `nList` sample vectors), empty cells keep their
+    * previous centroid — shared by [[ivfTopK]] (self-join fixture) and
+    * [[ivfServe]] (query-batch serving) so both probe the SAME cell
+    * geometry for a given corpus. A sample smaller than `nList` simply
+    * yields fewer cells. */
+  private[graft] def trainCosineCentroids(
+      sample: Array[Array[Double]], nList: Int,
+      iters: Int): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = sample.take(nList).map(_.clone())
+    val m = centroids.length
+    val cNorm = new Array[Double](m)
+    def cosSim(x: Array[Double], c: Array[Double], cn: Double): Double = {
+      var dot = 0.0; var xn = 0.0; var i = 0
+      val n = math.min(x.length, c.length)
+      while (i < n) { dot += x(i) * c(i); xn += x(i) * x(i); i += 1 }
+      if (xn > 0 && cn > 0) dot / (math.sqrt(xn) * cn) else Double.NegativeInfinity
+    }
+    (0 until iters).foreach { _ =>
+      var ci = 0
+      while (ci < m) {
+        cNorm(ci) = math.sqrt(centroids(ci).map(x => x * x).sum); ci += 1
+      }
+      val sums = Array.fill(m)(new Array[Double](
+        if (sample.isEmpty) 0 else sample(0).length))
+      val counts = new Array[Long](m)
+      sample.foreach { x =>
+        var best = 0; var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < m) {
+          val s = cosSim(x, centroids(c), cNorm(c))
+          if (s > bestScore) { bestScore = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < math.min(x.length, sums(best).length)) {
+          sums(best)(i) += x(i); i += 1
+        }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old // empty cells keep their previous centroid
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  /** I3f at scale — IVF-accelerated query-batch serving: the
+    * [[batchTopK]] contract (small fixed batch, unbounded corpus) with the
+    * corpus scan narrowed by [[ivfTopK]]'s coarse quantizer instead of
+    * scored exhaustively. Train on a bounded corpus sample, assign each
+    * corpus row its ONE nearest cell map-side (broadcast centroids ride
+    * the plan), explode each query into its `nProbe` nearest cells, then
+    * broadcast-hash-join the tiny (|Q|·nProbe)-row query side on the cell
+    * id: corpus rows never shuffle, rows outside every probed cell are
+    * dropped at the join without being scored, and only the bounded-heap
+    * winners (≤ |Q|·k) cross the one shuffle. At 100 TB the same geometry
+    * goes further: write the corpus partitioned BY the cell id once
+    * (`df.withColumn("cell", …).write.partitionBy("cell")`) and a probe
+    * filter on `cell` becomes partition pruning — the serve then READS
+    * only nProbe/nList of the corpus instead of merely not scoring it
+    * (layout pinned by LlmSpec's pruning test). Recall is bounded by the
+    * probe set like any IVF; gated vs exact [[batchTopK]] by
+    * `i3_ivf_serve_gate`. */
+  def ivfServe(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int = 5,
+      nList: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 3, maxTrainSample: Int = 65536): DataFrame = {
+    import graft.functions.ArrayOps.nearestCells
+    val c0 = corpus.filter(col(vecCol).isNotNull)
+    val centroids = trainCosineCentroids(
+      boundedSample(c0.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("v")), maxTrainSample), nList, lloydIters)
+    val corpusCells = c0.select(col(idCol).cast("long").as("neighbor_id"),
+        quantize(col(vecCol)).as("cv"),
+        element_at(nearestCells(col(vecCol), centroids, 1), 1).as("cell"))
+      .withColumn("cn", sqrt(dotQ(col("cv"), col("cv")).cast("double")))
+    val queryProbes = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("query_id"),
+        quantize(col(vecCol)).as("qv"),
+        explode(nearestCells(col(vecCol), centroids, nProbe)).as("cell"))
+      .withColumn("qn", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
+    // each corpus vector lives in exactly one cell ⇒ no pair dedup needed
+    val pairs = corpusCells.join(broadcast(queryProbes), Seq("cell"))
+      .withColumn("cos_sim", safeCosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .filter(col("cos_sim").isNotNull)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    topKPerQuery(pairs, k)
+  }
+
   /** Sign-bucket id for LSH table `table`: `nPlanes` random-hyperplane sign
     * bits packed into a long. Vectors in the same bucket are cosine-close
     * with probability (1 − θ/π)^nPlanes. One fused kernel
@@ -514,46 +643,8 @@ object Similarity {
     // driver-side over a bounded deterministic sample — one collect total
     // instead of one assignment job per iteration; at 64k × 64 dims the
     // sample is ~32 MB. Assignment of the FULL corpus stays distributed.
-    val sample: Array[Array[Double]] = feats.orderBy(col("id")).limit(maxTrainSample)
-      .collect()
-      .map(_.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
-    // a corpus smaller than nList simply yields fewer cells
-    var centroids: Array[Array[Double]] = sample.take(nList).map(_.clone())
-    val m = centroids.length
-    val cNorm = new Array[Double](m)
-    def cosSim(x: Array[Double], c: Array[Double], cn: Double): Double = {
-      var dot = 0.0; var xn = 0.0; var i = 0
-      val n = math.min(x.length, c.length)
-      while (i < n) { dot += x(i) * c(i); xn += x(i) * x(i); i += 1 }
-      if (xn > 0 && cn > 0) dot / (math.sqrt(xn) * cn) else Double.NegativeInfinity
-    }
-    (0 until lloydIters).foreach { _ =>
-      var ci = 0
-      while (ci < m) {
-        cNorm(ci) = math.sqrt(centroids(ci).map(x => x * x).sum); ci += 1
-      }
-      val sums = Array.fill(m)(new Array[Double](
-        if (sample.isEmpty) 0 else sample(0).length))
-      val counts = new Array[Long](m)
-      sample.foreach { x =>
-        var best = 0; var bestScore = Double.NegativeInfinity
-        var c = 0
-        while (c < m) {
-          val s = cosSim(x, centroids(c), cNorm(c))
-          if (s > bestScore) { bestScore = s; best = c }
-          c += 1
-        }
-        counts(best) += 1
-        var i = 0
-        while (i < math.min(x.length, sums(best).length)) {
-          sums(best)(i) += x(i); i += 1
-        }
-      }
-      centroids = centroids.zipWithIndex.map { case (old, c) =>
-        if (counts(c) == 0) old // empty cells keep their previous centroid
-        else sums(c).map(_ / counts(c))
-      }
-    }
+    val centroids = trainCosineCentroids(
+      boundedSample(feats, maxTrainSample), nList, lloydIters)
     val corpusCells = df0.select(col(idCol).cast("long").as("neighbor_id"),
       quantize(col(vecCol)).as("cv"),
       element_at(nearestCells(col(vecCol), centroids, 1), 1).as("cell"))

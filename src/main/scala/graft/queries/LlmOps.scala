@@ -309,6 +309,43 @@ object LlmOps {
     Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
   }
 
+  /** I3f — query-batch retrieval serving
+    * ([[Similarity.batchTopK]]): a FIXED 64-query batch (vec_id < 64 — an
+    * id predicate, so the batch stays the same 64 vectors under every
+    * scale-up/fuzz perturbation that appends ids) served against the rest
+    * of the corpus. Broadcast-queries/scan-corpus is the regime where ANN
+    * cost is linear in the corpus — the self-join `i3_*_ann_topk` fixtures
+    * can't show that because their query set IS the corpus (BASELINE.md
+    * session-10 sweep). Exact integer cosine ⇒ full oracle row. */
+  def queryBatchTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.batchTopK(
+      e.filter(col("vec_id") < 64), e.filter(col("vec_id") >= 64),
+      "vec_id", "embedding", k = 5)
+  }
+
+  private val queryBatchTopKSql =
+    """WITH v AS (
+      | SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS v
+      | FROM embeddings),
+      |flat AS (SELECT vec_id, unnest(v) AS e, generate_subscripts(v,1) AS i FROM v),
+      |norms AS (SELECT vec_id, SUM(e*e) AS nrm FROM flat GROUP BY 1),
+      |dots AS (
+      | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.e*c.e) AS dot
+      | FROM flat q JOIN flat c ON q.i = c.i AND q.vec_id < 64 AND c.vec_id >= 64
+      | GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      | SELECT query_id, neighbor_id,
+      |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cos_sim,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) DESC,
+      |      neighbor_id ASC) AS rank
+      | FROM dots
+      | JOIN norms na ON na.vec_id = query_id
+      | JOIN norms nb ON nb.vec_id = neighbor_id
+      | WHERE na.nrm > 0 AND nb.nrm > 0)
+      |WHERE rank <= 5""".stripMargin
+
   private val cosineTopKSql =
     """WITH q AS (
       | SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS v
@@ -2058,6 +2095,7 @@ object LlmOps {
     "i2_embedding_neardup" -> embeddingNearDups _,
     "i2_neardup_blocked_gate" -> neardupBlockedGate _,
     "i3_cosine_topk" -> cosineTopK _,
+    "i3_query_batch_topk" -> queryBatchTopK _,
     "i3_lsh_ann_topk" -> lshAnn _,
     "i3_lsh_recall_gate" -> lshRecallGate _,
     "i3_ivf_ann_topk" -> ivfAnn _,
@@ -2125,6 +2163,7 @@ object LlmOps {
     "i2_embedding_neardup" -> embeddingNearDupsSql,
     "i2_neardup_blocked_gate" -> neardupBlockedGateSql,
     "i3_cosine_topk" -> cosineTopKSql,
+    "i3_query_batch_topk" -> queryBatchTopKSql,
     "i3_lsh_recall_gate" -> recallGateSql,
     "i3_ivf_recall_gate" -> recallGateSql,
     "i3_pq_recall_gate" -> recallGateSql,

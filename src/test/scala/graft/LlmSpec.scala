@@ -1628,6 +1628,30 @@ class LlmSpec extends AnyFunSuite {
       6L -> "unchanged")) // null content in both versions
   }
 
+  test("I3 query-batch serving equals the bounded-corpus brute force exactly") {
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = e.filter(col("vec_id") < 8)
+    val corpus = e.filter(col("vec_id") >= 8)
+    // the two duals — corpus-broadcast (bruteForceTopK) and query-broadcast
+    // (batchTopK) — must agree to the bit: same integer-grid scores, same
+    // (score DESC, id ASC) tie-break, same survivors
+    val serve = graft.llm.Similarity.batchTopK(
+      queries, corpus, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val brute = graft.llm.Similarity.bruteForceTopK(
+      queries, corpus, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(serve.toSet == brute.toSet)
+    assert(serve.map(_._1).distinct.length == 8) // every query served
+    // plan shape: the corpus side must NOT broadcast — the query batch is
+    // the broadcast side (BroadcastNestedLoopJoin over the small q), and
+    // corpus rows reach the heap aggregate without a pre-join shuffle
+    val plan = graft.llm.Similarity.batchTopK(
+      queries, corpus, "vec_id", "embedding", k = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("I3 hard negatives match a driver-side brute-force reference") {
     val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.hardNegatives(
