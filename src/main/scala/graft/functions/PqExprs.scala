@@ -205,9 +205,66 @@ case class PqTopKExpr(
     copy(left = newLeft, right = newRight)
 }
 
+/** Asymmetric-distance score of ONE (query vector, code row) pair — the
+  * DISTRIBUTED dual of [[PqTopKExpr]]'s broadcast-table scan, for the
+  * IVF-PQ composition where the corpus's codes live in an executor-side
+  * COLUMN (never collected, never broadcast) and candidates arrive via the
+  * coarse-cell join. Scoring is direct blockwise dots against the coded
+  * centroids — O(dim) per row, not the LUT's O(nBlocks): with the cell
+  * join bounding candidates per query, LUT amortization (one O(dim·nCodes)
+  * table per query reused across a full corpus scan) no longer pays for
+  * dragging a 32 KB array through the join. Same score convention as
+  * [[PqTopKExpr]]: dot(q, recon) / (|q|·√Σ n2), NULL when either norm is
+  * zero (degenerate rows never rank — brute-force parity). */
+case class PqAdcExpr(
+    left: Expression, // raw query vector (array<float|double>)
+    right: Expression, // PQ codes (array<int>, length nBlocks)
+    books: PqCodebooks)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc"
+  @transient private lazy val elemIsFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(vecAny: Any, codesAny: Any): Any = {
+    val xs = PqExprs.toDoubles(vecAny.asInstanceOf[ArrayData], elemIsFloat)
+    PqExprs.requireDim(xs.length, books, prettyName)
+    val cs = codesAny.asInstanceOf[ArrayData]
+    val nb = books.nBlocks
+    require(cs.numElements() == nb,
+      s"$prettyName: ${cs.numElements()} codes for $nb blocks")
+    var qn2 = 0.0
+    var i = 0
+    while (i < xs.length) { qn2 += xs(i) * xs(i); i += 1 }
+    if (qn2 == 0) return null
+    var dot = 0.0
+    var rn2 = 0.0
+    var b = 0
+    while (b < nb) {
+      val c = cs.getInt(b)
+      val cent = books.blocks(b)(c)
+      val from = b * books.blockSize
+      var j = 0
+      while (j < cent.length) { dot += xs(from + j) * cent(j); j += 1 }
+      rn2 += books.n2(b * books.nCodes + c)
+      b += 1
+    }
+    if (rn2 == 0) null else dot / (math.sqrt(qn2) * math.sqrt(rn2))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object PqOps {
   def pqEncode(vec: Column, books: PqCodebooks): Column =
     Bridge.column(PqEncodeExpr(Bridge.expression(vec), books))
+  def pqAdc(vec: Column, codes: Column, books: PqCodebooks): Column =
+    Bridge.column(PqAdcExpr(
+      Bridge.expression(vec), Bridge.expression(codes), books))
   def pqTopK(id: Column, vec: Column,
       table: org.apache.spark.broadcast.Broadcast[PqCodeTable],
       books: PqCodebooks, k: Int): Column =

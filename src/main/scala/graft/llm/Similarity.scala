@@ -428,20 +428,12 @@ object Similarity {
       : Option[(graft.functions.PqCodebooks,
         org.apache.spark.broadcast.Broadcast[graft.functions.PqCodeTable])] = {
     import graft.functions.{PqCodebooks, PqCodeTable, PqOps}
-    val sample: Array[Array[Double]] = feats.orderBy(col("id")).limit(maxTrainSample)
-      .collect()
-      .map(_.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
-    if (sample.isEmpty || sample(0).isEmpty) return None
-    val dim = sample(0).length
-    val bs = (dim + nBlocks - 1) / nBlocks
-    val mEff = (dim + bs - 1) / bs
-    val blocks = Array.tabulate(mEff) { b =>
-      val from = b * bs
-      val len = math.min(bs, dim - from)
-      lloydEuclid(sample.map(x =>
-        java.util.Arrays.copyOfRange(x, from, from + len)), nCodes, lloydIters)
+    val sample = boundedSample(feats, maxTrainSample)
+    val books = trainCodebooks(sample, nBlocks, nCodes, lloydIters) match {
+      case None => return None
+      case Some(b) => b
     }
-    val books = new PqCodebooks(blocks, bs, dim)
+    val mEff = books.nBlocks
     // encode DISTRIBUTED (width-pinned barrier — compact inputs otherwise
     // scan as one partition), then collect only the byte codes; the
     // corpus's raw vectors never reach the driver. Zero-norm vectors are
@@ -471,6 +463,25 @@ object Similarity {
     val bc = feats.sparkSession.sparkContext.broadcast(
       new PqCodeTable(ids, flat, mEff))
     Some((books, bc))
+  }
+
+  /** Train the per-block PQ codebooks on a bounded sample; None on an
+    * empty (or empty-vector) sample. Shared by [[pqTopK]]'s broadcast
+    * table build and [[ivfPqServe]]'s distributed encode. */
+  private[graft] def trainCodebooks(
+      sample: Array[Array[Double]], nBlocks: Int, nCodes: Int,
+      lloydIters: Int): Option[graft.functions.PqCodebooks] = {
+    if (sample.isEmpty || sample(0).isEmpty) return None
+    val dim = sample(0).length
+    val bs = (dim + nBlocks - 1) / nBlocks
+    val mEff = (dim + bs - 1) / bs
+    val blocks = Array.tabulate(mEff) { b =>
+      val from = b * bs
+      val len = math.min(bs, dim - from)
+      lloydEuclid(sample.map(x =>
+        java.util.Arrays.copyOfRange(x, from, from + len)), nCodes, lloydIters)
+    }
+    Some(new graft.functions.PqCodebooks(blocks, bs, dim))
   }
 
   /** Per-block Euclidean Lloyd for the PQ codebooks: deterministic min-id
@@ -602,6 +613,60 @@ object Similarity {
     // each corpus vector lives in exactly one cell ⇒ no pair dedup needed
     val pairs = corpusCells.join(broadcast(queryProbes), Seq("cell"))
       .withColumn("cos_sim", safeCosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .filter(col("cos_sim").isNotNull)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    topKPerQuery(pairs, k)
+  }
+
+  /** I3f, both axes — IVF-PQ batch serving (the billion-scale ANN
+    * composition [[pqTopK]]'s scaladoc points at): [[ivfServe]]'s coarse
+    * cells bound the CANDIDATES, product-quantization codes bound the
+    * MEMORY. The corpus is encoded distributed — each row becomes
+    * (cell, nBlocks bytes of codes) and its raw vector is dropped from
+    * the serve plan right there, so the per-row payload past the scan is
+    * ~16 bytes instead of dim floats; nothing corpus-sized is ever
+    * collected or broadcast (the difference from [[pqTopK]], whose code
+    * TABLE is a driver-built broadcast and caps the corpus at the
+    * broadcast budget). Probed candidates score via [[graft.functions.PqAdcExpr]]
+    * directly on their codes; only bounded-heap winners cross the one
+    * shuffle. Recall compounds both quantizers' losses — gated vs exact
+    * [[batchTopK]] by `i3_ivfpq_serve_gate`. Zero-norm corpus rows are
+    * excluded at encode time on the RAW norm, as in [[pqTopK]]'s build
+    * (they reconstruct to nonzero centroids, so no later check could
+    * exclude them). */
+  def ivfPqServe(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int = 5,
+      nList: Int = 16, nProbe: Int = 4,
+      nBlocks: Int = 16, nCodes: Int = 256,
+      lloydIters: Int = 3, maxTrainSample: Int = 65536): DataFrame = {
+    import graft.functions.{ArrayOps, PqOps}
+    require(nCodes >= 2 && nCodes <= 256,
+      s"nCodes must be in [2, 256] (codes are byte-packed): $nCodes")
+    val c0 = corpus.filter(col(vecCol).isNotNull)
+    val sample = boundedSample(c0.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v")), maxTrainSample)
+    val centroids = trainCosineCentroids(sample, nList, lloydIters)
+    val books = trainCodebooks(sample, nBlocks, nCodes, lloydIters) match {
+      case None => // empty corpus: empty result, serve shape preserved
+        return queries.limit(0).select(
+          col(idCol).cast("long").as("query_id"),
+          col(idCol).cast("long").as("neighbor_id"),
+          lit(0.0).as("cos_sim"), lit(1).cast("int").as("rank"))
+      case Some(b) => b
+    }
+    val rawNorm2 = aggregate(
+      transform(col(vecCol), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val corpusCodes = c0.filter(rawNorm2 > 0d)
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        element_at(ArrayOps.nearestCells(col(vecCol), centroids, 1), 1).as("cell"),
+        PqOps.pqEncode(col(vecCol), books).as("codes"))
+    val queryProbes = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"),
+        explode(ArrayOps.nearestCells(col(vecCol), centroids, nProbe)).as("cell"))
+    val pairs = corpusCodes.join(broadcast(queryProbes), Seq("cell"))
+      .withColumn("cos_sim", PqOps.pqAdc(col("qv"), col("codes"), books))
       .filter(col("cos_sim").isNotNull)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
     topKPerQuery(pairs, k)

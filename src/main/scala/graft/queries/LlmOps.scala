@@ -346,6 +346,52 @@ object LlmOps {
       | WHERE na.nrm > 0 AND nb.nrm > 0)
       |WHERE rank <= 5""".stripMargin
 
+  /** I3f scale path — IVF-accelerated serving gate: rank-1 recall of
+    * [[Similarity.ivfServe]] (cell-probed corpus scan) against exact
+    * [[queryBatchTopK]] on the same 64-query/rest-of-corpus split.
+    * Measured recall (this machine, driver fixtures, 2026-08-15
+    * MeasureServeRecall calibration run): IVF sf0.001 0.734, sf0.01
+    * 0.547, sf0.1 0.641; IVF-PQ (probe loss compounded with PQ
+    * quantization loss) 0.734 / 0.547 / 0.625 — PQ costs ≤1 rank-1 hit
+    * of 64, consistent with the 2026-08-13 PqCalib run's 0.9+ standalone
+    * PQ recall. One shared floor table at ~60-65% of the lower (IVF-PQ)
+    * measurement — far above the ~nProbe/nList = 25% a random probe set
+    * would give on cluster-free data, slack enough for fixture-regen
+    * jitter. */
+  private[graft] val ServeRecallFloors =
+    Map("0.001" -> 0.45, "0.01" -> 0.35, "0.1" -> 0.4)
+
+  private def serveGateOver(
+      serve: (DataFrame, DataFrame) => DataFrame)(
+      s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 64)
+    val c = e.filter(col("vec_id") >= 64)
+    rank1RecallGate(
+      Similarity.batchTopK(q, c, "vec_id", "embedding", k = 5),
+      serve(q, c),
+      floor = floorFor(ServeRecallFloors, d, conservative = 0.25))
+  }
+
+  def ivfServeGate(s: SparkSession, d: String): DataFrame =
+    serveGateOver((q, c) =>
+      Similarity.ivfServe(q, c, "vec_id", "embedding", k = 5))(s, d)
+
+  /** I3f, both axes — IVF-PQ serving gate: [[Similarity.ivfPqServe]]
+    * (cell-probed candidates scored from 16-byte PQ codes; raw corpus
+    * vectors leave the plan at encode) against the same exact serve. */
+  def ivfPqServeGate(s: SparkSession, d: String): DataFrame =
+    serveGateOver((q, c) =>
+      Similarity.ivfPqServe(q, c, "vec_id", "embedding", k = 5))(s, d)
+
+  /** The serve gate's oracle: the exact side serves every query in the
+    * fixed batch (all fixture embeddings are non-null and non-zero — same
+    * invariant `recallGateSql` rests on), so n_queries is the batch
+    * cardinality and the floor verdict must be true. */
+  private val serveGateSql =
+    """SELECT COUNT(*) AS n_queries, true AS recall_floor_met
+      |FROM embeddings WHERE vec_id < 64""".stripMargin
+
   private val cosineTopKSql =
     """WITH q AS (
       | SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS v
@@ -2096,6 +2142,8 @@ object LlmOps {
     "i2_neardup_blocked_gate" -> neardupBlockedGate _,
     "i3_cosine_topk" -> cosineTopK _,
     "i3_query_batch_topk" -> queryBatchTopK _,
+    "i3_ivf_serve_gate" -> ivfServeGate _,
+    "i3_ivfpq_serve_gate" -> ivfPqServeGate _,
     "i3_lsh_ann_topk" -> lshAnn _,
     "i3_lsh_recall_gate" -> lshRecallGate _,
     "i3_ivf_ann_topk" -> ivfAnn _,
@@ -2164,6 +2212,8 @@ object LlmOps {
     "i2_neardup_blocked_gate" -> neardupBlockedGateSql,
     "i3_cosine_topk" -> cosineTopKSql,
     "i3_query_batch_topk" -> queryBatchTopKSql,
+    "i3_ivf_serve_gate" -> serveGateSql,
+    "i3_ivfpq_serve_gate" -> serveGateSql,
     "i3_lsh_recall_gate" -> recallGateSql,
     "i3_ivf_recall_gate" -> recallGateSql,
     "i3_pq_recall_gate" -> recallGateSql,

@@ -1652,6 +1652,145 @@ class LlmSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("I3 IVF serve: plan keeps the corpus un-shuffled and recall clears the gate floor") {
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 64)
+    val c = e.filter(col("vec_id") >= 64)
+    val serve = graft.llm.Similarity.ivfServe(q, c, "vec_id", "embedding", k = 5)
+    // plan: the tiny (|Q|·nProbe)-row query side broadcasts into a
+    // BroadcastHashJoin on the cell id; the corpus side must reach the
+    // join without an Exchange (its only shuffle is the heap aggregate's)
+    val plan = serve.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    val shuffles = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected only the heap-agg shuffle, got $shuffles\n${plan.take(3000)}")
+    // structure: ≤k rows per query, ranks contiguous from 1, every
+    // returned neighbor really is in the corpus split
+    val rows = serve.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length))
+    }
+    assert(rows.forall(_._2 >= 64))
+    // recall vs the exact serve clears the gate floor with margin
+    val gate = graft.queries.LlmOps.ivfServeGate(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    assert(gate.getLong(0) == 64)
+    assert(gate.getBoolean(1), "recall floor not met at sf0.001")
+  }
+
+  test("I3 IVF-PQ serve: codes replace raw vectors past the scan and ADC matches a driver recompute") {
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 64)
+    val c = e.filter(col("vec_id") >= 64)
+    val serve = graft.llm.Similarity.ivfPqServe(q, c, "vec_id", "embedding", k = 5)
+    // plan: query side broadcasts into a BroadcastHashJoin on the cell;
+    // corpus reaches the join un-shuffled (only the heap agg exchanges),
+    // and the join's streamed side carries CODES, not the raw embedding —
+    // the memory-axis claim as a plan property
+    val plan = serve.queryExecution.executedPlan
+    val planStr = plan.toString
+    assert(planStr.contains("BroadcastHashJoin"), planStr.take(2000))
+    assert(planStr.split("\n").count(_.contains("Exchange hashpartitioning")) == 1)
+    val unwrapped = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val joinOutput = unwrapped.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.get.left.output.map(_.name)
+    assert(joinOutput.contains("codes") && !joinOutput.contains("embedding"),
+      s"corpus side of the join should carry codes only: $joinOutput")
+    // structure + recall floor via the gate
+    val rows = serve.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.forall(_._2 >= 64))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length)) }
+    val gate = graft.queries.LlmOps.ivfPqServeGate(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    assert(gate.getLong(0) == 64 && gate.getBoolean(1))
+    // ranks strictly ordered by (score DESC, id ASC) within a query
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._4)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2))
+        case _ =>
+      }
+    }
+    // ADC scores agree to the bit with a driver-side scalar recompute from
+    // independently re-trained codebooks (the sample-fit is deterministic,
+    // so training on the same corpus reproduces the same books)
+    val vecOf = e.select(col("vec_id").cast("long"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
+      .toMap
+    val sample = c.select(col("vec_id").cast("long").as("id"), col("embedding").as("v"))
+      .orderBy(col("id")).limit(65536).collect()
+      .map(_.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
+    val books = graft.llm.Similarity.trainCodebooks(sample, 16, 256, 3).get
+    def encode(x: Array[Double]): Array[Int] = Array.tabulate(books.nBlocks) { b =>
+      val from = b * books.blockSize
+      val cents = books.blocks(b)
+      var best = 0; var bestD = Double.MaxValue
+      cents.indices.foreach { ci =>
+        var d = 0.0
+        cents(ci).indices.foreach { i =>
+          val t = x(from + i) - cents(ci)(i); d += t * t }
+        if (d < bestD) { bestD = d; best = ci }
+      }
+      best
+    }
+    rows.take(20).foreach { case (qid, nid, got, _) =>
+      val xs = vecOf(qid); val codes = encode(vecOf(nid))
+      var qn2 = 0.0; xs.foreach(v => qn2 += v * v)
+      var dot = 0.0; var rn2 = 0.0
+      (0 until books.nBlocks).foreach { b =>
+        val cent = books.blocks(b)(codes(b))
+        cent.indices.foreach { i => dot += xs(b * books.blockSize + i) * cent(i) }
+        rn2 += books.n2(b * books.nCodes + codes(b))
+      }
+      val want = dot / (math.sqrt(qn2) * math.sqrt(rn2))
+      assert(got == want, s"ADC mismatch for ($qid,$nid): $got vs $want")
+    }
+  }
+
+  test("I3 IVF serve: a cell-partitioned corpus layout prunes unprobed partitions at the scan") {
+    import java.nio.file.Files
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val feats = e.filter(col("embedding").isNotNull)
+      .select(col("vec_id").cast("long").as("id"), col("embedding").as("v"))
+    val cents = graft.llm.Similarity.trainCosineCentroids(
+      feats.orderBy(col("id")).limit(4096).collect()
+        .map(_.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray),
+      16, 3)
+    val dir = Files.createTempDirectory("ivf_layout").toFile.getAbsolutePath
+    // build once: corpus written partitioned BY its coarse cell
+    e.withColumn("cell",
+        element_at(graft.functions.ArrayOps.nearestCells(col("embedding"), cents, 1), 1))
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val nCells = back.select(col("cell")).distinct().count()
+    assert(nCells > 4, s"degenerate quantizer: $nCells cells")
+    // serve-side probe filter becomes partition pruning: the scan reads
+    // only the probed cells' files, not the whole corpus
+    val probed = back.filter(col("cell").isin(0, 1, 2, 3))
+    val scan = probed.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty, "probe filter did not reach the scan as a partition filter")
+    val allFiles = spark.read.parquet(dir).queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get.selectedPartitions.totalNumberOfFiles
+    val probedFiles = scan.selectedPartitions.totalNumberOfFiles
+    assert(probedFiles < allFiles,
+      s"pruning read all $allFiles files (probed=$probedFiles)")
+    // and the pruned serve returns the same rows as a post-scan filter
+    assert(probed.count() ==
+      back.collect().count(r => Set(0, 1, 2, 3).contains(r.getAs[Int]("cell"))))
+  }
+
   test("I3 hard negatives match a driver-side brute-force reference") {
     val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.hardNegatives(
