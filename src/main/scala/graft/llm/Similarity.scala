@@ -257,7 +257,7 @@ object Similarity {
           "Similarity.ivfTopK for large corpora, or raise the budget.")
   }
 
-  private def bruteForceTopKBroadcast(
+  private[graft] def bruteForceTopKBroadcast(
       queries: DataFrame,
       corpus: DataFrame,
       idCol: String,
@@ -422,7 +422,7 @@ object Similarity {
 
   /** Train codebooks + build the broadcast code table; None on an empty
     * (or empty-vector) corpus. */
-  private def built(
+  private[graft] def built(
       feats: DataFrame, nBlocks: Int, nCodes: Int,
       lloydIters: Int, maxTrainSample: Int)
       : Option[(graft.functions.PqCodebooks,

@@ -607,4 +607,110 @@ class StreamingSpec extends AnyFunSuite {
         s"window state not evicted: $lastStateRows rows live")
     } finally q.stop()
   }
+
+  test("H12 exact streaming serve: bit-parity with batch, stateless plan, append-once across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val d = "/root/testdata/sf0.001"
+    val e = graft.queries.Tables.embeddings(spark, d)
+    val corpus = e.filter(col("vec_id") >= 64)
+    val queryRows = e.filter(col("vec_id") < 64)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(queryRows.length == 64)
+    val (b1, b2) = queryRows.splitAt(32)
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val serve = graft.streaming.VectorServe.serveExact(
+      mem.toDF().toDF("vec_id", "embedding"), corpus, "vec_id", "embedding", k = 5)
+    assert(serve.isStreaming)
+    val q = serve.writeStream.outputMode("append").format("memory")
+      .queryName("h12_exact").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("h12_exact").count()
+      assert(afterB1 == 32L * 5)
+      // the serve micro-batch is a pure projection + generator — NO state
+      // operator: nothing grows with query volume, nothing awaits a
+      // watermark, checkpoint recovery has only source offsets to replay
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"serve plan grew state: ${q.lastProgress.stateOperators.mkString}")
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("h12_exact").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      // batch-1 answers appended exactly once (no recompute on batch 2)
+      assert(streamed.length == 64 * 5)
+      // bit-parity with the batch serving tier: same integer-grid dots,
+      // same (score DESC, id ASC) ties — the stream answers exactly what
+      // one batch over the same queries would
+      val batch = graft.llm.Similarity.batchTopK(
+        e.filter(col("vec_id") < 64), corpus, "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      assert(streamed.toSet == batch.toSet)
+    } finally q.stop()
+  }
+
+  test("H12 PQ streaming serve: stream equals the batch ADC kernel, recall holds vs exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val d = "/root/testdata/sf0.001"
+    val e = graft.queries.Tables.embeddings(spark, d)
+    val corpus = e.filter(col("vec_id") >= 64)
+    val queriesDf = e.filter(col("vec_id") < 64)
+    val queryRows = queriesDf.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val serve = graft.streaming.VectorServe.servePq(
+      mem.toDF().toDF("vec_id", "embedding"), corpus, "vec_id", "embedding", k = 5)
+    val q = serve.writeStream.outputMode("append").format("memory")
+      .queryName("h12_pq").start()
+    val streamed = try {
+      mem.addData(queryRows.take(20): _*)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty)
+      mem.addData(queryRows.drop(20): _*)
+      q.processAllAvailable()
+      spark.table("h12_pq").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    } finally q.stop()
+
+    // structure: ≤k per query, contiguous ranks, neighbors from the corpus
+    val byQuery = streamed.groupBy(_._1)
+    assert(byQuery.size == queryRows.length)
+    byQuery.values.foreach { rs =>
+      assert(rs.length <= 5)
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length))
+    }
+    assert(streamed.forall(_._2 >= 64))
+
+    // the streaming plumbing changes nothing: same code table (cached by
+    // corpus key), same per-row ADC kernel — batch application of servePq's
+    // kernel over the same queries must agree tuple-for-tuple
+    val batchPq = graft.streaming.VectorServe.servePq(
+      queriesDf, corpus, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(streamed.toSet == batchPq.toSet)
+
+    // PQ quantization keeps rank-1 recall well above chance vs the exact
+    // serve. Measured 0.719 on this 64-query/436-corpus split (2026-08-15)
+    // — lower than the ~0.9 the self-join PqCalib run shows because the
+    // codebooks train on the 436-row corpus sample only; floor at 0.6
+    // leaves jitter slack while still catching a broken kernel (random
+    // top-1 would be ~1/436)
+    val exact1 = graft.llm.Similarity.batchTopK(
+      queriesDf, corpus, "vec_id", "embedding", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq1 = streamed.filter(_._4 == 1).map(t => (t._1, t._2)).toSet
+    val recall = exact1.count(pq1.contains).toDouble / exact1.size
+    assert(recall >= 0.6, s"PQ rank-1 recall $recall below floor")
+  }
 }
