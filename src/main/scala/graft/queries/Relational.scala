@@ -1960,7 +1960,60 @@ object Relational {
       |FROM events, (SELECT unnest(range(0, 7)) AS k) g
       |GROUP BY 1""".stripMargin
 
+  /** D1-EXT — the z-order clustering CELL MAP over events
+    * ([[graft.operators.ZOrder]] made oracle-checkable): both layout
+    * dimensions (user id, event minute) min-max normalized onto 16 bits,
+    * Morton-interleaved into a 32-bit z-key — pure built-in bit arithmetic,
+    * whole-stage-codegen, identical integer formula on the DuckDB side —
+    * then aggregated per 8×8 grid cell (the z-key's top 6 bits) with each
+    * cell's row count and RAW min/max band on both dimensions. The output
+    * IS the layout claim: every cell's (u, m) bands are ~1/8 of their
+    * domains, which is exactly why files cut along the z-curve serve
+    * selective predicates on EITHER column via parquet min/max stats (the
+    * two-dimensional skipping SourceFormatsSpec measures). Plan: one scan,
+    * one 4-value bounds aggregate broadcast back, one cell aggregate —
+    * the bounds pass is a second scan of the (u, m) projection only. */
+  def zorderCells(s: SparkSession, d: String): DataFrame = {
+    val dims = Tables.events(s, d).select(
+      col("user_id").cast("long").as("u"),
+      expr("unix_micros(ts) div 60000000").as("m"))
+    val bounds = dims.agg(
+      min("u").as("u0"), max("u").as("u1"),
+      min("m").as("m0"), max("m").as("m1"))
+    val mask = (1L << 16) - 1
+    dims.crossJoin(broadcast(bounds))
+      .select(col("u"), col("m"),
+        expr(s"((u - u0) * $mask) div greatest(u1 - u0, 1)").as("un"),
+        expr(s"((m - m0) * $mask) div greatest(m1 - m0, 1)").as("mn"))
+      .select(col("u"), col("m"),
+        graft.operators.ZOrder.zvalue(col("un"), col("mn"), 16).as("z"))
+      .groupBy(shiftright(col("z"), 26).as("zcell"))
+      .agg(count(lit(1)).as("n_events"),
+        min("u").as("u_min"), max("u").as("u_max"),
+        min("m").as("m_min"), max("m").as("m_max"))
+  }
+
+  private val zorderCellsSql =
+    s"""WITH dims AS (
+       | SELECT CAST(user_id AS BIGINT) AS u,
+       |  epoch_us(ts) // 60000000 AS m FROM events),
+       |bounds AS (
+       | SELECT MIN(u) AS u0, MAX(u) AS u1, MIN(m) AS m0, MAX(m) AS m1
+       | FROM dims),
+       |normed AS (
+       | SELECT u, m,
+       |  ${graft.operators.ZOrder.normalizeSql("u", "u0", "u1", 16)} AS un,
+       |  ${graft.operators.ZOrder.normalizeSql("m", "m0", "m1", 16)} AS mn
+       | FROM dims, bounds),
+       |z AS (
+       | SELECT u, m, ${graft.operators.ZOrder.zvalueSql("un", "mn", 16)} AS z
+       | FROM normed)
+       |SELECT z >> 26 AS zcell, COUNT(*) AS n_events,
+       | MIN(u) AS u_min, MAX(u) AS u_max, MIN(m) AS m_min, MAX(m) AS m_max
+       |FROM z GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_zorder_cells" -> zorderCells _,
     "d07_agg_pricing" -> pricingSummary _,
     "d03_join_revenue_by_nation" -> revenueByNation _,
     "d03_salted_skew_join" -> saltedSkewJoin _,
@@ -2025,6 +2078,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "d01_zorder_cells" -> zorderCellsSql,
     "d07_agg_pricing" -> pricingSummarySql,
     "d03_join_revenue_by_nation" -> revenueByNationSql,
     "d03_salted_skew_join" -> saltedSkewJoinSql,

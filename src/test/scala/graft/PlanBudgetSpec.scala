@@ -36,6 +36,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "b4_workflow_timing" -> 0, "b5_artifact_rows" -> 0,
     "b6_dup_reject" -> 0, "b7_last_write_wins" -> 1,
     "c1c2_codec_roundtrip" -> 0, "c3_time_epoch_fns" -> 0,
+    "d01_zorder_cells" -> 2,
     "d03_join_revenue_by_nation" -> 1, "d03_salted_skew_join" -> 1,
     "d03_shipping_priority" -> 1, "d04_semi_anti_customers" -> 0,
     "d05_interval_concurrency" -> 1, "d05_range_join_events" -> 1,
