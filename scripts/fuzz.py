@@ -159,8 +159,21 @@ def build(src: str, dest: str, seed: int, pct: int, hot: int = 0) -> None:
               SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM sampled) AS doc_id,
                      text, lang, source, n_chars
               FROM sampled
-              USING SAMPLE 5 PERCENT (bernoulli, {seed + 1}))
-            SELECT * FROM sampled UNION ALL SELECT * FROM dupes""")
+              USING SAMPLE 5 PERCENT (bernoulli, {seed + 1})),
+            -- null-text tier: real corpora carry missing documents, and
+            -- null handling is where engines silently diverge (DuckDB's
+            -- LEAST/aggregates skip NULLs, Spark's null-propagate) — three
+            -- rows make every text kernel's null discipline a checked
+            -- cross-engine property instead of an untested claim
+            nulls AS (
+              SELECT doc_id + 2 * (SELECT MAX(doc_id) + 1 FROM sampled)
+                       AS doc_id,
+                     CAST(NULL AS VARCHAR) AS text, lang, source,
+                     CAST(NULL AS BIGINT) AS n_chars
+              FROM sampled ORDER BY doc_id LIMIT 3)
+            SELECT * FROM sampled
+            UNION ALL SELECT * FROM dupes
+            UNION ALL SELECT * FROM nulls""")
         if hot > 0:
             # one giant identical-text class: every dedup family must
             # collapse it, every pair oracle pays O(K^2) on it — capped

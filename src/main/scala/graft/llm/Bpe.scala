@@ -128,4 +128,23 @@ object Bpe {
     }
     BpeModel(merges.toSeq, counts.toSeq, tokensBefore)
   }
+
+  /** Token-id vocabulary for [[graft.functions.BpeEncodeIdsExpr]]: every
+    * distinct non-space character of the corpus (sorted — ids are
+    * deterministic across partitionings) followed by each merge's symbol
+    * in learned order; index = token id. The distinct-char collect is
+    * bounded by the ALPHABET, not the corpus (guarded at 65536 — a corpus
+    * whose charset exceeds the BMP-sized budget needs byte-level BPE, not
+    * a bigger driver). */
+  def vocabOf(df: DataFrame, textCol: String, model: BpeModel): Array[String] = {
+    val base = df
+      .select(explode(split(col(textCol), "")).as("c"))
+      .filter(col("c") =!= "" && col("c") =!= " ")
+      .distinct()
+      .limit(65537)
+      .collect().map(_.getString(0))
+    require(base.length <= 65536,
+      "vocabOf: corpus charset exceeds the 65536 driver budget")
+    base.sorted ++ model.merges.map(p => p._1 + p._2)
+  }
 }

@@ -732,8 +732,12 @@ object LlmOps {
     def hits(code: String) =
       s"len(regexp_extract_all(lower(text), '${stopwordPattern(code)}'))"
     val Seq(de, en, es, fr) = Seq("de", "en", "es", "fr").map(hits)
+    // null text classifies 'und' (no hits — the engine's pinned kernel
+    // behavior, LlmSpec); without the explicit branch every comparison
+    // below is NULL and DuckDB falls through to the ELSE arm ('fr')
     s"""SELECT doc_id,
-       | CASE WHEN $de + $en + $es + $fr = 0 THEN 'und'
+       | CASE WHEN text IS NULL THEN 'und'
+       |  WHEN $de + $en + $es + $fr = 0 THEN 'und'
        |  WHEN $de >= $en AND $de >= $es AND $de >= $fr THEN 'de'
        |  WHEN $en >= $es AND $en >= $fr THEN 'en'
        |  WHEN $es >= $fr THEN 'es'
@@ -1620,7 +1624,7 @@ object LlmOps {
        |ranked AS (
        | SELECT d.doc_id, lang.pred_lang AS lang,
        |  ROW_NUMBER() OVER (PARTITION BY lang.pred_lang
-       |    ORDER BY ${bucketSql("d.text")} ASC, d.doc_id ASC) AS rn
+       |    ORDER BY ${bucketSql("d.text")} ASC NULLS FIRST, d.doc_id ASC) AS rn
        | FROM documents d JOIN lang ON lang.doc_id = d.doc_id)
        |SELECT doc_id, lang FROM ranked WHERE rn <= 40""".stripMargin
 
@@ -1661,7 +1665,8 @@ object LlmOps {
 
   private val chunkWindowsSql =
     """WITH w AS (
-      | SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM documents),
+      | SELECT doc_id, regexp_split_to_array(text, ' +') AS ws
+      | FROM documents WHERE text IS NOT NULL),
       |c AS (
       | SELECT doc_id, ws,
       |  unnest(range(0, 1 + (greatest(len(ws) - 64, 0) + 47) // 48)) AS chunk_idx
@@ -1706,8 +1711,8 @@ object LlmOps {
   }
 
   private val packGateSql =
-    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-      | CAST(COUNT(*) AS BIGINT) AS n_distinct_docs,
+    """SELECT CAST(COUNT(text) AS BIGINT) AS n_docs,
+      | CAST(COUNT(text) AS BIGINT) AS n_distinct_docs,
       | CAST(SUM(len(regexp_split_to_array(text, ' +'))) AS BIGINT)
       |  AS total_tokens,
       | true AS packs_ok
@@ -2129,6 +2134,54 @@ object LlmOps {
       |   FROM documents) WHERE w <> '') AS tokens_before,
       | true AS conserve_ok""".stripMargin
 
+  /** I5p — the TOKENIZE step itself ([[graft.functions.BpeEncodeIdsExpr]]):
+    * encode every document to its token-ID sequence under the 20-merge
+    * model and [[Bpe.vocabOf]] ids, then fold the whole pipeline into two
+    * checked identities — (1) CONSERVATION: per-doc id-sequence length
+    * equals the count kernel's token count, and the corpus total equals
+    * `tokens_before − Σ merge counts` from training statistics; (2)
+    * ROUND-TRIP: decoding each id sequence reproduces the document with
+    * whitespace removed (ids carry no word boundaries). One codegen-free
+    * kernel scan; merges + vocab ride as closure references (a few KB).
+    * NULL text → NULL ids (missing ≠ empty — the decode compare is
+    * null-safe, so the verdicts stay meaningful on corpora with missing
+    * documents). The oracle recomputes n_docs and tokens_before exactly
+    * and pins both verdicts. */
+  def bpeEncodeGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val model = Bpe.train(docs, "text", nMerges = 20)
+    val vocab = Bpe.vocabOf(docs, "text", model)
+    docs
+      .select(col("text"),
+        graft.functions.BpeExprs.encodeIds(col("text"), model.merges, vocab)
+          .as("ids"),
+        graft.functions.BpeExprs.encodeCount(col("text"), model.merges)
+          .as("tc"))
+      .select(col("ids"), col("tc"),
+        graft.functions.BpeExprs.decodeConcat(col("ids"), vocab).as("dec"),
+        regexp_replace(trim(col("text")), " +", "").as("expected"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(size(col("ids")), lit(0))).as("sum_ids"),
+        min(when(coalesce(size(col("ids")), lit(0)) === col("tc"), 1)
+          .otherwise(0)).as("c_doc"),
+        min(when(col("dec") <=> col("expected"), 1).otherwise(0)).as("r_doc"))
+      .select(
+        col("n_docs"),
+        lit(model.tokensBefore).as("tokens_before"),
+        (col("c_doc") === 1 &&
+          col("sum_ids") === lit(model.tokensBefore - model.mergedTotal))
+          .as("conserve_ok"),
+        (col("r_doc") === 1).as("roundtrip_ok"))
+  }
+
+  private val bpeEncodeGateSql =
+    """SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+      | (SELECT CAST(SUM(len(w)) AS BIGINT) FROM (
+      |   SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS w
+      |   FROM documents) WHERE w <> '') AS tokens_before,
+      | true AS conserve_ok, true AS roundtrip_ok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i1_dedup_exact" -> dedupExact _,
     "i1_bloom_reference_dedup" -> bloomReferenceDedup _,
@@ -2195,6 +2248,7 @@ object LlmOps {
     "i6_dsir_weights" -> dsirWeights _,
     "i5_bpe_stats" -> bpeStats _,
     "i5_bpe_train" -> bpeTrain _,
+    "i5_bpe_encode_gate" -> bpeEncodeGate _,
     "i6_token_budget" -> tokenBudget _,
     "i7_blocklist" -> blocklist _,
     "i6_curation_v3" -> curationV3 _,
@@ -2262,6 +2316,7 @@ object LlmOps {
     "i6_dsir_weights" -> dsirWeightsSql,
     "i5_bpe_stats" -> bpeStatsSql,
     "i5_bpe_train" -> bpeTrainSql,
+    "i5_bpe_encode_gate" -> bpeEncodeGateSql,
     "i6_token_budget" -> tokenBudgetSql,
     "i7_blocklist" -> blocklistSql,
     "i6_curation_v3" -> curationV3Sql,

@@ -108,4 +108,55 @@ class BpeSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("word types"))
   }
+
+  test("encode ids: naive parity, conservation, round-trip, null propagation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(60)
+    val model = Bpe.train(docs, "text", nMerges = 12)
+    val vocab = Bpe.vocabOf(docs, "text", model)
+    val rows = docs.select(col("text"),
+        graft.functions.BpeExprs.encodeIds(col("text"), model.merges, vocab)
+          .as("ids"),
+        graft.functions.BpeExprs.encodeCount(col("text"), model.merges)
+          .as("tc"))
+      .select(col("text"), col("ids"), col("tc"),
+        graft.functions.BpeExprs.decodeConcat(col("ids"), vocab).as("dec"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val text = r.getString(0)
+      val ids = r.getSeq[Int](1)
+      // driver recompute: per word, the naive merge application mapped
+      // through the vocab's FIRST index (the expression's putIfAbsent)
+      val expected = text.trim.split(" +").filter(_.nonEmpty).toSeq.flatMap {
+        w => naiveEncode(w, model.merges).map(s => vocab.indexOf(s))
+      }
+      assert(ids == expected, s"ids diverge for: ${text.take(60)}")
+      assert(ids.length.toLong == r.getLong(2),
+        "id-sequence length must equal the count kernel")
+      assert(r.getString(3) == text.trim.replaceAll(" +", ""),
+        "decode must reproduce the whitespace-stripped document")
+    }
+  }
+
+  test("encode ids: null -> null, empty -> empty, unknown symbol fails loud") {
+    val df = Seq((0L, null.asInstanceOf[String]), (1L, ""), (2L, "ab ab"))
+      .toDF("doc_id", "text")
+    val model = Bpe.train(df, "text", nMerges = 1)
+    val vocab = Bpe.vocabOf(df, "text", model)
+    val got = df.orderBy("doc_id").select(
+        graft.functions.BpeExprs.encodeIds(col("text"), model.merges, vocab)
+          .as("ids")).collect()
+    assert(got(0).isNullAt(0), "null text must encode to NULL, not empty")
+    assert(got(1).getSeq[Int](0).isEmpty, "empty text is the empty sequence")
+    assert(got(2).getSeq[Int](0).length == 2)
+    val e = intercept[Exception] {
+      Seq((0L, "zq")).toDF("doc_id", "text").select(
+        graft.functions.BpeExprs.encodeIds(col("text"), model.merges, vocab))
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("not in the vocabulary")))
+  }
 }

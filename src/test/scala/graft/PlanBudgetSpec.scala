@@ -72,6 +72,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i3_pq_ann_topk" -> 0, "i3_pq_recall_gate" -> 2,
     "i5_lr_quality_gate" -> 1, "i6_dsir_weights" -> 0,
     "i5_bpe_stats" -> 1, "i5_bpe_train" -> 0,
+    "i5_bpe_encode_gate" -> 1,
     "i6_token_budget" -> 1, "i7_blocklist" -> 0,
     "i8_kcore" -> 0, "i6_curation_v3" -> 1,
     "i5_lexical_diversity" -> 0,
