@@ -115,4 +115,71 @@ object Chunking {
       .select(col("id"), col("tokens"), col("pack_id"), col("pack_tokens"),
         (col("pack_tokens") > budget).as("oversize"))
   }
+
+  /** Concat-and-chunk shard layout: the corpus token stream in `idCol`
+    * order, cut into fixed-length training sequences of `seqLen` tokens —
+    * the dataloader-facing twin of [[packGreedy]] (packing never splits a
+    * document; sharding always fills the sequence, splitting documents at
+    * the boundary like GPT-style pretraining loaders).
+    *
+    * The global token offset of each document is a PREFIX SUM over the id
+    * order. A bare `sum over (order by id)` window is a single-partition
+    * sort — the classic scale cliff — so it runs two-level: range-bucket
+    * the ids (buckets ≈ parallelism, derived from the id span), cumsum
+    * WITHIN each bucket in parallel, then cumsum the ~1k bucket totals in
+    * one tiny window and broadcast-join the offsets back. Correct for any
+    * id distribution; bucket BALANCE follows the id spread (ids are
+    * near-contiguous for corpus fixtures — a pathologically clustered id
+    * space degrades parallelism, not correctness).
+    *
+    * Emits one membership row per (sequence, document) overlap:
+    * (seq_id, id, tokens, start_in_seq, n_toks) — a document longer than
+    * `seqLen` spans several rows. Zero-token documents occupy no stream
+    * positions and emit nothing. Null ids/counts are rejected loudly;
+    * pre-filter null text upstream. */
+  def shardSequences(
+      df: DataFrame, idCol: String, tokensCol: String,
+      seqLen: Long, nBuckets: Int = 1024): DataFrame = {
+    require(seqLen >= 1, s"bad sequence length: $seqLen")
+    require(nBuckets >= 1, s"bad bucket count: $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val in = df.select(col(idCol).cast("long").as("id"),
+      col(tokensCol).cast("long").as("n"))
+    val b = in.agg(min(col("id")), max(col("id")), sum(col("n")),
+      count(when(col("id").isNull || col("n").isNull || col("n") < 0, 1)))
+      .head()
+    require(b.getLong(3) == 0,
+      "shardSequences: null id/count or negative count — pre-filter the input")
+    if (b.isNullAt(0)) return in.limit(0).select(
+      lit(0L).as("seq_id"), col("id"), col("n").as("tokens"),
+      lit(0L).as("start_in_seq"), lit(0L).as("n_toks"))
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    // ceil-div keeps bucket ids in [0, nBuckets) without overflow on a
+    // full-range id span
+    val span = math.max(1L, (hi - lo) / nBuckets + 1L)
+    val bucketed = in.withColumn("b", ((col("id") - lo) / span).cast("long"))
+    val within = bucketed.withColumn("w",
+      coalesce(sum(col("n")).over(Window.partitionBy(col("b"))
+        .orderBy(col("id")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val offsets = bucketed.groupBy(col("b")).agg(sum(col("n")).as("bn"))
+      .withColumn("off",
+        coalesce(sum(col("bn")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("off"))
+    val placed = within
+      .join(broadcast(offsets), Seq("b"))
+      .select(col("id"), col("n"), (col("w") + col("off")).as("start"))
+      .filter(col("n") > 0)
+    placed
+      .select(col("id"), col("n"), col("start"),
+        explode(sequence(floor(col("start") / seqLen).cast("long"),
+          floor((col("start") + col("n") - 1) / seqLen).cast("long")))
+          .as("seq_id"))
+      .select(col("seq_id"), col("id"), col("n").as("tokens"),
+        (greatest(col("seq_id") * seqLen, col("start")) -
+          col("seq_id") * seqLen).as("start_in_seq"),
+        (least((col("seq_id") + 1) * seqLen, col("start") + col("n")) -
+          greatest(col("seq_id") * seqLen, col("start"))).as("n_toks"))
+  }
 }

@@ -1718,6 +1718,48 @@ object LlmOps {
       | true AS packs_ok
       |FROM documents""".stripMargin
 
+  /** I7e — token-stream shard layout ([[Chunking.shardSequences]]): the
+    * corpus in doc_id order cut into fixed 256-token training sequences,
+    * splitting documents at sequence boundaries (the GPT-style loader
+    * layout, vs [[packGate]]'s never-split packing). The whole membership
+    * table is ORACLE-EXACT — DuckDB recomputes the same prefix sum with a
+    * plain global window while the engine runs the two-level bucketed
+    * version, so the hash-compare proves the distributed prefix sum
+    * equals the sequential one. Whitespace token counts keep both sides
+    * SQL-expressible; null text is a missing document (no stream
+    * positions). */
+  def tokenShards(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+    Chunking.shardSequences(toks, "doc_id", "toks", seqLen = 256L)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  private val tokenShardsSql =
+    """WITH t AS (
+      | SELECT doc_id,
+      |  CAST(LEN(regexp_split_to_array(text, ' +')) AS BIGINT) AS n
+      | FROM documents WHERE text IS NOT NULL),
+      |p AS (
+      | SELECT doc_id, n,
+      |  CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |   AS start
+      | FROM t),
+      |m AS (
+      | SELECT doc_id, n, start,
+      |  unnest(range(start // 256, (start + n - 1) // 256 + 1)) AS seq_id
+      | FROM p WHERE n > 0)
+      |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+      | n AS tokens,
+      | CAST(GREATEST(seq_id * 256, start) - seq_id * 256 AS BIGINT)
+      |  AS start_in_seq,
+      | CAST(LEAST((seq_id + 1) * 256, start + n)
+      |  - GREATEST(seq_id * 256, start) AS BIGINT) AS n_toks
+      |FROM m""".stripMargin
+
   /** I4 — multimodal metadata extraction over binary payload columns (the
     * deterministic stub codec; plumbing is the point — see
     * graft.llm.Multimodal). */
@@ -2230,6 +2272,7 @@ object LlmOps {
     "i7_decontamination" -> decontamination _,
     "i7_chunk_windows" -> chunkWindows _,
     "i7_pack_gate" -> packGate _,
+    "i7_token_shards" -> tokenShards _,
     "i5_vocab_stats" -> vocabStats _,
     "i5_langid_confusion" -> langIdConfusion _,
     "i5_salient_terms" -> salientTerms _,
@@ -2298,6 +2341,7 @@ object LlmOps {
     "i7_decontamination" -> decontaminationSql,
     "i7_chunk_windows" -> chunkWindowsSql,
     "i7_pack_gate" -> packGateSql,
+    "i7_token_shards" -> tokenShardsSql,
     "i5_vocab_stats" -> vocabStatsSql,
     "i5_langid_confusion" -> langIdConfusionSql,
     "i5_salient_terms" -> salientTermsSql,

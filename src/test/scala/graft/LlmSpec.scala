@@ -370,6 +370,54 @@ class LlmSpec extends AnyFunSuite {
     assert(nullChunks.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("I7 sharding: bucketed prefix sum equals sequential concat-and-chunk") {
+    import graft.llm.Chunking
+    // sequential reference: walk docs in id order, cut at L boundaries
+    def reference(docs: Seq[(Long, Long)], L: Long): Seq[(Long, Long, Long, Long, Long)] = {
+      var start = 0L
+      docs.sortBy(_._1).flatMap { case (id, n) =>
+        val rows = if (n == 0) Nil else
+          (start / L to (start + n - 1) / L).map { s =>
+            val from = math.max(s * L, start)
+            val to = math.min((s + 1) * L, start + n)
+            (s, id, n, from - s * L, to - from)
+          }
+        start += n
+        rows
+      }
+    }
+    // sparse, skewed ids; a doc longer than L; zero-token docs vanish
+    val docs = Seq((3L, 5L), (7L, 0L), (100L, 23L), (101L, 2L),
+      (5000L, 1L), (5001L, 9L), (900000L, 4L))
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 6) {
+      val L = 1L + rnd.nextInt(12)
+      val nBuckets = 1 + rnd.nextInt(5)
+      val df = docs.toDF("doc_id", "toks").repartition(1 + rnd.nextInt(4))
+      val got = Chunking.shardSequences(df, "doc_id", "toks", L, nBuckets)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .sortBy(t => (t._1, t._2))
+      assert(got.toSeq == reference(docs, L),
+        s"trial $trial: L=$L buckets=$nBuckets diverges from sequential")
+      // every sequence except the last is exactly full
+      val bySeq = got.groupBy(_._1)
+      val last = bySeq.keys.max
+      bySeq.foreach { case (s, ms) =>
+        if (s != last) assert(ms.map(_._5).sum == L, s"seq $s under-filled")
+      }
+    }
+    // empty input shards to nothing; nulls and negatives fail loud
+    assert(Chunking.shardSequences(
+      Seq.empty[(Long, Long)].toDF("doc_id", "toks"), "doc_id", "toks", 8L)
+      .count() == 0)
+    intercept[Exception] {
+      Chunking.shardSequences(Seq((1L, -2L)).toDF("doc_id", "toks"),
+        "doc_id", "toks", 8L).collect()
+    }
+  }
+
   test("I7 packing invariants hold on random inputs and partitionings (property)") {
     import graft.llm.Chunking
     val rnd = new scala.util.Random(7)

@@ -87,6 +87,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i6_stratified_cap" -> 1, "i7_chunk_windows" -> 0,
     "i7_decontam_spans" -> 2, "i7_decontamination" -> 2,
     "i7_pack_gate" -> 7, "i7_pii_scrub" -> 0,
+    // bucketed prefix sum: per-bucket window + bucket-totals agg + the
+    // tiny bucket-offset window (broadcast join back is excluded)
+    "i7_token_shards" -> 3,
     "d03_local_supplier_volume" -> 1, "d03_volume_shipping" -> 1,
     // d08_heavy_hitters' budget covers the RECOUNT plan only: the
     // Misra-Gries candidate sweep is an eager treeAggregate action at
