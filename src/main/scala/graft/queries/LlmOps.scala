@@ -87,6 +87,57 @@ object LlmOps {
       | MIN(r) = id AS is_representative
       |FROM reach GROUP BY id""".stripMargin
 
+  /** I2i — incremental dedup ([[Dedup.incrementalDedup]]): the 10%
+    * increment (doc_id % 10 == 0) deduped against the standing 90% base —
+    * the daily-batch-vs-corpus production shape. One verdict row per
+    * batch document; the oracle recomputes batch×base word-3-gram Jaccard
+    * with the sizes-uncapped / frequency-capped semantics shared with
+    * `i2_ngram_jaccard` and takes the same (max Jaccard, min base id)
+    * best match. */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.incrementalDedup(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text",
+      n = 3, threshold = 0.5, maxShingleFreq = Some(1000),
+      shingler = Dedup.wordShingles)
+  }
+
+  private val incrementalDedupSql =
+    """WITH ws AS (SELECT doc_id, doc_id % 10 = 0 AS is_batch,
+      |  regexp_split_to_array(text, ' +') AS w FROM documents),
+      |sh AS (
+      | SELECT doc_id, is_batch,
+      |  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |   for i in range(1, len(w) - 1)])) AS s
+      | FROM ws WHERE len(w) >= 3),
+      |freq AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+      |shf AS (SELECT doc_id, is_batch, sh.s FROM sh JOIN freq ON sh.s = freq.s),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |shared AS (
+      | SELECT a.doc_id AS doc_q, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      | FROM shf a JOIN shf b ON a.s = b.s AND a.is_batch AND NOT b.is_batch
+      | GROUP BY 1, 2),
+      |j AS (
+      | SELECT doc_q, doc_b,
+      |  CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) AS jac
+      | FROM shared
+      | JOIN sizes sa ON sa.doc_id = doc_q
+      | JOIN sizes sb ON sb.doc_id = doc_b
+      | WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.5),
+      |v AS (SELECT doc_q, COUNT(*) AS n_matches, MAX(jac) AS best_jaccard
+      | FROM j GROUP BY 1),
+      |bm AS (SELECT j.doc_q, MIN(j.doc_b) AS best_match
+      | FROM j JOIN v ON j.doc_q = v.doc_q AND j.jac = v.best_jaccard
+      | GROUP BY 1)
+      |SELECT d.doc_id, CAST(COALESCE(v.n_matches, 0) AS BIGINT) AS n_matches,
+      | bm.best_match, v.best_jaccard, v.doc_q IS NOT NULL AS is_dup
+      |FROM documents d
+      |LEFT JOIN v ON v.doc_q = d.doc_id
+      |LEFT JOIN bm ON bm.doc_q = d.doc_id
+      |WHERE d.doc_id % 10 = 0""".stripMargin
+
   /** Scale-factor tag parsed from a testdata dir ("/root/testdata/sf0.01" →
     * "0.01"). Gate floors are keyed on it: a recall floor is a MEASUREMENT
     * of a specific fixture at a specific scale, not a theorem, so pinning
@@ -2228,6 +2279,7 @@ object LlmOps {
     "i1_dedup_exact" -> dedupExact _,
     "i1_bloom_reference_dedup" -> bloomReferenceDedup _,
     "i2_ngram_jaccard" -> ngramJaccard _,
+    "i2_incremental_dedup" -> incrementalDedup _,
     "i2_fuzzy_dedup_e2e" -> fuzzyDedupE2e _,
     "i2_minhash_lsh_candidates" -> minhashCandidates _,
     "i2_minhash_containment" -> minhashContainmentGate _,
@@ -2302,6 +2354,7 @@ object LlmOps {
     "i1_dedup_exact" -> dedupExactSql,
     "i1_bloom_reference_dedup" -> bloomReferenceDedupSql,
     "i2_ngram_jaccard" -> ngramJaccardSql,
+    "i2_incremental_dedup" -> incrementalDedupSql,
     "i2_fuzzy_dedup_e2e" -> fuzzyDedupE2eSql,
     "i2_minhash_containment" -> minhashContainmentSql,
     "i2_simhash_containment" -> simhashContainmentSql,

@@ -512,6 +512,73 @@ class LlmSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("I2 incremental dedup matches a brute-force batch-vs-base recompute") {
+    // brute-force reference: word-3-gram sets, frequency cap over BOTH
+    // sides combined, sizes uncapped, batch×base pairs only
+    def shingleSet(t: String): Set[String] =
+      if (t == null) Set.empty
+      else {
+        val w = t.split(" +").toVector
+        if (w.size < 3) Set.empty else w.sliding(3).map(_.mkString(" ")).toSet
+      }
+    def reference(corpus: Seq[(Long, String)], isBatch: Long => Boolean,
+        cap: Int, thr: Double): Seq[(Long, Long, Option[Long], Option[Double], Boolean)] = {
+      val sh = corpus.map { case (id, t) => id -> shingleSet(t) }.toMap
+      val freq = sh.values.toSeq.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+      val capped = sh.map { case (id, s) => id -> s.filter(freq(_) <= cap) }
+      val (batchIds, baseIds) = corpus.map(_._1).partition(isBatch)
+      batchIds.sorted.map { q =>
+        val ms = baseIds.flatMap { b =>
+          val shared = (capped(q) & capped(b)).size
+          if (shared == 0) None else {
+            val j = shared.toDouble / (sh(q).size + sh(b).size - shared)
+            if (j >= thr) Some((b, j)) else None
+          }
+        }
+        if (ms.isEmpty) (q, 0L, None, None, false)
+        else {
+          val bestJ = ms.map(_._2).max
+          val bestB = ms.filter(_._2 == bestJ).map(_._1).min
+          (q, ms.size.toLong, Some(bestB), Some(bestJ), true)
+        }
+      }
+    }
+    val rnd = new scala.util.Random(43)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    for (i <- 0L until 48L) {
+      val t =
+        if (i == 11L || i == 12L) null // null text (base AND batch side)
+        else if (i == 18L) "two words" // batch doc with < 3 words ⇒ no shingles
+        else if (i % 5 == 4 && buf.nonEmpty) // near-dup of an earlier doc
+          buf(rnd.nextInt(buf.size))._2 match {
+            case null => "alpha beta gamma delta"
+            case s => s + " " + vocab(rnd.nextInt(vocab.size))
+          }
+        else Vector.fill(5 + rnd.nextInt(8))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      buf += ((i, t))
+    }
+    val corpus = buf.toSeq
+    for ((cap, thr) <- Seq((1000, 0.5), (3, 0.5), (1000, 0.8))) {
+      val df = corpus.toDF("doc_id", "text").repartition(5)
+      val got = Dedup.incrementalDedup(
+        df.filter(col("doc_id") % 3 =!= 0), df.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", n = 3, threshold = thr, maxShingleFreq = Some(cap))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          r.getBoolean(4)))
+        .sortBy(_._1).toSeq
+      val want = reference(corpus, _ % 3 == 0, cap, thr)
+      assert(got == want, s"cap=$cap thr=$thr diverges from brute force")
+      // the split is exhaustive on the batch side: one verdict per batch doc
+      assert(got.map(_._1) == corpus.map(_._1).filter(_ % 3 == 0).sorted)
+    }
+  }
+
   test("I2 minhash LSH candidates superset of true near-dups; estimate sane") {
     val cands = Dedup.minHashCandidates(docs, "doc_id", "text")
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet

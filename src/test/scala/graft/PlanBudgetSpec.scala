@@ -64,6 +64,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i2_simhash_containment" -> 12,
     "i2_minhash_lsh_candidates" -> 4, "i2_neardup_blocked_gate" -> 11,
     "i2_ngram_jaccard" -> 3, "i2_simhash_pairs" -> 3,
+    // ngram substrate (3) + the per-batch-doc verdict aggregate; the
+    // batch-side left join broadcasts (excluded)
+    "i2_incremental_dedup" -> 4,
     "i2_span_cut" -> 2, "i3_cosine_topk" -> 0,
     "i3_query_batch_topk" -> 1,
     "i3_ivf_serve_gate" -> 7, "i3_ivfpq_serve_gate" -> 7,
