@@ -961,6 +961,33 @@ object Relational {
       | COUNT(*) FILTER (event_type = 'view')     AS view
       |FROM events GROUP BY 1""".stripMargin
 
+  /** D9 unpivot — wide→long reshaping via `Dataset.unpivot` (Spark 4's
+    * native melt; a Generate node, no shuffle beyond the input's): the
+    * pivoted per-bucket event-type counts back to (bucket, type, n) rows.
+    * Together with `d09_pivot_event_types` this pins the pivot∘unpivot
+    * round-trip: the oracle is the direct long-form GROUP BY densified
+    * over the bucket×type grid (pivot manufactures explicit zeros for
+    * absent combos, and unpivot must preserve them). */
+  def unpivotEventTypes(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    pivotCounts(Tables.events(s, d),
+      (col("user_id") % 10).as("user_bucket"), "event_type", types)
+      .unpivot(Array(col("user_bucket")), types.map(col).toArray,
+        "event_type", "n")
+  }
+
+  private val unpivotEventTypesSql =
+    """WITH p AS (SELECT user_id % 10 AS user_bucket, event_type,
+      |  COUNT(*) AS n FROM events GROUP BY 1, 2),
+      |b AS (SELECT DISTINCT user_id % 10 AS user_bucket FROM events),
+      |t AS (SELECT unnest(['click','error','purchase','signup','view'])
+      |  AS event_type)
+      |SELECT b.user_bucket, t.event_type,
+      | CAST(COALESCE(p.n, 0) AS BIGINT) AS n
+      |FROM b CROSS JOIN t
+      |LEFT JOIN p ON p.user_bucket = b.user_bucket
+      | AND p.event_type = t.event_type""".stripMargin
+
   /** Batch sessionization via `session_window` (gap = 12h): the same
     * merging-session operator Structured Streaming uses (H4), run in batch.
     * One shuffle on user_id, sessions merged inside the aggregate — the
@@ -2049,6 +2076,7 @@ object Relational {
     "d07_above_customer_avg" -> aboveCustomerAvg _,
     "d12_union_tagged" -> unionTagged _,
     "d09_pivot_event_types" -> pivotEventTypes _,
+    "d09_unpivot" -> unpivotEventTypes _,
     "d10_session_windows" -> sessionWindows _,
     "d10_window_ntile" -> windowNtile _,
     "d10_tumbling_window" -> tumblingThroughput _,
@@ -2114,6 +2142,7 @@ object Relational {
     "d07_above_customer_avg" -> aboveCustomerAvgSql,
     "d12_union_tagged" -> unionTaggedSql,
     "d09_pivot_event_types" -> pivotEventTypesSql,
+    "d09_unpivot" -> unpivotEventTypesSql,
     "d10_session_windows" -> sessionWindowsSql,
     "d10_window_ntile" -> windowNtileSql,
     "d10_tumbling_window" -> tumblingThroughputSql,

@@ -49,6 +49,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i6_filter_attrition" -> 3, "i6_doc_provenance" -> 1,
     "d08_distinct_counts" -> 2, "d09_cube_orders" -> 1,
     "d09_grouping_sets" -> 1, "d09_pivot_event_types" -> 2,
+    // pivot substrate (2); the unpivot Generate adds no exchange
+    "d09_unpivot" -> 2,
     "d09_rollup_quantities" -> 1, "d10_funnel" -> 3,
     "d10_resample_ffill" -> 2, "d10_session_windows" -> 1,
     "d10_tumbling_window" -> 1, "d10_window_lag_delta" -> 1,

@@ -45,6 +45,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(out == Map(0L -> ((2L, 1L)), 1L -> ((0L, 1L))))
   }
 
+  test("unpivot inverts pivotCounts: round-trip recovers the long form with explicit zeros") {
+    val events = Seq(
+      (0L, "click"), (0L, "click"), (0L, "view"),
+      (1L, "view") // bucket 1 has no clicks — pivot zero must survive
+    ).toDF("user_id", "event_type")
+    val types = Seq("click", "view")
+    val wide = Relational.pivotCounts(events,
+      col("user_id").as("user_bucket"), "event_type", types)
+    val long = wide.unpivot(Array(col("user_bucket")),
+      types.map(col).toArray, "event_type", "n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toList.sorted
+    assert(long == List((0L, "click", 2L), (0L, "view", 1L),
+      (1L, "click", 0L), (1L, "view", 1L)))
+  }
+
   test("window ntile/percent_rank: single-row partition yields 0.0 ranks") {
     // min orders-per-customer in the fixture is 1 — the oracle relies on
     // both engines defining percent_rank = 0 (not NULL/NaN) when n = 1
