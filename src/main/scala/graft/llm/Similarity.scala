@@ -352,6 +352,84 @@ object Similarity {
           .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
     }
 
+  /** I3j — scalar (int8) quantization: per-dimension min/max over the
+    * corpus, each component linearly mapped to an integer code in
+    * [0, 255]. The memory axis of vector serving WITHOUT a training step:
+    * unlike PQ's sampled k-means codebooks there is no seed anywhere, so
+    * codes — and every downstream rank — are exactly reproducible across
+    * engines (the one quantization family the DuckDB oracle can
+    * hash-check end to end, vs the recall-gated PQ/IVF/LSH rows).
+    *
+    * Scale shape: the stats pass is a posexplode + groupBy(pos) whose
+    * map-side partial min/max reduces the shuffle to #partitions·dim
+    * rows; the 2·dim stats then ride ONE broadcast row back onto an
+    * un-exploded `transform` over the original vectors (per-element
+    * `element_at` into a broadcast-local array attribute — O(1), not a
+    * re-evaluated subtree), so corpus rows never shuffle to get coded.
+    * A constant dimension (mx == mn) codes to 0 everywhere. */
+  /** The 1-row (mns, mxs) per-dimension stats frame for SQ8: posexplode +
+    * groupBy(pos) whose map-side partial min/max reduces the shuffle to
+    * #partitions·dim rows, regrouped into two dim-length arrays. */
+  private def sq8Stats(in: DataFrame, vecCol: String): DataFrame =
+    in.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("pos"), col("x").cast("double").as("x"))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("mn")))).as("smn"),
+        sort_array(collect_list(struct(col("pos"), col("mx")))).as("smx"))
+      .select(transform(col("smn"), s => s.getField("mn")).as("mns"),
+        transform(col("smx"), s => s.getField("mx")).as("mxs"))
+
+  def sq8Codes(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val in = df.filter(col(vecCol).isNotNull)
+    in.crossJoin(broadcast(sq8Stats(in, vecCol)))
+      .select(col(idCol).as("vid"),
+        transform(col(vecCol), (x, i) => {
+          val mn = element_at(col("mns"), i + 1)
+          val mx = element_at(col("mxs"), i + 1)
+          when(mx > mn,
+            floor((x.cast("double") - mn) / (mx - mn) * 255 + lit(0.5))
+              .cast("long"))
+            .otherwise(lit(0L))
+        }).as("codes"))
+  }
+
+  /** I3j — exhaustive top-k under SQ8: rank by cosine of the
+    * RECONSTRUCTED vectors (x̂ = mn + code·range/255 — raw code dots are
+    * offset-dominated because int8 codes are unsigned), snapped to the
+    * 1e-6 integer grid so the dot products are exact integers and ranks
+    * are engine-reproducible. Queries broadcast over a single partitioned
+    * corpus scan into the bounded-heap top-k aggregate; corpus rows never
+    * shuffle, only k winners per query do. Kept exhaustive so ranking
+    * error is ONLY quantization error; the candidate-pruning axes (IVF
+    * cells, LSH buckets) compose orthogonally exactly as over PQ codes. */
+  def sq8TopK(df: DataFrame, idCol: String, vecCol: String,
+      nQueries: Int, k: Int): DataFrame = {
+    val in = df.filter(col(vecCol).isNotNull)
+    val recon = in.crossJoin(broadcast(sq8Stats(in, vecCol)))
+      .select(col(idCol).as("vid"),
+        transform(col(vecCol), (x, i) => {
+          val mn = element_at(col("mns"), i + 1)
+          val mx = element_at(col("mxs"), i + 1)
+          when(mx > mn,
+            floor((mn + floor((x.cast("double") - mn) / (mx - mn) * 255
+              + lit(0.5)) * (mx - mn) / 255) * 1000000d).cast("long"))
+            .otherwise(floor(mn * 1000000d).cast("long"))
+        }).as("r"))
+      .withColumn("nrm", sqrt(
+        graft.functions.ArrayOps.longArrayDot(col("r"), col("r"))
+          .cast("double")))
+    val q = recon.filter(col("vid") < nQueries)
+      .select(col("vid").as("query_id"), col("r").as("qr"),
+        col("nrm").as("qn"))
+    val pairs = recon.crossJoin(broadcast(q))
+      .filter(col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        safeCosine(col("qr"), col("r"), col("qn"), col("nrm")).as("cos_sim"))
+      .filter(col("cos_sim").isNotNull)
+    topKPerQuery(pairs, k)
+  }
+
   /** I3e — Product-Quantization ANN (Jégou et al., TPAMI 2011): vectors are
     * chopped into `nBlocks` subvectors, each encoded as its nearest
     * per-block centroid id (`nCodes` per block, per-block Euclidean Lloyd

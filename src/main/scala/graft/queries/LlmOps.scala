@@ -463,6 +463,48 @@ object LlmOps {
       | JOIN norms nb ON nb.vec_id = neighbor_id)
       |WHERE rank <= 5""".stripMargin
 
+  /** I3j — scalar-quantization (SQ8) retrieval
+    * ([[Similarity.sq8TopK]]): the 10 lowest-id vectors served against
+    * the corpus by cosine over int8-reconstructed vectors on the 1e-6
+    * integer grid. SQ8 has NO training seed (per-dim min/max is a pure
+    * corpus statistic), so unlike the PQ/IVF/LSH rows the whole ranking
+    * is DuckDB-reproducible — the one quantized-serving row the oracle
+    * hash-checks end to end rather than recall-gating. */
+  def sq8TopK(s: SparkSession, d: String): DataFrame =
+    Similarity.sq8TopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      nQueries = 10, k = 5)
+
+  private val sq8TopKSql =
+    """WITH e AS (
+      | SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+      | FROM embeddings WHERE embedding IS NOT NULL),
+      |flat AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v,1) AS i FROM e),
+      |stats AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM flat GROUP BY 1),
+      |recon AS (
+      | SELECT vec_id, flat.i,
+      |  CASE WHEN mx > mn
+      |   THEN CAST(FLOOR((mn + FLOOR((x - mn) / (mx - mn) * 255 + 0.5)
+      |     * (mx - mn) / 255) * 1000000) AS BIGINT)
+      |   ELSE CAST(FLOOR(mn * 1000000) AS BIGINT) END AS r
+      | FROM flat JOIN stats ON flat.i = stats.i),
+      |norms AS (SELECT vec_id, SUM(r*r) AS nrm FROM recon GROUP BY 1),
+      |dots AS (
+      | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  SUM(q.r * c.r) AS dot
+      | FROM recon q JOIN recon c ON q.i = c.i
+      |  AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+      | GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      | SELECT query_id, neighbor_id,
+      |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cos_sim,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) DESC,
+      |      neighbor_id ASC) AS rank
+      | FROM dots
+      | JOIN norms na ON na.vec_id = query_id
+      | JOIN norms nb ON nb.vec_id = neighbor_id)
+      |WHERE rank <= 5""".stripMargin
+
   /** I3h — hard-negative mining: for the 50 lowest-id query vectors, the
     * top-5 most similar corpus vectors with a DIFFERENT label. See
     * [[graft.llm.Similarity.hardNegatives]] for the broadcast-queries
@@ -2288,6 +2330,7 @@ object LlmOps {
     "i2_embedding_neardup" -> embeddingNearDups _,
     "i2_neardup_blocked_gate" -> neardupBlockedGate _,
     "i3_cosine_topk" -> cosineTopK _,
+    "i3_sq8_topk" -> sq8TopK _,
     "i3_query_batch_topk" -> queryBatchTopK _,
     "i3_ivf_serve_gate" -> ivfServeGate _,
     "i3_ivfpq_serve_gate" -> ivfPqServeGate _,
@@ -2361,6 +2404,7 @@ object LlmOps {
     "i2_embedding_neardup" -> embeddingNearDupsSql,
     "i2_neardup_blocked_gate" -> neardupBlockedGateSql,
     "i3_cosine_topk" -> cosineTopKSql,
+    "i3_sq8_topk" -> sq8TopKSql,
     "i3_query_batch_topk" -> queryBatchTopKSql,
     "i3_ivf_serve_gate" -> serveGateSql,
     "i3_ivfpq_serve_gate" -> serveGateSql,

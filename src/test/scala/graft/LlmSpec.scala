@@ -715,6 +715,70 @@ class LlmSpec extends AnyFunSuite {
       assert(t.keySet == Set("0.001", "0.01", "0.1"))
   }
 
+  test("I3 SQ8 codes and ranking match a sequential recompute; recall floor holds") {
+    val rnd = new scala.util.Random(19)
+    val dim = 8
+    // vectors plus edge rows: a constant dimension (codes to 0), a null
+    val vecs: Seq[(Long, Array[Float])] = (0L until 30L).map { i =>
+      i -> Array.tabulate(dim)(j =>
+        if (j == 3) 2.5f else (rnd.nextGaussian() * (j + 1)).toFloat)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+      .unionByName(Seq((99L, null: Array[Float])).toDF("vec_id", "embedding"))
+      .repartition(4)
+    // sequential reference
+    val mn = Array.tabulate(dim)(j => vecs.map(_._2(j).toDouble).min)
+    val mx = Array.tabulate(dim)(j => vecs.map(_._2(j).toDouble).max)
+    def code(v: Array[Float]): Array[Long] = Array.tabulate(dim) { j =>
+      if (mx(j) > mn(j))
+        math.floor((v(j).toDouble - mn(j)) / (mx(j) - mn(j)) * 255 + 0.5).toLong
+      else 0L
+    }
+    val refCodes = vecs.map { case (id, v) => id -> code(v) }.toMap
+    val gotCodes = Similarity.sq8Codes(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(gotCodes.keySet == refCodes.keySet) // null vector dropped
+    refCodes.foreach { case (id, c) =>
+      assert(gotCodes(id).sameElements(c), s"codes diverge for vec $id")
+      assert(c.forall(x => x >= 0 && x <= 255), s"code out of int8 range")
+    }
+    assert(refCodes.values.forall(_(3) == 0L)) // constant dim codes to 0
+    // ranking: reference = cosine over grid-snapped reconstructions,
+    // ties to smaller id — same arithmetic as the engine and the oracle
+    def recon(v: Array[Float]): Array[Long] = Array.tabulate(dim) { j =>
+      if (mx(j) > mn(j))
+        math.floor((mn(j) + math.floor(
+          (v(j).toDouble - mn(j)) / (mx(j) - mn(j)) * 255 + 0.5)
+          * (mx(j) - mn(j)) / 255) * 1000000d).toLong
+      else math.floor(mn(j) * 1000000d).toLong
+    }
+    val refRecon = vecs.map { case (id, v) => id -> recon(v) }.toMap
+    def cosR(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val got = Similarity.sq8TopK(df, "vec_id", "embedding", nQueries = 5, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val want = (0L until 5L).flatMap { q =>
+      vecs.map(_._1).filter(_ != q)
+        .map(b => (b, cosR(refRecon(q), refRecon(b))))
+        .sortBy { case (b, c) => (-c, b) }.take(3).zipWithIndex
+        .map { case ((b, c), r) => (q, b, c, r + 1) }
+    }
+    assert(got == want)
+    // recall floor vs exact cosine on the real sf0.001 embeddings
+    val e = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
+      .filter(col("query_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.sq8TopK(e, "vec_id", "embedding", nQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (sq & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, f"SQ8 recall@5 $recall%.2f below floor")
+  }
+
   test("I3 LSH ANN recall vs brute force on real embeddings") {
     val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 3)

@@ -75,6 +75,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i3_ivf_ann_topk" -> 2, "i3_ivf_recall_gate" -> 6,
     "i3_lsh_ann_topk" -> 2, "i3_lsh_recall_gate" -> 6,
     "i3_pq_ann_topk" -> 0, "i3_pq_recall_gate" -> 2,
+    // stats pass + stats-row agg on both coded branches + heap top-k
+    "i3_sq8_topk" -> 5,
     "i5_lr_quality_gate" -> 1, "i6_dsir_weights" -> 0,
     "i5_bpe_stats" -> 1, "i5_bpe_train" -> 0,
     "i5_bpe_encode_gate" -> 1,
