@@ -138,6 +138,61 @@ object LlmOps {
       |LEFT JOIN bm ON bm.doc_q = d.doc_id
       |WHERE d.doc_id % 10 = 0""".stripMargin
 
+  /** I2j — canonical selection: WHICH copy of a near-dup cluster
+    * survives. `i2_fuzzy_dedup_e2e` pins the structural min-id rule; real
+    * curation keeps the highest-QUALITY member (RefinedWeb/FineWeb-style
+    * pipelines dedup toward the best copy, not the smallest id). Same
+    * candidate pairs and connected components as the e2e row, then one
+    * per-component lexicographic struct-max over (quality, -doc_id) —
+    * max quality, ties to the smallest id, no second pass. Null-text
+    * docs (quality NULL) can only win their own singleton component
+    * (scored -1 for the argmax, reported as NULL). */
+  def canonicalKeep(s: SparkSession, d: String): DataFrame =
+    canonicalKeepOver(Tables.documents(s, d))
+
+  private[graft] def canonicalKeepOver(docs: DataFrame): DataFrame = {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxShingleFreq = Some(1000),
+      shingler = Dedup.wordShingles).select("doc_a", "doc_b")
+    val comp = Dedup.fuzzyDedupComponents(docs, "doc_id", pairs)
+      .select(col("doc_id"), col("component"))
+    val q = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val x = comp.join(q, Seq("doc_id"))
+      .withColumn("qx", coalesce(col("quality"), lit(-1.0)))
+    val best = x.groupBy(col("component"))
+      .agg(max(struct(col("qx").as("q"), (-col("doc_id")).as("negid")))
+        .as("b"))
+      .select(col("component"), (-col("b.negid")).as("keep_id"))
+    x.join(best, Seq("component"))
+      .select(col("doc_id"), col("component"), col("quality"),
+        (col("doc_id") === col("keep_id")).as("keep"))
+  }
+
+  private val canonicalKeepSql =
+    s"""WITH RECURSIVE high AS (${ngramJaccardSqlAt(0.5)}),
+      |edges AS (
+      | SELECT doc_a AS u, doc_b AS v FROM high
+      | UNION ALL SELECT doc_b, doc_a FROM high),
+      |reach(id, r) AS (
+      | SELECT doc_id, doc_id FROM documents
+      | UNION
+      | SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+      |comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+      |q AS (${qualitySqlOver("documents", "text")}),
+      |x AS MATERIALIZED (
+      | SELECT comp.doc_id, comp.component, q.quality,
+      |  COALESCE(q.quality, -1.0) AS qx
+      | FROM comp JOIN q ON q.doc_id = comp.doc_id),
+      |best AS (SELECT component, MAX(qx) AS bq FROM x GROUP BY 1),
+      |keepid AS (
+      | SELECT x.component, MIN(x.doc_id) AS keep_id
+      | FROM x JOIN best ON x.component = best.component AND x.qx = best.bq
+      | GROUP BY 1)
+      |SELECT x.doc_id, x.component, x.quality,
+      | x.doc_id = k.keep_id AS keep
+      |FROM x JOIN keepid k ON x.component = k.component""".stripMargin
+
   /** Scale-factor tag parsed from a testdata dir ("/root/testdata/sf0.01" →
     * "0.01"). Gate floors are keyed on it: a recall floor is a MEASUREMENT
     * of a specific fixture at a specific scale, not a theorem, so pinning
@@ -2322,6 +2377,7 @@ object LlmOps {
     "i1_bloom_reference_dedup" -> bloomReferenceDedup _,
     "i2_ngram_jaccard" -> ngramJaccard _,
     "i2_incremental_dedup" -> incrementalDedup _,
+    "i2_canonical_keep" -> canonicalKeep _,
     "i2_fuzzy_dedup_e2e" -> fuzzyDedupE2e _,
     "i2_minhash_lsh_candidates" -> minhashCandidates _,
     "i2_minhash_containment" -> minhashContainmentGate _,
@@ -2398,6 +2454,7 @@ object LlmOps {
     "i1_bloom_reference_dedup" -> bloomReferenceDedupSql,
     "i2_ngram_jaccard" -> ngramJaccardSql,
     "i2_incremental_dedup" -> incrementalDedupSql,
+    "i2_canonical_keep" -> canonicalKeepSql,
     "i2_fuzzy_dedup_e2e" -> fuzzyDedupE2eSql,
     "i2_minhash_containment" -> minhashContainmentSql,
     "i2_simhash_containment" -> simhashContainmentSql,

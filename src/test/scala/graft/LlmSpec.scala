@@ -579,6 +579,62 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("I2 canonical keep: per-cluster argmax quality, ties to min id, nulls lose") {
+    import graft.llm.{Dedup, TextAnalysis}
+    // cluster A: 3 near-dups of graded length (quality rises with length
+    // up to the 500-char knee); cluster B: exact dup pair; singletons
+    // include a null-text doc (quality NULL -> keeps itself)
+    val base = (1 to 25).map(i => s"word$i").mkString(" ")
+    val docsK = Seq(
+      (0L, base),
+      (1L, base + " lambda mu nu xi"),
+      (2L, base + " lambda mu nu xi omicron pi rho sigma"),
+      (10L, "unrelated totally different text about streaming watermark state eviction policies"),
+      (11L, "unrelated totally different text about streaming watermark state eviction policies"),
+      (20L, "a lone short document"),
+      (21L, null: String)
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docsK, "doc_id", "text",
+      n = 3, threshold = 0.5, maxShingleFreq = Some(1000),
+      shingler = Dedup.wordShingles).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // brute-force union-find over the emitted pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(a: Long): Long = {
+      val p = parent.getOrElse(a, a)
+      if (p == a) a else { val r = find(p); parent(a) = r; r }
+    }
+    Seq(0L, 1L, 2L, 10L, 11L, 20L, 21L).foreach(i => parent(i) = i)
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val quality = docsK.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val wantKeep = Seq(0L, 1L, 2L, 10L, 11L, 20L, 21L).groupBy(find).flatMap {
+      case (_, ms) =>
+        val best = ms.map(m => (quality(m).getOrElse(-1.0), m))
+          .sortBy { case (q, m) => (-q, m) }.head._2
+        ms.map(m => m -> (m == best))
+    }
+    val got = graft.queries.LlmOps.canonicalKeepOver(docsK)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))
+    assert(got.map(g => g._1 -> g._4).toMap == wantKeep)
+    // structural: component labels are min-member ids; quality passthrough
+    got.foreach { case (id, comp, q, _) =>
+      assert(comp == find(id), s"component label for $id")
+      assert(q == quality(id), s"quality passthrough for $id")
+    }
+    // exactly one keeper per component, and clusters landed as intended
+    assert(got.groupBy(_._2).forall(_._2.count(_._4) == 1))
+    assert(find(0L) == find(2L) && find(10L) == find(11L) && find(20L) == 20L)
+    // cluster A's keeper is the LONGEST (highest-quality) member, not min id
+    assert(got.find(_._1 == 2L).get._4 && !got.find(_._1 == 0L).get._4)
+  }
+
   test("I2 minhash LSH candidates superset of true near-dups; estimate sane") {
     val cands = Dedup.minHashCandidates(docs, "doc_id", "text")
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet

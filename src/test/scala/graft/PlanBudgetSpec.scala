@@ -69,6 +69,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // ngram substrate (3) + the per-batch-doc verdict aggregate; the
     // batch-side left join broadcasts (excluded)
     "i2_incremental_dedup" -> 4,
+    // components resolve eagerly (local walk, like i2_fuzzy_dedup_e2e's
+    // 0-budget); counted: the per-component argmax + its join-back (the
+    // quality join broadcasts)
+    "i2_canonical_keep" -> 2,
     "i2_span_cut" -> 2, "i3_cosine_topk" -> 0,
     "i3_query_batch_topk" -> 1,
     "i3_ivf_serve_gate" -> 7, "i3_ivfpq_serve_gate" -> 7,
