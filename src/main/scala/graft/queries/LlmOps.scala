@@ -1205,6 +1205,62 @@ object LlmOps {
     * kernels (lang-ID, quality, PII, content-hash dup, split), so the card
     * is deterministic with no float-mean drift. One scan evaluates every
     * kernel once per row; the content-hash dup side joins back on md5. */
+  /** I6n — temperature (α=0.5) mixture resampling: the multi-source
+    * rebalancing knob of multilingual/multi-corpus pretraining (Conneau &
+    * Lample 2019, arXiv:1901.07291 exponentiated-share sampling; the
+    * GPT-3 weighted mix is the hand-set version). Target share ∝ N_s^α,
+    * achieved by keep-rate ∝ N_s^(α-1): with α=0.5, rate_s =
+    * sqrt(N_min/N_s) — the smallest source keeps everything, a 16×
+    * bigger one keeps 1/4. N_s is TOKENS per source, not docs.
+    *
+    * Cross-engine determinism is the design constraint: rates normalize
+    * PAIRWISE against N_min (exact integer) instead of against
+    * Σ_s sqrt(N_s) — a 20-term double sum whose value depends on
+    * summation order, which no engine promises. One integer division,
+    * one correctly-rounded sqrt, one multiply, one floor: bit-identical
+    * everywhere. Membership is the md5-bucket-of-content rule shared
+    * with `i6_mixture_sample`/`i6_dataset_split` (pure in content —
+    * stable under re-runs, repartitions, engine swaps), at 1/10000
+    * granularity.
+    *
+    * Scale shape: one partial-agg token-count pass (|sources| rows out),
+    * rates broadcast back, then a codegen'd scan filter — nothing
+    * data-sized crosses a shuffle. */
+  def temperatureMixture(s: SparkSession, d: String): DataFrame =
+    temperatureMixtureOver(Tables.documents(s, d))
+
+  private[graft] def temperatureMixtureOver(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"), col("source"), col("text"),
+      coalesce(TextAnalysis.tokenCount(col("text")).cast("long"), lit(0L))
+        .as("tok"))
+    val bySrc = toks.groupBy(col("source")).agg(sum(col("tok")).as("ns"))
+    val nmin = bySrc.agg(min(col("ns")).as("nmin"))
+    val rates = bySrc.crossJoin(broadcast(nmin))
+      .select(col("source"),
+        floor(sqrt(col("nmin").cast("double") / col("ns").cast("double"))
+          * 10000).cast("int").as("keep_threshold"))
+    toks.join(broadcast(rates), Seq("source"))
+      .filter(Sampling.hashBucket(col("text"), 10000) < col("keep_threshold"))
+      .select(col("doc_id"), col("source"), col("keep_threshold"))
+  }
+
+  private val temperatureMixtureSql =
+    s"""WITH t AS (
+      | SELECT doc_id, source, text,
+      |  CAST(COALESCE(LEN(regexp_split_to_array(text, ' +')), 0) AS BIGINT)
+      |   AS tok
+      | FROM documents),
+      |s AS (SELECT source, CAST(SUM(tok) AS BIGINT) AS ns FROM t GROUP BY 1),
+      |m AS (SELECT MIN(ns) AS nmin FROM s),
+      |r AS (SELECT source,
+      |  CAST(FLOOR(SQRT(CAST(nmin AS DOUBLE) / CAST(ns AS DOUBLE)) * 10000)
+      |   AS INT) AS keep_threshold
+      | FROM s, m)
+      |SELECT t.doc_id, t.source, r.keep_threshold
+      |FROM t JOIN r ON t.source = r.source
+      |WHERE ${bucketSql("t.text", 10000)} < r.keep_threshold""".stripMargin
+
   /** I6g — expectation audit (the Deequ-style pre-training data-quality
     * gate): named integrity checks over the fixture star schema, each one
     * exact-integer — primary-key uniqueness, referential containment
@@ -2378,6 +2434,7 @@ object LlmOps {
     "i2_ngram_jaccard" -> ngramJaccard _,
     "i2_incremental_dedup" -> incrementalDedup _,
     "i2_canonical_keep" -> canonicalKeep _,
+    "i6_temperature_mixture" -> temperatureMixture _,
     "i2_fuzzy_dedup_e2e" -> fuzzyDedupE2e _,
     "i2_minhash_lsh_candidates" -> minhashCandidates _,
     "i2_minhash_containment" -> minhashContainmentGate _,
@@ -2455,6 +2512,7 @@ object LlmOps {
     "i2_ngram_jaccard" -> ngramJaccardSql,
     "i2_incremental_dedup" -> incrementalDedupSql,
     "i2_canonical_keep" -> canonicalKeepSql,
+    "i6_temperature_mixture" -> temperatureMixtureSql,
     "i2_fuzzy_dedup_e2e" -> fuzzyDedupE2eSql,
     "i2_minhash_containment" -> minhashContainmentSql,
     "i2_simhash_containment" -> simhashContainmentSql,

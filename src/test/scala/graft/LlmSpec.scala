@@ -579,6 +579,42 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("I6 temperature mixture: sqrt keep-rates, exact membership vs a recompute") {
+    val rnd = new scala.util.Random(23)
+    def doc(nTok: Int) =
+      Vector.fill(nTok)("w" + rnd.nextInt(5000)).mkString(" ")
+    // token masses ~ 1x / 4x / 16x across three sources (equal doc sizes,
+    // doc-count scaled), plus a null-text doc (0 tokens)
+    val rows = Seq.tabulate(40)(i => (i.toLong, "small", doc(30))) ++
+      Seq.tabulate(160)(i => (100L + i, "mid", doc(30))) ++
+      Seq.tabulate(640)(i => (1000L + i, "big", doc(30))) :+
+      ((5000L, "small", null: String))
+    val df = rows.toDF("doc_id", "source", "text").repartition(7)
+    val got = graft.queries.LlmOps.temperatureMixtureOver(df)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // sequential recompute with the same arithmetic
+    def toks(t: String) = if (t == null) 0L else t.split(" +").length.toLong
+    val ns = rows.groupBy(_._2).map { case (s, rs) => s -> rs.map(r => toks(r._3)).sum }
+    val nmin = ns.values.min
+    val thr = ns.map { case (s, n) =>
+      s -> math.floor(math.sqrt(nmin.toDouble / n.toDouble) * 10000).toInt }
+    def bucket(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 8), 16) % 10000
+    }
+    val want = rows.filter(r => r._3 != null && bucket(r._3) < thr(r._2))
+      .map(r => (r._1, r._2, thr(r._2))).toSet
+    assert(got.toSet == want) // null text has no bucket -> dropped in both
+    // the smallest source keeps everything; realized shares flatten
+    assert(thr("small") == 10000)
+    val keptBig = got.count(_._2 == "big").toDouble
+    val keptSmall = got.count(_._2 == "small").toDouble
+    // 16x mass at rate 1/4 -> ~4x kept (hash noise tolerated)
+    assert(keptBig / keptSmall > 2.0 && keptBig / keptSmall < 8.0,
+      s"big/small kept ratio ${keptBig / keptSmall}")
+  }
+
   test("I2 canonical keep: per-cluster argmax quality, ties to min id, nulls lose") {
     import graft.llm.{Dedup, TextAnalysis}
     // cluster A: 3 near-dups of graded length (quality rises with length

@@ -85,6 +85,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i5_bpe_stats" -> 1, "i5_bpe_train" -> 0,
     "i5_bpe_encode_gate" -> 1,
     "i6_token_budget" -> 1, "i7_blocklist" -> 0,
+    // the per-source token agg plans twice (the stats subtree feeds both
+    // the rate rows and the min) + the single-row min; all ≤|sources|
+    // rows — broadcast joins carry the rates back to the scan
+    "i6_temperature_mixture" -> 3,
     "i8_kcore" -> 0, "i6_curation_v3" -> 1,
     "i5_lexical_diversity" -> 0,
     "i4_multimodal_meta" -> 0, "i5_bigram_lm" -> 1,
