@@ -726,6 +726,56 @@ object Multimodal {
       (0L until payloadLen by Math.max(everyMs, 1L)).take(32)
   }
 
+  /** I4f — perceptual average-hash plumbing. `syntheticBmp` renders 64
+    * gray values as a REAL 8×8 24-bpp BMP (bottom-up rows per the spec;
+    * 24-byte rows need no padding), and `decodeGray64` reads it back
+    * through the actual `ImageIO` BMP codec — so a hash built on top of
+    * the pair exercises the true decode path end to end, while the gray
+    * values themselves stay a pure function the DuckDB oracle can
+    * recompute arithmetically. The luma formula (299r+587g+114b)/1000 is
+    * exact on the gray ramp (r=g=b ⇒ luma == v), so decode introduces no
+    * rounding to pin down. */
+  def syntheticBmp(gray64: Array[Int]): Array[Byte] = {
+    require(gray64.length == 64, s"need 64 pixels, got ${gray64.length}")
+    val rowBytes = 8 * 3
+    val dataSize = rowBytes * 8
+    val fileSize = 54 + dataSize
+    val b = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(8).putInt(8) // BITMAPINFOHEADER, 8x8
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var fileRow = 0
+    while (fileRow < 8) {
+      val imgRow = 7 - fileRow // BMP rows run bottom-up
+      var c = 0
+      while (c < 8) {
+        val v = (gray64(imgRow * 8 + c) & 0xff).toByte
+        b.put(v).put(v).put(v) // BGR, all channels = gray
+        c += 1
+      }
+      fileRow += 1
+    }
+    b.array()
+  }
+
+  /** REAL decode of a [[syntheticBmp]] payload back to its 64 grays
+    * (row-major, top-down) via `ImageIO` + integer luma. Throws on a
+    * payload the JDK can't decode — these payloads are self-generated,
+    * so failure is a bug, not data noise. */
+  def decodeGray64(bmp: Array[Byte]): Array[Int] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    require(img != null && img.getWidth == 8 && img.getHeight == 8,
+      "synthetic BMP failed to decode")
+    Array.tabulate(64) { i =>
+      val rgb = img.getRGB(i % 8, i / 8)
+      val (r, g, bl) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      (299 * r + 587 * g + 114 * bl) / 1000
+    }
+  }
+
   /** Wrap a text/doc table as a media table (payload = UTF-8 bytes): the
     * fixture path used by tests and the oracle queries. */
   def docsAsMedia(docs: DataFrame): DataFrame =

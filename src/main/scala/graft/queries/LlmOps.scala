@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.expressions.Window
@@ -1992,6 +1992,68 @@ object LlmOps {
        |FROM documents""".stripMargin
   }
 
+  /** I4f — perceptual average-hash through the REAL image decode path:
+    * each document renders 64 deterministic gray pixels (char codes mod
+    * 128) as an actual 8×8 BMP ([[Multimodal.syntheticBmp]]), the engine
+    * decodes it back through `ImageIO` + integer luma
+    * ([[Multimodal.decodeGray64]]) — the true codec round-trip, not a
+    * byte stub — and aHash packs gray>mean bits into two 32-bit halves
+    * (Krawetz's average hash; the standard image near-dup fingerprint).
+    * Because the pixel source is a pure function of text, DuckDB
+    * recomputes the same 64 bits ARITHMETICALLY: the hash-match proves
+    * the whole synthesize→encode→decode→hash pipeline is lossless.
+    * Identical images hash identically; the spec pins the perceptual
+    * property (small pixel edits → small hamming). ASCII fixture
+    * contract: char code == codepoint on both sides. Map-only — zero
+    * shuffles at any corpus size. */
+  def imageAhash(s: SparkSession, d: String): DataFrame =
+    imageAhashOver(Tables.documents(s, d))
+
+  private[graft] def imageAhashOver(docs: DataFrame): DataFrame = {
+    val grayUdf = udf((t: String) => {
+      val n = t.length
+      val px = Array.tabulate(64)(i => t.charAt(i % n).toInt % 128)
+      Multimodal.decodeGray64(Multimodal.syntheticBmp(px))
+    })
+    def packBits(gsSlice: Column, mean: Column): Column = {
+      val weights = array((0 until 32).map(i => lit(1L << (31 - i))): _*)
+      aggregate(zip_with(gsSlice, weights,
+        (g, w) => when(g > mean, w).otherwise(lit(0L))),
+        lit(0L), (a, x) => a + x)
+    }
+    docs
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id").as("media_id"), grayUdf(col("text")).as("gs"))
+      // staged projections: HOF lambdas get no CSE — the decode UDF and
+      // the sum must each evaluate once (multiply-referenced non-cheap
+      // aliases survive CollapseProject)
+      .withColumn("gsum", aggregate(col("gs"), lit(0L), (a, x) => a + x))
+      .withColumn("mean", floor(col("gsum") / lit(64)).cast("int"))
+      .select(col("media_id"),
+        packBits(slice(col("gs"), 1, 32), col("mean")).as("ahash_hi"),
+        packBits(slice(col("gs"), 33, 32), col("mean")).as("ahash_lo"),
+        aggregate(col("gs"), lit(0L),
+          (a, x) => a + when(x > col("mean"), 1L).otherwise(0L)).as("n_set"))
+  }
+
+  private val imageAhashSql =
+    """WITH d AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents
+      |  WHERE text IS NOT NULL AND LENGTH(text) > 0),
+      |g AS (SELECT doc_id,
+      |  [ascii(substr(text, (i % n) + 1, 1)) % 128 for i in range(0, 64)] AS gs
+      | FROM d),
+      |m AS (SELECT doc_id, gs, CAST(list_sum(gs) // 64 AS INT) AS mean FROM g)
+      |SELECT doc_id AS media_id,
+      | CAST(list_sum([CASE WHEN gs[i+1] > mean
+      |   THEN CAST(1 AS BIGINT) << (31-i) ELSE CAST(0 AS BIGINT) END
+      |   for i in range(0, 32)]) AS BIGINT) AS ahash_hi,
+      | CAST(list_sum([CASE WHEN gs[i+33] > mean
+      |   THEN CAST(1 AS BIGINT) << (31-i) ELSE CAST(0 AS BIGINT) END
+      |   for i in range(0, 32)]) AS BIGINT) AS ahash_lo,
+      | CAST(list_sum([CASE WHEN x > mean THEN 1 ELSE 0 END for x in gs])
+      |   AS BIGINT) AS n_set
+      |FROM m""".stripMargin
+
   /** D8d — EXACT frequent bigrams without shuffling the bigram universe:
     * bounded-memory Misra–Gries candidate sweep (k = 2048 counters,
     * tree-reduced to ONE summary) + exact recount of the candidates
@@ -2435,6 +2497,7 @@ object LlmOps {
     "i2_incremental_dedup" -> incrementalDedup _,
     "i2_canonical_keep" -> canonicalKeep _,
     "i6_temperature_mixture" -> temperatureMixture _,
+    "i4_image_ahash" -> imageAhash _,
     "i2_fuzzy_dedup_e2e" -> fuzzyDedupE2e _,
     "i2_minhash_lsh_candidates" -> minhashCandidates _,
     "i2_minhash_containment" -> minhashContainmentGate _,
@@ -2513,6 +2576,7 @@ object LlmOps {
     "i2_incremental_dedup" -> incrementalDedupSql,
     "i2_canonical_keep" -> canonicalKeepSql,
     "i6_temperature_mixture" -> temperatureMixtureSql,
+    "i4_image_ahash" -> imageAhashSql,
     "i2_fuzzy_dedup_e2e" -> fuzzyDedupE2eSql,
     "i2_minhash_containment" -> minhashContainmentSql,
     "i2_simhash_containment" -> simhashContainmentSql,

@@ -579,6 +579,52 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("I4 aHash: real BMP round-trip is lossless; perceptual hamming behaves") {
+    import graft.llm.Multimodal
+    val rnd = new scala.util.Random(31)
+    // round-trip: encode→ImageIO decode returns the exact grays, 50 trials
+    for (_ <- 0 until 50) {
+      val px = Array.fill(64)(rnd.nextInt(128))
+      assert(Multimodal.decodeGray64(Multimodal.syntheticBmp(px)).sameElements(px))
+    }
+    // full-range bytes survive too (hash input is mod-128, codec isn't)
+    val hi = Array.fill(64)(rnd.nextInt(256))
+    assert(Multimodal.decodeGray64(Multimodal.syntheticBmp(hi)).sameElements(hi))
+    // orientation: a single bright pixel at (row 2, col 5) comes back there
+    val one = Array.fill(64)(0); one(2 * 8 + 5) = 100
+    assert(Multimodal.decodeGray64(Multimodal.syntheticBmp(one))(2 * 8 + 5) == 100)
+    def ahash(t: String): (Long, Long) = {
+      val n = t.length
+      val px = Array.tabulate(64)(i => t.charAt(i % n).toInt % 128)
+      val gs = Multimodal.decodeGray64(Multimodal.syntheticBmp(px))
+      val mean = gs.map(_.toLong).sum / 64
+      def pack(off: Int) = (0 until 32).foldLeft(0L)((a, i) =>
+        a | (if (gs(off + i) > mean) 1L << (31 - i) else 0L))
+      (pack(0), pack(32))
+    }
+    def ham(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    assert(ham(ahash(base), ahash(base)) == 0) // identical -> identical
+    // one-char edit: only the touched pixels (and possibly the mean
+    // threshold on borderline cells) move -> small hamming
+    val tweaked = base.updated(10, 'x')
+    assert(ham(ahash(base), ahash(tweaked)) <= 8,
+      s"near-identical texts hash far apart: ${ham(ahash(base), ahash(tweaked))}")
+    // unrelated content -> far apart
+    val other = "zzz 01234 completely unrelated binary-ish payload %%%% ####"
+    assert(ham(ahash(base), ahash(other)) >= 12)
+    // engine query agrees with this sequential recompute
+    val df = Seq((1L, base), (2L, tweaked), (3L, other), (4L, null: String),
+      (5L, "")).toDF("doc_id", "text")
+    // query path goes through Tables.documents; exercise the core inline
+    val spark2 = TestSpark.spark
+    val out = graft.queries.LlmOps.imageAhashOver(df)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // null + empty text excluded
+    assert(out(1L) == ahash(base) && out(2L) == ahash(tweaked) && out(3L) == ahash(other))
+  }
+
   test("I6 temperature mixture: sqrt keep-rates, exact membership vs a recompute") {
     val rnd = new scala.util.Random(23)
     def doc(nTok: Int) =

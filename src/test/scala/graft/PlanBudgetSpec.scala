@@ -91,7 +91,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i6_temperature_mixture" -> 3,
     "i8_kcore" -> 0, "i6_curation_v3" -> 1,
     "i5_lexical_diversity" -> 0,
-    "i4_multimodal_meta" -> 0, "i5_bigram_lm" -> 1,
+    "i4_multimodal_meta" -> 0, "i4_image_ahash" -> 0,
+    "i5_bigram_lm" -> 1,
     "i5_fingerprints" -> 0, "i5_lang_id" -> 0,
     "i5_langid_confusion" -> 1, "i5_lm_score" -> 5,
     "i5_quality_quantile_gate" -> 1, "i5_quality_score" -> 0,
