@@ -37,9 +37,11 @@ object LlmOps {
       shingler = Dedup.wordShingles)
 
   /** Word-3-gram Jaccard pair SQL at `threshold` — shared by the
-    * `i2_ngram_jaccard` oracle and the containment gate's oracle. */
-  private def ngramJaccardSqlAt(threshold: Double) =
-    s"""WITH ws AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM documents),
+    * `i2_ngram_jaccard` oracle and the containment gate's oracle.
+    * Parameterized over the input relation so composed pipelines
+    * (i6_curation_v4) pair a FILTERED corpus with the same formula. */
+  private def ngramJaccardSqlAt(threshold: Double, rel: String = "documents") =
+    s"""WITH ws AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM $rel),
       |sh AS (
       | SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       |   for i in range(1, len(w) - 1)])) AS s
@@ -169,17 +171,19 @@ object LlmOps {
         (col("doc_id") === col("keep_id")).as("keep"))
   }
 
-  private val canonicalKeepSql =
-    s"""WITH RECURSIVE high AS (${ngramJaccardSqlAt(0.5)}),
+  /** The canonical-keep CTE chain over `rel` (sans leading WITH) — shared
+    * by the standalone oracle and the composed i6_curation_v4 oracle. */
+  private def canonicalKeepCtesOver(rel: String) =
+    s"""high AS (${ngramJaccardSqlAt(0.5, rel)}),
       |edges AS (
       | SELECT doc_a AS u, doc_b AS v FROM high
       | UNION ALL SELECT doc_b, doc_a FROM high),
       |reach(id, r) AS (
-      | SELECT doc_id, doc_id FROM documents
+      | SELECT doc_id, doc_id FROM $rel
       | UNION
       | SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
       |comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
-      |q AS (${qualitySqlOver("documents", "text")}),
+      |q AS (${qualitySqlOver(rel, "text")}),
       |x AS MATERIALIZED (
       | SELECT comp.doc_id, comp.component, q.quality,
       |  COALESCE(q.quality, -1.0) AS qx
@@ -188,7 +192,10 @@ object LlmOps {
       |keepid AS (
       | SELECT x.component, MIN(x.doc_id) AS keep_id
       | FROM x JOIN best ON x.component = best.component AND x.qx = best.bq
-      | GROUP BY 1)
+      | GROUP BY 1)""".stripMargin
+
+  private val canonicalKeepSql =
+    s"""WITH RECURSIVE ${canonicalKeepCtesOver("documents")}
       |SELECT x.doc_id, x.component, x.quality,
       | x.doc_id = k.keep_id AS keep
       |FROM x JOIN keepid k ON x.component = k.component""".stripMargin
@@ -1245,21 +1252,76 @@ object LlmOps {
       .select(col("doc_id"), col("source"), col("keep_threshold"))
   }
 
-  private val temperatureMixtureSql =
-    s"""WITH t AS (
+  /** Temperature-mixture CTE chain + final select over `rel` (names
+    * suffixed `2` so the chain composes after the canonical-keep CTEs in
+    * i6_curation_v4 without collisions). */
+  private def temperatureCtesOver(rel: String) =
+    s"""t2 AS (
       | SELECT doc_id, source, text,
       |  CAST(COALESCE(LEN(regexp_split_to_array(text, ' +')), 0) AS BIGINT)
       |   AS tok
-      | FROM documents),
-      |s AS (SELECT source, CAST(SUM(tok) AS BIGINT) AS ns FROM t GROUP BY 1),
-      |m AS (SELECT MIN(ns) AS nmin FROM s),
-      |r AS (SELECT source,
+      | FROM $rel),
+      |s2 AS (SELECT source, CAST(SUM(tok) AS BIGINT) AS ns FROM t2 GROUP BY 1),
+      |m2 AS (SELECT MIN(ns) AS nmin FROM s2),
+      |r2 AS (SELECT source,
       |  CAST(FLOOR(SQRT(CAST(nmin AS DOUBLE) / CAST(ns AS DOUBLE)) * 10000)
       |   AS INT) AS keep_threshold
-      | FROM s, m)
-      |SELECT t.doc_id, t.source, r.keep_threshold
-      |FROM t JOIN r ON t.source = r.source
-      |WHERE ${bucketSql("t.text", 10000)} < r.keep_threshold""".stripMargin
+      | FROM s2, m2)""".stripMargin
+
+  private val temperatureSelectSql =
+    s"""SELECT t2.doc_id, t2.source, r2.keep_threshold
+      |FROM t2 JOIN r2 ON t2.source = r2.source
+      |WHERE ${bucketSql("t2.text", 10000)} < r2.keep_threshold""".stripMargin
+
+  private val temperatureMixtureSql =
+    s"""WITH ${temperatureCtesOver("documents")}
+      |$temperatureSelectSql""".stripMargin
+
+  /** I6o — curation v4: the session-11 operators composed end to end —
+    * exact dedup (min-id per content hash; null text can't be a content
+    * dup and passes through) → canonical near-dup selection (the
+    * highest-QUALITY copy per component survives, [[canonicalKeepOver]])
+    * → temperature (α=0.5) mixture over the SURVIVORS (rates derive from
+    * post-dedup token masses — running the mixture before dedup would
+    * let duplicate mass inflate a source's share, exactly the ordering
+    * bug this composed oracle would catch). Output = the final corpus
+    * rows (doc_id, source, keep_threshold). */
+  def curationV4(s: SparkSession, d: String): DataFrame =
+    curationV4Over(Tables.documents(s, d))
+
+  private[graft] def curationV4Over(docs: DataFrame): DataFrame = {
+    // localCheckpoint at each stage boundary: downstream stages fan out
+    // over their input (pairs + components + quality + mixture stats), so
+    // an unpinned plan re-expands the dedup window under every consumer —
+    // measured 21 planned shuffles vs 7 pinned. Same materialize-once
+    // rationale as ConnectedComponents.minLabel's edge checkpoint.
+    val exact = docs
+      .withColumn("__rep",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("text").isNull || col("doc_id") === col("__rep"))
+      .drop("__rep")
+      .localCheckpoint()
+    val keepers = canonicalKeepOver(exact)
+      .filter(col("keep")).select("doc_id")
+    temperatureMixtureOver(
+      exact.join(keepers, Seq("doc_id")).localCheckpoint())
+  }
+
+  private val curationV4Sql =
+    s"""WITH RECURSIVE exact AS MATERIALIZED (
+      | SELECT doc_id, text, lang, source, n_chars FROM (
+      |  SELECT doc_id, text, lang, source, n_chars,
+      |   MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+      |  FROM documents)
+      | WHERE text IS NULL OR doc_id = rep),
+      |${canonicalKeepCtesOver("exact")},
+      |surv AS MATERIALIZED (
+      | SELECT e.doc_id, e.source, e.text FROM exact e
+      | JOIN x ON x.doc_id = e.doc_id
+      | JOIN keepid k ON k.component = x.component
+      |  AND e.doc_id = k.keep_id),
+      |${temperatureCtesOver("surv")}
+      |$temperatureSelectSql""".stripMargin
 
   /** I6g — expectation audit (the Deequ-style pre-training data-quality
     * gate): named integrity checks over the fixture star schema, each one
@@ -2498,6 +2560,7 @@ object LlmOps {
     "i2_canonical_keep" -> canonicalKeep _,
     "i6_temperature_mixture" -> temperatureMixture _,
     "i4_image_ahash" -> imageAhash _,
+    "i6_curation_v4" -> curationV4 _,
     "i2_fuzzy_dedup_e2e" -> fuzzyDedupE2e _,
     "i2_minhash_lsh_candidates" -> minhashCandidates _,
     "i2_minhash_containment" -> minhashContainmentGate _,
@@ -2577,6 +2640,7 @@ object LlmOps {
     "i2_canonical_keep" -> canonicalKeepSql,
     "i6_temperature_mixture" -> temperatureMixtureSql,
     "i4_image_ahash" -> imageAhashSql,
+    "i6_curation_v4" -> curationV4Sql,
     "i2_fuzzy_dedup_e2e" -> fuzzyDedupE2eSql,
     "i2_minhash_containment" -> minhashContainmentSql,
     "i2_simhash_containment" -> simhashContainmentSql,

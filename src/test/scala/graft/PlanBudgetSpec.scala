@@ -89,6 +89,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // the rate rows and the min) + the single-row min; all ≤|sources|
     // rows — broadcast joins carry the rates back to the scan
     "i6_temperature_mixture" -> 3,
+    // stage boundaries are localCheckpointed (materialize-once), so the
+    // counted plan is just the mixture over the survivor leaf
+    "i6_curation_v4" -> 3,
     "i8_kcore" -> 0, "i6_curation_v3" -> 1,
     "i5_lexical_diversity" -> 0,
     "i4_multimodal_meta" -> 0, "i4_image_ahash" -> 0,
