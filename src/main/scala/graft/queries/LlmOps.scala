@@ -1303,8 +1303,14 @@ object LlmOps {
       .localCheckpoint()
     val keepers = canonicalKeepOver(exact)
       .filter(col("keep")).select("doc_id")
-    temperatureMixtureOver(
-      exact.join(keepers, Seq("doc_id")).localCheckpoint())
+    // the survivor checkpoint materializes eagerly here, so `exact` has
+    // no live consumers left — release its blocks now; the survivor
+    // frame feeds the lazily-consumed result, so it parks in the
+    // supersede registry (freed on the next invocation, session-scoped)
+    val surv = exact.join(keepers, Seq("doc_id")).localCheckpoint()
+    graft.operators.Checkpoints.release(exact)
+    temperatureMixtureOver(graft.operators.Checkpoints.supersede(
+      docs.sparkSession, "i6_curation_v4.survivors", surv))
   }
 
   private val curationV4Sql =
