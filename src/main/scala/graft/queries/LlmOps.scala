@@ -459,6 +459,49 @@ object LlmOps {
       | WHERE na.nrm > 0 AND nb.nrm > 0)
       |WHERE rank <= 5""".stripMargin
 
+  /** I3k — FILTERED vector serving: top-5 under a metadata predicate
+    * (`label IN (0, 1)`), the restriction axis every production vector
+    * store has to answer (tenant/language/license scoping). PRE-filter
+    * formulation: the predicate applies to the corpus SCAN — it reaches
+    * the parquet reader as a pushed filter, so non-matching corpus rows
+    * never decode their embedding column, and every query still gets k
+    * true neighbors from the filtered set. The alternative (post-filter
+    * the unfiltered top-k) silently under-fills whenever fewer than k of
+    * the global winners match — the spec measures exactly that loss.
+    * Same broadcast-queries/scan-corpus shape as `i3_query_batch_topk`;
+    * exact integer cosine ⇒ full oracle row. */
+  def filteredTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.batchTopK(
+      e.filter(col("vec_id") < 32),
+      e.filter(col("vec_id") >= 32 && col("label").isin(0, 1)),
+      "vec_id", "embedding", k = 5)
+  }
+
+  private val filteredTopKSql =
+    """WITH v AS (
+      | SELECT vec_id, label,
+      |  [CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS v
+      | FROM embeddings),
+      |flat AS (SELECT vec_id, label, unnest(v) AS e, generate_subscripts(v,1) AS i FROM v),
+      |norms AS (SELECT vec_id, SUM(e*e) AS nrm FROM flat GROUP BY 1),
+      |dots AS (
+      | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.e*c.e) AS dot
+      | FROM flat q JOIN flat c ON q.i = c.i AND q.vec_id < 32
+      |  AND c.vec_id >= 32 AND c.label IN (0, 1)
+      | GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      | SELECT query_id, neighbor_id,
+      |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cos_sim,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) DESC,
+      |      neighbor_id ASC) AS rank
+      | FROM dots
+      | JOIN norms na ON na.vec_id = query_id
+      | JOIN norms nb ON nb.vec_id = neighbor_id
+      | WHERE na.nrm > 0 AND nb.nrm > 0)
+      |WHERE rank <= 5""".stripMargin
+
   /** I3f scale path — IVF-accelerated serving gate: rank-1 recall of
     * [[Similarity.ivfServe]] (cell-probed corpus scan) against exact
     * [[queryBatchTopK]] on the same 64-query/rest-of-corpus split.
@@ -2577,6 +2620,7 @@ object LlmOps {
     "i3_cosine_topk" -> cosineTopK _,
     "i3_sq8_topk" -> sq8TopK _,
     "i3_query_batch_topk" -> queryBatchTopK _,
+    "i3_filtered_topk" -> filteredTopK _,
     "i3_ivf_serve_gate" -> ivfServeGate _,
     "i3_ivfpq_serve_gate" -> ivfPqServeGate _,
     "i3_lsh_ann_topk" -> lshAnn _,
@@ -2655,6 +2699,7 @@ object LlmOps {
     "i3_cosine_topk" -> cosineTopKSql,
     "i3_sq8_topk" -> sq8TopKSql,
     "i3_query_batch_topk" -> queryBatchTopKSql,
+    "i3_filtered_topk" -> filteredTopKSql,
     "i3_ivf_serve_gate" -> serveGateSql,
     "i3_ivfpq_serve_gate" -> serveGateSql,
     "i3_lsh_recall_gate" -> recallGateSql,

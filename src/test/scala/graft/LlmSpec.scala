@@ -953,6 +953,38 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"SQ8 recall@5 $recall%.2f below floor")
   }
 
+  test("I3 filtered serving: predicate reaches the scan; post-filter under-fills") {
+    val spark2 = TestSpark.spark
+    val e = spark2.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pre = graft.queries.LlmOps.filteredTopK(spark2, "/root/testdata/sf0.001")
+    // the label predicate is PUSHED to the parquet scan (pre-filter):
+    // non-matching rows never decode the embedding column
+    val plan = pre.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(label"),
+      "label predicate did not reach the parquet scan:\n" + plan.take(2000))
+    // every query gets its full k from the FILTERED set
+    val perQuery = pre.collect().groupBy(_.getLong(0))
+    assert(perQuery.nonEmpty && perQuery.forall(_._2.length == 5))
+    pre.collect().foreach { r =>
+      assert(r.getLong(1) >= 32) // corpus side only
+    }
+    val okLabels = e.filter(col("label").isin(0, 1))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pre.collect().forall(r => okLabels.contains(r.getLong(1))))
+    // the post-filter formulation (global top-5, then drop non-matching
+    // labels) under-fills: with labels ~2/10 of the corpus, most queries
+    // lose winners — the serving lesson this row exists to pin
+    val global = Similarity.batchTopK(
+      e.filter(col("vec_id") < 32), e.filter(col("vec_id") >= 32),
+      "vec_id", "embedding", k = 5)
+    val post = global.collect()
+      .filter(r => okLabels.contains(r.getLong(1)))
+      .groupBy(_.getLong(0))
+    val underfilled = perQuery.keySet.count(q => post.getOrElse(q, Array()).length < 5)
+    assert(underfilled > perQuery.size / 2,
+      s"expected most queries under-filled post-filter, got $underfilled/${perQuery.size}")
+  }
+
   test("I3 LSH ANN recall vs brute force on real embeddings") {
     val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 3)

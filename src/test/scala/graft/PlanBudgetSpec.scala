@@ -74,7 +74,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     // quality join broadcasts)
     "i2_canonical_keep" -> 2,
     "i2_span_cut" -> 2, "i3_cosine_topk" -> 0,
-    "i3_query_batch_topk" -> 1,
+    "i3_query_batch_topk" -> 1, "i3_filtered_topk" -> 1,
     "i3_ivf_serve_gate" -> 7, "i3_ivfpq_serve_gate" -> 7,
     "i3_ivf_ann_topk" -> 2, "i3_ivf_recall_gate" -> 6,
     "i3_lsh_ann_topk" -> 2, "i3_lsh_recall_gate" -> 6,
