@@ -2114,16 +2114,22 @@ object LlmOps {
     * recomputes the same 64 bits ARITHMETICALLY: the hash-match proves
     * the whole synthesize→encode→decode→hash pipeline is lossless.
     * Identical images hash identically; the spec pins the perceptual
-    * property (small pixel edits → small hamming). ASCII fixture
-    * contract: char code == codepoint on both sides. Map-only — zero
-    * shuffles at any corpus size. */
+    * property (small pixel edits → small hamming). Pixel indexing is
+    * CODEPOINT-based on both sides (DuckDB substr semantics), so parity
+    * holds on non-ASCII corpora too — spec-pinned with astral-plane
+    * text. Map-only — zero shuffles at any corpus size. */
   def imageAhash(s: SparkSession, d: String): DataFrame =
     imageAhashOver(Tables.documents(s, d))
 
   private[graft] def imageAhashOver(docs: DataFrame): DataFrame = {
     val grayUdf = udf((t: String) => {
-      val n = t.length
-      val px = Array.tabulate(64)(i => t.charAt(i % n).toInt % 128)
+      // CODEPOINTS, not UTF-16 units: the oracle's substr/LENGTH are
+      // codepoint-based, so charAt would silently diverge on any
+      // non-ASCII corpus (surrogate halves, wrong length) — parity must
+      // not depend on the fixture staying ASCII
+      val cps = t.codePoints().toArray
+      val n = cps.length
+      val px = Array.tabulate(64)(i => cps(i % n) % 128)
       Multimodal.decodeGray64(Multimodal.syntheticBmp(px))
     })
     def packBits(gsSlice: Column, mean: Column): Column = {

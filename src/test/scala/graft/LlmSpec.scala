@@ -594,8 +594,9 @@ class LlmSpec extends AnyFunSuite {
     val one = Array.fill(64)(0); one(2 * 8 + 5) = 100
     assert(Multimodal.decodeGray64(Multimodal.syntheticBmp(one))(2 * 8 + 5) == 100)
     def ahash(t: String): (Long, Long) = {
-      val n = t.length
-      val px = Array.tabulate(64)(i => t.charAt(i % n).toInt % 128)
+      val cps = t.codePoints().toArray // codepoints: DuckDB substr semantics
+      val n = cps.length
+      val px = Array.tabulate(64)(i => cps(i % n) % 128)
       val gs = Multimodal.decodeGray64(Multimodal.syntheticBmp(px))
       val mean = gs.map(_.toLong).sum / 64
       def pack(off: Int) = (0 until 32).foldLeft(0L)((a, i) =>
@@ -614,15 +615,20 @@ class LlmSpec extends AnyFunSuite {
     // unrelated content -> far apart
     val other = "zzz 01234 completely unrelated binary-ish payload %%%% ####"
     assert(ham(ahash(base), ahash(other)) >= 12)
-    // engine query agrees with this sequential recompute
+    // engine query agrees with this sequential recompute — including a
+    // non-ASCII row with an astral-plane codepoint (pixel indexing must
+    // be codepoint-based like DuckDB's substr, not UTF-16 charAt: \uD835
+    // \uDC00 is ONE codepoint but TWO chars)
+    val unicodeText = "café 𝐀 naïve résumé 你好 world"
     val df = Seq((1L, base), (2L, tweaked), (3L, other), (4L, null: String),
-      (5L, "")).toDF("doc_id", "text")
+      (5L, ""), (6L, unicodeText)).toDF("doc_id", "text")
     // query path goes through Tables.documents; exercise the core inline
     val spark2 = TestSpark.spark
     val out = graft.queries.LlmOps.imageAhashOver(df)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    assert(out.keySet == Set(1L, 2L, 3L)) // null + empty text excluded
+    assert(out.keySet == Set(1L, 2L, 3L, 6L)) // null + empty text excluded
     assert(out(1L) == ahash(base) && out(2L) == ahash(tweaked) && out(3L) == ahash(other))
+    assert(out(6L) == ahash(unicodeText))
   }
 
   test("I6 temperature mixture: sqrt keep-rates, exact membership vs a recompute") {
