@@ -77,37 +77,48 @@ def build(src: str, dest: str, n: int) -> None:
 
     reps = f"range({n}) r"
 
+    # ONE offset base per key FAMILY, maxed across every table carrying the
+    # key: per-table maxima differ when the fixtures hold never-referenced
+    # dimension rows (never-ordered parts, dormant customers), and
+    # mismatched offsets give copies k>0 dangling or cross-shard FKs —
+    # breaking referential consistency and drifting per-key join density,
+    # which the scale-exponent audit assumes constant.
+    def fam_base(*table_cols):
+        mx = 0
+        for t, c in table_cols:
+            if os.path.exists(path(t)):
+                v = con.sql(f"SELECT MAX({c})+1 FROM '{path(t)}'").fetchone()[0]
+                mx = max(mx, v or 0)
+        return mx or 1
+
+    b_cust = fam_base(("customer", "c_custkey"), ("orders", "o_custkey"))
+    b_supp = fam_base(("supplier", "s_suppkey"), ("lineitem", "l_suppkey"))
+    b_part = fam_base(("part", "p_partkey"), ("lineitem", "l_partkey"))
+    b_order = fam_base(("orders", "o_orderkey"), ("lineitem", "l_orderkey"))
+
     if os.path.exists(path("customer")):
-        mx = con.sql(f"SELECT MAX(c_custkey)+1 FROM '{path('customer')}'").fetchone()[0]
         copy("customer", f"""
-            SELECT c.* REPLACE ({off('c_custkey', mx)} AS c_custkey)
+            SELECT c.* REPLACE ({off('c_custkey', b_cust)} AS c_custkey)
             FROM '{path("customer")}' c, {reps}""")
     if os.path.exists(path("supplier")):
-        mx = con.sql(f"SELECT MAX(s_suppkey)+1 FROM '{path('supplier')}'").fetchone()[0]
         copy("supplier", f"""
-            SELECT s.* REPLACE ({off('s_suppkey', mx)} AS s_suppkey)
+            SELECT s.* REPLACE ({off('s_suppkey', b_supp)} AS s_suppkey)
             FROM '{path("supplier")}' s, {reps}""")
     if os.path.exists(path("part")):
-        mx = con.sql(f"SELECT MAX(p_partkey)+1 FROM '{path('part')}'").fetchone()[0]
         copy("part", f"""
-            SELECT p.* REPLACE ({off('p_partkey', mx)} AS p_partkey)
+            SELECT p.* REPLACE ({off('p_partkey', b_part)} AS p_partkey)
             FROM '{path("part")}' p, {reps}""")
 
     if os.path.exists(path("orders")):
-        mo = con.sql(f"SELECT MAX(o_orderkey)+1 FROM '{path('orders')}'").fetchone()[0]
-        mc = con.sql(f"SELECT MAX(o_custkey)+1 FROM '{path('orders')}'").fetchone()[0]
         copy("orders", f"""
-            SELECT o.* REPLACE ({off('o_orderkey', mo)} AS o_orderkey,
-                                {off('o_custkey', mc)} AS o_custkey)
+            SELECT o.* REPLACE ({off('o_orderkey', b_order)} AS o_orderkey,
+                                {off('o_custkey', b_cust)} AS o_custkey)
             FROM '{path("orders")}' o, {reps}""")
     if os.path.exists(path("lineitem")):
-        mo = con.sql(f"SELECT MAX(l_orderkey)+1 FROM '{path('lineitem')}'").fetchone()[0]
-        mp = con.sql(f"SELECT MAX(l_partkey)+1 FROM '{path('lineitem')}'").fetchone()[0]
-        ms = con.sql(f"SELECT MAX(l_suppkey)+1 FROM '{path('lineitem')}'").fetchone()[0]
         copy("lineitem", f"""
-            SELECT l.* REPLACE ({off('l_orderkey', mo)} AS l_orderkey,
-                                {off('l_partkey', mp)} AS l_partkey,
-                                {off('l_suppkey', ms)} AS l_suppkey)
+            SELECT l.* REPLACE ({off('l_orderkey', b_order)} AS l_orderkey,
+                                {off('l_partkey', b_part)} AS l_partkey,
+                                {off('l_suppkey', b_supp)} AS l_suppkey)
             FROM '{path("lineitem")}' l, {reps}""")
 
     if os.path.exists(path("events")):

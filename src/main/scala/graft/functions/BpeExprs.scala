@@ -15,13 +15,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * as one closure-broadcast reference object. */
 object BpeKernel {
 
+  /** Initial symbol table of a word at CODEPOINT granularity. Code-unit
+    * symbols would split astral-plane characters into lone surrogates —
+    * which the vocabulary (built from Spark's codepoint `split(text, "")`)
+    * and every DuckDB oracle (`len()` counts codepoints) never contain. */
+  private[functions] def codepointSyms(word: String): Array[String] = {
+    val syms = new Array[String](word.codePointCount(0, word.length))
+    var i = 0
+    var k = 0
+    while (i < word.length) {
+      val cc = Character.charCount(word.codePointAt(i))
+      syms(k) = word.substring(i, i + cc)
+      k += 1
+      i += cc
+    }
+    syms
+  }
+
   /** Symbol count of `word` after applying `merges` (flattened
     * [l0,r0,l1,r1,…]) in order. */
   def encodeCount(word: String, merges: Array[String]): Int = {
-    var syms = new Array[String](word.length)
-    var len = word.length
-    var i = 0
-    while (i < len) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
+    val syms = codepointSyms(word)
+    var len = syms.length
     var m = 0
     while (m < merges.length && len > 1) {
       val l = merges(m)
@@ -65,10 +80,8 @@ object BpeKernel {
   /** Surviving symbol strings of `word` after the merge passes — same
     * greedy-left loop as [[encodeCount]] but keeping the symbols. */
   def encodeSyms(word: String, merges: Array[String]): Array[String] = {
-    var syms = new Array[String](word.length)
-    var len = word.length
-    var i = 0
-    while (i < len) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
+    val syms = codepointSyms(word)
+    var len = syms.length
     var m = 0
     while (m < merges.length && len > 1) {
       val l = merges(m)

@@ -91,8 +91,22 @@ object Bpe {
     require(typeRows.length <= maxTypes,
       s"corpus has > $maxTypes word types; raise maxTypes or pre-normalize " +
         "— the driver-side merge loop is budgeted on the TYPE table")
+    // codepoint symbols (NOT toCharArray): code units would split astral
+    // characters into lone surrogates absent from [[vocabOf]]'s codepoint
+    // alphabet, and tokens_before would disagree with the oracle's
+    // codepoint len() — same granularity as BpeKernel.codepointSyms
     val seqs: Array[(Array[String], Long)] = typeRows.map { row =>
-      (row.getString(0).toCharArray.map(String.valueOf), row.getLong(1))
+      val w = row.getString(0)
+      val syms = new Array[String](w.codePointCount(0, w.length))
+      var i = 0
+      var k = 0
+      while (i < w.length) {
+        val cc = Character.charCount(w.codePointAt(i))
+        syms(k) = w.substring(i, i + cc)
+        k += 1
+        i += cc
+      }
+      (syms, row.getLong(1))
     }
     var lens: Array[Int] = seqs.map(_._1.length)
     val tokensBefore = seqs.iterator.zip(lens.iterator)

@@ -230,8 +230,11 @@ object Dedup {
     val exploded = shingled.select(col("doc"), col("is_batch"),
       explode(col("shingles")).as("sh_str"))
       .select(col("doc"), col("is_batch"), xxhash64(col("sh_str")).as("sh"))
+    // size window over (doc, is_batch), not doc alone: an id appearing on
+    // BOTH sides must not merge its two shingle counts — base and batch id
+    // spaces are allowed to overlap
     val withSizes = exploded.withColumn("n_sh_a",
-      count(lit(1)).over(Window.partitionBy(col("doc"))))
+      count(lit(1)).over(Window.partitionBy(col("doc"), col("is_batch"))))
     val grouped = withSizes
       .groupBy(col("sh"))
       .agg(collect_list(struct(col("doc"), col("is_batch"), col("n_sh_a")))

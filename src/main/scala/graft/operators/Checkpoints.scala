@@ -40,15 +40,21 @@ private[graft] object Checkpoints {
   /** Per-(session, slot) registry for checkpoints that live until the NEXT
     * invocation of the same query supersedes them (the recursive-SQL
     * queries hand a checkpointed input to a lazily-consumed result, so
-    * they cannot release in a try/finally). Keyed weakly by SparkSession:
-    * one session's supersede can never release an RDD belonging to another
-    * session's context, and a closed session's entries vanish (its blocks
-    * die with the context). Remaining caveat, documented at the call
-    * sites: two CONCURRENT invocations of the SAME query in ONE session
-    * still race — consume the returned frame before re-invoking. */
+    * they cannot release in a try/finally). Keyed weakly by SparkSession,
+    * holding only a WEAK reference to the checkpoint's root RDD — storing
+    * the DataFrame itself would strongly reach the session through
+    * `Dataset.sparkSession` and pin the WeakHashMap key forever (the
+    * round-10 leak). One session's supersede can never release an RDD
+    * belonging to another session's context; a closed session's entries
+    * vanish; and an RDD the caller has dropped gets its blocks reclaimed
+    * by Spark's ContextCleaner on GC even if the slot never supersedes
+    * again. Remaining caveat, documented at the call sites: two CONCURRENT
+    * invocations of the SAME query in ONE session still race — consume the
+    * returned frame before re-invoking. */
   private val slots: java.util.Map[
       org.apache.spark.sql.SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]] =
+      java.util.concurrent.ConcurrentHashMap[
+        String, java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]] =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap())
 
@@ -56,11 +62,18 @@ private[graft] object Checkpoints {
     * releasing whatever the slot previously held. Returns `df`. */
   def supersede(s: org.apache.spark.sql.SparkSession, slot: String,
       df: DataFrame): DataFrame = {
-    val m = slots.synchronized {
-      slots.computeIfAbsent(
-        s, _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    val rdd: org.apache.spark.rdd.RDD[_] = df.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd
+      case _ => null // nothing releasable at the root; slot still advances
     }
-    Option(m.put(slot, df)).foreach(release)
+    val m = slots.synchronized {
+      slots.computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap[
+          String, java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]())
+    }
+    Option(m.put(slot, new java.lang.ref.WeakReference(rdd)))
+      .flatMap(r => Option(r.get()))
+      .foreach(_.unpersist(blocking = false))
     df
   }
 }

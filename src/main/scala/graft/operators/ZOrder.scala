@@ -82,6 +82,17 @@ object ZOrder {
     val (x0, x1, y0, y1) =
       (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2), bounds.getLong(3))
     val m = (1L << bits) - 1
+    // overflow guard the normalization formula depends on: (x-lo)*m must
+    // stay under 2^63 or the product wraps negative and the masks silently
+    // alias distant rows into one cell (the doc'd failure mode — enforced,
+    // not just documented). For bits ≤ 31 this admits any span < 2^32.
+    def checkSpan(name: String, lo: Long, hi: Long): Unit =
+      require(hi - lo <= Long.MaxValue / m,
+        s"cluster: $name span ${hi - lo} overflows the normalization " +
+          s"product at bits=$bits (max ${Long.MaxValue / m}); pre-scale " +
+          "the dimension (e.g. bucket to days/epochs) before z-ordering")
+    checkSpan("x", x0, x1)
+    checkSpan("y", y0, y1)
     val tagged = df
       .withColumn("__zx", xCol.cast("long"))
       .withColumn("__zy", yCol.cast("long"))

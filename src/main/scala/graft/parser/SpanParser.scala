@@ -486,6 +486,11 @@ object Notebooks {
       "<title>notebook</title></head>\n<body>\n" + body + "\n</body></html>\n"
   }
 
+  /** Attachment mime strings ride into an HTML attribute verbatim, so only
+    * the strict registered-type shape is accepted (full-match, no quotes,
+    * spaces, or angle brackets can pass). */
+  private val AttachmentMime = "image/[A-Za-z0-9.+-]+".r
+
   private def renderCell(cell: ListMap[String, Any]): String = {
     val tpe = cell.get("cell_type") match {
       case Some(s: String) => s
@@ -499,7 +504,10 @@ object Notebooks {
         a.asInstanceOf[ListMap[String, Any]].collect {
           case (name, mimes: ListMap[_, _]) =>
             mimes.asInstanceOf[ListMap[String, Any]].collectFirst {
-              case (mime, data) if mime.startsWith("image/") =>
+              // strict shape, not just the prefix: the mime string lands
+              // inside an HTML attribute below, so a hostile key like
+              // `image/png" onerror="..."` must never enter the map
+              case (mime, data) if AttachmentMime.matches(mime) =>
                 name -> (mime, textOf(data))
             }
         }.flatten.toMap

@@ -139,6 +139,33 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("astral-plane text: codepoint symbols end-to-end, no lone surrogates") {
+    // non-BMP chars are 2 UTF-16 code units; code-unit symbols would split
+    // them into lone surrogates absent from vocabOf's codepoint alphabet
+    // and crash encodeIds. Codepoint granularity also makes tokensBefore
+    // agree with the oracle's codepoint len().
+    val df = Seq((0L, "😀😀 😀😀"),
+      (1L, "a😀 a😀")).toDF("doc_id", "text")
+    val m = Bpe.train(df, "text", nMerges = 3)
+    assert(m.tokensBefore == 8L, "codepoints, not code units (would be 14)")
+    val vocab = Bpe.vocabOf(df, "text", m)
+    val rows = df.select(col("text"),
+        graft.functions.BpeExprs.encodeIds(col("text"), m.merges, vocab)
+          .as("ids"))
+      .select(col("text"),
+        graft.functions.BpeExprs.decodeConcat(col("ids"), vocab).as("dec"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(0).replaceAll(" +", ""),
+        "astral round-trip must be exact")
+    }
+    // conservation holds at codepoint granularity too
+    val after = df.agg(
+      sum(graft.functions.BpeExprs.encodeCount(col("text"), m.merges)))
+      .head().getLong(0)
+    assert(after == m.tokensBefore - m.mergedTotal)
+  }
+
   test("encode ids: null -> null, empty -> empty, unknown symbol fails loud") {
     val df = Seq((0L, null.asInstanceOf[String]), (1L, ""), (2L, "ab ab"))
       .toDF("doc_id", "text")

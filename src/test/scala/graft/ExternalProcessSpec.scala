@@ -291,6 +291,26 @@ class ExternalProcessSpec extends AnyFunSuite {
     assert(html.contains("![missing](attachment:nope.png)"))
   }
 
+  test("hostile attachment mime cannot break out of the img attribute (B5)") {
+    import scala.collection.immutable.ListMap
+    // a mime KEY that passes a naive startsWith("image/") check but
+    // carries an attribute-breakout payload must be dropped entirely —
+    // the strict image/[A-Za-z0-9.+-]+ full-match is the gate
+    val ipynb = graft.model.Json.render(ListMap(
+      "cells" -> Vector(
+        ListMap(
+          "cell_type" -> "markdown",
+          "source" -> "![x](attachment:evil.png)",
+          "attachments" -> ListMap(
+            "evil.png" -> ListMap(
+              "image/png\" onerror=\"alert(1)" -> Vector("aGVsbG8=\n"))))),
+      "nbformat" -> 4))
+    val html = graft.parser.Notebooks.convertIpynbToHtml(ipynb)
+    assert(!html.contains("onerror"), html)
+    // the ref stays literal text, matching the broken-ref behavior
+    assert(html.contains("![x](attachment:evil.png)"))
+  }
+
   test("markdown nested lists and raw cells (E8/B5)") {
     import scala.collection.immutable.ListMap
     val ipynb = graft.model.Json.render(ListMap(

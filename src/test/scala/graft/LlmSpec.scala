@@ -579,6 +579,25 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("I2i incremental dedup: overlapping base/batch id spaces stay per-side") {
+    // the same id on both sides must NOT merge its two shingle-set sizes
+    // (the size window partitions by (doc, is_batch), not doc alone):
+    // batch doc 1 has 4 word-3-grams, base doc 1 has 2, sharing 1 —
+    // jaccard exactly 1/5; a merged size window would report 1/11
+    val base = Seq((1L, "alpha beta gamma delta"), (2L, "q w e r t"))
+      .toDF("doc_id", "text")
+    val batch = Seq((1L, "alpha beta gamma epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(base, batch, "doc_id", "text",
+      n = 3, threshold = 0.2, maxShingleFreq = Some(1000)).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert(math.abs(r.getDouble(3) - 0.2) < 1e-12,
+      s"per-side sizes must not merge: got ${r.getDouble(3)}")
+    assert(r.getBoolean(4))
+  }
+
   test("I4 aHash: real BMP round-trip is lossless; perceptual hamming behaves") {
     import graft.llm.Multimodal
     val rnd = new scala.util.Random(31)

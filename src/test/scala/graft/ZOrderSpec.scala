@@ -67,6 +67,21 @@ class ZOrderSpec extends AnyFunSuite {
     assert(both.filter(col("a") =!= col("b")).count() == 0)
   }
 
+  test("cluster rejects a dimension span that overflows the normalization product") {
+    import spark.implicits._
+    // span 2^50 at bits=16 exceeds Long.MaxValue/(2^16-1) ≈ 2^47: the
+    // (x-lo)*m product would wrap negative and alias distant rows into one
+    // cell — the guard must fail loud instead
+    val df = Seq((0L, 0L), (1L << 50, 1L)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.cluster(df, 2, col("x"), col("y"), 16)
+    }
+    assert(e.getMessage.contains("span"))
+    // an in-range span still clusters fine
+    val ok = Seq((0L, 0L), (1000L, 1000L), (5L, 900L)).toDF("x", "y")
+    assert(ZOrder.cluster(ok, 2, col("x"), col("y"), 16).count() == 3)
+  }
+
   test("z-clustered layout skips row groups on BOTH dimensions; linear sort on one") {
     // 100 TB layout design: a corpus queried selectively by user AND by
     // time cannot be linearly sorted to serve both — z-order gives every
