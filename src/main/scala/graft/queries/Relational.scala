@@ -1688,22 +1688,23 @@ object Relational {
   /** D11b — Pareto frontier (skyline): orders not strictly dominated on
     * (maximize o_totalprice, minimize o_orderdate). Never the O(n²)
     * self-join: collapse to one row per DISTINCT price with its best date
-    * (a hash aggregate), then one running-min window over the price-level
-    * table gives, for every price, the earliest date among STRICTLY higher
-    * prices — a row survives iff that min is not earlier than its own date.
-    * The window input is |distinct prices|, not |orders|; at 100 TB you
-    * would additionally pre-prune per partition (local skylines) before
-    * the global pass, exactly like the d05 sweep line. The oracle is the
-    * independent NOT EXISTS dominance formulation. (D11, D10)
+    * (a hash aggregate), then — since distinct prices scale with |orders|
+    * — the "earliest date among STRICTLY higher prices" comes from
+    * [[graft.operators.PrefixScan.withMinBefore]] (range partition +
+    * per-partition scan + carry-in stitch), NOT an empty-key running-min
+    * window that would funnel the whole price table through one task. A
+    * row survives iff that min is not earlier than its own date. The
+    * oracle is the independent NOT EXISTS dominance formulation.
+    * (D11, D10)
     */
   def paretoOrders(s: SparkSession, d: String): DataFrame = {
     val perPrice = Tables.orders(s, d)
       .groupBy(dec(col("o_totalprice")).as("price"))
       .agg(min(col("o_orderdate")).as("best_date"))
-    val w = Window.orderBy(col("price").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val frontier = perPrice
-      .withColumn("min_date_higher", min(col("best_date")).over(w))
+    // distinct prices ⇒ ROWS-to--1 over the desc order ≡ strictly higher
+    val frontier = graft.operators.PrefixScan
+      .withMinBefore(perPrice, "min_date_higher", "best_date",
+        col("price").desc)
       .filter(col("min_date_higher").isNull ||
         col("min_date_higher") >= col("best_date"))
       .select(col("price"), col("min_date_higher"))

@@ -310,30 +310,35 @@ object TpchShapes {
       |  AND l_discount BETWEEN 0.05 AND 0.07
       |  AND l_quantity < 24""".stripMargin
 
-  /** Q15 — top supplier: the grouped-max view + join-back, as the windowed
-    * rewrite (the d04_sole_late_supplier discipline). The original's
+  /** Q15 — top supplier: the grouped-max view + join-back. The original's
     * `revenue` view is the (suppkey, decimal-sum) aggregate; the
-    * correlated `= (SELECT MAX(...))` becomes `rank() OVER (ORDER BY
-    * total_rev DESC) = 1` — one pass over the view instead of a second
-    * aggregate branch that would re-scan lineitem (an uncached view is
-    * COMPUTED per reference; the naive max-subquery plan reads the fact
-    * table twice, which at 100 TB doubles the query). The global window
-    * funnels only |suppliers-with-sales| slim rows to one partition; the
-    * winner joins the supplier dimension broadcast. Ranking compares the
-    * exact DECIMAL sums, so no double-rounding tie ambiguity; ties all
-    * rank 1 and surface ordered by suppkey, exactly as the spec's ORDER BY
-    * resolves them. (D7, D10)
+    * correlated `= (SELECT MAX(...))` becomes a ONE-ROW max aggregate of
+    * the view broadcast back onto it — ties all match, exactly like the
+    * spec's equality against the scalar subquery. NOT a global
+    * `rank() OVER (ORDER BY total_rev)` window: an empty partition key
+    * funnels every supplier through one task, the textbook Q15 scale trap
+    * (|suppliers| is data-sized — ~10M at 100 TB). The revenue view is
+    * localCheckpoint-ed (|suppliers| slim rows, session-scoped via
+    * Checkpoints.supersede) so the fact table is READ ONCE — AQE's
+    * broadcast conversion on the max branch defeats ReusedExchange here,
+    * the jaccardPairs lesson; the max then costs one broadcast of a
+    * single row and the whole plan stays partition-parallel. Comparison
+    * is on the exact DECIMAL sums, so no double-rounding tie ambiguity;
+    * winners surface ordered by suppkey, exactly as the spec's ORDER BY
+    * resolves ties. (D7, D10)
     */
   def topSupplier(s: SparkSession, d: String): DataFrame = {
     val discPrice = dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount"))
-    Tables.lineitem(s, d)
-      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
-      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
-      .groupBy(col("l_suppkey"))
-      .agg(sum(discPrice).as("total_rev"))
-      .withColumn("rk", rank().over(Window.orderBy(col("total_rev").desc)))
-      .filter(col("rk") === 1)
+    val rev = graft.operators.Checkpoints.supersede(s, "d10_top_supplier_rev",
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(discPrice).as("total_rev"))
+        .localCheckpoint())
+    val best = rev.agg(max(col("total_rev")).as("best_rev"))
+    rev.join(broadcast(best), col("total_rev") === col("best_rev"))
       .join(broadcast(Tables.supplier(s, d)
         .select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))

@@ -117,13 +117,18 @@ class PlanBudgetSpec extends AnyFunSuite {
     "d07_market_share" -> 1, "d08_heavy_hitters" -> 1,
     "i5_inverted_index" -> 2, "i6_table_fingerprint" -> 1,
     "d03_returned_top_customers" -> 1, "d03_disjunctive_parts" -> 1,
-    "d11_pareto_orders" -> 2, "d10_rolling_7d" -> 1,
+    // 0: the frontier arrives as a PrefixScan LogicalRDD (its range
+    // exchange lives in the operator's own jobs) and broadcast-joins back
+    "d11_pareto_orders" -> 0, "d10_rolling_7d" -> 1,
     "d10_hopping_window" -> 1, "d12_merge_upsert" -> 2,
     "d07_cust_order_distribution" -> 2, "d10_session_paths" -> 2,
     "d04_priority_exists" -> 1, "d07_line_priority_classes" -> 1,
     "d07_promo_revenue" -> 1, "d08_part_supplier_counts" -> 2,
     "d07_small_qty_revenue" -> 3, "d04_sole_late_supplier" -> 2,
     "d04_dormant_customers" -> 2,
+    // 2: the checkpointed revenue view's single-row max (SinglePartition
+    // over one partial row per task) + the final suppkey ORDER BY; the
+    // lineitem groupBy shuffle lives behind the checkpoint's own job
     "d07_forecast_revenue" -> 1, "d10_top_supplier" -> 2,
     // i8_pagerank: one contribution aggregate per round (the rank
     // formula is inlined into the next round's broadcast edge join, so
