@@ -62,6 +62,103 @@ case class MinHashSigExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** [[MinHashSigExpr]] with an md5-derived base hash — the DERANDOMIZED
+  * family for full-oracle rows: `H(s)` is the first 4 bytes of md5(s)
+  * (big-endian, = the digest's first 8 hex chars) folded mod P, exactly
+  * what DuckDB recomputes via the hexVal ASCII fold. Same affine family
+  * `(a_j·H + b_j) mod P` on top. ~10× the per-shingle cost of xxhash64 —
+  * the xx64 expression stays the production default; this one buys
+  * bit-for-bit cross-engine signatures (the d08_hll_registers playbook). */
+case class Md5MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val hmods = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      // first 4 bytes big-endian = first 8 hex chars, in [0, 2^32)
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      hmods(i) = h % P
+      i += 1
+    }
+    val sig = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val a = 2L * j + 1
+      val b = (j * 2654435761L) % P
+      var mn = Long.MaxValue
+      var t = 0
+      while (t < n) {
+        val v = (a * hmods(t) + b) % P
+        if (v < mn) mn = v
+        t += 1
+      }
+      sig(j) = mn
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** [[SimHash64Expr]] with md5-derived token hashes (derandomized, oracle-
+  * recomputable): token hash = the digest's first 16 hex chars as two
+  * unsigned 32-bit halves `hi`/`lo` (bit b of the fingerprint votes on
+  * `lo` for b < 32, `hi` otherwise — the split DuckDB mirrors without
+  * signed-shift ambiguity). */
+case class Md5SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      val hi = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val lo = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      var b = 0
+      while (b < 32) {
+        if (((lo >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        if (((hi >>> b) & 1L) == 1L) votes(b + 32) += 1 else votes(b + 32) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over a token array: per-bit ±1 votes from xxhash64(token),
   * packed to a long — one loop per row. */
 case class SimHash64Expr(child: Expression)
@@ -151,8 +248,14 @@ object HashExprs {
   def minHashSig(shingles: Column, k: Int): Column =
     Bridge.column(MinHashSigExpr(Bridge.expression(shingles), k))
 
+  def md5MinHashSig(shingles: Column, k: Int): Column =
+    Bridge.column(Md5MinHashSigExpr(Bridge.expression(shingles), k))
+
   def simHash64(tokens: Column): Column =
     Bridge.column(SimHash64Expr(Bridge.expression(tokens)))
+
+  def md5SimHash64(tokens: Column): Column =
+    Bridge.column(Md5SimHash64Expr(Bridge.expression(tokens)))
 
   def hyperplaneLsh(vec: Column, nPlanes: Int, table: Int): Column =
     Bridge.column(HyperplaneLshExpr(Bridge.expression(vec), nPlanes, table))

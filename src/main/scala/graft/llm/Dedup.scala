@@ -349,7 +349,14 @@ object Dedup {
   /** I2b — MinHash+LSH candidate pairs: signatures → `nBands` band hashes →
     * explode → self-join per (band index, band hash). Two docs are
     * candidates iff at least one band matches; with k=64, r=4 the usual
-    * S-curve applies. Band blocking keeps the join linear in corpus size. */
+    * S-curve applies. Band blocking keeps the join linear in corpus size.
+    *
+    * `hashFamily`: `"xx64"` (default — xxhash64 base hashes + murmur3
+    * band hashes, the cheap production family, engine-internal) or
+    * `"md5"` (md5-derived base hashes + the signature-slice STRING as the
+    * band key — ~10× costlier per shingle but bit-for-bit recomputable by
+    * any engine with md5, which upgrades the verified row from a
+    * containment gate to a full hash oracle). */
   def minHashCandidates(
       df: DataFrame,
       idCol: String,
@@ -357,8 +364,11 @@ object Dedup {
       shingleN: Int = 5,
       k: Int = 64,
       nBands: Int = 16,
-      shingler: (Column, Int) => Column = charShingles): DataFrame = {
+      shingler: (Column, Int) => Column = charShingles,
+      hashFamily: String = "xx64"): DataFrame = {
     val r = k / nBands
+    require(hashFamily == "xx64" || hashFamily == "md5",
+      s"unknown hashFamily '$hashFamily' (expected xx64 or md5)")
     // two exchange barriers: the first spreads the docs across cores (a
     // small parquet file scans as ONE partition, which would run the
     // signature kernel single-threaded); the second materializes the
@@ -375,15 +385,27 @@ object Dedup {
     // the scan.
     // (round-robin then hash: two IDENTICAL repartitions would be merged
     // by CollapseRepartition, collapsing the sandwich)
+    val sigExpr =
+      if (hashFamily == "md5")
+        graft.functions.HashExprs.md5MinHashSig(
+          shingler(col("text"), shingleN), k)
+      else minHashSignature(shingler(col("text"), shingleN), k)
     val sigs = df.select(col(idCol).as("doc"), col(textCol).as("text"))
       .filter(length(col(textCol)) >= shingleN)
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc"),
-        minHashSignature(shingler(col("text"), shingleN), k).as("sig"))
+      .select(col("doc"), sigExpr.as("sig"))
       .repartition(Par.of(df), col("doc"))
+    // md5 family: the band key is the signature slice ITSELF (as a string)
+    // — murmur3 band hashes would be engine-internal again and forfeit the
+    // oracle; band_idx rides in the group key, so cross-band collisions
+    // don't exist in either form
+    def bandKey(j: Column): Column =
+      if (hashFamily == "md5")
+        concat_ws(",", transform(slice(col("sig"), j * r + 1, lit(r)),
+          x => x.cast("string")))
+      else hash(concat_ws(",", slice(col("sig"), j * r + 1, lit(r))), j)
     val bands = sigs.select(col("doc"),
-      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
-        j => hash(concat_ws(",", slice(col("sig"), j * r + 1, lit(r))), j)))
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)), bandKey(_)))
         .as(Seq("band_idx", "band_hash")))
     // group-and-pair instead of a self-join: the join's two branches each
     // re-ran the signature kernel (ReuseExchange can't dedupe them under
@@ -542,11 +564,20 @@ object Dedup {
     * lands in the same cluster and would otherwise appear twice in `docs`,
     * making BOTH the intra-cluster pair expansion and the band-join
     * expansion emit the same (doc_a, doc_b) pair once per occurrence. */
-  private def simClusters(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc"),
-      TextAnalysis.simHash(col(textCol)).as("sim"))
+  private def simClusters(df: DataFrame, idCol: String, textCol: String,
+      hashFamily: String = "xx64"): DataFrame = {
+    val sketch =
+      if (hashFamily == "md5")
+        graft.functions.HashExprs.md5SimHash64(split(col(textCol), " +"))
+      else TextAnalysis.simHash(col(textCol))
+    // null text cannot be fingerprinted — drop it rather than clustering
+    // every missing document into one hamming-0 "identical" mass (the
+    // jaccardPairs convention: no shingles, no pairs)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"), sketch.as("sim"))
       .repartition(Par.of(df), col("sim")) // barrier: compute the sketch exactly once
       .groupBy(col("sim")).agg(collect_set(col("doc")).as("docs"))
+  }
 
   /** Blocking bands over the sketch clusters: one row per (sim, band_idx,
     * band). Both schemes are containment-exact by pigeonhole; which one is
@@ -610,10 +641,13 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      combinationBands: Boolean = false): DataFrame = {
+      combinationBands: Boolean = false,
+      hashFamily: String = "xx64"): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64): $maxHamming")
-    val clusters = simClusters(df, idCol, textCol)
+    require(hashFamily == "xx64" || hashFamily == "md5",
+      s"unknown hashFamily '$hashFamily' (expected xx64 or md5)")
+    val clusters = simClusters(df, idCol, textCol, hashFamily)
     // identical sketches: all pairs, Hamming 0 (output-sized by contract)
     val intra = clusters
       .select(explode(col("docs")).as("a"), col("docs"))

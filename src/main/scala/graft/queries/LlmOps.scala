@@ -264,21 +264,81 @@ object LlmOps {
       |SELECT COUNT(*) AS n_high_pairs, CAST(0 AS BIGINT) AS n_missed
       |FROM high""".stripMargin
 
-  /** I2b — MinHash+LSH candidate pairs (rows-only: xxhash64-dependent;
-    * semantics driver-verified by `i2_minhash_containment`). */
+  /** I2b — MinHash+LSH candidate pairs, FULL hash oracle (round 11): the
+    * md5-derived hash family ([[graft.functions.Md5MinHashSigExpr]]) makes
+    * every signature component — and hence every band bucket and candidate
+    * pair — a pure function of the data that DuckDB recomputes bit-for-bit
+    * (the d08_hll_registers / i3_sq8_topk playbook applied to LSH). Band
+    * keys are the signature-slice strings, not murmur3. The xx64
+    * production family keeps its own containment gate
+    * (`i2_minhash_containment`). */
   def minhashCandidates(s: SparkSession, d: String): DataFrame =
-    Dedup.minHashCandidates(Tables.documents(s, d), "doc_id", "text")
+    Dedup.minHashCandidates(Tables.documents(s, d), "doc_id", "text",
+      hashFamily = "md5")
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The oracle's per-shingle/token md5 32-bit value: delegate to the
+    * shared hexVal ASCII fold (digest chars [start, start+8)). */
+  private def mhHex(arg: String, start: Int): String =
+    Relational.hexValSql(arg, start)
+
+  private val minhashCandidatesSql =
+    s"""WITH sh AS (
+      | SELECT doc_id,
+      |  list_distinct([substr(text, i, 5) for i in range(1, len(text) - 3)]) AS sh
+      | FROM documents WHERE len(text) >= 5),
+      |hv AS (SELECT doc_id, [${mhHex("s", 1)} % 2147483647 for s in sh] AS hv
+      | FROM sh),
+      |sig AS (SELECT doc_id,
+      |  [list_min([((2*j + 1) * h + (j * 2654435761) % 2147483647)
+      |     % 2147483647 for h in hv]) for j in range(0, 64)] AS sig
+      | FROM hv),
+      |bands AS (SELECT doc_id, j AS band_idx,
+      |  array_to_string(list_slice(sig, j*4 + 1, j*4 + 4), ',') AS band
+      | FROM sig, range(16) t(j))
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+      | AND a.band = b.band AND a.doc_id < b.doc_id""".stripMargin
 
   private val simhashContainmentSql =
     s"""WITH high AS (${ngramJaccardSqlAt(0.7)})
       |SELECT COUNT(*) AS n_high_pairs, true AS recall_floor_met
       |FROM high""".stripMargin
 
-  /** I2c — SimHash near-dup pairs (rows-only: xxhash64-dependent;
-    * semantics driver-verified by `i2_simhash_containment`). */
+  /** I2c — SimHash near-dup pairs, FULL hash oracle (round 11): md5-derived
+    * token hashes ([[graft.functions.Md5SimHash64Expr]]) make the 64-bit
+    * fingerprints engine-recomputable; since the banded blocking is
+    * containment-EXACT by pigeonhole, the engine's banded output equals
+    * the all-pairs result, which is exactly what the oracle computes
+    * (fingerprints as unsigned hi/lo halves — no signed-shift ambiguity —
+    * then every pair at hamming ≤ 10). The xx64 production family keeps
+    * its own recall gate (`i2_simhash_containment`). */
   def simhashPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 10)
+    Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text",
+      maxHamming = 10, hashFamily = "md5")
+
+  private val simhashPairsSql =
+    s"""WITH toks AS (
+      | SELECT doc_id, regexp_split_to_array(text, ' +') AS w
+      | FROM documents WHERE text IS NOT NULL),
+      |hv AS (SELECT doc_id,
+      |  [${mhHex("t", 1)} for t in w] AS hi,
+      |  [${mhHex("t", 9)} for t in w] AS lo
+      | FROM toks),
+      |fp AS (SELECT doc_id,
+      |  list_sum([CASE WHEN 2 * len([x for x in hi if (x >> b) & 1 = 1]) > len(hi)
+      |    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END
+      |    for b in range(0, 32)]) AS hi_val,
+      |  list_sum([CASE WHEN 2 * len([x for x in lo if (x >> b) & 1 = 1]) > len(lo)
+      |    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END
+      |    for b in range(0, 32)]) AS lo_val
+      | FROM hv)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      | CAST(bit_count(xor(a.hi_val, b.hi_val))
+      |    + bit_count(xor(a.lo_val, b.lo_val)) AS INT) AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.hi_val, b.hi_val))
+      |    + bit_count(xor(a.lo_val, b.lo_val)) <= 10""".stripMargin
 
   /** Recall gate for the SimHash pair generator (the sketch-gate pattern
     * of [[minhashContainmentGate]]): the driver cannot hash-compare the
@@ -2699,6 +2759,8 @@ object LlmOps {
     "i6_curation_v4" -> curationV4Sql,
     "i2_fuzzy_dedup_e2e" -> fuzzyDedupE2eSql,
     "i2_minhash_containment" -> minhashContainmentSql,
+    "i2_minhash_lsh_candidates" -> minhashCandidatesSql,
+    "i2_simhash_pairs" -> simhashPairsSql,
     "i2_simhash_containment" -> simhashContainmentSql,
     "i2_embedding_neardup" -> embeddingNearDupsSql,
     "i2_neardup_blocked_gate" -> neardupBlockedGateSql,

@@ -794,6 +794,38 @@ class LlmSpec extends AnyFunSuite {
     assert(est02 < 0.3)
   }
 
+  test("I2 md5 hash family: same semantics as xx64, null text never pairs") {
+    // the derandomized (oracle-checkable) family must behave like the
+    // production family on the fixture: exact dups collide everywhere,
+    // near-dups are candidates, unrelated docs have dissimilar signatures
+    val cands = Dedup.minHashCandidates(docs, "doc_id", "text",
+      hashFamily = "md5")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(cands.contains((0L, 3L)) && cands.contains((0L, 1L)))
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.HashExprs.md5MinHashSig(
+        Dedup.charShingles(col("text"), 5), 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(3L))
+    assert(sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b } / 64.0 < 0.3)
+    // simhash md5: identical text -> hamming 0; null text -> dropped, and
+    // two null docs never pair as a hamming-0 "identical" mass
+    val withNulls = docs.unionByName(Seq(
+      (90L, null.asInstanceOf[String]), (91L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    val pairs = Dedup.simHashPairs(withNulls, "doc_id", "text",
+      maxHamming = 10, hashFamily = "md5")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0))
+    assert(pairs.forall(p => p._1 < 90L && p._2 < 90L),
+      s"null-text docs must not pair: ${pairs.filter(p => p._2 >= 90L).toSeq}")
+    // xx64 path drops nulls identically
+    val xxPairs = Dedup.simHashPairs(withNulls, "doc_id", "text",
+      maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(xxPairs.forall(p => p._1 < 90L && p._2 < 90L))
+  }
+
   test("I2 simhash: identical docs hamming 0, near-dups close, others far") {
     val sh = docs.select(col("doc_id"), TextAnalysis.simHash(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
