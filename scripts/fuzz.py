@@ -24,7 +24,10 @@ measure real semantics rather than orphan noise:
  - `documents` additionally re-adds a seeded 5% slice as fresh-id
    duplicates (ids offset past the sampled MAX, so the scheme is safe
    for any id range) — every dedup/provenance family gains members the
-   fixture never had.
+   fixture never had — plus three null-text rows (round 9) and four
+   unicode rows (round 11: accented Latin, CJK, astral-plane emoji,
+   Greek/Cyrillic) so null discipline and codepoint-vs-code-unit
+   arithmetic are checked cross-engine properties.
 
 Hot-key tier (--hot K, default off): amplifies ONE key family per table
 so the salted-join, heavy-hitters, window and triangle paths run under
@@ -170,10 +173,30 @@ def build(src: str, dest: str, seed: int, pct: int, hot: int = 0) -> None:
                        AS doc_id,
                      CAST(NULL AS VARCHAR) AS text, lang, source,
                      CAST(NULL AS BIGINT) AS n_chars
-              FROM sampled ORDER BY doc_id LIMIT 3)
+              FROM sampled ORDER BY doc_id LIMIT 3),
+            -- unicode tier: accented Latin, CJK, astral-plane emoji and
+            -- non-Latin scripts — multi-byte text is where code-unit vs
+            -- codepoint arithmetic diverges between engines (substr,
+            -- len, ascii folds, BPE symbol tables), so four rows make
+            -- every text kernel's unicode discipline a checked
+            -- cross-engine property
+            unicode AS (
+              SELECT s.doc_id + 3 * (SELECT MAX(doc_id) + 1 FROM sampled)
+                       AS doc_id,
+                     u.txt AS text, s.lang, s.source, len(u.txt) AS n_chars
+              FROM (SELECT doc_id, lang, source,
+                      ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+                    FROM sampled ORDER BY doc_id LIMIT 4) s
+              JOIN (VALUES
+                (1, 'café naïve résumé über façade jalapeño crème brûlée déjà vu señor niño'),
+                (2, '机器 学习 模型 训练 数据 处理 系统 性能 优化 分布式 计算 引擎 数据 处理'),
+                (3, '😀 data 😀😀 pipeline 🚀 rocket science 🧪 lab 😀 data pipeline again 🚀'),
+                (4, 'αλφα βητα γαμμα δελτα εψιλον привет мир данные поток система')) u(rn, txt)
+                ON u.rn = s.rn)
             SELECT * FROM sampled
             UNION ALL SELECT * FROM dupes
-            UNION ALL SELECT * FROM nulls""")
+            UNION ALL SELECT * FROM nulls
+            UNION ALL SELECT * FROM unicode""")
         if hot > 0:
             # one giant identical-text class: every dedup family must
             # collapse it, every pair oracle pays O(K^2) on it — capped

@@ -269,6 +269,82 @@ object Dedup {
         col("doc_q").isNotNull.as("is_dup"))
   }
 
+  /** I2i-INDEX — the PERSISTED form of the incremental-dedup base side:
+    * one row per (shingle-hash, base doc) with the doc's UNCAPPED shingle
+    *-set size and the shingle's base posting count. Written bucketed on
+    * `sh` ([[graft.sinks.Bucketing.writeBucketed]]), increment N+1 joins
+    * it EXCHANGE-FREE on the stored side — the re-pairing cost that
+    * [[incrementalDedup]] pays per batch (re-exploding and re-shuffling
+    * the standing corpus) is paid once at index build and amortized over
+    * every increment. The posting count is stored rather than pre-capped
+    * so one index serves any downstream frequency cap. */
+  def buildPostingIndex(
+      base: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      shingler: (Column, Int) => Column = wordShingles): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded = base
+      .select(col(idCol).as("doc"), shingler(col(textCol), n).as("shingles"))
+      .repartition(col("doc"))
+      .select(col("doc"), explode(col("shingles")).as("sh_str"))
+      .select(col("doc"), xxhash64(col("sh_str")).as("sh"))
+    exploded
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc"))))
+      .withColumn("sh_count", count(lit(1)).over(Window.partitionBy(col("sh"))))
+  }
+
+  /** I2i-INDEX — near-dup verdicts for `batch` against a STORED
+    * [[buildPostingIndex]] frame. Same verdict shape as
+    * [[incrementalDedup]]; the one semantic difference is the frequency
+    * cap, which here applies to the BASE posting length alone (an index
+    * built today cannot know tomorrow's batch — the production contract;
+    * batch-side fan-out stays bounded because the batch is the small side
+    * by definition). The batch explodes once, shuffles once to the
+    * index's bucket partitioning, and the standing corpus never moves. */
+  def incrementalDedupFromIndex(
+      index: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      maxShingleFreq: Option[Int] = Some(1000),
+      shingler: (Column, Int) => Column = wordShingles): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = maxShingleFreq
+      .map(cap => index.filter(col("sh_count") <= cap))
+      .getOrElse(index)
+      .select(col("sh"), col("doc").as("doc_b"), col("n_sh").as("nb"))
+    val bEx = batch
+      .select(col(idCol).as("doc_q"), shingler(col(textCol), n).as("shingles"))
+      .repartition(col("doc_q"))
+      .select(col("doc_q"), explode(col("shingles")).as("sh_str"))
+      .select(col("doc_q"), xxhash64(col("sh_str")).as("sh"))
+      .withColumn("na", count(lit(1)).over(Window.partitionBy(col("doc_q"))))
+    val pairs = bEx.join(idx, Seq("sh"))
+      .groupBy(col("doc_q"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("na")).as("na"), min(col("nb")).as("nb"))
+      .withColumn("jac", col("n_shared").cast("double") /
+        (col("na") + col("nb") - col("n_shared")).cast("double"))
+      .filter(col("jac") >= threshold)
+    val verdicts = pairs.groupBy(col("doc_q"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("jac").as("j"), (-col("doc_b")).as("negb")))
+          .as("best"))
+      .select(col("doc_q"), col("n_matches"),
+        (-col("best.negb")).as("best_match"),
+        col("best.j").as("best_jaccard"))
+    batch.select(col(idCol).as("doc_id"))
+      .join(verdicts, col("doc_id") === col("doc_q"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_match"), col("best_jaccard"),
+        col("doc_q").isNotNull.as("is_dup"))
+  }
+
   /** I2h — sorted-neighborhood near-dup pairs (Hernández & Stolfo's
     * sorted-neighborhood method, SIGMOD 1995 — public literature): sort
     * the corpus by a cheap clustering key (text prefix here — near-dups

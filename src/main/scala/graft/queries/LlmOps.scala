@@ -140,6 +140,64 @@ object LlmOps {
       |LEFT JOIN bm ON bm.doc_q = d.doc_id
       |WHERE d.doc_id % 10 = 0""".stripMargin
 
+  /** I2i-INDEX — incremental dedup against a PERSISTED posting index: the
+    * base side's (shingle → posting list, sizes, counts) artifact is
+    * written ONCE as a parquet table bucketed on the shingle hash
+    * ([[graft.llm.Dedup.buildPostingIndex]] via
+    * [[graft.sinks.Bucketing]]), and the increment joins it with the
+    * stored side EXCHANGE-FREE (PlanSpec pins no Exchange above the index
+    * scan) — the production shape where increment N+1 stops re-paying the
+    * standing corpus's explode+shuffle. Cap semantics: base posting
+    * length only (an index cannot know future batches); the oracle
+    * encodes exactly that. */
+  def incrementalIndexDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    graft.sinks.Bucketing.writeBucketed(
+      Dedup.buildPostingIndex(base, "doc_id", "text", n = 3),
+      "graft_i2_posting_index", "sh", buckets = 32)
+    Dedup.incrementalDedupFromIndex(
+      s.table("graft_i2_posting_index"), batch, "doc_id", "text",
+      n = 3, threshold = 0.5, maxShingleFreq = Some(1000))
+  }
+
+  private val incrementalIndexSql =
+    """WITH ws AS (SELECT doc_id, doc_id % 10 = 0 AS is_batch,
+      |  regexp_split_to_array(text, ' +') AS w FROM documents),
+      |sh AS (
+      | SELECT doc_id, is_batch,
+      |  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |   for i in range(1, len(w) - 1)])) AS s
+      | FROM ws WHERE len(w) >= 3),
+      |freq AS (SELECT s FROM sh WHERE NOT is_batch
+      | GROUP BY s HAVING COUNT(*) <= 1000),
+      |bsh AS (SELECT doc_id, sh.s FROM sh JOIN freq ON sh.s = freq.s
+      | WHERE NOT is_batch),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |shared AS (
+      | SELECT a.doc_id AS doc_q, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      | FROM sh a JOIN bsh b ON a.s = b.s AND a.is_batch
+      | GROUP BY 1, 2),
+      |j AS (
+      | SELECT doc_q, doc_b,
+      |  CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) AS jac
+      | FROM shared
+      | JOIN sizes sa ON sa.doc_id = doc_q
+      | JOIN sizes sb ON sb.doc_id = doc_b
+      | WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.5),
+      |v AS (SELECT doc_q, COUNT(*) AS n_matches, MAX(jac) AS best_jaccard
+      | FROM j GROUP BY 1),
+      |bm AS (SELECT j.doc_q, MIN(j.doc_b) AS best_match
+      | FROM j JOIN v ON j.doc_q = v.doc_q AND j.jac = v.best_jaccard
+      | GROUP BY 1)
+      |SELECT d.doc_id, CAST(COALESCE(v.n_matches, 0) AS BIGINT) AS n_matches,
+      | bm.best_match, v.best_jaccard, v.doc_q IS NOT NULL AS is_dup
+      |FROM documents d
+      |LEFT JOIN v ON v.doc_q = d.doc_id
+      |LEFT JOIN bm ON bm.doc_q = d.doc_id
+      |WHERE d.doc_id % 10 = 0""".stripMargin
+
   /** I2j — canonical selection: WHICH copy of a near-dup cluster
     * survives. `i2_fuzzy_dedup_e2e` pins the structural min-id rule; real
     * curation keeps the highest-QUALITY member (RefinedWeb/FineWeb-style
@@ -152,10 +210,36 @@ object LlmOps {
   def canonicalKeep(s: SparkSession, d: String): DataFrame =
     canonicalKeepOver(Tables.documents(s, d))
 
-  private[graft] def canonicalKeepOver(docs: DataFrame): DataFrame = {
-    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
-      n = 3, threshold = 0.5, maxShingleFreq = Some(1000),
-      shingler = Dedup.wordShingles).select("doc_a", "doc_b")
+  /** The EXACT-pair tier: every word-3-gram-sharing pair is scored. The
+    * right default at verification scale; at 100 TB the pair substrate is
+    * the measured scale-killer (exponent ~1.65 at 16× on the bounded-
+    * vocabulary fixture), which is why [[canonicalKeepBlockedOver]] — the
+    * sorted-neighborhood w·N candidate tier — is the production
+    * composition ([[curationV5Over]] rides it). */
+  private[graft] def canonicalKeepOver(docs: DataFrame): DataFrame =
+    canonicalKeepWith(docs,
+      Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleFreq = Some(1000),
+        shingler = Dedup.wordShingles).select("doc_a", "doc_b"))
+
+  /** I2j-BLOCKED — canonical selection over the sorted-neighborhood pair
+    * generator ([[graft.llm.Dedup.sortedNeighborPairs]], w·N candidates by
+    * construction, no skew sensitivity): the 100 TB default. Candidates
+    * are defined by the global (prefix, doc_id) sort order — identical in
+    * both engines — and the verify stage recomputes true word-3-gram
+    * Jaccard, so unlike the LSH families this blocked tier admits a FULL
+    * hash oracle: DuckDB reproduces the candidate set, the verified
+    * pairs, the components, and the quality argmax bit-for-bit. Recall
+    * vs the exact tier is bounded by what the prefix sort co-locates —
+    * measured keep-flag agreement 1.0 at sf0.001/0.01/0.1 (the fixture's
+    * near-dups share prefixes; LlmSpec pins ≥ 0.9 at sf0.01). */
+  private[graft] def canonicalKeepBlockedOver(docs: DataFrame): DataFrame =
+    canonicalKeepWith(docs,
+      Dedup.sortedNeighborPairs(docs, "doc_id", "text",
+        window = 8, keyPrefixLen = 24, n = 3, threshold = 0.5)
+        .select("doc_a", "doc_b"))
+
+  private def canonicalKeepWith(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val comp = Dedup.fuzzyDedupComponents(docs, "doc_id", pairs)
       .select(col("doc_id"), col("component"))
     val q = docs.select(col("doc_id"),
@@ -171,11 +255,52 @@ object LlmOps {
         (col("doc_id") === col("keep_id")).as("keep"))
   }
 
+  /** The sorted-neighborhood verified-pair CTEs over `rel`, ending in a
+    * `high(doc_a, doc_b)` CTE — the blocked analogue of
+    * `ngramJaccardSqlAt`, mirroring [[graft.llm.Dedup.sortedNeighborPairs]]
+    * (prefix-sort blocking, rank-window candidates, exact word-3-gram
+    * Jaccard verify). Shared by the standalone blocked-keep oracle and the
+    * composed i6_curation_v5 oracle. */
+  private def sortedNeighborHighCtes(rel: String) =
+    s"""snb AS (
+      | SELECT doc_id, text, substr(trim(text), 1, 24) AS sk
+      | FROM $rel WHERE text IS NOT NULL),
+      |snr AS (
+      | SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sk, doc_id) AS rn
+      | FROM snb),
+      |sncand AS (
+      | SELECT LEAST(a.doc_id, b.doc_id) AS ca,
+      |        GREATEST(a.doc_id, b.doc_id) AS cb
+      | FROM snr a JOIN snr b ON b.rn > a.rn AND b.rn <= a.rn + 8),
+      |snws AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w FROM snb),
+      |snsh AS (
+      | SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |   for i in range(1, len(w) - 1)]) AS s
+      | FROM snws WHERE len(w) >= 3),
+      |high AS (
+      | SELECT ca AS doc_a, cb AS doc_b
+      | FROM sncand
+      | JOIN snsh sa ON sa.doc_id = ca
+      | JOIN snsh sb ON sb.doc_id = cb
+      | WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5)""".stripMargin
+
   /** The canonical-keep CTE chain over `rel` (sans leading WITH) — shared
     * by the standalone oracle and the composed i6_curation_v4 oracle. */
   private def canonicalKeepCtesOver(rel: String) =
     s"""high AS (${ngramJaccardSqlAt(0.5, rel)}),
-      |edges AS (
+      |${canonicalKeepTailCtes(rel)}""".stripMargin
+
+  /** Blocked variant: same component/argmax tail over the
+    * sorted-neighborhood `high` pairs. */
+  private def canonicalKeepBlockedCtesOver(rel: String) =
+    s"""${sortedNeighborHighCtes(rel)},
+      |${canonicalKeepTailCtes(rel)}""".stripMargin
+
+  /** Everything downstream of `high(doc_a, doc_b)`: undirected edges,
+    * recursive reachability components, quality, per-component argmax. */
+  private def canonicalKeepTailCtes(rel: String) =
+    s"""edges AS (
       | SELECT doc_a AS u, doc_b AS v FROM high
       | UNION ALL SELECT doc_b, doc_a FROM high),
       |reach(id, r) AS (
@@ -196,6 +321,15 @@ object LlmOps {
 
   private val canonicalKeepSql =
     s"""WITH RECURSIVE ${canonicalKeepCtesOver("documents")}
+      |SELECT x.doc_id, x.component, x.quality,
+      | x.doc_id = k.keep_id AS keep
+      |FROM x JOIN keepid k ON x.component = k.component""".stripMargin
+
+  def canonicalKeepBlocked(s: SparkSession, d: String): DataFrame =
+    canonicalKeepBlockedOver(Tables.documents(s, d))
+
+  private val canonicalKeepBlockedSql =
+    s"""WITH RECURSIVE ${canonicalKeepBlockedCtesOver("documents")}
       |SELECT x.doc_id, x.component, x.quality,
       | x.doc_id = k.keep_id AS keep
       |FROM x JOIN keepid k ON x.component = k.component""".stripMargin
@@ -1392,7 +1526,26 @@ object LlmOps {
   def curationV4(s: SparkSession, d: String): DataFrame =
     curationV4Over(Tables.documents(s, d))
 
-  private[graft] def curationV4Over(docs: DataFrame): DataFrame = {
+  private[graft] def curationV4Over(docs: DataFrame): DataFrame =
+    curationWith(docs, canonicalKeepOver, "i6_curation_v4.survivors")
+
+  /** I6p — curation v5: the same exact-dedup → canonical-keep →
+    * temperature-mixture composition as v4, with the near-dup stage on
+    * the BLOCKED pair substrate ([[canonicalKeepBlockedOver]], w·N
+    * sorted-neighborhood candidates) instead of the exact word-3-gram
+    * pair tier. This is the 100 TB default: the exact tier's pair volume
+    * is the battery's one measured scale-killer (~1.65 exponent at 16×
+    * on the bounded-vocabulary fixture), while the blocked tier's
+    * candidate count is linear by construction. Fully composed DuckDB
+    * oracle — the blocked candidates are a pure function of the data. */
+  def curationV5(s: SparkSession, d: String): DataFrame =
+    curationV5Over(Tables.documents(s, d))
+
+  private[graft] def curationV5Over(docs: DataFrame): DataFrame =
+    curationWith(docs, canonicalKeepBlockedOver, "i6_curation_v5.survivors")
+
+  private def curationWith(docs: DataFrame,
+      keepStage: DataFrame => DataFrame, slot: String): DataFrame = {
     // localCheckpoint at each stage boundary: downstream stages fan out
     // over their input (pairs + components + quality + mixture stats), so
     // an unpinned plan re-expands the dedup window under every consumer —
@@ -1404,7 +1557,7 @@ object LlmOps {
       .filter(col("text").isNull || col("doc_id") === col("__rep"))
       .drop("__rep")
       .localCheckpoint()
-    val keepers = canonicalKeepOver(exact)
+    val keepers = keepStage(exact)
       .filter(col("keep")).select("doc_id")
     // the survivor checkpoint materializes eagerly here, so `exact` has
     // no live consumers left — release its blocks now; the survivor
@@ -1413,7 +1566,7 @@ object LlmOps {
     val surv = exact.join(keepers, Seq("doc_id")).localCheckpoint()
     graft.operators.Checkpoints.release(exact)
     temperatureMixtureOver(graft.operators.Checkpoints.supersede(
-      docs.sparkSession, "i6_curation_v4.survivors", surv))
+      docs.sparkSession, slot, surv))
   }
 
   private val curationV4Sql =
@@ -1424,6 +1577,22 @@ object LlmOps {
       |  FROM documents)
       | WHERE text IS NULL OR doc_id = rep),
       |${canonicalKeepCtesOver("exact")},
+      |surv AS MATERIALIZED (
+      | SELECT e.doc_id, e.source, e.text FROM exact e
+      | JOIN x ON x.doc_id = e.doc_id
+      | JOIN keepid k ON k.component = x.component
+      |  AND e.doc_id = k.keep_id),
+      |${temperatureCtesOver("surv")}
+      |$temperatureSelectSql""".stripMargin
+
+  private val curationV5Sql =
+    s"""WITH RECURSIVE exact AS MATERIALIZED (
+      | SELECT doc_id, text, lang, source, n_chars FROM (
+      |  SELECT doc_id, text, lang, source, n_chars,
+      |   MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+      |  FROM documents)
+      | WHERE text IS NULL OR doc_id = rep),
+      |${canonicalKeepBlockedCtesOver("exact")},
       |surv AS MATERIALIZED (
       | SELECT e.doc_id, e.source, e.text FROM exact e
       | JOIN x ON x.doc_id = e.doc_id
@@ -2672,10 +2841,13 @@ object LlmOps {
     "i1_bloom_reference_dedup" -> bloomReferenceDedup _,
     "i2_ngram_jaccard" -> ngramJaccard _,
     "i2_incremental_dedup" -> incrementalDedup _,
+    "i2_incremental_index" -> incrementalIndexDedup _,
     "i2_canonical_keep" -> canonicalKeep _,
+    "i2_canonical_keep_blocked" -> canonicalKeepBlocked _,
     "i6_temperature_mixture" -> temperatureMixture _,
     "i4_image_ahash" -> imageAhash _,
     "i6_curation_v4" -> curationV4 _,
+    "i6_curation_v5" -> curationV5 _,
     "i2_fuzzy_dedup_e2e" -> fuzzyDedupE2e _,
     "i2_minhash_lsh_candidates" -> minhashCandidates _,
     "i2_minhash_containment" -> minhashContainmentGate _,
@@ -2753,10 +2925,13 @@ object LlmOps {
     "i1_bloom_reference_dedup" -> bloomReferenceDedupSql,
     "i2_ngram_jaccard" -> ngramJaccardSql,
     "i2_incremental_dedup" -> incrementalDedupSql,
+    "i2_incremental_index" -> incrementalIndexSql,
     "i2_canonical_keep" -> canonicalKeepSql,
+    "i2_canonical_keep_blocked" -> canonicalKeepBlockedSql,
     "i6_temperature_mixture" -> temperatureMixtureSql,
     "i4_image_ahash" -> imageAhashSql,
     "i6_curation_v4" -> curationV4Sql,
+    "i6_curation_v5" -> curationV5Sql,
     "i2_fuzzy_dedup_e2e" -> fuzzyDedupE2eSql,
     "i2_minhash_containment" -> minhashContainmentSql,
     "i2_minhash_lsh_candidates" -> minhashCandidatesSql,

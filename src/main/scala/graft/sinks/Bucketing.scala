@@ -24,11 +24,23 @@ object Bucketing {
     * `buckets` so one bucket of the LARGEST co-bucketed table fits an
     * executor core's memory at target scale. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // an in-memory catalog forgets tables across sessions but their
+    // managed directories survive; saveAsTable refuses to adopt an orphan
+    // location, so clear it when the catalog has no entry (a CATALOGED
+    // table is left for mode(overwrite) to replace atomically)
+    if (!spark.catalog.tableExists(table)) {
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.delete(wh, true)
+    }
     df.write
       .format("parquet") // managed: lives under spark.sql.warehouse.dir
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode("overwrite")
       .saveAsTable(table)
+  }
 }

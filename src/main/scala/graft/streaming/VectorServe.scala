@@ -63,6 +63,36 @@ object VectorServe {
     Similarity.bruteForceTopKBroadcast(queryStream, corpus, idCol, vecCol, k)
   }
 
+  /** FILTERED streaming serve — the `i3_filtered_topk` contract online:
+    * a metadata predicate (tenant/language/license scoping) restricts the
+    * STATIC corpus BEFORE the index builds, so non-matching rows never
+    * decode their embedding column (the predicate reaches the corpus
+    * parquet scan as a pushed filter — the index build consumes the
+    * filtered frame at plan time) and never occupy broadcast budget; every
+    * arriving query still gets k TRUE neighbors from the filtered set. The
+    * alternative — post-filtering an unfiltered serve's top-k — silently
+    * under-fills whenever fewer than k global winners match, exactly the
+    * loss the batch row's spec measures. Composes [[serveExact]], so the
+    * plan stays stateless and bit-parity with the filtered batch tier
+    * holds (StreamingSpec pins both). */
+  def serveExactFiltered(
+      queryStream: DataFrame, corpus: DataFrame, predicate:
+      org.apache.spark.sql.Column,
+      idCol: String, vecCol: String, k: Int = 5): DataFrame =
+    serveExact(queryStream, corpus.filter(predicate), idCol, vecCol, k)
+
+  /** [[servePq]] under a corpus metadata predicate: the filtered corpus is
+    * what gets PQ-trained and encoded — codebooks describe the servable
+    * subset, not the whole store. */
+  def servePqFiltered(
+      queryStream: DataFrame, corpus: DataFrame,
+      predicate: org.apache.spark.sql.Column,
+      idCol: String, vecCol: String, k: Int = 5,
+      nBlocks: Int = 16, nCodes: Int = 256,
+      lloydIters: Int = 3, maxTrainSample: Int = 65536): DataFrame =
+    servePq(queryStream, corpus.filter(predicate), idCol, vecCol, k,
+      nBlocks, nCodes, lloydIters, maxTrainSample)
+
   /** PQ streaming serve — the memory axis online: the static corpus is
     * encoded ONCE to an nBlocks-byte-per-vector code table (built
     * distributed; raw corpus vectors never reach the driver —

@@ -794,6 +794,76 @@ class LlmSpec extends AnyFunSuite {
     assert(est02 < 0.3)
   }
 
+  test("I2i indexed incremental dedup: inline-tier verdicts; stored side never shuffles") {
+    val d = "/root/testdata/sf0.01"
+    val out = graft.queries.LlmOps.incrementalIndexDedup(spark, d)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4))
+    val got = out.collect().map(key).sortBy(_._1).toSeq
+    val docsF = graft.queries.Tables.documents(spark, d)
+    val want = Dedup.incrementalDedup(
+      docsF.filter(col("doc_id") % 10 =!= 0),
+      docsF.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 3, threshold = 0.5, maxShingleFreq = Some(1000))
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(got == want, "fixture verdicts agree across tiers (cap never binds)")
+    // the 100 TB claim: the standing corpus is read bucketed and joins
+    // WITHOUT an exchange — only the batch side shuffles onto `sh`
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_i2_posting_index"), plan.take(1500))
+    assert(plan.contains("SelectedBucketsCount"), plan.take(1500))
+    val shEx = "Exchange hashpartitioning\\(sh#".r.findAllIn(plan).size
+    assert(shEx <= 1, s"stored side must not shuffle ($shEx sh-exchanges)")
+    // cap-contract difference, pinned: the index caps on BASE posting
+    // length alone, the inline tier on base+batch combined
+    val base = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha beta gamma x y"),
+      (20L, "alpha beta gamma p q")).toDF("doc_id", "text")
+    val inline1 = Dedup.incrementalDedup(base, batch, "doc_id", "text",
+      n = 3, threshold = 0.2, maxShingleFreq = Some(1))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val index1 = Dedup.incrementalDedupFromIndex(
+      Dedup.buildPostingIndex(base, "doc_id", "text", n = 3), batch,
+      "doc_id", "text", n = 3, threshold = 0.2, maxShingleFreq = Some(1))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(!inline1(10L) && !inline1(20L),
+      "combined cap 1 drops the shared shingle (count 3) inline")
+    assert(index1(10L) && index1(20L),
+      "base-only cap 1 keeps it (base count 1): batch-hot shingles match")
+  }
+
+  test("I2j blocked canonical keep: agrees with the exact tier; hand-built clusters") {
+    // the 100 TB composition must make the same keep decisions as the
+    // exact pair tier wherever blocking finds the pairs; on the fixture
+    // the prefix sort co-locates every near-dup family (measured
+    // agreement 1.0 at all three sfs) — pin a slack 0.9 floor
+    val d = "/root/testdata/sf0.01"
+    val ex = graft.queries.LlmOps.canonicalKeep(spark, d)
+      .select(col("doc_id"), col("keep").as("k1"))
+    val bl = graft.queries.LlmOps.canonicalKeepBlocked(spark, d)
+      .select(col("doc_id"), col("keep").as("k2"))
+    val j = ex.join(bl, Seq("doc_id")).localCheckpoint()
+    val total = j.count()
+    val agree = j.filter(col("k1") === col("k2")).count()
+    assert(total == 500L, "one verdict per document on both tiers")
+    assert(agree * 10 >= total * 9,
+      s"keep-flag agreement $agree/$total below the 0.9 floor")
+    // hand-built: a prefix-sharing near-dup cluster keeps its highest-
+    // quality member; a lone doc keeps itself
+    val mk = (reps: Int, extra: String) =>
+      (("alpha beta gamma delta epsilon zeta " * reps).trim + " " + extra).trim
+    val docs3 = Seq(
+      (10L, mk(4, "")), (11L, mk(4, "eta theta iota")), // near-dups, 11 longer
+      (30L, "totally unrelated content standing alone here today"))
+      .toDF("doc_id", "text")
+    val got = graft.queries.LlmOps.canonicalKeepBlockedOver(docs3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got(30L), "singleton keeps itself")
+    assert(got.size == 3 && (got(10L) ^ got(11L)),
+      s"exactly one of the near-dup pair survives: $got")
+  }
+
   test("I2 md5 hash family: same semantics as xx64, null text never pairs") {
     // the derandomized (oracle-checkable) family must behave like the
     // production family on the fixture: exact dups collide everywhere,

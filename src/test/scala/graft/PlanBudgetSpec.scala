@@ -73,6 +73,14 @@ class PlanBudgetSpec extends AnyFunSuite {
     // 0-budget); counted: the per-component argmax + its join-back (the
     // quality join broadcasts)
     "i2_canonical_keep" -> 2,
+    // indexed incremental: batch explode window + the sh-join probe-side
+    // exchange + pair/verdict aggregates; the STORED side contributes
+    // zero (bucketed scan — the LlmSpec exchange-free pin)
+    "i2_incremental_index" -> 4,
+    // blocked tier: the sorted-neighborhood candidate generation runs
+    // behind its own checkpoint jobs, so only the component/argmax tail
+    // is structurally visible — same 2 as the exact row
+    "i2_canonical_keep_blocked" -> 2,
     "i2_span_cut" -> 2, "i3_cosine_topk" -> 0,
     "i3_query_batch_topk" -> 1, "i3_filtered_topk" -> 1,
     "i3_ivf_serve_gate" -> 7, "i3_ivfpq_serve_gate" -> 7,
@@ -92,6 +100,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     // stage boundaries are localCheckpointed (materialize-once), so the
     // counted plan is just the mixture over the survivor leaf
     "i6_curation_v4" -> 3,
+    "i6_curation_v5" -> 3,
     "i8_kcore" -> 0, "i6_curation_v3" -> 1,
     "i5_lexical_diversity" -> 0,
     "i4_multimodal_meta" -> 0, "i4_image_ahash" -> 0,

@@ -655,6 +655,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("H12 filtered streaming serve: parity with the filtered batch tier, stateless, pushed filter") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val d = "/root/testdata/sf0.001"
+    val e = graft.queries.Tables.embeddings(spark, d)
+    val pred = col("vec_id") >= 64 && col("label").isin(0L, 1L)
+    // the predicate reaches the corpus parquet scan as pushed filters —
+    // the same plan contract the batch i3_filtered_topk row pins: rows
+    // outside the scope never decode their embedding column
+    val scanPlan = e.filter(pred).queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PushedFilters") &&
+      scanPlan.contains("GreaterThanOrEqual(vec_id,64"), scanPlan.take(1200))
+
+    val queryRows = e.filter(col("vec_id") < 64)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val serve = graft.streaming.VectorServe.serveExactFiltered(
+      mem.toDF().toDF("vec_id", "embedding"), e, pred,
+      "vec_id", "embedding", k = 5)
+    assert(serve.isStreaming)
+    val q = serve.writeStream.outputMode("append").format("memory")
+      .queryName("h12_filtered").start()
+    val streamed = try {
+      mem.addData(queryRows: _*)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "filtered serve must stay stateless")
+      spark.table("h12_filtered").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    } finally q.stop()
+    // every neighbor satisfies the predicate (no post-filter under-fill:
+    // all k slots are true filtered-set neighbors)
+    val inScope = e.filter(pred).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed.nonEmpty && streamed.forall(t => inScope(t._2)))
+    assert(streamed.groupBy(_._1).values.forall(_.length == 5))
+    // tuple-for-tuple parity with the filtered BATCH serve
+    val batch = graft.llm.Similarity.batchTopK(
+      e.filter(col("vec_id") < 64), e.filter(pred),
+      "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(streamed.toSet == batch.toSet)
+  }
+
   test("H12 PQ streaming serve: stream equals the batch ADC kernel, recall holds vs exact") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
