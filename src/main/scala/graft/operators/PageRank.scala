@@ -56,6 +56,10 @@ object PageRank {
     val n = nodes.count()
     val r0 = Unit_ / n // integer division, same as the oracle's `//`
     val base = (15L * r0) / 100L
+    // NOT pre-partitioned on u and NOT hash-joined by hint: both were
+    // tried against the 64×-shard super-linear segment and measured
+    // neutral-to-worse (BASELINE.md round-11 PageRank adjudication) —
+    // the segment is one-box saturation, not join-algorithm choice
     val edgesDeg = edgesWithDeg.select(col("u"), col("v"), col("outdeg"))
       .localCheckpoint()
     // The |V|-sized rank table never materializes between rounds: the

@@ -59,9 +59,13 @@ object ZOrder {
 
   /** SQL for min-max normalization onto `[0, 2^bits)`: integer-exact in
     * both engines (`div` / `//` floor-divide on BIGINT; the product stays
-    * far under 2^63 for any 32-bit dimension span). Constant dimensions
-    * normalize to 0. The Spark side is the same formula via `expr` with
-    * `div`. */
+    * far under 2^63 for any 32-bit dimension span — a wider span wraps
+    * negative and silently aliases distant rows into one cell, which is
+    * why [[cluster]] `require`s the span bound at runtime; this SQL
+    * builder has no values to check, so callers with >32-bit dimensions
+    * must pre-scale, e.g. bucket timestamps to minutes/days). Constant
+    * dimensions normalize to 0. The Spark side is the same formula via
+    * `expr` with `div`. */
   def normalizeSql(x: String, lo: String, hi: String, bits: Int = 16): String =
     s"((($x) - ($lo)) * ${(1L << bits) - 1}) // GREATEST(($hi) - ($lo), 1)"
 
