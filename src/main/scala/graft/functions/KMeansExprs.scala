@@ -92,9 +92,68 @@ case class KMeansAssignExpr(child: Expression, centroids: Array[Array[Long]])
     copy(child = newChild)
 }
 
+/** `array<int>` of the `nProbe` nearest centroid indices for a quantized
+  * vector, ordered by (squared distance asc, index asc) — the IVF probe
+  * list. Same exact-integer arithmetic and tie rule as [[KMeansKernel]]
+  * (no early-exit here: every distance is needed for the ranking), so a
+  * DuckDB `ROW_NUMBER() OVER (ORDER BY dist, cid)` reproduces the probe
+  * set bit-for-bit. */
+case class KMeansNearestCellsExpr(child: Expression,
+    centroids: Array[Array[Long]], nProbe: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "kmeans_nearest_cells"
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    val m = centroids.length
+    val dists = new Array[Long](m)
+    var c = 0
+    while (c < m) {
+      val cent = centroids(c)
+      if (cent.length != n) {
+        throw new IllegalArgumentException(
+          s"kmeans_nearest_cells: vector dim $n != centroid dim ${cent.length}")
+      }
+      var d = 0L
+      var i = 0
+      while (i < n) {
+        val t = vec.getLong(i) - cent(i)
+        if (t > KMeansKernel.MaxDelta || t < -KMeansKernel.MaxDelta) {
+          throw new IllegalArgumentException(
+            s"kmeans_nearest_cells: |element - centroid| exceeds 2^25; " +
+              "inputs must sit on the quantized integer grid")
+        }
+        d += t * t
+        i += 1
+      }
+      dists(c) = d
+      c += 1
+    }
+    val order = (0 until m).sortBy(c => (dists(c), c)).take(nProbe)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      order.map(Int.box).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 object KMeansExprs {
   def assign(vec: Column, centroids: Array[Array[Long]]): Column = {
     require(centroids.nonEmpty, "kmeans_assign needs at least one centroid")
     Bridge.column(KMeansAssignExpr(Bridge.expression(vec), centroids))
+  }
+
+  def nearestCells(vec: Column, centroids: Array[Array[Long]],
+      nProbe: Int): Column = {
+    require(centroids.nonEmpty, "kmeans_nearest_cells needs centroids")
+    Bridge.column(KMeansNearestCellsExpr(Bridge.expression(vec), centroids,
+      math.min(nProbe, centroids.length)))
   }
 }

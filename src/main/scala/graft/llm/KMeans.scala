@@ -50,6 +50,30 @@ object KMeans {
         passthrough.map(col): _*)
       .filter(col("q").isNotNull)
       .localCheckpoint() // quantize once; every round rescans this
+    val cents = train(base, k, updates)
+    val asg = KMeansExprs.assign(col("q"), cents)
+    base.select(col("vid").as(idCol) +: passthrough.map(col) :+
+      asg("cluster").as("cluster") :+ asg("dist").as("dist"): _*)
+  }
+
+  /** The trained centroid table alone (same seeds, same update recurrence
+    * as [[fit]] — bit-identical) for callers that need the centroids as a
+    * reusable quantizer, e.g. IVF cell probing
+    * ([[Similarity.ivfTopKExact]]). The training checkpoint is released
+    * before returning (the collects inside the loop materialize eagerly). */
+  def centroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      updates: Int): Array[Array[Long]] = {
+    require(k > 0 && updates >= 0, s"bad k=$k / updates=$updates")
+    val base = df
+      .select(col(idCol).as("vid"), quantize(col(vecCol)).as("q"))
+      .filter(col("q").isNotNull)
+      .localCheckpoint()
+    try train(base, k, updates)
+    finally graft.operators.Checkpoints.release(base)
+  }
+
+  private def train(base: DataFrame, k: Int,
+      updates: Int): Array[Array[Long]] = {
     var cents: Array[Array[Long]] = base.orderBy(col("vid")).limit(k)
       .select(col("q")).collect()
       .map(_.getSeq[Long](0).toArray)
@@ -67,8 +91,6 @@ object KMeans {
       }
       cents = next
     }
-    val asg = KMeansExprs.assign(col("q"), cents)
-    base.select(col("vid").as(idCol) +: passthrough.map(col) :+
-      asg("cluster").as("cluster") :+ asg("dist").as("dist"): _*)
+    cents
   }
 }

@@ -759,6 +759,51 @@ object Similarity {
   def lshBucket(vec: Column, nPlanes: Int = 12, table: Int = 0): Column =
     graft.functions.HashExprs.hyperplaneLsh(vec, nPlanes, table)
 
+  /** IVF ANN with the INTEGER-Lloyd coarse quantizer — the derandomized,
+    * fully oracle-checkable variant (round 11, the md5-MinHash playbook
+    * applied to IVF): centroids come from [[KMeans.centroids]] (k
+    * lowest-id seeds, exact fixed-point updates), corpus cells from the
+    * same argmin kernel, query probes from
+    * [[graft.functions.KMeansNearestCellsExpr]] (top-nProbe by squared
+    * grid distance, ties to the lower index), and candidate scoring is
+    * the exact quantized-integer cosine. Every stage is a pure integer
+    * function of the data, so DuckDB reproduces cells, probes, candidates
+    * and ranks bit-for-bit by extending the `i3_kmeans` CTE chain. Same
+    * plan shape as [[ivfTopK]] (cell equi-join, no all-pairs); the
+    * float-trained [[ivfTopK]] stays available for sample-fit workflows. */
+  def ivfTopKExact(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      nList: Int = 16,
+      nProbe: Int = 4,
+      updates: Int = 1): DataFrame = {
+    val df0 = df.filter(col(vecCol).isNotNull)
+    val cents = KMeans.centroids(df0, idCol, vecCol, nList, updates)
+    val corpusCells = df0.select(col(idCol).cast("long").as("neighbor_id"),
+      quantize(col(vecCol)).as("cv"),
+      graft.functions.KMeansExprs
+        .assign(KMeans.quantize(col(vecCol)), cents)("cluster").as("cell"))
+      .withColumn("cn", sqrt(dotQ(col("cv"), col("cv")).cast("double")))
+      .repartition(Par.of(df), col("cell")) // barrier: features + cell computed once
+    val queryProbes = df0.select(col(idCol).cast("long").as("query_id"),
+      quantize(col(vecCol)).as("qv"),
+      explode(graft.functions.KMeansExprs
+        .nearestCells(KMeans.quantize(col(vecCol)), cents, nProbe)).as("cell"))
+      .withColumn("qn", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
+    val pairs = queryProbes.join(corpusCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", safeCosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .filter(col("cos_sim").isNotNull)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
   /** I3c — IVF (inverted-file) ANN: a coarse centroid table partitions the
     * corpus into `nList` cells (k-means-style Lloyd refinement, deterministic
     * min-id init); each query probes its `nProbe` nearest cells and reranks

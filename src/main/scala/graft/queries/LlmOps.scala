@@ -591,12 +591,54 @@ object LlmOps {
     rank1RecallGate(cosineTopK(s, d), ivfAnn(s, d),
       floor = floorFor(IvfRecallFloors, d, conservative = 0.1))
 
-  /** I3c — IVF-partitioned ANN top-k (rows-only: the centroid table has no
-    * DuckDB equivalent; recall driver-verified by `i3_ivf_recall_gate`). */
+  /** I3c — IVF-partitioned ANN top-k, FULL hash oracle (round 11): the
+    * coarse quantizer is the INTEGER-Lloyd k-means already oracle-checked
+    * by `i3_kmeans` (16 lowest-id seeds, one exact fixed-point update),
+    * so cells, probe lists, candidates and ranks are pure integer
+    * functions of the data — the oracle extends the shared kmeans CTE
+    * chain with a top-nProbe probe ranking and the exact quantized
+    * cosine. The float sample-trained [[Similarity.ivfTopK]] remains the
+    * sample-fit production path behind `i3_ivf_serve_gate`. Recall is
+    * still driver-verified by `i3_ivf_recall_gate`. */
   def ivfAnn(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    Similarity.ivfTopK(e, "vec_id", "embedding", k = 5)
+    Similarity.ivfTopKExact(e, "vec_id", "embedding", k = 5,
+      nList = 16, nProbe = 4, updates = 1)
   }
+
+  private val ivfAnnSql =
+    s"""WITH ${kmeansAssignCteK(16)},
+      |probes AS (
+      | SELECT vec_id AS query_id, cid FROM (
+      |  SELECT vec_id, cid,
+      |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |  FROM d1) WHERE rn <= 4),
+      |qs AS (
+      | SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS v
+      | FROM embeddings),
+      |fl AS (SELECT vec_id, unnest(v) AS e, generate_subscripts(v,1) AS i FROM qs),
+      |nr AS (SELECT vec_id, sqrt(CAST(SUM(e*e) AS DOUBLE)) AS nrm FROM fl GROUP BY 1),
+      |cand AS (
+      | SELECT p.query_id, a1.vec_id AS neighbor_id
+      | FROM probes p JOIN a1 ON a1.cid = p.cid
+      |  AND a1.vec_id <> p.query_id),
+      |dots AS (
+      | SELECT c.query_id, c.neighbor_id, SUM(fa.e*fb.e) AS dot
+      | FROM cand c
+      | JOIN fl fa ON fa.vec_id = c.query_id
+      | JOIN fl fb ON fb.vec_id = c.neighbor_id AND fb.i = fa.i
+      | GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      | SELECT query_id, neighbor_id,
+      |  CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS cos_sim,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id
+      |   ORDER BY CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) DESC,
+      |    neighbor_id ASC) AS rank
+      | FROM dots
+      | JOIN nr na ON na.vec_id = query_id
+      | JOIN nr nb ON nb.vec_id = neighbor_id
+      | WHERE na.nrm > 0 AND nb.nrm > 0)
+      |WHERE rank <= 5""".stripMargin
 
   def pqRecallGate(s: SparkSession, d: String): DataFrame =
     rank1RecallGate(cosineTopK(s, d), pqAnn(s, d),
@@ -912,14 +954,14 @@ object LlmOps {
     * (quantize → seed → assign → update → reassign) — the building block
     * of both the `i3_kmeans` report and the `i6_cluster_balance`
     * pipeline oracle. */
-  private val kmeansAssignCte =
-    """q AS (
+  private def kmeansAssignCteK(k: Int) =
+    s"""q AS (
       | SELECT vec_id, label,
       |  [CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT) + 1000000 for x in embedding] AS v
       | FROM embeddings),
       |seeds AS (
       | SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v
-      | FROM q ORDER BY vec_id LIMIT 10),
+      | FROM q ORDER BY vec_id LIMIT $k),
       |qf AS (SELECT vec_id, unnest(v) AS e, generate_subscripts(v,1) AS i FROM q),
       |c0 AS (SELECT cid, unnest(v) AS e, generate_subscripts(v,1) AS i FROM seeds),
       |d0 AS (
@@ -945,6 +987,8 @@ object LlmOps {
       |  SELECT vec_id, cid, dist,
       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
       |  FROM d1) WHERE rn = 1)""".stripMargin
+
+  private val kmeansAssignCte = kmeansAssignCteK(10)
 
   private val kmeansClustersSql =
     s"""WITH $kmeansAssignCte,
@@ -2949,6 +2993,7 @@ object LlmOps {
     "i3_ivf_recall_gate" -> recallGateSql,
     "i3_pq_recall_gate" -> recallGateSql,
     "i3_kmeans" -> kmeansClustersSql,
+    "i3_ivf_ann_topk" -> ivfAnnSql,
     "i2_semdedup" -> semDedupSql,
     "i6_proto_prune" -> protoPruneSql,
     "i3_hard_negatives" -> hardNegativesSql,

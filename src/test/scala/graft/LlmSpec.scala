@@ -1155,6 +1155,34 @@ class LlmSpec extends AnyFunSuite {
     assert(hits.toDouble / brute.size > 0.5, s"recall ${hits.toDouble / brute.size}")
   }
 
+  test("I3 exact-IVF (integer-Lloyd) recall and determinism") {
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    def run() = Similarity.ivfTopKExact(e, "vec_id", "embedding", k = 1,
+      nList = 8, nProbe = 3, updates = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val ivf = run()
+    val hits = brute.count { case (q, n) => ivf.get(q).contains(n) }
+    assert(ivf.nonEmpty)
+    assert(hits.toDouble / brute.size > 0.5, s"recall ${hits.toDouble / brute.size}")
+    // pure integer function of the data: a second fit+probe is bit-identical
+    assert(run() == ivf)
+  }
+
+  test("I3 exact-IVF handles a corpus smaller than nList") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopKExact(vecs, "vec_id", "embedding", k = 1,
+      nList = 16, nProbe = 4)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    assert(out(1L) == 2L && out(2L) == 1L)
+  }
+
   test("I3 PQ ANN recall vs brute force on real embeddings") {
     val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 1)
