@@ -244,6 +244,69 @@ case class HyperplaneLshExpr(child: Expression, nPlanes: Int, table: Int)
     copy(child = newChild)
 }
 
+/** [[HyperplaneLshExpr]] with an md5-derived plane family — the
+  * derandomization that makes LSH buckets a pure function of public
+  * arithmetic both engines implement (the `Md5MinHashSigExpr` playbook):
+  * plane weight `w(table, plane, i)` is the first 32 md5 bits of
+  * `"lsh:table:plane:i"` mapped onto `[-10005, 10005]` via `% 20011`, the
+  * vector rides the exact 1e-6 integer grid (`floor(x·10^6)`, matching
+  * `Similarity.quantize`), and the sign bit is an exact integer-dot
+  * comparison — DuckDB reproduces every bucket bit-for-bit. Weights depend
+  * only on (table, plane, index), so the matrix is computed once per
+  * executor and cached; |dot| ≤ dim·2^24·10005 < 2^52, no overflow. */
+case class Md5HyperplaneLshExpr(child: Expression, nPlanes: Int, table: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(nPlanes >= 1 && nPlanes <= 64, s"nPlanes must be in [1, 64]: $nPlanes")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_hyperplane_lsh"
+
+  @transient private lazy val elemIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
+
+  @transient private var planes: Array[Array[Long]] = null // [plane][i]
+
+  private def weights(n: Int): Array[Array[Long]] = {
+    if (planes == null || planes(0).length < n) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      planes = Array.tabulate(nPlanes) { j =>
+        Array.tabulate(n) { i =>
+          md.reset()
+          val d = md.digest(s"lsh:$table:$j:$i".getBytes)
+          val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          h % 20011L - 10005L
+        }
+      }
+    }
+    planes
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ws = weights(n)
+    var bits = 0L
+    var j = 0
+    while (j < nPlanes) {
+      val wj = ws(j)
+      var dot = 0L
+      var i = 0
+      while (i < n) {
+        val x = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        dot += math.floor(x * 1000000d).toLong * wj(i)
+        i += 1
+      }
+      if (dot >= 0L) bits |= 1L << j
+      j += 1
+    }
+    bits
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExprs {
   def minHashSig(shingles: Column, k: Int): Column =
     Bridge.column(MinHashSigExpr(Bridge.expression(shingles), k))
@@ -259,4 +322,7 @@ object HashExprs {
 
   def hyperplaneLsh(vec: Column, nPlanes: Int, table: Int): Column =
     Bridge.column(HyperplaneLshExpr(Bridge.expression(vec), nPlanes, table))
+
+  def md5HyperplaneLsh(vec: Column, nPlanes: Int, table: Int): Column =
+    Bridge.column(Md5HyperplaneLshExpr(Bridge.expression(vec), nPlanes, table))
 }

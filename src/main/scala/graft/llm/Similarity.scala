@@ -756,8 +756,14 @@ object Similarity {
     * ([[graft.functions.HyperplaneLshExpr]]) — the `aggregate`/`zip_with`
     * formulation built a (planes × elements) interpreted-lambda tree whose
     * analysis time alone dominated the query. */
-  def lshBucket(vec: Column, nPlanes: Int = 12, table: Int = 0): Column =
-    graft.functions.HashExprs.hyperplaneLsh(vec, nPlanes, table)
+  def lshBucket(vec: Column, nPlanes: Int = 12, table: Int = 0,
+      hashFamily: String = "murmur"): Column = {
+    require(hashFamily == "murmur" || hashFamily == "md5",
+      s"unknown hashFamily '$hashFamily' (expected murmur or md5)")
+    if (hashFamily == "md5")
+      graft.functions.HashExprs.md5HyperplaneLsh(vec, nPlanes, table)
+    else graft.functions.HashExprs.hyperplaneLsh(vec, nPlanes, table)
+  }
 
   /** IVF ANN with the INTEGER-Lloyd coarse quantizer — the derandomized,
     * fully oracle-checkable variant (round 11, the md5-MinHash playbook
@@ -867,11 +873,12 @@ object Similarity {
       vecCol: String,
       k: Int = 5,
       nPlanes: Int = 8,
-      nTables: Int = 4): DataFrame = {
+      nTables: Int = 4,
+      hashFamily: String = "murmur"): DataFrame = {
     val b = df.select(
       (Seq(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv")) ++
         (0 until nTables).map(t =>
-          lshBucket(col(vecCol), nPlanes, t).as(s"bucket_$t"))): _*)
+          lshBucket(col(vecCol), nPlanes, t, hashFamily).as(s"bucket_$t"))): _*)
       .withColumn("qn", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
       .repartition(Par.of(df), col("query_id")) // barrier: buckets + norm computed once
     val buckets = b.select(col("query_id"), col("qv"), col("qn"),

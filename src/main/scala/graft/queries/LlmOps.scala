@@ -1144,15 +1144,67 @@ object LlmOps {
       |  AS kept_id_sum
       |FROM a1 GROUP BY 1 ORDER BY cluster_id""".stripMargin
 
-  /** I3b — LSH-bucketed ANN top-k (rows-only: murmur3-hash buckets; recall
-    * driver-verified by `i3_lsh_recall_gate`). 6 planes × 8 tables: 64
-    * buckets per table keeps candidate generation ~16× under brute force at
-    * sf0.1 while rank-1 recall@5 on the near-random fixture measures 0.358
-    * (8 planes × 4 tables measured 0.056 — random-ish embeddings need the
-    * flatter S-curve of fewer planes + more tables). */
+  /** I3b — LSH-bucketed ANN top-k, FULL hash oracle (round 11): the plane
+    * family is md5-derived integers on the 1e-6 grid
+    * ([[graft.functions.Md5HyperplaneLshExpr]]), so every bucket bit, the
+    * candidate set, and the exact-integer cosine rerank are reproducible
+    * arithmetic in DuckDB — no seeds, no engine hashes. 6 planes × 8
+    * tables: 64 buckets per table keeps candidate generation ~16× under
+    * brute force at sf0.1 (recall still driver-verified by
+    * `i3_lsh_recall_gate`; 8 planes × 4 tables measured 0.056 rank-1 —
+    * random-ish embeddings need the flatter S-curve of fewer planes +
+    * more tables). */
   def lshAnn(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    Similarity.lshTopK(e, "vec_id", "embedding", k = 5, nPlanes = 6, nTables = 8)
+    Similarity.lshTopK(e, "vec_id", "embedding", k = 5, nPlanes = 6, nTables = 8,
+      hashFamily = "md5")
+  }
+
+  /** Oracle twin of [[Similarity.lshTopK]] under the md5 plane family:
+    * recompute the 32-bit md5 weight w(table, plane, i) per dimension,
+    * sign-bit buckets per table, same-bucket candidates in ANY table, then
+    * the shared exact quantized-cosine rerank (the `i3_ivf_ann_topk`
+    * fl/nr idiom). */
+  private val lshAnnSql = {
+    val wVal = Relational.hexValSql("'lsh:' || t.t || ':' || j.j || ':' || (d.i - 1)", 1)
+    s"""WITH qs AS (
+      | SELECT vec_id,
+      |  [CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT) for x in embedding] AS v
+      | FROM embeddings),
+      |fl AS (SELECT vec_id, unnest(v) AS e, generate_subscripts(v,1) AS i FROM qs),
+      |nr AS (SELECT vec_id, sqrt(CAST(SUM(e*e) AS DOUBLE)) AS nrm FROM fl GROUP BY 1),
+      |dims AS (SELECT DISTINCT i FROM fl),
+      |w AS (
+      | SELECT t.t, j.j, d.i, $wVal % 20011 - 10005 AS w
+      | FROM range(8) t(t), range(6) j(j), dims d),
+      |dots AS (
+      | SELECT f.vec_id, w.t, w.j, SUM(f.e * w.w) AS dot
+      | FROM fl f JOIN w ON w.i = f.i GROUP BY 1, 2, 3),
+      |buckets AS (
+      | SELECT vec_id, t,
+      |  SUM(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END) AS bucket
+      | FROM dots GROUP BY 1, 2),
+      |cand AS (
+      | SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      | FROM buckets a JOIN buckets b
+      |  ON b.t = a.t AND b.bucket = a.bucket AND b.vec_id <> a.vec_id),
+      |dot2 AS (
+      | SELECT c.query_id, c.neighbor_id, SUM(fa.e*fb.e) AS dot
+      | FROM cand c
+      | JOIN fl fa ON fa.vec_id = c.query_id
+      | JOIN fl fb ON fb.vec_id = c.neighbor_id AND fb.i = fa.i
+      | GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      | SELECT query_id, neighbor_id,
+      |  CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS cos_sim,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id
+      |   ORDER BY CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) DESC,
+      |    neighbor_id ASC) AS rank
+      | FROM dot2
+      | JOIN nr na ON na.vec_id = query_id
+      | JOIN nr nb ON nb.vec_id = neighbor_id
+      | WHERE na.nrm > 0 AND nb.nrm > 0)
+      |WHERE rank <= 5""".stripMargin
   }
 
   /** I5a — heuristic language ID. */
@@ -2989,6 +3041,7 @@ object LlmOps {
     "i3_filtered_topk" -> filteredTopKSql,
     "i3_ivf_serve_gate" -> serveGateSql,
     "i3_ivfpq_serve_gate" -> serveGateSql,
+    "i3_lsh_ann_topk" -> lshAnnSql,
     "i3_lsh_recall_gate" -> recallGateSql,
     "i3_ivf_recall_gate" -> recallGateSql,
     "i3_pq_recall_gate" -> recallGateSql,

@@ -1128,6 +1128,43 @@ class LlmSpec extends AnyFunSuite {
     assert(hits.toDouble / brute.size > 0.4, s"recall ${hits.toDouble / brute.size}")
   }
 
+  test("I3 md5-family LSH: recall holds and buckets are engine-independent") {
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    def run() = Similarity.lshTopK(e, "vec_id", "embedding", k = 3,
+      nPlanes = 4, nTables = 8, hashFamily = "md5")
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val ann = run()
+    val hits = brute.count { case (q, n) => ann.get(q).contains(n) }
+    assert(ann.nonEmpty)
+    assert(hits.toDouble / brute.size > 0.4, s"recall ${hits.toDouble / brute.size}")
+    // derandomized: a second run is bit-identical (no seeds anywhere)
+    assert(run() == ann)
+    // the weight family is the documented md5 arithmetic: reproduce one
+    // bucket's sign bits independently from MessageDigest
+    val vec = e.filter(col("vec_id") === 0L).select(col("embedding"))
+      .head.getSeq[Float](0).toArray
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var expect = 0L
+    for (j <- 0 until 4) {
+      var dot = 0L
+      for (i <- vec.indices) {
+        md.reset()
+        val d = md.digest(s"lsh:2:$j:$i".getBytes)
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        dot += math.floor(vec(i).toDouble * 1000000d).toLong * (h % 20011L - 10005L)
+      }
+      if (dot >= 0L) expect |= 1L << j
+    }
+    val got = e.filter(col("vec_id") === 0L)
+      .select(Similarity.lshBucket(col("embedding"), 4, 2, "md5")).head.getLong(0)
+    assert(got == expect)
+  }
+
   test("I2 embedding near-dups: blocked (LSH) results are a subset of exact") {
     val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def pairs(df: org.apache.spark.sql.DataFrame) =
