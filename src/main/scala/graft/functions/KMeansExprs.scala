@@ -92,6 +92,35 @@ case class KMeansAssignExpr(child: Expression, centroids: Array[Array[Long]])
     copy(child = newChild)
 }
 
+/** Block-indexed [[KMeansAssignExpr]] for product-quantization training:
+  * row (b, blockVec) is assigned against codebook `books(b)` — all blocks
+  * of a PQ corpus train through ONE distributed pass per Lloyd update
+  * (the per-block alternative would scan the corpus once per block).
+  * Same exact-integer arithmetic and lower-index tie rule as
+  * [[KMeansKernel.assign]]; returns just the cluster id (int). */
+case class KMeansBlockAssignExpr(left: Expression, right: Expression,
+    books: Array[Array[Array[Long]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "kmeans_block_assign"
+
+  override def nullSafeEval(blockAny: Any, vecAny: Any): Any = {
+    val b = blockAny.asInstanceOf[Int]
+    KMeansKernel.assign(vecAny.asInstanceOf[ArrayData], books(b)).getInt(0)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("books", books, "long[][][]")
+    nullSafeCodeGen(ctx, ev, (b, v) =>
+      s"${ev.value} = graft.functions.KMeansKernel.assign($v, $bRef[$b]).getInt(0);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression) =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `array<int>` of the `nProbe` nearest centroid indices for a quantized
   * vector, ordered by (squared distance asc, index asc) — the IVF probe
   * list. Same exact-integer arithmetic and tie rule as [[KMeansKernel]]
@@ -155,5 +184,13 @@ object KMeansExprs {
     require(centroids.nonEmpty, "kmeans_nearest_cells needs centroids")
     Bridge.column(KMeansNearestCellsExpr(Bridge.expression(vec), centroids,
       math.min(nProbe, centroids.length)))
+  }
+
+  def blockAssign(block: Column, vec: Column,
+      books: Array[Array[Array[Long]]]): Column = {
+    require(books.nonEmpty && books.forall(_.nonEmpty),
+      "kmeans_block_assign needs at least one centroid per block")
+    Bridge.column(KMeansBlockAssignExpr(
+      Bridge.expression(block), Bridge.expression(vec), books))
   }
 }

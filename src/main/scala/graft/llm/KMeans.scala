@@ -72,6 +72,55 @@ object KMeans {
     finally graft.operators.Checkpoints.release(base)
   }
 
+  /** Per-block codebooks for product quantization: block b's codebook is
+    * trained by the SAME seed/update recurrence as [[fit]] on the block
+    * subvectors (seeds = the nCodes lowest-id vectors' slices, exact
+    * fixed-point floor-division updates), with ALL blocks riding one
+    * exploded block-index column so each Lloyd update is a single
+    * distributed pass regardless of block count. Returns
+    * (books[block][code][blockDim] on the shifted grid, blockSize, dim).
+    * Caller guarantees a non-empty corpus. */
+  def blockCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      nCodes: Int, updates: Int, nBlocks: Int): (Array[Array[Array[Long]]], Int, Int) = {
+    require(nCodes > 0 && updates >= 0 && nBlocks > 0,
+      s"bad nCodes=$nCodes / updates=$updates / nBlocks=$nBlocks")
+    val q = df
+      .select(col(idCol).as("vid"), quantize(col(vecCol)).as("q"))
+      .filter(col("q").isNotNull)
+    val seedRows = q.orderBy(col("vid")).limit(nCodes)
+      .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
+    val dim = seedRows(0).length
+    val bs = (dim + nBlocks - 1) / nBlocks
+    val mEff = (dim + bs - 1) / bs
+    var books: Array[Array[Array[Long]]] = Array.tabulate(mEff) { b =>
+      seedRows.map(v =>
+        java.util.Arrays.copyOfRange(v, b * bs, math.min((b + 1) * bs, dim)))
+    }
+    if (updates == 0) return (books, bs, dim)
+    val base = q.select(col("vid"),
+        posexplode(transform(sequence(lit(0), lit(mEff - 1)),
+          bb => slice(col("q"), bb * lit(bs) + lit(1), lit(bs))))
+          .as(Seq("b", "blk")))
+      .localCheckpoint() // slice once; every update rescans this
+    try {
+      for (_ <- 1 to updates) {
+        val perDim = base
+          .select(col("b"), KMeansExprs.blockAssign(col("b"), col("blk"), books).as("c"),
+            posexplode(col("blk")).as(Seq("i", "e")))
+          .groupBy(col("b"), col("c"), col("i"))
+          .agg(sum(col("e")).as("s"), count(lit(1)).as("n"))
+          .collect() // mEff×nCodes×blockSize rows — driver-small at any corpus size
+        val next = books.map(_.map(_.clone())) // empty cluster keeps its centroid
+        perDim.foreach { r =>
+          // truncating div == floor: sums of shifted values are non-negative
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3) / r.getLong(4)
+        }
+        books = next
+      }
+      (books, bs, dim)
+    } finally graft.operators.Checkpoints.release(base)
+  }
+
   private def train(base: DataFrame, k: Int,
       updates: Int): Array[Array[Long]] = {
     var cents: Array[Array[Long]] = base.orderBy(col("vid")).limit(k)

@@ -498,6 +498,93 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** [[pqTopK]] with INTEGER-Lloyd per-block codebooks — the derandomized,
+    * fully oracle-checkable PQ (round 11; the `i3_ivf_ann_topk` playbook
+    * on the block axis): codebooks come from [[KMeans.blockCodebooks]]
+    * (nCodes lowest-id seed slices, exact fixed-point updates, one
+    * distributed pass per update), and both the encode argmin and the ADC
+    * scan run on exact-integer-valued DOUBLES (the 1e-6 grid: every
+    * product ≤ 2^41 and every sum ≤ 2^47 stays exact in IEEE double), so
+    * the existing [[graft.functions.PqEncodeExpr]]/
+    * [[graft.functions.PqTopKExpr]] kernels are reused unchanged and
+    * DuckDB reproduces codes, reconstruction norms, scores and ranks
+    * bit-for-bit by extending the shared k-means CTE recurrence per
+    * block. Same broadcast-code-table scan shape (and cache) as
+    * [[pqTopK]]; the float sample-trained path stays for sample-fit
+    * workflows. */
+  def pqTopKExact(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      nBlocks: Int = 16,
+      nCodes: Int = 256,
+      updates: Int = 1): DataFrame = {
+    import graft.functions.{PqCodebooks, PqCodeTable, PqOps}
+    require(nCodes >= 2 && nCodes <= 256,
+      s"nCodes must be in [2, 256] (codes are byte-packed): $nCodes")
+    val df0 = df.filter(col(vecCol).isNotNull)
+    val feats = df0.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // exact-integer-valued double view on the unshifted 1e-6 grid
+    // (floor() yields BIGINT; the kernels take float/double arrays, and
+    // the cast back is exact — |values| ≤ 2^21 ≪ 2^53)
+    val quantD = transform(col("v"),
+      x => floor(x.cast("double") * 1000000d).cast("double"))
+    val key = (corpusKey(df, idCol, vecCol), nBlocks, nCodes, updates, -1)
+    val cached = pqCache.synchronized(pqCache.get(key))
+    val (books, table) = if (cached != null) cached else {
+      requireBroadcastable(df, idCol)
+      if (feats.limit(1).isEmpty) {
+        return feats.limit(0).select(col("id").as("query_id"),
+          col("id").as("neighbor_id"), lit(0.0).as("cos_sim"),
+          lit(1).cast("int").as("rank"))
+      }
+      // shifted-grid integer codebooks → unshift (exact: the +1e6 shift is
+      // uniform, so floor-mean commutes with it) → exact-int doubles
+      val (shifted, bs, dim) =
+        KMeans.blockCodebooks(df0, idCol, vecCol, nCodes, updates, nBlocks)
+      val books = new PqCodebooks(
+        shifted.map(_.map(_.map(v => (v - KMeans.Scale).toDouble))), bs, dim)
+      val mEff = books.nBlocks
+      // distributed encode on the quantized grid; zero RAW-norm rows are
+      // excluded before the table is built (same contract as built())
+      val rawNorm2 = aggregate(
+        transform(col("v"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      val codeRows = feats
+        .repartition(Par.of(feats))
+        .filter(rawNorm2 > 0d)
+        .select(col("id"), PqOps.pqEncode(quantD, books).as("codes"))
+        .collect()
+      val n = codeRows.length
+      val ids = new Array[Long](n)
+      val flat = new Array[Byte](n * mEff)
+      var j = 0
+      while (j < n) {
+        ids(j) = codeRows(j).getLong(0)
+        val cs = codeRows(j).getSeq[Int](1)
+        var b = 0
+        while (b < mEff) { flat(j * mEff + b) = cs(b).toByte; b += 1 }
+        j += 1
+      }
+      val fresh = (books, feats.sparkSession.sparkContext.broadcast(
+        new PqCodeTable(ids, flat, mEff)))
+      val winner = pqCache.synchronized {
+        val prev = pqCache.get(key)
+        if (prev == null) { pqCache.put(key, fresh); fresh } else prev
+      }
+      if (winner ne fresh) fresh._2.destroy()
+      winner
+    }
+    val topExpr = PqOps.pqTopK(col("query_id"), col("v"), table, books, k)
+    feats.select(col("id").as("query_id"), quantD.as("v"))
+      .select(col("query_id"), posexplode(topExpr).as(Seq("pos", "entry")))
+      .select(col("query_id"),
+        col("entry.id").as("neighbor_id"),
+        col("entry.score").as("cos_sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Train codebooks + build the broadcast code table; None on an empty
     * (or empty-vector) corpus. */
   private[graft] def built(

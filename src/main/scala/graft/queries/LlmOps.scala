@@ -644,13 +644,95 @@ object LlmOps {
     rank1RecallGate(cosineTopK(s, d), pqAnn(s, d),
       floor = floorFor(PqRecallFloors, d, conservative = 0.5))
 
-  /** I3e — product-quantization ANN top-k (rows-only: the trained
-    * codebooks have no DuckDB equivalent; recall driver-verified by
-    * `i3_pq_recall_gate`). */
+  /** I3e — product-quantization ANN top-k, FULL hash oracle (round 11):
+    * the per-block codebooks are INTEGER-Lloyd k-means (the `i3_kmeans`
+    * recurrence per block slice), so codes, reconstruction norms, ADC
+    * scores and ranks are pure integer functions of the data — DuckDB
+    * recomputes the codebooks and the whole scan bit-for-bit. The float
+    * sample-trained [[Similarity.pqTopK]] remains for sample-fit
+    * workflows and the serving tier; recall is still driver-verified by
+    * `i3_pq_recall_gate`. */
   def pqAnn(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    Similarity.pqTopK(e, "vec_id", "embedding", k = 5)
+    Similarity.pqTopKExact(e, "vec_id", "embedding", k = 5,
+      nBlocks = 16, nCodes = 256, updates = 1)
   }
+
+  /** Oracle twin of [[Similarity.pqTopKExact]]: the shared k-means
+    * seed/update recurrence per BLOCK (16 slices of the shifted 1e-6
+    * grid, 256 lowest-id seeds, one floor-division update), then encode =
+    * per-block argmin, n2 = per-code squared norms, ADC = per-(query,
+    * block, code) partial dots summed over a corpus row's codes, cosine
+    * against the reconstruction norm, rank ≤ 5. Every intermediate is an
+    * exact integer (products ≤ 2^42, sums ≤ 2^47 — also exact in the
+    * engine's double kernels), so the hash compare is bit-for-bit.
+    * Assumes the fixtures' block-divisible dim (64 = 16×4), like the
+    * engine's default nBlocks. */
+  private val pqAnnSql =
+    s"""WITH qofs AS (
+      | SELECT vec_id,
+      |  [CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT) + 1000000 for x in embedding] AS v
+      | FROM embeddings),
+      |dimt AS (SELECT (MAX(len(v)) + 15) // 16 AS bs FROM qofs),
+      |blk AS (
+      | SELECT vec_id, b.b, list_slice(v, b.b*d.bs + 1, (b.b+1)*d.bs) AS v
+      | FROM qofs, range(16) b(b), dimt d),
+      |bf AS (SELECT vec_id, b, unnest(v) AS e, generate_subscripts(v,1) AS i FROM blk),
+      |seeds AS (
+      | SELECT b, cid, v FROM (
+      |  SELECT b, v, ROW_NUMBER() OVER (PARTITION BY b ORDER BY vec_id) - 1 AS cid
+      |  FROM blk) WHERE cid < 256),
+      |c0 AS (SELECT b, cid, unnest(v) AS e, generate_subscripts(v,1) AS i FROM seeds),
+      |d0 AS (
+      | SELECT bf.vec_id, bf.b, c0.cid, SUM((bf.e - c0.e)*(bf.e - c0.e)) AS dist
+      | FROM bf JOIN c0 ON c0.b = bf.b AND c0.i = bf.i GROUP BY 1, 2, 3),
+      |a0 AS (
+      | SELECT vec_id, b, cid FROM (
+      |  SELECT vec_id, b, cid,
+      |   ROW_NUMBER() OVER (PARTITION BY vec_id, b ORDER BY dist, cid) AS rn
+      |  FROM d0) WHERE rn = 1),
+      |upd AS (
+      | SELECT a0.b, a0.cid, bf.i,
+      |  CAST(SUM(bf.e) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS e
+      | FROM a0 JOIN bf ON bf.vec_id = a0.vec_id AND bf.b = a0.b
+      | GROUP BY 1, 2, 3),
+      |c1 AS (
+      | SELECT c0.b, c0.cid, c0.i, COALESCE(u.e, c0.e) AS e
+      | FROM c0 LEFT JOIN upd u ON u.b = c0.b AND u.cid = c0.cid AND u.i = c0.i),
+      |d1 AS (
+      | SELECT bf.vec_id, bf.b, c1.cid, SUM((bf.e - c1.e)*(bf.e - c1.e)) AS dist
+      | FROM bf JOIN c1 ON c1.b = bf.b AND c1.i = bf.i GROUP BY 1, 2, 3),
+      |raw AS (
+      | SELECT vec_id FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+      | GROUP BY 1 HAVING SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) > 0),
+      |codes AS (
+      | SELECT vec_id, b, cid FROM (
+      |  SELECT d1.vec_id, d1.b, d1.cid,
+      |   ROW_NUMBER() OVER (PARTITION BY d1.vec_id, d1.b ORDER BY d1.dist, d1.cid) AS rn
+      |  FROM d1 JOIN raw ON raw.vec_id = d1.vec_id) WHERE rn = 1),
+      |cb AS (SELECT b, cid, i, e - 1000000 AS e FROM c1),
+      |n2 AS (SELECT b, cid, SUM(e*e) AS n2 FROM cb GROUP BY 1, 2),
+      |qf AS (SELECT vec_id, b, i, e - 1000000 AS e FROM bf),
+      |qn AS (SELECT vec_id, sqrt(CAST(SUM(e*e) AS DOUBLE)) AS nrm FROM qf GROUP BY 1),
+      |lut AS (
+      | SELECT qf.vec_id AS qid, cb.b, cb.cid, SUM(qf.e * cb.e) AS dot
+      | FROM qf JOIN cb ON cb.b = qf.b AND cb.i = qf.i GROUP BY 1, 2, 3),
+      |pair AS (
+      | SELECT l.qid AS query_id, c.vec_id AS neighbor_id,
+      |  SUM(l.dot) AS dot, SUM(n2.n2) AS rn2
+      | FROM codes c
+      | JOIN lut l ON l.b = c.b AND l.cid = c.cid AND l.qid <> c.vec_id
+      | JOIN n2 ON n2.b = c.b AND n2.cid = c.cid
+      | GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      | SELECT p.query_id, p.neighbor_id,
+      |  CAST(p.dot AS DOUBLE) / (q.nrm * sqrt(CAST(p.rn2 AS DOUBLE))) AS cos_sim,
+      |  ROW_NUMBER() OVER (PARTITION BY p.query_id
+      |   ORDER BY CAST(p.dot AS DOUBLE) / (q.nrm * sqrt(CAST(p.rn2 AS DOUBLE))) DESC,
+      |    p.neighbor_id ASC) AS rank
+      | FROM pair p JOIN qn q ON q.vec_id = p.query_id
+      | WHERE q.nrm > 0 AND p.rn2 > 0)
+      |WHERE rank <= 5""".stripMargin
 
   /** I3a — brute-force cosine top-5 neighbors per embedding. */
   def cosineTopK(s: SparkSession, d: String): DataFrame = {
@@ -3047,6 +3129,7 @@ object LlmOps {
     "i3_pq_recall_gate" -> recallGateSql,
     "i3_kmeans" -> kmeansClustersSql,
     "i3_ivf_ann_topk" -> ivfAnnSql,
+    "i3_pq_ann_topk" -> pqAnnSql,
     "i2_semdedup" -> semDedupSql,
     "i6_proto_prune" -> protoPruneSql,
     "i3_hard_negatives" -> hardNegativesSql,

@@ -1235,6 +1235,46 @@ class LlmSpec extends AnyFunSuite {
     assert(pq.values.forall(_.size == 5))
   }
 
+  test("I3 exact-PQ (integer-Lloyd blocks) recall and determinism") {
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    def run() = Similarity.pqTopKExact(e, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos_sim"), r.getAs[Int]("rank"))).toSet
+    val pq = run()
+    val byQuery = pq.groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2) }
+    val hits = brute.count { case (q, n) => byQuery.get(q).exists(_.contains(n)) }
+    assert(pq.nonEmpty)
+    // the scan is exhaustive; 256 codes over a 500-vector corpus make
+    // quantization error tiny
+    assert(hits.toDouble / brute.size > 0.8, s"recall ${hits.toDouble / brute.size}")
+    assert(byQuery.values.forall(_.size == 5))
+    // pure integer function of the data: a FRESH fit+scan (cache dropped,
+    // codebooks retrained) is bit-identical
+    Similarity.releaseBroadcasts()
+    assert(run() == pq)
+  }
+
+  test("I3 exact-PQ handles degenerate vectors like the float path") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero norm → neither query nor neighbor
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.pqTopKExact(vecs, "vec_id", "embedding", k = 3,
+      nBlocks = 2, nCodes = 4).collect()
+    val best = rows.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(best(1L) == 2L && best(2L) == 1L)
+    assert(!best.contains(3L))
+    assert(rows.forall(_.getAs[Long]("neighbor_id") != 3L))
+    val empty = Similarity.pqTopKExact(vecs.limit(0), "vec_id", "embedding", k = 3)
+    assert(empty.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "cos_sim", "rank") && empty.count() == 0)
+  }
+
   test("I3 PQ handles tiny corpora and degenerate vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
