@@ -39,8 +39,13 @@ object Bench {
         .flatMap(f => f.getName.stripPrefix("sf").toDoubleOption.map(_ -> f))
       if (siblings.nonEmpty) siblings.minBy(_._1)._2.getAbsolutePath else sfDir
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try exec(fn(spark, warmDir)) catch { case _: Throwable => }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try exec(fn(spark, warmDir)) catch { case _: Throwable =>
+        if (spark.sparkContext.isStopped) {
+          System.err.println(s"[bench] SparkContext died warming $name — aborting")
+          sys.exit(2)
+        }
+      }
     }
     // Median of 3 full passes per query: single-run numbers at this scale
     // swing >10x on machine noise (page cache, background load), which
@@ -59,7 +64,20 @@ object Bench {
     val passes = (1 to 3).map { _ =>
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { exec(fn(spark, sfDir)) } catch { case _: Throwable => }
+        // a throwing query records its failure time (the driver's
+        // round-over-round diff flags the collapse), but it must NOT
+        // silently poison every query after it: an executor OOM stops the
+        // whole local SparkContext, and the session-12 audit recorded
+        // ~20 ms "timings" for queries that never ran. Fail loudly.
+        try { exec(fn(spark, sfDir)) } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name threw: $e")
+          if (spark.sparkContext.isStopped) {
+            System.err.println(
+              s"[bench] SparkContext died running $name — aborting, " +
+                "all subsequent timings would be garbage")
+            sys.exit(2)
+          }
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }

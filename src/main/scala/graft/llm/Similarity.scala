@@ -952,8 +952,25 @@ object Similarity {
   /** I3b — LSH-bucketed ANN: `nTables` independent hyperplane tables; a
     * pair is a candidate if it collides in ANY table (IVF-style recall
     * boost: 1 − (1−p)^T), then exact cosine + top-k within candidates.
-    * The per-table bucket join is linear in corpus size — that is the scale
-    * path; brute force is the recall baseline. */
+    *
+    * Scale note (measured, session-13 audit): at FIXED `nPlanes` the
+    * self-join candidate count is Θ(N²/2^nPlanes) — 64 buckets that each
+    * grow linearly with the corpus pair quadratically (the 16× shard
+    * audit OOM'd an 8 GiB heap on ~128M candidate rows). `nPlanes = 0`
+    * selects the plane count automatically so expected bucket occupancy
+    * stays ≤ [[LshTargetOccupancy]] at any corpus size: candidates stay
+    * ~occupancy·N (linear), which is how a production corpus actually
+    * runs LSH — index params grow with log N. The corpus is counted once
+    * (one bounded aggregate) to size the family. */
+  val LshTargetOccupancy = 32L
+
+  /** Smallest plane count keeping expected bucket occupancy n/2^p at or
+    * under [[LshTargetOccupancy]], clamped to [4, 24]. */
+  private[graft] def lshAutoPlanes(n: Long): Int =
+    math.min(24, math.max(4,
+      64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, (n - 1) / LshTargetOccupancy))))
+
   def lshTopK(
       df: DataFrame,
       idCol: String,
@@ -962,10 +979,12 @@ object Similarity {
       nPlanes: Int = 8,
       nTables: Int = 4,
       hashFamily: String = "murmur"): DataFrame = {
+    require(nPlanes >= 0 && nPlanes <= 64, s"nPlanes must be in [0, 64]: $nPlanes")
+    val planes = if (nPlanes > 0) nPlanes else lshAutoPlanes(df.count())
     val b = df.select(
       (Seq(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv")) ++
         (0 until nTables).map(t =>
-          lshBucket(col(vecCol), nPlanes, t, hashFamily).as(s"bucket_$t"))): _*)
+          lshBucket(col(vecCol), planes, t, hashFamily).as(s"bucket_$t"))): _*)
       .withColumn("qn", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
       .repartition(Par.of(df), col("query_id")) // barrier: buckets + norm computed once
     val buckets = b.select(col("query_id"), col("qv"), col("qn"),

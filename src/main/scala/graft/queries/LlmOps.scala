@@ -345,9 +345,11 @@ object LlmOps {
     "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1))
 
   /** Measured gate recalls per sf (this machine, driver fixtures,
-    * 2026-08-12, MeasureRecall calibration run):
-    *   rank-1 LSH recall@5:      sf0.001 0.358, sf0.01 0.358, sf0.1 0.425
-    *   rank-1 IVF recall@5:      sf0.001 0.654, sf0.01 0.636, sf0.1 0.571
+    * 2026-08-12, MeasureRecall calibration run; re-measured 2026-08-15
+    * after the round-11 derandomizations — md5 planes / integer-Lloyd
+    * quantizers land within a few points of the murmur/float variants):
+    *   rank-1 LSH recall@5:  0.358/0.358/0.425 murmur → 0.384/0.450/0.423 md5
+    *   rank-1 IVF recall@5:  0.654/0.636/0.571 float  → 0.626/0.612/0.551 exact
     *   blocked near-dup recall:  sf0.001 0.712, sf0.01 0.727, sf0.1 0.726
     *   minhash 0.7-containment misses: 0 at every sf.
     * Floors sit at ~55-70% of the measured value: far above chance
@@ -363,7 +365,9 @@ object LlmOps {
     * exhaustive), so floors sit higher than the candidate-generation
     * paths' (measured rank-1 recall@5 at 16 blocks × 256 codes on 64-dim,
     * this machine, driver fixtures, 2026-08-13 PqCalib run:
-    * sf0.001 0.984, sf0.01 0.992, sf0.1 0.907; floors at ~60-65%). */
+    * sf0.001 0.984, sf0.01 0.992, sf0.1 0.907 float-trained;
+    * 2026-08-15 integer-Lloyd exact variant: 0.976/0.976/0.882 —
+    * floors at ~60-65%). */
   private[graft] val PqRecallFloors =
     Map("0.001" -> 0.6, "0.01" -> 0.6, "0.1" -> 0.6)
 

@@ -1165,6 +1165,28 @@ class LlmSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("I3 LSH auto-planes keeps bucket occupancy constant as the corpus grows") {
+    // the sizing rule itself: smallest p with n/2^p <= 32, clamped [4, 24]
+    assert(Similarity.lshAutoPlanes(1L) == 4)
+    assert(Similarity.lshAutoPlanes(512L) == 4)
+    assert(Similarity.lshAutoPlanes(2048L) == 6)
+    assert(Similarity.lshAutoPlanes(2049L) == 7)
+    assert(Similarity.lshAutoPlanes(32768L) == 10) // the 16x shard corpus
+    assert(Similarity.lshAutoPlanes(Long.MaxValue) == 24)
+    // occupancy invariant across 6 orders of magnitude
+    for (n <- Seq(1000L, 100000L, 10000000L, 1000000000L)) {
+      val p = Similarity.lshAutoPlanes(n)
+      assert(p == 24 || n.toDouble / (1L << p) <= Similarity.LshTargetOccupancy,
+        s"n=$n p=$p occupancy ${n.toDouble / (1L << p)}")
+    }
+    // behavioral: nPlanes = 0 runs end-to-end and still finds neighbors
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val auto = Similarity.lshTopK(e, "vec_id", "embedding", k = 3,
+      nPlanes = 0, nTables = 8, hashFamily = "md5")
+      .filter(col("rank") === 1).collect()
+    assert(auto.nonEmpty)
+  }
+
   test("I2 embedding near-dups: blocked (LSH) results are a subset of exact") {
     val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def pairs(df: org.apache.spark.sql.DataFrame) =
