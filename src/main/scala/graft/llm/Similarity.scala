@@ -987,19 +987,32 @@ object Similarity {
           lshBucket(col(vecCol), planes, t, hashFamily).as(s"bucket_$t"))): _*)
       .withColumn("qn", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
       .repartition(Par.of(df), col("query_id")) // barrier: buckets + norm computed once
-    val buckets = b.select(col("query_id"), col("qv"), col("qn"),
+    // the bucket self-join and the cross-table dedup move ID PAIRS ONLY:
+    // shipping the two quantized vectors through the collision join
+    // multiplied every candidate row by ~1 KB × table multiplicity (the
+    // 64× shard audit measured the old shape 6.3× over its 16→64×
+    // candidate growth — pure exchange volume). Features re-attach after
+    // distinct by two id-keyed joins against the (already materialized)
+    // barrier frame, so each vector crosses the wire once per SIDE it
+    // appears on, not once per collision.
+    val buckets = b.select(col("query_id"),
       posexplode(array((0 until nTables).map(t => col(s"bucket_$t")): _*))
         .as(Seq("table_idx", "bucket")))
     val other = buckets.select(col("query_id").as("neighbor_id"),
-      col("qv").as("cv"), col("qn").as("cn"), col("table_idx"), col("bucket"))
+      col("table_idx"), col("bucket"))
+    val candIds = buckets.join(other, Seq("table_idx", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct() // a pair colliding in several tables counts once
+    val qFeats = b.select(col("query_id"), col("qv"), col("qn"))
+    val nFeats = b.select(col("query_id").as("neighbor_id"),
+      col("qv").as("cv"), col("qn").as("cn"))
     // candidate sets per query are bucket-sized (tens), so the plain window
     // top-k wins here; the heap aggregate pays off on the brute-force path
     // where every query sees the whole corpus (measured both ways at sf0.1)
-    val pairs = buckets.join(other, Seq("table_idx", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("qv"), col("qn"),
-        col("neighbor_id"), col("cv"), col("cn"))
-      .distinct() // a pair colliding in several tables counts once
+    val pairs = candIds
+      .join(qFeats, Seq("query_id"))
+      .join(nFeats, Seq("neighbor_id"))
       .withColumn("cos_sim", safeCosine(col("qv"), col("cv"), col("qn"), col("cn")))
       .filter(col("cos_sim").isNotNull)
     val w = Window.partitionBy(col("query_id"))

@@ -85,7 +85,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i3_query_batch_topk" -> 1, "i3_filtered_topk" -> 1,
     "i3_ivf_serve_gate" -> 7, "i3_ivfpq_serve_gate" -> 7,
     "i3_ivf_ann_topk" -> 2, "i3_ivf_recall_gate" -> 6,
-    "i3_lsh_ann_topk" -> 2, "i3_lsh_recall_gate" -> 6,
+    // lsh: +2 session 13 — the id-pair dedup shape trades two extra
+    // id-keyed exchanges (feature re-attach joins) for never shipping the
+    // quantized vectors through the collision join + distinct (measured:
+    // 0.58→0.44 s at sf0.1, 56→19 s at the 64× shard, and the 16× OOM on
+    // an 8 GiB heap is gone)
+    "i3_lsh_ann_topk" -> 4, "i3_lsh_recall_gate" -> 8,
     "i3_pq_ann_topk" -> 0, "i3_pq_recall_gate" -> 2,
     // stats pass + stats-row agg on both coded branches + heap top-k
     "i3_sq8_topk" -> 5,
