@@ -585,6 +585,64 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** The IVF × PQ COMPOSITION with both quantizers integer-Lloyd — the
+    * round-11 capstone: candidate generation from [[ivfTopKExact]]'s
+    * coarse cells/probes, scoring from [[pqTopKExact]]'s per-block
+    * codebooks via the distributed ADC kernel ([[ivfPqServe]]'s shape:
+    * corpus carries cell + 16-byte codes, raw vectors never reach the
+    * join). Every stage is exact integer arithmetic, so the WHOLE
+    * composed index — cells, probes, codes, ADC scores, ranks — is one
+    * DuckDB-reproducible function of the data; the serve-tier gates keep
+    * pinning the float/sample production path. Self-join form (queries =
+    * corpus) like the other fixture rows. */
+  def ivfPqTopKExact(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      nList: Int = 16,
+      nProbe: Int = 4,
+      nBlocks: Int = 16,
+      nCodes: Int = 256,
+      updates: Int = 1): DataFrame = {
+    import graft.functions.PqOps
+    require(nCodes >= 2 && nCodes <= 256,
+      s"nCodes must be in [2, 256] (codes are byte-packed): $nCodes")
+    val df0 = df.filter(col(vecCol).isNotNull)
+    val quantD = transform(col(vecCol),
+      x => floor(x.cast("double") * 1000000d).cast("double"))
+    if (df0.limit(1).isEmpty) {
+      return df0.limit(0).select(col(idCol).cast("long").as("query_id"),
+        col(idCol).cast("long").as("neighbor_id"),
+        lit(0.0).as("cos_sim"), lit(1).cast("int").as("rank"))
+    }
+    val cents = KMeans.centroids(df0, idCol, vecCol, nList, updates)
+    val (shifted, bs, dim) =
+      KMeans.blockCodebooks(df0, idCol, vecCol, nCodes, updates, nBlocks)
+    val books = new graft.functions.PqCodebooks(
+      shifted.map(_.map(_.map(v => (v - KMeans.Scale).toDouble))), bs, dim)
+    val rawNorm2 = aggregate(
+      transform(col(vecCol), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    // corpus: coarse cell + PQ codes, raw vectors dropped before the join
+    val corpusCodes = df0.filter(rawNorm2 > 0d)
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        graft.functions.KMeansExprs
+          .assign(KMeans.quantize(col(vecCol)), cents)("cluster").as("cell"),
+        PqOps.pqEncode(quantD, books).as("codes"))
+      .repartition(Par.of(df), col("cell")) // barrier: cell + codes computed once
+    val queryProbes = df0.select(col(idCol).cast("long").as("query_id"),
+      quantD.as("qv"),
+      explode(graft.functions.KMeansExprs
+        .nearestCells(KMeans.quantize(col(vecCol)), cents, nProbe)).as("cell"))
+    val pairs = corpusCodes.join(queryProbes, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", PqOps.pqAdc(col("qv"), col("codes"), books))
+      .filter(col("cos_sim").isNotNull)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    topKPerQuery(pairs, k)
+  }
+
   /** Train codebooks + build the broadcast code table; None on an empty
     * (or empty-vector) corpus. */
   private[graft] def built(

@@ -672,55 +672,108 @@ object LlmOps {
     * engine's double kernels), so the hash compare is bit-for-bit.
     * Assumes the fixtures' block-divisible dim (64 = 16×4), like the
     * engine's default nBlocks. */
-  private val pqAnnSql =
-    s"""WITH qofs AS (
+  /** I3i — the IVF × PQ COMPOSED index, FULL hash oracle (round 11
+    * capstone): coarse cells + probe lists from the integer-Lloyd
+    * quantizer (the `i3_ivf_ann_topk` chain), candidate scoring from the
+    * per-block integer-Lloyd codebooks via the distributed ADC kernel
+    * (the `i3_pq_ann_topk` chain) — the billion-scale serving composition
+    * (candidate axis × memory axis) checked END TO END by DuckDB
+    * recomputing both quantizers and every score. The float/sample
+    * production composition stays behind `i3_ivfpq_serve_gate`. */
+  def ivfPqAnn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.ivfPqTopKExact(e, "vec_id", "embedding", k = 5,
+      nList = 16, nProbe = 4, nBlocks = 16, nCodes = 256, updates = 1)
+  }
+
+  private val ivfPqAnnSql =
+    s"""WITH ${kmeansAssignCteK(16)},
+      |probes AS (
+      | SELECT vec_id AS query_id, cid FROM (
+      |  SELECT vec_id, cid,
+      |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |  FROM d1) WHERE rn <= 4),
+      |${pqCtes("p_")},
+      |cand AS (
+      | SELECT p.query_id, a1.vec_id AS neighbor_id
+      | FROM probes p JOIN a1 ON a1.cid = p.cid AND a1.vec_id <> p.query_id),
+      |pair AS (
+      | SELECT c.query_id, c.neighbor_id,
+      |  SUM(l.dot) AS dot, SUM(n2.n2) AS rn2
+      | FROM cand c
+      | JOIN p_codes cd ON cd.vec_id = c.neighbor_id
+      | JOIN p_lut l ON l.qid = c.query_id AND l.b = cd.b AND l.cid = cd.cid
+      | JOIN p_n2 n2 ON n2.b = cd.b AND n2.cid = cd.cid
+      | GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      | SELECT p.query_id, p.neighbor_id,
+      |  CAST(p.dot AS DOUBLE) / (q.nrm * sqrt(CAST(p.rn2 AS DOUBLE))) AS cos_sim,
+      |  ROW_NUMBER() OVER (PARTITION BY p.query_id
+      |   ORDER BY CAST(p.dot AS DOUBLE) / (q.nrm * sqrt(CAST(p.rn2 AS DOUBLE))) DESC,
+      |    p.neighbor_id ASC) AS rank
+      | FROM pair p JOIN p_qn q ON q.vec_id = p.query_id
+      | WHERE q.nrm > 0 AND p.rn2 > 0)
+      |WHERE rank <= 5""".stripMargin
+
+  /** The PQ k-means/encode/score CTE chain, name-prefixed so the
+    * standalone `i3_pq_ann_topk` oracle and the composed
+    * `i3_ivfpq_topk` oracle (which also carries the coarse-quantizer
+    * chain, with overlapping default CTE names) can share it verbatim:
+    * produces ${p}codes (vec_id, b, cid — raw-norm-filtered), ${p}n2
+    * (per-code squared norms), ${p}qn (query quantized norms), ${p}lut
+    * (per-(query, block, code) partial dots). */
+  private def pqCtes(p: String) =
+    s"""${p}qofs AS (
       | SELECT vec_id,
       |  [CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT) + 1000000 for x in embedding] AS v
       | FROM embeddings),
-      |dimt AS (SELECT (MAX(len(v)) + 15) // 16 AS bs FROM qofs),
-      |blk AS (
+      |${p}dimt AS (SELECT (MAX(len(v)) + 15) // 16 AS bs FROM ${p}qofs),
+      |${p}blk AS (
       | SELECT vec_id, b.b, list_slice(v, b.b*d.bs + 1, (b.b+1)*d.bs) AS v
-      | FROM qofs, range(16) b(b), dimt d),
-      |bf AS (SELECT vec_id, b, unnest(v) AS e, generate_subscripts(v,1) AS i FROM blk),
-      |seeds AS (
+      | FROM ${p}qofs, range(16) b(b), ${p}dimt d),
+      |${p}bf AS (SELECT vec_id, b, unnest(v) AS e, generate_subscripts(v,1) AS i FROM ${p}blk),
+      |${p}seeds AS (
       | SELECT b, cid, v FROM (
       |  SELECT b, v, ROW_NUMBER() OVER (PARTITION BY b ORDER BY vec_id) - 1 AS cid
-      |  FROM blk) WHERE cid < 256),
-      |c0 AS (SELECT b, cid, unnest(v) AS e, generate_subscripts(v,1) AS i FROM seeds),
-      |d0 AS (
+      |  FROM ${p}blk) WHERE cid < 256),
+      |${p}c0 AS (SELECT b, cid, unnest(v) AS e, generate_subscripts(v,1) AS i FROM ${p}seeds),
+      |${p}d0 AS (
       | SELECT bf.vec_id, bf.b, c0.cid, SUM((bf.e - c0.e)*(bf.e - c0.e)) AS dist
-      | FROM bf JOIN c0 ON c0.b = bf.b AND c0.i = bf.i GROUP BY 1, 2, 3),
-      |a0 AS (
+      | FROM ${p}bf bf JOIN ${p}c0 c0 ON c0.b = bf.b AND c0.i = bf.i GROUP BY 1, 2, 3),
+      |${p}a0 AS (
       | SELECT vec_id, b, cid FROM (
       |  SELECT vec_id, b, cid,
       |   ROW_NUMBER() OVER (PARTITION BY vec_id, b ORDER BY dist, cid) AS rn
-      |  FROM d0) WHERE rn = 1),
-      |upd AS (
+      |  FROM ${p}d0) WHERE rn = 1),
+      |${p}upd AS (
       | SELECT a0.b, a0.cid, bf.i,
       |  CAST(SUM(bf.e) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS e
-      | FROM a0 JOIN bf ON bf.vec_id = a0.vec_id AND bf.b = a0.b
+      | FROM ${p}a0 a0 JOIN ${p}bf bf ON bf.vec_id = a0.vec_id AND bf.b = a0.b
       | GROUP BY 1, 2, 3),
-      |c1 AS (
+      |${p}c1 AS (
       | SELECT c0.b, c0.cid, c0.i, COALESCE(u.e, c0.e) AS e
-      | FROM c0 LEFT JOIN upd u ON u.b = c0.b AND u.cid = c0.cid AND u.i = c0.i),
-      |d1 AS (
+      | FROM ${p}c0 c0 LEFT JOIN ${p}upd u ON u.b = c0.b AND u.cid = c0.cid AND u.i = c0.i),
+      |${p}d1 AS (
       | SELECT bf.vec_id, bf.b, c1.cid, SUM((bf.e - c1.e)*(bf.e - c1.e)) AS dist
-      | FROM bf JOIN c1 ON c1.b = bf.b AND c1.i = bf.i GROUP BY 1, 2, 3),
-      |raw AS (
+      | FROM ${p}bf bf JOIN ${p}c1 c1 ON c1.b = bf.b AND c1.i = bf.i GROUP BY 1, 2, 3),
+      |${p}raw AS (
       | SELECT vec_id FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
       | GROUP BY 1 HAVING SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) > 0),
-      |codes AS (
+      |${p}codes AS (
       | SELECT vec_id, b, cid FROM (
       |  SELECT d1.vec_id, d1.b, d1.cid,
       |   ROW_NUMBER() OVER (PARTITION BY d1.vec_id, d1.b ORDER BY d1.dist, d1.cid) AS rn
-      |  FROM d1 JOIN raw ON raw.vec_id = d1.vec_id) WHERE rn = 1),
-      |cb AS (SELECT b, cid, i, e - 1000000 AS e FROM c1),
-      |n2 AS (SELECT b, cid, SUM(e*e) AS n2 FROM cb GROUP BY 1, 2),
-      |qf AS (SELECT vec_id, b, i, e - 1000000 AS e FROM bf),
-      |qn AS (SELECT vec_id, sqrt(CAST(SUM(e*e) AS DOUBLE)) AS nrm FROM qf GROUP BY 1),
-      |lut AS (
+      |  FROM ${p}d1 d1 JOIN ${p}raw raw ON raw.vec_id = d1.vec_id) WHERE rn = 1),
+      |${p}cb AS (SELECT b, cid, i, e - 1000000 AS e FROM ${p}c1),
+      |${p}n2 AS (SELECT b, cid, SUM(e*e) AS n2 FROM ${p}cb GROUP BY 1, 2),
+      |${p}qf AS (SELECT vec_id, b, i, e - 1000000 AS e FROM ${p}bf),
+      |${p}qn AS (SELECT vec_id, sqrt(CAST(SUM(e*e) AS DOUBLE)) AS nrm FROM ${p}qf GROUP BY 1),
+      |${p}lut AS (
       | SELECT qf.vec_id AS qid, cb.b, cb.cid, SUM(qf.e * cb.e) AS dot
-      | FROM qf JOIN cb ON cb.b = qf.b AND cb.i = qf.i GROUP BY 1, 2, 3),
+      | FROM ${p}qf qf JOIN ${p}cb cb ON cb.b = qf.b AND cb.i = qf.i GROUP BY 1, 2, 3)""".stripMargin
+
+  private val pqAnnSql =
+    s"""WITH ${pqCtes("")},
       |pair AS (
       | SELECT l.qid AS query_id, c.vec_id AS neighbor_id,
       |  SUM(l.dot) AS dot, SUM(n2.n2) AS rn2
@@ -3046,6 +3099,7 @@ object LlmOps {
     "i3_lsh_ann_topk" -> lshAnn _,
     "i3_lsh_recall_gate" -> lshRecallGate _,
     "i3_ivf_ann_topk" -> ivfAnn _,
+    "i3_ivfpq_topk" -> ivfPqAnn _,
     "i3_ivf_recall_gate" -> ivfRecallGate _,
     "i3_pq_ann_topk" -> pqAnn _,
     "i3_pq_recall_gate" -> pqRecallGate _,
@@ -3133,6 +3187,7 @@ object LlmOps {
     "i3_pq_recall_gate" -> recallGateSql,
     "i3_kmeans" -> kmeansClustersSql,
     "i3_ivf_ann_topk" -> ivfAnnSql,
+    "i3_ivfpq_topk" -> ivfPqAnnSql,
     "i3_pq_ann_topk" -> pqAnnSql,
     "i2_semdedup" -> semDedupSql,
     "i6_proto_prune" -> protoPruneSql,

@@ -1278,6 +1278,25 @@ class LlmSpec extends AnyFunSuite {
     assert(run() == pq)
   }
 
+  test("I3 exact IVF-PQ composition: recall through both quantizers, deterministic") {
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    def run() = Similarity.ivfPqTopKExact(e, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos_sim"), r.getAs[Int]("rank"))).toSet
+    val out = run()
+    val byQuery = out.groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2) }
+    val hits = brute.count { case (q, n) => byQuery.get(q).exists(_.contains(n)) }
+    assert(out.nonEmpty)
+    // recall compounds both quantizers: ~ivf cell recall (~0.6 at 16/4 on
+    // this fixture) x PQ rank fidelity (~0.98) — floor well below that,
+    // far above chance
+    assert(hits.toDouble / brute.size > 0.35, s"recall ${hits.toDouble / brute.size}")
+    // both quantizers are pure integer functions: bit-identical refit
+    assert(run() == out)
+  }
+
   test("I3 exact-PQ handles degenerate vectors like the float path") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

@@ -85,6 +85,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i3_query_batch_topk" -> 1, "i3_filtered_topk" -> 1,
     "i3_ivf_serve_gate" -> 7, "i3_ivfpq_serve_gate" -> 7,
     "i3_ivf_ann_topk" -> 2, "i3_ivf_recall_gate" -> 6,
+    "i3_ivfpq_topk" -> 2,
     // lsh: +2 session 13 — the id-pair dedup shape trades two extra
     // id-keyed exchanges (feature re-attach joins) for never shipping the
     // quantized vectors through the collision join + distinct (measured:
