@@ -948,11 +948,10 @@ object Similarity {
       .withColumn("cos_sim", safeCosine(col("qv"), col("cv"), col("qn"), col("cn")))
       .filter(col("cos_sim").isNotNull)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+    // bounded-heap aggregate, not a window: map-side partial top-k means
+    // k rows per query cross the shuffle instead of every candidate pair
+    // (at the 16× shard the window shuffled ~256M skinny pair rows)
+    topKPerQuery(pairs, k)
   }
 
   /** I3c — IVF (inverted-file) ANN: a coarse centroid table partitions the
@@ -1073,6 +1072,13 @@ object Similarity {
       .join(nFeats, Seq("neighbor_id"))
       .withColumn("cos_sim", safeCosine(col("qv"), col("cv"), col("qn"), col("cn")))
       .filter(col("cos_sim").isNotNull)
+    // window, not the heap aggregate, on purpose (re-measured session 13
+    // AFTER the id-pair dedup restructure): the heap's extra groupBy
+    // exchange lost at both ends — 0.59 vs 0.44 s at sf0.1 and 235 vs
+    // 213 s at the 16× fixed-plane shard — because the post-join pair
+    // rows are already skinny and the cosine compute dominates. (The IVF
+    // path keeps the heap: its pairs arrive pre-shuffled by cell, where
+    // the map-side partial top-k measured 37 vs 57 s at 16×.)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))
