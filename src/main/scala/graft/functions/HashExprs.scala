@@ -264,12 +264,21 @@ case class Md5HyperplaneLshExpr(child: Expression, nPlanes: Int, table: Int)
   @transient private lazy val elemIsFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
 
-  @transient private var planes: Array[Array[Long]] = null // [plane][i]
+  // volatile + double-checked locking: expression instances can be shared
+  // across tasks/threads in one plan, and an unsynchronized lazy write could
+  // publish a partially-written matrix to a racing reader. The volatile
+  // store happens-after the array contents are fully written, so readers
+  // see either null (and build under the lock) or a complete matrix.
+  @transient @volatile private var planes: Array[Array[Long]] = null // [plane][i]
 
   private def weights(n: Int): Array[Array[Long]] = {
-    if (planes == null || planes(0).length < n) {
+    val p = planes
+    if (p != null && p(0).length >= n) return p
+    this.synchronized {
+      val p2 = planes
+      if (p2 != null && p2(0).length >= n) return p2
       val md = java.security.MessageDigest.getInstance("MD5")
-      planes = Array.tabulate(nPlanes) { j =>
+      val built = Array.tabulate(nPlanes) { j =>
         Array.tabulate(n) { i =>
           md.reset()
           val d = md.digest(s"lsh:$table:$j:$i".getBytes)
@@ -278,8 +287,9 @@ case class Md5HyperplaneLshExpr(child: Expression, nPlanes: Int, table: Int)
           h % 20011L - 10005L
         }
       }
+      planes = built
+      built
     }
-    planes
   }
 
   override def nullSafeEval(input: Any): Any = {

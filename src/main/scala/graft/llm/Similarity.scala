@@ -931,6 +931,13 @@ object Similarity {
       nProbe: Int = 4,
       updates: Int = 1): DataFrame = {
     val df0 = df.filter(col(vecCol).isNotNull)
+    // empty/all-null corpus: zero seeds would make KMeansExprs.assign throw;
+    // return the empty typed frame like pqTopKExact / ivfPqTopKExact do
+    if (df0.limit(1).isEmpty) {
+      return df0.limit(0).select(col(idCol).cast("long").as("query_id"),
+        col(idCol).cast("long").as("neighbor_id"),
+        lit(0.0).as("cos_sim"), lit(1).cast("int").as("rank"))
+    }
     val cents = KMeans.centroids(df0, idCol, vecCol, nList, updates)
     val corpusCells = df0.select(col(idCol).cast("long").as("neighbor_id"),
       quantize(col(vecCol)).as("cv"),

@@ -53,12 +53,17 @@ object PrefixScan {
       if (v != null && (acc == null || lt(v, acc))) acc = v
       p += 1
     }
-    val bc = spark.sparkContext.broadcast(carry)
+    // the carry rides in the task closure, NOT an explicit broadcast: Spark
+    // ships each stage's closure as one auto-managed broadcast (cleaned by
+    // ContextCleaner with the RDD), so an explicit sc.broadcast here would
+    // only add a driver/executor block that leaks until session end unless
+    // every caller materializes-then-unpersists. carry is |partitions|
+    // scalars — closure-sized by construction.
     val schema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+ org.apache.spark.sql.types.StructField(
         outCol, df.schema.fields(vi).dataType, nullable = true))
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var mn: AnyRef = if (pid < bc.value.length) bc.value(pid) else null
+      var mn: AnyRef = if (pid < carry.length) carry(pid) else null
       it.map { r =>
         val before = mn
         val v = r.get(vi).asInstanceOf[AnyRef]

@@ -90,11 +90,18 @@ object ZOrder {
     // stay under 2^63 or the product wraps negative and the masks silently
     // alias distant rows into one cell (the doc'd failure mode — enforced,
     // not just documented). For bits ≤ 31 this admits any span < 2^32.
-    def checkSpan(name: String, lo: Long, hi: Long): Unit =
-      require(hi - lo <= Long.MaxValue / m,
-        s"cluster: $name span ${hi - lo} overflows the normalization " +
+    // span is computed with subtractExact: for mixed-sign extremes hi - lo
+    // itself wraps negative in Long arithmetic and a plain `hi - lo <= max`
+    // check would silently pass the exact overflow it exists to reject
+    def checkSpan(name: String, lo: Long, hi: Long): Unit = {
+      val span =
+        try Math.subtractExact(hi, lo)
+        catch { case _: ArithmeticException => Long.MaxValue }
+      require(span <= Long.MaxValue / m,
+        s"cluster: $name span (up to $span) overflows the normalization " +
           s"product at bits=$bits (max ${Long.MaxValue / m}); pre-scale " +
           "the dimension (e.g. bucket to days/epochs) before z-ordering")
+    }
     checkSpan("x", x0, x1)
     checkSpan("y", y0, y1)
     val tagged = df

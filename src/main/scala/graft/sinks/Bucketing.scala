@@ -26,10 +26,19 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
     val spark = df.sparkSession
+    // unqualified names only: the orphan-cleanup path below derives the
+    // managed location as <warehouse>/<name> — a qualified db.table name
+    // would resolve to the wrong directory (<wh>/<db>.db/<table>) and the
+    // delete could hit another table's data
+    require(!table.contains("."),
+      s"writeBucketed: unqualified table name required, got '$table'")
     // an in-memory catalog forgets tables across sessions but their
     // managed directories survive; saveAsTable refuses to adopt an orphan
     // location, so clear it when the catalog has no entry (a CATALOGED
-    // table is left for mode(overwrite) to replace atomically)
+    // table is left for mode(overwrite) to replace atomically). This
+    // assumes ONE live session owns the warehouse dir — with a shared
+    // warehouse another session's cataloged table looks like an orphan
+    // here; callers sharing a warehouse must pre-create the catalog entry.
     if (!spark.catalog.tableExists(table)) {
       val wh = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)

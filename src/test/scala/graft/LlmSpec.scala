@@ -1316,6 +1316,21 @@ class LlmSpec extends AnyFunSuite {
       Seq("query_id", "neighbor_id", "cos_sim", "rank") && empty.count() == 0)
   }
 
+  test("I3 exact-IVF returns the empty typed frame on empty/all-null corpora") {
+    // without the guard KMeans.centroids produces zero seeds and
+    // KMeansExprs.assign throws 'needs at least one centroid'
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    for (corpus <- Seq(
+        vecs.limit(0),
+        vecs.withColumn("embedding",
+          lit(null).cast("array<float>")))) {
+      val empty = Similarity.ivfTopKExact(corpus, "vec_id", "embedding", k = 3)
+      assert(empty.columns.toSeq ==
+        Seq("query_id", "neighbor_id", "cos_sim", "rank") && empty.count() == 0)
+    }
+  }
+
   test("I3 PQ handles tiny corpora and degenerate vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
