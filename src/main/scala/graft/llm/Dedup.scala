@@ -392,10 +392,20 @@ object Dedup {
       .filter(col("rn_b") > col("rn_a") && col("rn_b") <= col("rn_a") + window)
       .select(least(col("ia"), col("ib")).as("ca"),
         greatest(col("ia"), col("ib")).as("cb"))
-    // shingles hash to 64-bit before the verify join (long-compare
-    // intersects, ~2^-64 per-pair collision noise — the jaccardPairs
-    // convention) and sit behind a repartition barrier so ReusedExchange
-    // materializes the shingling ONCE for both join sides
+    verifyPairsJaccard(base, idCol, textCol, cand, n, threshold)
+  }
+
+  /** Exact word-n-gram Jaccard verify over candidate id pairs
+    * `cand(ca, cb)` (ca < cb): shingles hash to 64-bit before the verify
+    * join (long-compare intersects, ~2^-64 per-pair collision noise — the
+    * jaccardPairs convention) and sit behind a repartition barrier so
+    * ReusedExchange materializes the shingling ONCE for both join sides;
+    * feature bytes cross the shuffle once per side regardless of candidate
+    * multiplicity. Shared verify stage of every blocked pair family
+    * ([[sortedNeighborPairs]], [[lshVerifiedPairs]]). */
+  private[graft] def verifyPairsJaccard(
+      base: DataFrame, idCol: String, textCol: String, cand: DataFrame,
+      n: Int, threshold: Double): DataFrame = {
     val sh = base
       .select(col(idCol).as("doc"),
         transform(wordShingles(col(textCol), n), g => xxhash64(g)).as("sh"))
@@ -411,6 +421,35 @@ object Dedup {
         (col("n_total") - col("n_shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
+  }
+
+  /** I2k — LSH-verified near-dup pairs: md5-MinHash-LSH candidates
+    * ([[minHashCandidates]], linear in corpus size via band blocking)
+    * verified with the exact word-n-gram Jaccard. The third pair substrate
+    * next to the exact tier ([[jaccardPairs]], all shingle-sharing pairs)
+    * and the sorted-neighborhood tier ([[sortedNeighborPairs]], prefix-sort
+    * co-location): unlike prefix blocking, MinHash collision probability
+    * depends only on CONTENT overlap — a near-dup whose first sentence was
+    * rotated or prepended still collides (the S-curve at k=64/16 bands
+    * gives ≥ j⁴-per-band collision for content-Jaccard j, miss ≈ (1−j⁴)¹⁶
+    * ≈ 1.2% at j = 0.7) — so recall survives prefix-divergent edits that
+    * the sort key scatters. The md5 family is a pure function of the data,
+    * so candidates, verified pairs, and everything downstream carry a full
+    * cross-engine hash oracle. */
+  def lshVerifiedPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      shingleN: Int = 5,
+      k: Int = 64,
+      nBands: Int = 16): DataFrame = {
+    val base = df.filter(col(textCol).isNotNull)
+    val cand = minHashCandidates(df, idCol, textCol, shingleN, k, nBands,
+      charShingles, hashFamily = "md5")
+      .select(col("doc_a").as("ca"), col("doc_b").as("cb"))
+    verifyPairsJaccard(base, idCol, textCol, cand, n, threshold)
   }
 
   /** MinHash signature column: k independent hash functions

@@ -224,15 +224,21 @@ object LlmOps {
 
   /** I2j-BLOCKED — canonical selection over the sorted-neighborhood pair
     * generator ([[graft.llm.Dedup.sortedNeighborPairs]], w·N candidates by
-    * construction, no skew sensitivity): the 100 TB default. Candidates
+    * construction, no skew sensitivity). Candidates
     * are defined by the global (prefix, doc_id) sort order — identical in
     * both engines — and the verify stage recomputes true word-3-gram
-    * Jaccard, so unlike the LSH families this blocked tier admits a FULL
+    * Jaccard, so unlike the xx64 LSH family this blocked tier admits a FULL
     * hash oracle: DuckDB reproduces the candidate set, the verified
     * pairs, the components, and the quality argmax bit-for-bit. Recall
     * vs the exact tier is bounded by what the prefix sort co-locates —
-    * measured keep-flag agreement 1.0 at sf0.001/0.01/0.1 (the fixture's
-    * near-dups share prefixes; LlmSpec pins ≥ 0.9 at sf0.01). */
+    * measured keep-flag agreement 1.0 at sf0.001/0.01/0.1 on the driver
+    * fixture (whose near-dups share prefixes), but 500/550 on the
+    * prefix-perturbed corpus where every dupe gains a leading token
+    * (round 12, LlmSpec) — which is why [[canonicalKeepLshOver]] (content-
+    * keyed blocking, 550/550 there) took over as the 100 TB default
+    * composition ([[curationV6Over]]). This tier stays the right choice
+    * when near-dups are truncations/suffix edits and the w·N hard
+    * candidate bound matters more than prefix-edit recall. */
   private[graft] def canonicalKeepBlockedOver(docs: DataFrame): DataFrame =
     canonicalKeepWith(docs,
       Dedup.sortedNeighborPairs(docs, "doc_id", "text",
@@ -334,6 +340,36 @@ object LlmOps {
       | x.doc_id = k.keep_id AS keep
       |FROM x JOIN keepid k ON x.component = k.component""".stripMargin
 
+  /** I2k — canonical selection over the LSH-verified pair generator
+    * ([[graft.llm.Dedup.lshVerifiedPairs]]: md5-MinHash-LSH candidates →
+    * exact word-3-gram verify). The round-12 default substrate for the
+    * curation composition ([[curationV6Over]]): unlike the
+    * sorted-neighborhood tier, whose recall is bounded by what the 24-char
+    * prefix sort co-locates (a rotated first sentence or one prepended
+    * token scatters the pair — measured agreement drops on the
+    * prefix-perturbed corpus, LlmSpec), MinHash collision probability
+    * depends only on content overlap, so prefix-divergent near-dups keep
+    * colliding. Band blocking keeps candidates linear in corpus size, and
+    * the md5 family makes the whole chain a full cross-engine hash
+    * oracle. */
+  def canonicalKeepLsh(s: SparkSession, d: String): DataFrame =
+    canonicalKeepLshOver(Tables.documents(s, d))
+
+  private[graft] def canonicalKeepLshOver(docs: DataFrame): DataFrame =
+    canonicalKeepWith(docs,
+      Dedup.lshVerifiedPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+        .select("doc_a", "doc_b"))
+
+  private def canonicalKeepLshCtesOver(rel: String) =
+    s"""${lshHighCtesOver(rel)},
+      |${canonicalKeepTailCtes(rel)}""".stripMargin
+
+  private val canonicalKeepLshSql =
+    s"""WITH RECURSIVE ${canonicalKeepLshCtesOver("documents")}
+      |SELECT x.doc_id, x.component, x.quality,
+      | x.doc_id = k.keep_id AS keep
+      |FROM x JOIN keepid k ON x.component = k.component""".stripMargin
+
   /** Scale-factor tag parsed from a testdata dir ("/root/testdata/sf0.01" →
     * "0.01"). Gate floors are keyed on it: a recall floor is a MEASUREMENT
     * of a specific fixture at a specific scale, not a theorem, so pinning
@@ -420,23 +456,55 @@ object LlmOps {
   private def mhHex(arg: String, start: Int): String =
     Relational.hexValSql(arg, start)
 
-  private val minhashCandidatesSql =
-    s"""WITH sh AS (
+  /** The md5-MinHash-LSH candidate CTE chain over `rel`, ending in
+    * `lshcand(ca, cb)` — mirrors [[graft.llm.Dedup.minHashCandidates]]
+    * with the md5 family (char-5 shingles, k=64, 16 bands, band key =
+    * the signature-slice string). Names prefixed `l` so the chain
+    * composes after the exact-dedup CTE in i6_curation_v6 and next to
+    * the word-3-gram verify CTEs without collisions. */
+  private def md5LshCandCtesOver(rel: String) =
+    s"""lsh5 AS (
       | SELECT doc_id,
       |  list_distinct([substr(text, i, 5) for i in range(1, len(text) - 3)]) AS sh
-      | FROM documents WHERE len(text) >= 5),
-      |hv AS (SELECT doc_id, [${mhHex("s", 1)} % 2147483647 for s in sh] AS hv
-      | FROM sh),
-      |sig AS (SELECT doc_id,
+      | FROM $rel WHERE len(text) >= 5),
+      |lhv AS (SELECT doc_id, [${mhHex("s", 1)} % 2147483647 for s in sh] AS hv
+      | FROM lsh5),
+      |lsig AS (SELECT doc_id,
       |  [list_min([((2*j + 1) * h + (j * 2654435761) % 2147483647)
       |     % 2147483647 for h in hv]) for j in range(0, 64)] AS sig
-      | FROM hv),
-      |bands AS (SELECT doc_id, j AS band_idx,
+      | FROM lhv),
+      |lbands AS (SELECT doc_id, j AS band_idx,
       |  array_to_string(list_slice(sig, j*4 + 1, j*4 + 4), ',') AS band
-      | FROM sig, range(16) t(j))
-      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |FROM bands a JOIN bands b ON a.band_idx = b.band_idx
-      | AND a.band = b.band AND a.doc_id < b.doc_id""".stripMargin
+      | FROM lsig, range(16) t(j)),
+      |lshcand AS (
+      | SELECT DISTINCT a.doc_id AS ca, b.doc_id AS cb
+      | FROM lbands a JOIN lbands b ON a.band_idx = b.band_idx
+      |  AND a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val minhashCandidatesSql =
+    s"""WITH ${md5LshCandCtesOver("documents")}
+      |SELECT ca AS doc_a, cb AS doc_b FROM lshcand""".stripMargin
+
+  /** LSH-verified near-dup pair CTEs over `rel`, ending in
+    * `high(doc_a, doc_b)` — the blocked analogue of
+    * `sortedNeighborHighCtes`, mirroring
+    * [[graft.llm.Dedup.lshVerifiedPairs]] (md5-MinHash-LSH candidates,
+    * exact word-3-gram Jaccard verify at 0.5). */
+  private def lshHighCtesOver(rel: String) =
+    s"""${md5LshCandCtesOver(rel)},
+      |lws AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w
+      | FROM $rel WHERE text IS NOT NULL),
+      |lsh3 AS (
+      | SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |   for i in range(1, len(w) - 1)]) AS s
+      | FROM lws WHERE len(w) >= 3),
+      |high AS (
+      | SELECT ca AS doc_a, cb AS doc_b
+      | FROM lshcand
+      | JOIN lsh3 sa ON sa.doc_id = ca
+      | JOIN lsh3 sb ON sb.doc_id = cb
+      | WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5)""".stripMargin
 
   private val simhashContainmentSql =
     s"""WITH high AS (${ngramJaccardSqlAt(0.7)})
@@ -1768,11 +1836,15 @@ object LlmOps {
     * temperature-mixture composition as v4, with the near-dup stage on
     * the BLOCKED pair substrate ([[canonicalKeepBlockedOver]], w·N
     * sorted-neighborhood candidates) instead of the exact word-3-gram
-    * pair tier. This is the 100 TB default: the exact tier's pair volume
+    * pair tier. The exact tier's pair volume
     * is the battery's one measured scale-killer (~1.65 exponent at 16×
     * on the bounded-vocabulary fixture), while the blocked tier's
     * candidate count is linear by construction. Fully composed DuckDB
-    * oracle — the blocked candidates are a pure function of the data. */
+    * oracle — the blocked candidates are a pure function of the data.
+    * Round 12 demoted this from the default composition: prefix blocking
+    * misses prefix-divergent near-dups (500/550 keep-agreement on the
+    * perturbed corpus) — [[curationV6Over]] (LSH substrate) is the
+    * documented 100 TB default now. */
   def curationV5(s: SparkSession, d: String): DataFrame =
     curationV5Over(Tables.documents(s, d))
 
@@ -1828,6 +1900,38 @@ object LlmOps {
       |  FROM documents)
       | WHERE text IS NULL OR doc_id = rep),
       |${canonicalKeepBlockedCtesOver("exact")},
+      |surv AS MATERIALIZED (
+      | SELECT e.doc_id, e.source, e.text FROM exact e
+      | JOIN x ON x.doc_id = e.doc_id
+      | JOIN keepid k ON k.component = x.component
+      |  AND e.doc_id = k.keep_id),
+      |${temperatureCtesOver("surv")}
+      |$temperatureSelectSql""".stripMargin
+
+  /** I6q — curation v6: the same exact-dedup → canonical-keep →
+    * temperature-mixture composition as v4/v5, with the near-dup stage on
+    * the LSH-VERIFIED pair substrate ([[canonicalKeepLshOver]]). The
+    * round-12 100 TB default: v5's sorted-neighborhood blocking is also
+    * linear, but its recall rides the 24-char prefix sort — a near-dup
+    * whose copy rotated its first sentence or gained a leading token
+    * scatters out of the neighborhood (measured on the prefix-perturbed
+    * corpus, LlmSpec), while MinHash band collision depends only on
+    * content overlap. Fully composed DuckDB oracle — the md5 family makes
+    * the candidate set a pure function of the data. */
+  def curationV6(s: SparkSession, d: String): DataFrame =
+    curationV6Over(Tables.documents(s, d))
+
+  private[graft] def curationV6Over(docs: DataFrame): DataFrame =
+    curationWith(docs, canonicalKeepLshOver, "i6_curation_v6.survivors")
+
+  private val curationV6Sql =
+    s"""WITH RECURSIVE exact AS MATERIALIZED (
+      | SELECT doc_id, text, lang, source, n_chars FROM (
+      |  SELECT doc_id, text, lang, source, n_chars,
+      |   MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+      |  FROM documents)
+      | WHERE text IS NULL OR doc_id = rep),
+      |${canonicalKeepLshCtesOver("exact")},
       |surv AS MATERIALIZED (
       | SELECT e.doc_id, e.source, e.text FROM exact e
       | JOIN x ON x.doc_id = e.doc_id
@@ -3079,6 +3183,8 @@ object LlmOps {
     "i2_incremental_index" -> incrementalIndexDedup _,
     "i2_canonical_keep" -> canonicalKeep _,
     "i2_canonical_keep_blocked" -> canonicalKeepBlocked _,
+    "i2_canonical_keep_lsh" -> canonicalKeepLsh _,
+    "i6_curation_v6" -> curationV6 _,
     "i6_temperature_mixture" -> temperatureMixture _,
     "i4_image_ahash" -> imageAhash _,
     "i6_curation_v4" -> curationV4 _,
@@ -3164,6 +3270,8 @@ object LlmOps {
     "i2_incremental_index" -> incrementalIndexSql,
     "i2_canonical_keep" -> canonicalKeepSql,
     "i2_canonical_keep_blocked" -> canonicalKeepBlockedSql,
+    "i2_canonical_keep_lsh" -> canonicalKeepLshSql,
+    "i6_curation_v6" -> curationV6Sql,
     "i6_temperature_mixture" -> temperatureMixtureSql,
     "i4_image_ahash" -> imageAhashSql,
     "i6_curation_v4" -> curationV4Sql,

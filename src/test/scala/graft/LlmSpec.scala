@@ -864,6 +864,70 @@ class LlmSpec extends AnyFunSuite {
       s"exactly one of the near-dup pair survives: $got")
   }
 
+  test("I2k LSH canonical keep: catches prefix-divergent near-dups the prefix sort scatters") {
+    // the copy gains a leading token: the 24-char-prefix sort key changes
+    // completely, and with > window docs between the pair in sort order the
+    // sorted-neighborhood tier can never co-locate it — while the MinHash
+    // band collision depends only on content overlap
+    val t = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "astronomers catalog distant galaxies using large telescopes and " +
+      "careful spectral measurements during long winter nights in chile"
+    // filler keys sort strictly between "the quick…" and "zzqq the…" so the
+    // pair lands > 8 ranks apart (window = 8)
+    val filler = (0 until 12).map { i =>
+      (100L + i, s"u${('a' + i).toChar} filler document number $i with twelve " +
+        s"unrelated words about topic $i and nothing shared beyond stopwords")
+    }
+    val docs = (Seq((10L, t), (11L, "zzqq " + t)) ++ filler)
+      .toDF("doc_id", "text")
+    val blocked = graft.queries.LlmOps.canonicalKeepBlockedOver(docs)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(blocked(10L) && blocked(11L),
+      "prefix blocking misses the prefix-divergent pair: BOTH survive (the recall gap)")
+    val lsh = graft.queries.LlmOps.canonicalKeepLshOver(docs)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(lsh(10L) ^ lsh(11L),
+      s"LSH keep collapses the prefix-divergent pair to one survivor: $lsh")
+    assert(filler.forall { case (id, _) => lsh(id) }, "singletons keep themselves")
+  }
+
+  test("I2k agreement on the prefix-perturbed corpus: LSH holds where prefix blocking loses") {
+    // the round-11 verdict's open question: fixture near-dups share their
+    // 24-char prefix, so blocked-keep agreement 1.0 could not distinguish
+    // prefix blocking from content blocking. Perturb: every 10th doc gains
+    // a copy with one PREPENDED token (word-3-gram Jaccard stays ≥ 0.5,
+    // prefix diverges). The exact tier is ground truth.
+    val base = graft.queries.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("text"))
+    val mx = base.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val dupes = base
+      .filter(col("doc_id") % 10 === 0 && col("text").isNotNull)
+      .select((col("doc_id") + mx).as("doc_id"),
+        concat(lit("zq"), (col("doc_id") % 97).cast("string"), lit(" "),
+          col("text")).as("text"))
+    val perturbed = base.unionByName(dupes).localCheckpoint()
+    def keeps(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      f(perturbed).select(col("doc_id"), col("keep"))
+    val ex = keeps(graft.queries.LlmOps.canonicalKeepOver)
+      .withColumnRenamed("keep", "k_ex")
+    val bl = keeps(graft.queries.LlmOps.canonicalKeepBlockedOver)
+      .withColumnRenamed("keep", "k_bl")
+    val ls = keeps(graft.queries.LlmOps.canonicalKeepLshOver)
+      .withColumnRenamed("keep", "k_ls")
+    val j = ex.join(bl, Seq("doc_id")).join(ls, Seq("doc_id")).localCheckpoint()
+    val total = j.count()
+    val blAgree = j.filter(col("k_ex") === col("k_bl")).count()
+    val lsAgree = j.filter(col("k_ex") === col("k_ls")).count()
+    info(s"prefix-perturbed agreement: blocked $blAgree/$total, lsh $lsAgree/$total")
+    assert(total == 550L, "500 docs + 50 prefix-perturbed copies, one verdict each")
+    // LSH must stay near-perfect AND strictly beat prefix blocking here —
+    // the measurement that justifies v6 as the default composition
+    assert(lsAgree * 100 >= total * 98,
+      s"LSH keep-agreement $lsAgree/$total below the 0.98 floor")
+    assert(lsAgree > blAgree,
+      s"LSH ($lsAgree) should beat prefix blocking ($blAgree) on prefix-divergent dupes")
+  }
+
   test("I2 md5 hash family: same semantics as xx64, null text never pairs") {
     // the derandomized (oracle-checkable) family must behave like the
     // production family on the fixture: exact dups collide everywhere,

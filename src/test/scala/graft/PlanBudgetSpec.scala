@@ -81,6 +81,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // behind its own checkpoint jobs, so only the component/argmax tail
     // is structurally visible — same 2 as the exact row
     "i2_canonical_keep_blocked" -> 2,
+    // lsh tier: candidate generation (minhash bands) also runs inside the
+    // eager component walk, leaving the same component/argmax tail
+    "i2_canonical_keep_lsh" -> 2,
     "i2_span_cut" -> 2, "i3_cosine_topk" -> 0,
     "i3_query_batch_topk" -> 1, "i3_filtered_topk" -> 1,
     "i3_ivf_serve_gate" -> 7, "i3_ivfpq_serve_gate" -> 7,
@@ -107,6 +110,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     // counted plan is just the mixture over the survivor leaf
     "i6_curation_v4" -> 3,
     "i6_curation_v5" -> 3,
+    "i6_curation_v6" -> 3,
     "i8_kcore" -> 0, "i6_curation_v3" -> 1,
     "i5_lexical_diversity" -> 0,
     "i4_multimodal_meta" -> 0, "i4_image_ahash" -> 0,
