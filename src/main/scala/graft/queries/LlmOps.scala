@@ -1371,8 +1371,10 @@ object LlmOps {
     * recompute the 32-bit md5 weight w(table, plane, i) per dimension,
     * sign-bit buckets per table, same-bucket candidates in ANY table, then
     * the shared exact quantized-cosine rerank (the `i3_ivf_ann_topk`
-    * fl/nr idiom). */
-  private val lshAnnSql = {
+    * fl/nr idiom). `planesSrc` is a one-row CTE body producing the plane
+    * count `p` — a literal for the fixed row, the corpus-count clamp for
+    * the auto row. */
+  private def lshTopKSqlWith(nTables: Int, planesSrc: String) = {
     val wVal = Relational.hexValSql("'lsh:' || t.t || ':' || j.j || ':' || (d.i - 1)", 1)
     s"""WITH qs AS (
       | SELECT vec_id,
@@ -1381,9 +1383,11 @@ object LlmOps {
       |fl AS (SELECT vec_id, unnest(v) AS e, generate_subscripts(v,1) AS i FROM qs),
       |nr AS (SELECT vec_id, sqrt(CAST(SUM(e*e) AS DOUBLE)) AS nrm FROM fl GROUP BY 1),
       |dims AS (SELECT DISTINCT i FROM fl),
+      |pl AS ($planesSrc),
+      |js AS (SELECT unnest(range(p)) AS j FROM pl),
       |w AS (
       | SELECT t.t, j.j, d.i, $wVal % 20011 - 10005 AS w
-      | FROM range(8) t(t), range(6) j(j), dims d),
+      | FROM range($nTables) t(t), js j, dims d),
       |dots AS (
       | SELECT f.vec_id, w.t, w.j, SUM(f.e * w.w) AS dot
       | FROM fl f JOIN w ON w.i = f.i GROUP BY 1, 2, 3),
@@ -1413,6 +1417,28 @@ object LlmOps {
       | WHERE na.nrm > 0 AND nb.nrm > 0)
       |WHERE rank <= 5""".stripMargin
   }
+
+  private val lshAnnSql = lshTopKSqlWith(8, "SELECT 6 AS p")
+
+  /** I3b-AUTO — the at-scale LSH default, oracle-pinned (round 12):
+    * `lshTopK(nPlanes = 0)` sizes the plane family from the corpus count
+    * so expected bucket occupancy stays ≤ [[graft.llm.Similarity.LshTargetOccupancy]]
+    * — candidates stay ~occupancy·N (linear) at any corpus size, which is
+    * how a production index actually grows (params ∝ log N; the fixed-
+    * plane battery row is Θ(N²/2^p) by design, kept for oracle
+    * comparability across sfs). planes = clamp(⌈log₂((n−1)/32)⌉+…, 4, 24)
+    * is a pure function of n and the md5 family is engine-exact, so the
+    * oracle recomputes the plane count (length(bin((n−1)//32)) — the
+    * integer 64−nlz identity), every bucket bit, the candidate set, and
+    * the exact rerank bit-for-bit. */
+  def lshAutoAnn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.lshTopK(e, "vec_id", "embedding", k = 5, nPlanes = 0,
+      nTables = 4, hashFamily = "md5")
+  }
+
+  private val lshAutoAnnSql = lshTopKSqlWith(4,
+    "SELECT LEAST(24, GREATEST(4, length(bin(GREATEST(1, (COUNT(*) - 1) // 32))))) AS p FROM embeddings")
 
   /** I5a — heuristic language ID. */
   def langId(s: SparkSession, d: String): DataFrame =
@@ -3203,6 +3229,7 @@ object LlmOps {
     "i3_ivf_serve_gate" -> ivfServeGate _,
     "i3_ivfpq_serve_gate" -> ivfPqServeGate _,
     "i3_lsh_ann_topk" -> lshAnn _,
+    "i3_lsh_auto_topk" -> lshAutoAnn _,
     "i3_lsh_recall_gate" -> lshRecallGate _,
     "i3_ivf_ann_topk" -> ivfAnn _,
     "i3_ivfpq_topk" -> ivfPqAnn _,
@@ -3290,6 +3317,7 @@ object LlmOps {
     "i3_ivf_serve_gate" -> serveGateSql,
     "i3_ivfpq_serve_gate" -> serveGateSql,
     "i3_lsh_ann_topk" -> lshAnnSql,
+    "i3_lsh_auto_topk" -> lshAutoAnnSql,
     "i3_lsh_recall_gate" -> recallGateSql,
     "i3_ivf_recall_gate" -> recallGateSql,
     "i3_pq_recall_gate" -> recallGateSql,

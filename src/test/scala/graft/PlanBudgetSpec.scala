@@ -95,6 +95,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // 0.58→0.44 s at sf0.1, 56→19 s at the 64× shard, and the 16× OOM on
     // an 8 GiB heap is gone)
     "i3_lsh_ann_topk" -> 4, "i3_lsh_recall_gate" -> 8,
+    // auto-planes: the corpus count that sizes the family is an eager
+    // bounded aggregate — the final plan keeps the fixed row's shape
+    "i3_lsh_auto_topk" -> 4,
     "i3_pq_ann_topk" -> 0, "i3_pq_recall_gate" -> 2,
     // stats pass + stats-row agg on both coded branches + heap top-k
     "i3_sq8_topk" -> 5,
