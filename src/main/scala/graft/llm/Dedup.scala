@@ -345,6 +345,113 @@ object Dedup {
         col("doc_q").isNotNull.as("is_dup"))
   }
 
+  /** The (doc, band_key) frame for the persisted BAND index and its batch
+    * probe: md5-MinHash signatures (char-`shingleN` shingles, k
+    * components) sliced into `nBands` bands; band_key =
+    * "band_idx:slice-string", so one string column carries the whole
+    * blocking key (a single-column key both buckets and equi-joins
+    * cleanly). Same exchange-sandwich as [[minHashCandidates]]: spread
+    * before the signature kernel, materialize after it. */
+  private[graft] def md5BandKeys(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, nBands: Int): DataFrame = {
+    val r = k / nBands
+    val sigs = df.select(col(idCol).as("doc"), col(textCol).as("text"))
+      .filter(length(col("text")) >= shingleN)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc"), graft.functions.HashExprs
+        .md5MinHashSig(charShingles(col("text"), shingleN), k).as("sig"))
+      .repartition(Par.of(df), col("doc"))
+    def bandKey(j: Column): Column =
+      concat_ws(",", transform(slice(col("sig"), j * r + 1, lit(r)),
+        x => x.cast("string")))
+    sigs.select(col("doc"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)), bandKey(_)))
+        .as(Seq("band_idx", "band")))
+      .select(col("doc"),
+        concat_ws(":", col("band_idx"), col("band")).as("band_key"))
+  }
+
+  /** I2i-BAND — the banded variant of the persisted index: instead of raw
+    * shingle postings (whose per-shingle lists lengthen as a bounded
+    * vocabulary saturates — the [[buildPostingIndex]] serve-side fan-out
+    * measured at 16×), the stored artifact is (band_key, doc) rows from
+    * the md5-MinHash band family plus a per-doc word-n-gram feature table
+    * for the exact verify. A band bucket's posting length tracks the
+    * near-dup FAMILY size (docs agreeing on a full signature slice), not
+    * corpus-wide term frequency, so serve-side candidate fan-out stays
+    * bounded on vocabularies that saturate shingle postings. Returns
+    * (bands, feats): write both through `Bucketing.writeBucketed` —
+    * bands on band_key, feats on doc_b — and increment N+1 probes them
+    * exchange-free on the stored side. */
+  def buildBandIndex(
+      base: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, k: Int = 64, nBands: Int = 16,
+      n: Int = 3): (DataFrame, DataFrame) = {
+    val bands = md5BandKeys(base, idCol, textCol, shingleN, k, nBands)
+      .select(col("band_key"), col("doc").as("doc_b"))
+    val feats = base
+      .select(col(idCol).as("doc_b"),
+        transform(wordShingles(col(textCol), n), g => xxhash64(g)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    (bands, feats)
+  }
+
+  /** Near-dup verdicts for `batch` against a STORED [[buildBandIndex]]
+    * pair of tables — same verdict shape as [[incrementalDedupFromIndex]]
+    * (n_matches / best_match at max-Jaccard-then-min-id / is_dup), with
+    * candidate generation by band-key probe instead of shingle postings:
+    * the batch computes its own md5-MinHash band keys, equi-joins the
+    * stored band index (bucketed on band_key — the stored side never
+    * moves), dedups candidate ID PAIRS, then verifies exactly against the
+    * stored feature table (bucketed on doc_b — also exchange-free).
+    * Candidates are band collisions, so recall follows the MinHash
+    * S-curve rather than the postings' frequency cap — the two stored
+    * tiers trade those contracts. */
+  def incrementalDedupFromBandIndex(
+      bandIndex: DataFrame,
+      feats: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5,
+      k: Int = 64,
+      nBands: Int = 16,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val bBands = md5BandKeys(batch, idCol, textCol, shingleN, k, nBands)
+      .select(col("doc").as("doc_q"), col("band_key"))
+    val candIds = bBands.join(bandIndex, Seq("band_key"))
+      .select(col("doc_q"), col("doc_b"))
+      .distinct() // a pair colliding in several bands counts once
+    val bSh = batch
+      .select(col(idCol).as("doc_q"),
+        transform(wordShingles(col(textCol), n), g => xxhash64(g)).as("sh_q"))
+      .filter(size(col("sh_q")) > 0)
+    val pairs = candIds
+      .join(feats.select(col("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .join(bSh, Seq("doc_q"))
+      .select(col("doc_q"), col("doc_b"),
+        size(array_intersect(col("sh_q"), col("sh_b"))).as("n_shared"),
+        (size(col("sh_q")) + size(col("sh_b"))).as("n_total"))
+      .withColumn("jac", col("n_shared").cast("double") /
+        (col("n_total") - col("n_shared")).cast("double"))
+      .filter(col("jac") >= threshold)
+    val verdicts = pairs.groupBy(col("doc_q"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("jac").as("j"), (-col("doc_b")).as("negb")))
+          .as("best"))
+      .select(col("doc_q"), col("n_matches"),
+        (-col("best.negb")).as("best_match"),
+        col("best.j").as("best_jaccard"))
+    batch.select(col(idCol).as("doc_id"))
+      .join(verdicts, col("doc_id") === col("doc_q"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_match"), col("best_jaccard"),
+        col("doc_q").isNotNull.as("is_dup"))
+  }
+
   /** I2h — sorted-neighborhood near-dup pairs (Hernández & Stolfo's
     * sorted-neighborhood method, SIGMOD 1995 — public literature): sort
     * the corpus by a cheap clustering key (text prefix here — near-dups

@@ -198,6 +198,76 @@ object LlmOps {
       |LEFT JOIN bm ON bm.doc_q = d.doc_id
       |WHERE d.doc_id % 10 = 0""".stripMargin
 
+  /** I2i-BAND — near-dup verdicts from the PERSISTED band index
+    * ([[graft.llm.Dedup.buildBandIndex]]): the stored artifact is
+    * md5-MinHash band buckets + a per-doc feature table instead of raw
+    * shingle postings, so serve-side fan-out tracks near-dup family size
+    * rather than vocabulary saturation (the shingle index's measured 16×
+    * serve growth). Both stored tables are bucketed (band_key / doc_b)
+    * and the increment probes them exchange-free. The md5 family is
+    * engine-exact, so candidates, verified pairs and verdicts all carry
+    * a full DuckDB hash oracle. */
+  def incrementalBandIndexDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val (bands, feats) = Dedup.buildBandIndex(base, "doc_id", "text")
+    graft.sinks.Bucketing.writeBucketed(
+      bands, "graft_i2_band_index", "band_key", buckets = 32)
+    graft.sinks.Bucketing.writeBucketed(
+      feats, "graft_i2_band_feats", "doc_b", buckets = 32)
+    Dedup.incrementalDedupFromBandIndex(
+      s.table("graft_i2_band_index"), s.table("graft_i2_band_feats"),
+      batch, "doc_id", "text")
+  }
+
+  private val incrementalBandIndexSql =
+    s"""WITH ws AS (SELECT doc_id, doc_id % 10 = 0 AS is_batch, text
+      |  FROM documents),
+      |csh AS (
+      | SELECT doc_id, is_batch,
+      |  list_distinct([substr(text, i, 5) for i in range(1, len(text) - 3)]) AS sh
+      | FROM ws WHERE len(text) >= 5),
+      |bhv AS (SELECT doc_id, is_batch,
+      |  [${mhHex("s", 1)} % 2147483647 for s in sh] AS hv FROM csh),
+      |bsig AS (SELECT doc_id, is_batch,
+      |  [list_min([((2*j + 1) * h + (j * 2654435761) % 2147483647)
+      |     % 2147483647 for h in hv]) for j in range(0, 64)] AS sig
+      | FROM bhv),
+      |bbands AS (SELECT doc_id, is_batch, j AS band_idx,
+      |  array_to_string(list_slice(sig, j*4 + 1, j*4 + 4), ',') AS band
+      | FROM bsig, range(16) t(j)),
+      |cand AS (
+      | SELECT DISTINCT q.doc_id AS doc_q, b.doc_id AS doc_b
+      | FROM bbands q JOIN bbands b ON q.band_idx = b.band_idx
+      |  AND q.band = b.band AND q.is_batch AND NOT b.is_batch),
+      |wws AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w
+      | FROM ws WHERE text IS NOT NULL),
+      |wsh AS (
+      | SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |   for i in range(1, len(w) - 1)]) AS s
+      | FROM wws WHERE len(w) >= 3),
+      |j AS (
+      | SELECT doc_q, doc_b,
+      |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
+      | FROM cand
+      | JOIN wsh sa ON sa.doc_id = doc_q
+      | JOIN wsh sb ON sb.doc_id = doc_b
+      | WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5),
+      |v AS (SELECT doc_q, COUNT(*) AS n_matches, MAX(jac) AS best_jaccard
+      | FROM j GROUP BY 1),
+      |bm AS (SELECT j.doc_q, MIN(j.doc_b) AS best_match
+      | FROM j JOIN v ON j.doc_q = v.doc_q AND j.jac = v.best_jaccard
+      | GROUP BY 1)
+      |SELECT d.doc_id, CAST(COALESCE(v.n_matches, 0) AS BIGINT) AS n_matches,
+      | bm.best_match, v.best_jaccard, v.doc_q IS NOT NULL AS is_dup
+      |FROM documents d
+      |LEFT JOIN v ON v.doc_q = d.doc_id
+      |LEFT JOIN bm ON bm.doc_q = d.doc_id
+      |WHERE d.doc_id % 10 = 0""".stripMargin
+
   /** I2j — canonical selection: WHICH copy of a near-dup cluster
     * survives. `i2_fuzzy_dedup_e2e` pins the structural min-id rule; real
     * curation keeps the highest-QUALITY member (RefinedWeb/FineWeb-style
@@ -3207,6 +3277,7 @@ object LlmOps {
     "i2_ngram_jaccard" -> ngramJaccard _,
     "i2_incremental_dedup" -> incrementalDedup _,
     "i2_incremental_index" -> incrementalIndexDedup _,
+    "i2_incremental_band_index" -> incrementalBandIndexDedup _,
     "i2_canonical_keep" -> canonicalKeep _,
     "i2_canonical_keep_blocked" -> canonicalKeepBlocked _,
     "i2_canonical_keep_lsh" -> canonicalKeepLsh _,
@@ -3295,6 +3366,7 @@ object LlmOps {
     "i2_ngram_jaccard" -> ngramJaccardSql,
     "i2_incremental_dedup" -> incrementalDedupSql,
     "i2_incremental_index" -> incrementalIndexSql,
+    "i2_incremental_band_index" -> incrementalBandIndexSql,
     "i2_canonical_keep" -> canonicalKeepSql,
     "i2_canonical_keep_blocked" -> canonicalKeepBlockedSql,
     "i2_canonical_keep_lsh" -> canonicalKeepLshSql,

@@ -833,6 +833,49 @@ class LlmSpec extends AnyFunSuite {
       "base-only cap 1 keeps it (base count 1): batch-hot shingles match")
   }
 
+  test("I2i band index: shingle-index verdicts on the fixture; stored side never shuffles") {
+    val d = "/root/testdata/sf0.01"
+    val out = graft.queries.LlmOps.incrementalBandIndexDedup(spark, d)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4))
+    val got = out.collect().map(key).sortBy(_._1).toSeq
+    // the two stored tiers have different candidate contracts (band
+    // S-curve vs frequency-capped postings), but on the fixture every
+    // true near-dup collides in a band and the cap never binds — the
+    // verdicts must coincide
+    val docsF = graft.queries.Tables.documents(spark, d)
+    val want = Dedup.incrementalDedup(
+      docsF.filter(col("doc_id") % 10 =!= 0),
+      docsF.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 3, threshold = 0.5, maxShingleFreq = Some(1000))
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(got == want, "fixture verdicts agree across the two stored tiers")
+    // the 100 TB claim: BOTH stored tables are read bucketed and join
+    // without an exchange — only the batch side shuffles
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_i2_band_index"), plan.take(1500))
+    assert(plan.contains("graft_i2_band_feats"), plan.take(1500))
+    assert(plan.contains("SelectedBucketsCount"), plan.take(1500))
+    val bandEx = "Exchange hashpartitioning\\(band_key#".r.findAllIn(plan).size
+    assert(bandEx <= 1, s"stored band side must not shuffle ($bandEx band_key-exchanges)")
+    val featEx = "Exchange hashpartitioning\\(doc_b#".r.findAllIn(plan).size
+    assert(featEx <= 1, s"stored feature side must not shuffle ($featEx doc_b-exchanges)")
+    // hand-built: an exact dup across base/batch is always caught (all 16
+    // bands collide), an unrelated doc never is
+    val base2 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (20L, "completely different words about other topics entirely here"))
+      .toDF("doc_id", "text")
+    val (bands2, feats2) = Dedup.buildBandIndex(base2, "doc_id", "text")
+    val v2 = Dedup.incrementalDedupFromBandIndex(
+      bands2, feats2, batch2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(v2(10L) && !v2(20L), s"exact dup caught, unrelated not: $v2")
+  }
+
   test("I2j blocked canonical keep: agrees with the exact tier; hand-built clusters") {
     // the 100 TB composition must make the same keep decisions as the
     // exact pair tier wherever blocking finds the pairs; on the fixture

@@ -77,6 +77,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // exchange + pair/verdict aggregates; the STORED side contributes
     // zero (bucketed scan — the LlmSpec exchange-free pin)
     "i2_incremental_index" -> 4,
+    // banded stored tier: batch band-keys barrier + candidate distinct +
+    // the pair re-key onto doc_q + verdict aggregate; both STORED sides
+    // contribute zero (bucketed scans — the LlmSpec exchange-free pin)
+    "i2_incremental_band_index" -> 4,
     // blocked tier: the sorted-neighborhood candidate generation runs
     // behind its own checkpoint jobs, so only the component/argmax tail
     // is structurally visible — same 2 as the exact row
