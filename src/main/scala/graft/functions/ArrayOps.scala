@@ -72,4 +72,15 @@ object ArrayOps {
     * [[NearestCellsExpr]]. */
   def nearestCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     Bridge.column(NearestCellsExpr(Bridge.expression(vec), centroids, nProbe))
+
+  /** IVF cosine top-k of a RAW vector against a cell-partitioned broadcast
+    * corpus — see [[IvfBroadcastTopKExpr]]. */
+  def ivfBroadcastTopK(
+      queryId: Column,
+      rawVec: Column,
+      corpus: org.apache.spark.broadcast.Broadcast[IvfCorpus],
+      nProbe: Int,
+      k: Int): Column =
+    Bridge.column(IvfBroadcastTopKExpr(
+      Bridge.expression(queryId), Bridge.expression(rawVec), corpus, nProbe, k))
 }

@@ -113,8 +113,23 @@ case class NearestCellsExpr(
       xs(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       i += 1
     }
+    new GenericArrayData(NearestCells.pick(xs, centroids, norms, nProbe))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The probe-selection arithmetic of [[NearestCellsExpr]], shared with the
+  * streaming IVF kernel ([[IvfBroadcastTopKExpr]]) so the two tiers can
+  * never drift: cosine scores in double space, nProbe picks best-first,
+  * ties to the lower index; zero-norm sides score -inf. */
+private[functions] object NearestCells {
+  def pick(xs: Array[Double], centroids: Array[Array[Double]],
+      norms: Array[Double], nProbe: Int): Array[Int] = {
+    val n = xs.length
     var vn = 0.0
-    i = 0
+    var i = 0
     while (i < n) { vn += xs(i) * xs(i); i += 1 }
     vn = math.sqrt(vn)
     val m = centroids.length
@@ -151,9 +166,104 @@ case class NearestCellsExpr(
       picked(p) = best
       p += 1
     }
-    new GenericArrayData(picked)
+    picked
+  }
+}
+
+/** Cell-partitioned broadcast corpus for the STREAMING IVF serve tier:
+  * quantized corpus rows sorted by coarse cell (flat, dim-strided) with
+  * `cellStart` offsets (length nCells+1), plus the centroid table so the
+  * query side picks its probes inside the same kernel. Built once on the
+  * driver from the batch-assigned cells (the SAME executor kernel the
+  * batch `ivfServe` uses — parity by construction). */
+final class IvfCorpus(
+    val cellStart: Array[Int],
+    val ids: Array[Long],
+    val flat: Array[Long], // row-major, ids.length × dim, cell-sorted
+    val norms: Array[Double],
+    val dim: Int,
+    val centroids: Array[Array[Double]])
+    extends Serializable {
+  @transient lazy val centNorms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+}
+
+/** Per-row IVF cosine top-k against a cell-partitioned broadcast corpus:
+  * for each (query_id, RAW float/double vector) row, pick the nProbe
+  * nearest centroids ([[NearestCells.pick]] — identical arithmetic to the
+  * batch probe expression), quantize the query onto the shared 1e-6 grid,
+  * and heap-scan ONLY the probed cells' row ranges. Latency per query is
+  * ~nProbe/nList of the exact kernel's; recall is the probe set's, same
+  * as batch [[graft.llm.Similarity.ivfServe]]. Output and tie conventions
+  * match [[BroadcastTopKExpr]] (score DESC, id ASC; self/zero-norm pairs
+  * excluded). */
+case class IvfBroadcastTopKExpr(
+    left: Expression, // query id (long)
+    right: Expression, // RAW vector (array<float|double>)
+    corpus: Broadcast[IvfCorpus],
+    nProbe: Int,
+    k: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "ivf_broadcast_topk"
+
+  @transient private lazy val elemIsFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(idAny: Any, vecAny: Any): Any = {
+    val queryId = idAny.asInstanceOf[Long]
+    val arr = vecAny.asInstanceOf[ArrayData]
+    val c = corpus.value
+    val n = arr.numElements()
+    if (n != c.dim && c.ids.length > 0) {
+      throw new IllegalArgumentException(
+        s"query vector dim $n != corpus dim ${c.dim} (query id $queryId)")
+    }
+    val xs = new Array[Double](n)
+    val qv = new Array[Long](n)
+    var qdot = 0L
+    var i = 0
+    while (i < n) {
+      val x = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      xs(i) = x
+      val q = math.floor(x * 1000000d).toLong // Similarity.quantize's grid
+      qv(i) = q
+      qdot += q * q
+      i += 1
+    }
+    val qn = math.sqrt(qdot.toDouble)
+    val buf = new TopKBuffer(k)
+    if (qn > 0 && c.ids.length > 0) {
+      val probes = NearestCells.pick(xs, c.centroids, c.centNorms, nProbe)
+      var p = 0
+      while (p < probes.length) {
+        val cell = probes(p)
+        var j = c.cellStart(cell)
+        val end = c.cellStart(cell + 1)
+        while (j < end) {
+          if (c.ids(j) != queryId && c.norms(j) > 0) {
+            var dot = 0L
+            val base = j * c.dim
+            i = 0
+            while (i < c.dim) { dot += qv(i) * c.flat(base + i); i += 1 }
+            buf.add(dot.toDouble / (qn * c.norms(j)), c.ids(j))
+          }
+          j += 1
+        }
+        p += 1
+      }
+    }
+    new GenericArrayData(buf.sortedBestFirst().map { case (s, id) =>
+      InternalRow(s, id): Any
+    })
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

@@ -324,6 +324,60 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Build-once cell-partitioned broadcast index for the STREAMING IVF
+    * serve tier ([[graft.streaming.VectorServe.serveIvf]]): centroids
+    * trained exactly as [[ivfServe]]'s, corpus cells assigned by the SAME
+    * executor expression the batch plan uses (parity by construction, not
+    * by re-implementation), rows collected (budget-guarded) and packed
+    * cell-sorted with offsets. None on an empty / all-null-vector corpus. */
+  private[graft] def ivfBroadcastIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nList: Int, lloydIters: Int, maxTrainSample: Int)
+      : Option[org.apache.spark.broadcast.Broadcast[graft.functions.IvfCorpus]] = {
+    import graft.functions.ArrayOps.nearestCells
+    val c0 = corpus.filter(col(vecCol).isNotNull)
+    requireBroadcastable(c0, idCol)
+    if (c0.limit(1).isEmpty) return None
+    val centroids = trainCosineCentroids(
+      boundedSample(c0.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("v")), maxTrainSample), nList, lloydIters)
+    val rows = c0.select(col(idCol).cast("long"),
+        quantize(col(vecCol)),
+        element_at(nearestCells(col(vecCol), centroids, 1), 1))
+      .collect()
+    val n = rows.length
+    val dim = rows(0).getSeq[Long](1).size
+    val nCells = centroids.length
+    val counts = new Array[Int](nCells)
+    rows.foreach(r => counts(r.getInt(2)) += 1)
+    val cellStart = new Array[Int](nCells + 1)
+    var c = 0
+    while (c < nCells) { cellStart(c + 1) = cellStart(c) + counts(c); c += 1 }
+    val ids = new Array[Long](n)
+    val flat = new Array[Long](n * dim)
+    val norms = new Array[Double](n)
+    val fill = cellStart.clone()
+    rows.foreach { r =>
+      val cell = r.getInt(2)
+      val j = fill(cell)
+      fill(cell) += 1
+      ids(j) = r.getLong(0)
+      val v = r.getSeq[Long](1)
+      require(v.size == dim, s"ragged embedding dim: ${v.size} != $dim")
+      var dot = 0L
+      var i = 0
+      while (i < dim) {
+        val x = v(i)
+        flat(j * dim + i) = x
+        dot += x * x
+        i += 1
+      }
+      norms(j) = math.sqrt(dot.toDouble)
+    }
+    Some(corpus.sparkSession.sparkContext.broadcast(
+      new graft.functions.IvfCorpus(cellStart, ids, flat, norms, dim, centroids)))
+  }
+
   /** Per-query top-k via the bounded-heap aggregate
     * ([[graft.functions.TopKByScore]]): map-side partial top-k means only k
     * rows per query cross the shuffle — the window/row_number formulation

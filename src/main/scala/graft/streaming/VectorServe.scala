@@ -93,6 +93,61 @@ object VectorServe {
     servePq(queryStream, corpus.filter(predicate), idCol, vecCol, k,
       nBlocks, nCodes, lloydIters, maxTrainSample)
 
+  /** IVF streaming serve — the LATENCY axis online: the static corpus is
+    * packed once into a cell-partitioned broadcast
+    * ([[graft.llm.Similarity.ivfBroadcastIndex]] — centroids trained and
+    * cells assigned by the SAME expressions the batch `ivfServe` uses),
+    * and each arriving query picks its `nProbe` nearest cells inside the
+    * kernel ([[graft.functions.IvfBroadcastTopKExpr]]) and heap-scans only
+    * those cells' row ranges — ~nProbe/nList of the exact kernel's work
+    * per query at the probe set's recall (gated batch-side by
+    * `i3_ivf_serve_gate`). The plan stays a stateless projection +
+    * generator like [[serveExact]]; memory contract is the full-vector
+    * broadcast (for the memory axis compose with PQ — [[servePq]]). */
+  def serveIvf(
+      queryStream: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int = 5,
+      nList: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 3, maxTrainSample: Int = 65536): DataFrame = {
+    requireIntegralId(queryStream, idCol, "query")
+    requireIntegralId(corpus, idCol, "corpus")
+    val idType = queryStream.schema(idCol).dataType
+    Similarity.ivfBroadcastIndex(
+      corpus, idCol, vecCol, nList, lloydIters, maxTrainSample) match {
+      case None => // empty corpus: an empty-but-well-typed append stream
+        queryStream.filter(lit(false)).select(
+          col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
+          lit(0.0).as("cos_sim"), lit(1).cast("int").as("rank"))
+      case Some(bc) =>
+        queryStream.filter(col(vecCol).isNotNull)
+          .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+          .select(col("query_id"), posexplode(
+            graft.functions.ArrayOps.ivfBroadcastTopK(
+              col("query_id"), col("qv"), bc, nProbe, k))
+            .as(Seq("pos", "entry")))
+          .select(col("query_id").cast(idType).as("query_id"),
+            col("entry.id").cast(idType).as("neighbor_id"),
+            col("entry.score").as("cos_sim"),
+            (col("pos") + 1).cast("int").as("rank"))
+    }
+  }
+
+  /** [[serveIvf]] under a corpus metadata predicate — the round-12 closure
+    * of the filtered-serve family (exact/PQ landed in round 11): the
+    * predicate restricts the static corpus BEFORE centroids train and the
+    * cell index packs, so out-of-scope rows never decode their embedding,
+    * never skew the quantizer, and never occupy broadcast budget; every
+    * query gets k TRUE neighbors of the filtered set at the probe set's
+    * recall. */
+  def serveIvfFiltered(
+      queryStream: DataFrame, corpus: DataFrame,
+      predicate: org.apache.spark.sql.Column,
+      idCol: String, vecCol: String, k: Int = 5,
+      nList: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 3, maxTrainSample: Int = 65536): DataFrame =
+    serveIvf(queryStream, corpus.filter(predicate), idCol, vecCol, k,
+      nList, nProbe, lloydIters, maxTrainSample)
+
   /** PQ streaming serve — the memory axis online: the static corpus is
     * encoded ONCE to an nBlocks-byte-per-vector code table (built
     * distributed; raw corpus vectors never reach the driver —

@@ -703,6 +703,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSet == batch.toSet)
   }
 
+  test("H12 IVF streaming serve: parity with batch ivfServe, filtered variant scoped, stateless") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val d = "/root/testdata/sf0.001"
+    val e = graft.queries.Tables.embeddings(spark, d)
+    val corpus = e.filter(col("vec_id") >= 64)
+    val queryRows = e.filter(col("vec_id") < 64)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val serve = graft.streaming.VectorServe.serveIvf(
+      mem.toDF().toDF("vec_id", "embedding"), corpus, "vec_id", "embedding", k = 5)
+    assert(serve.isStreaming)
+    val q = serve.writeStream.outputMode("append").format("memory")
+      .queryName("h12_ivf").start()
+    val streamed = try {
+      mem.addData(queryRows.take(20): _*)
+      q.processAllAvailable()
+      // stateless: the probe + heap-scan is a projection + generator
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"IVF serve plan grew state: ${q.lastProgress.stateOperators.mkString}")
+      mem.addData(queryRows.drop(20): _*)
+      q.processAllAvailable()
+      spark.table("h12_ivf").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    } finally q.stop()
+    // tuple-for-tuple parity with the BATCH IVF serve: same centroids
+    // (identical training call), same cell assignment (the same executor
+    // expression packs the broadcast), same probe arithmetic (shared
+    // NearestCells.pick), same integer-grid dots and tie conventions
+    val batch = graft.llm.Similarity.ivfServe(
+      e.filter(col("vec_id") < 64), corpus, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(streamed.toSet == batch.toSet,
+      s"stream/batch diverged: ${streamed.toSet.diff(batch.toSet).take(3)} vs ${batch.toSet.diff(streamed.toSet).take(3)}")
+
+    // filtered variant: every neighbor satisfies the predicate, parity
+    // with the batch serve over the filtered corpus
+    val pred = col("vec_id") >= 64 && col("label").isin(0L, 1L)
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val serveF = graft.streaming.VectorServe.serveIvfFiltered(
+      mem2.toDF().toDF("vec_id", "embedding"), e, pred,
+      "vec_id", "embedding", k = 5)
+    val q2 = serveF.writeStream.outputMode("append").format("memory")
+      .queryName("h12_ivf_filtered").start()
+    val streamedF = try {
+      mem2.addData(queryRows: _*)
+      q2.processAllAvailable()
+      assert(q2.lastProgress.stateOperators.isEmpty)
+      spark.table("h12_ivf_filtered").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    } finally q2.stop()
+    val inScope = e.filter(pred).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(streamedF.nonEmpty && streamedF.forall(t => inScope(t._2)))
+    val batchF = graft.llm.Similarity.ivfServe(
+      e.filter(col("vec_id") < 64), e.filter(pred),
+      "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(streamedF.toSet == batchF.toSet)
+  }
+
   test("H12 PQ streaming serve: stream equals the batch ADC kernel, recall holds vs exact") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
