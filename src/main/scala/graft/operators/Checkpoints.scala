@@ -48,9 +48,9 @@ private[graft] object Checkpoints {
     * belonging to another session's context; a closed session's entries
     * vanish; and an RDD the caller has dropped gets its blocks reclaimed
     * by Spark's ContextCleaner on GC even if the slot never supersedes
-    * again. Remaining caveat, documented at the call sites: two CONCURRENT
-    * invocations of the SAME query in ONE session still race — consume the
-    * returned frame before re-invoking. */
+    * again. Two CONCURRENT invocations of the SAME query in ONE session
+    * are detected by the per-slot generation guard (round 12): the loser's
+    * frame fails loudly on consumption instead of silently racing. */
   private val slots: java.util.Map[
       org.apache.spark.sql.SparkSession,
       java.util.concurrent.ConcurrentHashMap[
@@ -58,14 +58,49 @@ private[graft] object Checkpoints {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap())
 
+  /** Per-(sessionUUID, slot) generation counters for the concurrent-use
+    * guard. Keyed by plain strings (no session pinning; bounded by the
+    * number of distinct slots); readable from GUARD tasks so a superseded
+    * frame fails loudly instead of surfacing Spark's block-not-found. In
+    * local mode (the battery) guard tasks see this map directly; on a
+    * multi-JVM cluster executors see an empty map and the guard
+    * deliberately no-ops (consumption then fails with Spark's own missing-
+    * checkpoint error — the guard narrows the failure, never widens it). */
+  private val gens =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def assertCurrent(key: String, gen: Long): Unit = {
+    val cur = gens.get(key)
+    if (cur != null && cur.longValue != gen)
+      throw new IllegalStateException(
+        s"checkpoint slot '$key' generation $gen was superseded by " +
+          s"generation $cur: a concurrent re-invocation of the same query " +
+          "released this result's blocks — consume each invocation's " +
+          "result before re-invoking (Checkpoints.supersede)")
+  }
+
   /** Register `df` as slot `slot`'s live checkpoint for session `s`,
-    * releasing whatever the slot previously held. Returns `df`. */
+    * releasing whatever the slot previously held. Returns `df` wrapped in
+    * a GENERATION GUARD (round 12): consuming a frame whose slot has since
+    * been superseded by a re-invocation fails loudly with the remedy in
+    * the message — the guard runs before the checkpoint scan in every
+    * task, so the clear error wins over the block-not-found the released
+    * blocks would otherwise produce. */
   def supersede(s: org.apache.spark.sql.SparkSession, slot: String,
       df: DataFrame): DataFrame = {
-    val rdd: org.apache.spark.rdd.RDD[_] = df.queryExecution.analyzed match {
-      case lr: LogicalRDD => lr.rdd
-      case _ => null // nothing releasable at the root; slot still advances
-    }
+    val rdd: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow] =
+      df.queryExecution.analyzed match {
+        case lr: LogicalRDD => lr.rdd
+        case _ => null // nothing releasable at the root; slot still advances
+      }
+    // identityHashCode distinguishes sessions well enough for a guard key
+    // (collisions only blur WHICH session superseded, never miss a bump)
+    val key = Integer.toHexString(System.identityHashCode(s)) + "/" + slot
+    // bump the generation BEFORE releasing the previous blocks, so a
+    // stale frame's guard observes the new generation no later than the
+    // blocks disappear
+    val gen = gens.merge(key, 1L, (a, b) => a + b).longValue
     val m = slots.synchronized {
       slots.computeIfAbsent(s, _ =>
         new java.util.concurrent.ConcurrentHashMap[
@@ -74,6 +109,33 @@ private[graft] object Checkpoints {
     Option(m.put(slot, new java.lang.ref.WeakReference(rdd)))
       .flatMap(r => Option(r.get()))
       .foreach(_.unpersist(blocking = false))
-    df
+    if (rdd == null) df
+    else org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(
+      s, new GuardedCheckpointRDD(rdd, key, gen), df.schema)
+  }
+}
+
+/** Pass-through RDD over a localCheckpoint's rows that asserts its slot
+  * generation is still current BEFORE pulling the parent iterator — the
+  * deterministic loud path for the concurrent same-slot race
+  * ([[Checkpoints.supersede]]). Narrow, partition-preserving, no
+  * serialization change (InternalRow in, InternalRow out). */
+private[graft] class GuardedCheckpointRDD(
+    parent: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+    key: String,
+    gen: Long)
+    extends org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.catalyst.InternalRow](parent) {
+
+  override def getPartitions: Array[org.apache.spark.Partition] =
+    firstParent[org.apache.spark.sql.catalyst.InternalRow].partitions
+
+  override def compute(
+      split: org.apache.spark.Partition,
+      context: org.apache.spark.TaskContext)
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    Checkpoints.assertCurrent(key, gen)
+    firstParent[org.apache.spark.sql.catalyst.InternalRow]
+      .iterator(split, context)
   }
 }
