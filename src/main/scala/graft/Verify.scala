@@ -24,6 +24,9 @@ object Verify {
     def selected(name: String): Boolean =
       nameFilter.forall(_.exists(name.contains))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
+      // the start marker brackets each query's log output so engine
+      // warnings (e.g. empty-key WindowExec) attribute to their owner
+      System.err.println(s"[verify] running $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

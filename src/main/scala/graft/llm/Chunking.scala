@@ -162,6 +162,11 @@ object Chunking {
       coalesce(sum(col("n")).over(Window.partitionBy(col("b"))
         .orderBy(col("id")).rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
+    // the battery's ONE allowed empty-key window (PlanBudgetSpec pins the
+    // set): its input is the bucket-totals frame — |buckets| ≤ nBuckets
+    // rows by construction, never |rows| — so the single-task stage is
+    // O(nBuckets) regardless of corpus size (all 8 residual WindowExec
+    // warnings in a full Verify run attribute here, round 12)
     val offsets = bucketed.groupBy(col("b")).agg(sum(col("n")).as("bn"))
       .withColumn("off",
         coalesce(sum(col("bn")).over(Window.orderBy(col("b"))

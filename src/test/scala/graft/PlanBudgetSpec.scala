@@ -226,9 +226,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // deleted queries, no unbudgeted newcomers
     assert(budget.keySet == SparkEntry.queries.keySet,
       s"budget/battery drift: only-in-budget=${budget.keySet -- SparkEntry.queries.keySet} only-in-battery=${SparkEntry.queries.keySet -- budget.keySet}")
-    val actual = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.executedPlan.toString
-      name -> exchange.findAllIn(plan).size
+    val qes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (name, fn(spark, sf).queryExecution)
+    }
+    val actual = qes.map { case (name, qe) =>
+      name -> exchange.findAllIn(qe.executedPlan.toString).size
     }
     val current = actual.map { case (k, v) => s"""    "$k" -> $v,""" }
       .mkString("\n")
@@ -240,5 +242,24 @@ class PlanBudgetSpec extends AnyFunSuite {
     val under = actual.filter { case (n, c) => c < budget.getOrElse(n, 0) }
     assert(under.isEmpty,
       s"plan improved past its budget — bank it: $under\ncurrent counts:\n$current")
+    // empty-key windows funnel their whole input through ONE task — a
+    // data-sized one is a serial stage hiding in a distributed plan. The
+    // battery's single allowed instance is i7_token_shards' bucket-offset
+    // prefix, whose input is |buckets| ≤ 1024 rows BY CONSTRUCTION
+    // (Chunking.shardSequences: the offsets frame is a groupBy(b) of a
+    // bounded bucket id); a round-12 full-Verify attribution run traced
+    // all 8 runtime WindowExec warnings to exactly this query. Anything
+    // new here must either carry a bounded-input proof or be re-planned.
+    val emptyKeyWindows = qes.flatMap { case (name, qe) =>
+      val n = qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }.size
+      if (n > 0) Some(name -> n) else None
+    }
+    assert(emptyKeyWindows == Seq("i7_token_shards" -> 1),
+      s"unattributed empty-key window(s): $emptyKeyWindows — prove the " +
+        "input is bounded (|buckets|/|partitions|, never |rows|) or " +
+        "re-plan via GlobalRank/PrefixScan")
   }
 }
