@@ -34,7 +34,8 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
 
-def ensure_dataset(src: str, work: str, scale: int) -> str:
+def ensure_dataset(src: str, work: str, scale: int,
+                   doc_mode: str = "shuffle") -> str:
     base_sf = float(os.path.basename(src.rstrip("/")).lstrip("sf"))
     if scale == 1:
         dest = os.path.join(work, os.path.basename(src.rstrip("/")))
@@ -45,7 +46,7 @@ def ensure_dataset(src: str, work: str, scale: int) -> str:
     if not os.path.exists(os.path.join(dest, "documents.parquet")):
         subprocess.run(
             [sys.executable, os.path.join(HERE, "scaleup.py"), src, dest,
-             str(scale)], check=True)
+             str(scale), "--doc-mode", doc_mode], check=True)
     return dest
 
 
@@ -79,13 +80,15 @@ def main():
                     help="comma-separated substring filter (SPARK_GRAFT_QUERIES)")
     ap.add_argument("--cpus", default="32")
     ap.add_argument("--out", default=None, help="write raw results JSON here")
+    ap.add_argument("--doc-mode", choices=["shuffle", "translate"],
+                    default="shuffle", help="scaleup.py document copy mode")
     args = ap.parse_args()
 
     scales = [int(s) for s in args.scales.split(",")]
     os.makedirs(args.work, exist_ok=True)
     results = {}
     for scale in scales:
-        sf_dir = ensure_dataset(args.src, args.work, scale)
+        sf_dir = ensure_dataset(args.src, args.work, scale, args.doc_mode)
         print(f"== bench at {scale}x ({sf_dir})", flush=True)
         r = run_bench(sf_dir, args.queries, args.cpus)
         results[scale] = r["queries"]

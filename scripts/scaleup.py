@@ -33,6 +33,7 @@ offset so shards stay closed; their n_nationkey/s_nationkey stay in
 range because nation is not offset.
 """
 import argparse
+import hashlib
 import os
 import random
 
@@ -51,10 +52,42 @@ def shuffle_words_sql():
     return shuffle_text
 
 
-def build(src: str, dest: str, n: int) -> None:
+def translate_words_sql():
+    """Register a deterministic per-copy word TRANSLATION UDF.
+
+    The word shuffle (default mode) breaks word-3-gram overlap across
+    copies but NOT char-5-shingle overlap — a shuffled copy keeps every
+    within-word 5-gram, so at char-shingle MinHash granularity copies sit
+    at Jaccard ~0.3 and the 16-band/r=4 S-curve still collides ~12% of
+    cross-copy pairs: the char-5 LSH tier sees a dup-DENSITY workload
+    (quadratic in copies), not a volume one (session-14 adjudication).
+    Translation replaces each word with a hex token derived from
+    (copy, word): the same word maps to the same token WITHIN a copy, so
+    per-shard vocabulary/near-dup structure is preserved at both word and
+    char granularity, while different copies share no tokens and (hex
+    alphabet, fresh digests) essentially no char 5-grams — N genuinely
+    disjoint shards for every shingle granularity.
+    """
+    def translate_text(text: str, seed: int) -> str:
+        if text is None:
+            return None
+        out = []
+        for w in text.split(" "):
+            if not w:
+                out.append(w)
+                continue
+            h = hashlib.md5(f"{seed}:{w}".encode()).hexdigest()
+            out.append(h[:max(3, min(len(w), 12))])
+        return " ".join(out)
+    return translate_text
+
+
+def build(src: str, dest: str, n: int, doc_mode: str = "shuffle") -> None:
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
     con.create_function("shuffle_words", shuffle_words_sql(),
+                        ["VARCHAR", "BIGINT"], "VARCHAR")
+    con.create_function("translate_words", translate_words_sql(),
                         ["VARCHAR", "BIGINT"], "VARCHAR")
 
     def path(t):
@@ -140,13 +173,26 @@ def build(src: str, dest: str, n: int) -> None:
 
     if os.path.exists(path("documents")):
         md = con.sql(f"SELECT MAX(doc_id)+1 FROM '{path('documents')}'").fetchone()[0]
-        copy("documents", f"""
-            SELECT d.* REPLACE (
-              {off('doc_id', md)} AS doc_id,
-              CASE WHEN r.range = 0 THEN d.text
-                   ELSE shuffle_words(d.text, r.range * 1000003 + d.doc_id)
-              END AS text)
-            FROM '{path("documents")}' d, {reps}""")
+        if doc_mode == "translate":
+            # per-copy seed only: same word -> same token within a shard,
+            # so per-shard dedup structure is preserved; n_chars recomputed
+            # because translation changes text length
+            text_expr = "translate_words(d.text, r.range)"
+            copy("documents", f"""
+                SELECT d.* REPLACE (
+                  {off('doc_id', md)} AS doc_id,
+                  CASE WHEN r.range = 0 THEN d.text ELSE {text_expr} END AS text,
+                  CASE WHEN r.range = 0 THEN d.n_chars
+                       ELSE len({text_expr}) END AS n_chars)
+                FROM '{path("documents")}' d, {reps}""")
+        else:
+            copy("documents", f"""
+                SELECT d.* REPLACE (
+                  {off('doc_id', md)} AS doc_id,
+                  CASE WHEN r.range = 0 THEN d.text
+                       ELSE shuffle_words(d.text, r.range * 1000003 + d.doc_id)
+                  END AS text)
+                FROM '{path("documents")}' d, {reps}""")
 
 
 def main():
@@ -154,9 +200,16 @@ def main():
     ap.add_argument("src")
     ap.add_argument("dest")
     ap.add_argument("n", type=int)
+    ap.add_argument("--doc-mode", choices=["shuffle", "translate"],
+                    default="shuffle",
+                    help="copy-k>0 document text: word shuffle (breaks "
+                         "word-3-gram overlap; chars overlap survives) or "
+                         "word translation (disjoint shards at EVERY "
+                         "shingle granularity)")
     args = ap.parse_args()
-    print(f"building {args.n}x key-offset shards of {args.src} -> {args.dest}")
-    build(args.src, args.dest, args.n)
+    print(f"building {args.n}x key-offset shards of {args.src} -> "
+          f"{args.dest} (doc_mode={args.doc_mode})")
+    build(args.src, args.dest, args.n, args.doc_mode)
 
 
 main()

@@ -651,6 +651,62 @@ object Dedup {
     size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))
       .cast("double") / size(sigA).cast("double")
 
+  /** I2 signature-only verified tier: MinHash-LSH candidates verified with
+    * the signature-ESTIMATED Jaccard instead of the exact word-n-gram set
+    * join ([[lshVerifiedPairs]]). Verification cost is O(k) integer
+    * compares per candidate and re-attaches only the two k-int signatures
+    * by id — no text features cross the verify shuffle at all. This is the
+    * tier large corpus-dedup pipelines actually run at 100 TB (dedupe by
+    * estimated similarity; the exact-verify tier stays as the audit pass):
+    * precision follows the MinHash estimator's ±1/sqrt(k) error, which the
+    * emitted `est_jaccard` makes visible downstream.
+    *
+    * md5 family throughout, so candidates AND estimates are bit-for-bit
+    * recomputable by the oracle — `i2_sig_verified_pairs` carries a full
+    * DuckDB hash oracle (est = matches/k, an exact small-int ratio). */
+  def signatureVerifiedPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5,
+      k: Int = 64,
+      nBands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(k % nBands == 0, s"k=$k must divide into nBands=$nBands")
+    val r = k / nBands
+    // same exchange sandwich as minHashCandidates: spread the signature
+    // kernel across cores, then materialize signatures once by doc so the
+    // band branch and the two verify attachments reuse one exchange
+    val sigExpr = graft.functions.HashExprs.md5MinHashSig(
+      charShingles(col("text"), shingleN), k)
+    val sigs = df.select(col(idCol).as("doc"), col(textCol).as("text"))
+      .filter(length(col("text")) >= shingleN)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc"), sigExpr.as("sig"))
+      .repartition(Par.of(df), col("doc"))
+    def bandKey(j: Column): Column =
+      concat_ws(",", transform(slice(col("sig"), j * r + 1, lit(r)),
+        x => x.cast("string")))
+    val cand = sigs.select(col("doc"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)), bandKey(_)))
+        .as(Seq("band_idx", "band_hash")))
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(collect_list(col("doc")).as("ds"))
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+    // id pairs cross the candidate shuffle; each side's signature attaches
+    // once per id (the round-11 LSH-join discipline: payloads per side,
+    // not per collision)
+    cand
+      .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .withColumn("est_jaccard", minHashSimilarity(col("sa"), col("sb")))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
   /** I2d — embedding-cosine near-dup pairs: documents whose embedding
     * cosine similarity meets `threshold` (quantized-integer dot products —
     * bit-identical across engines, see [[Similarity.quantize]]).

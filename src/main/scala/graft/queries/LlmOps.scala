@@ -555,6 +555,28 @@ object LlmOps {
     s"""WITH ${md5LshCandCtesOver("documents")}
       |SELECT ca AS doc_a, cb AS doc_b FROM lshcand""".stripMargin
 
+  /** I2 signature-only verified tier (round 12): LSH candidates verified by
+    * the MinHash-ESTIMATED Jaccard — O(k) integer compares per pair, no
+    * text features in the verify join. The 100 TB default for corpus-scale
+    * dedup where the exact word-n-gram tier is the audit pass. Full hash
+    * oracle: md5 family signatures are engine-recomputable and the
+    * estimate m/64 is exact in binary floating point. */
+  def sigVerifiedPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.signatureVerifiedPairs(Tables.documents(s, d), "doc_id", "text",
+      threshold = 0.5)
+
+  private val sigVerifiedPairsSql =
+    s"""WITH ${md5LshCandCtesOver("documents")},
+      |vp AS (
+      | SELECT ca AS doc_a, cb AS doc_b,
+      |  CAST(len([i for i in range(1, 65) if sa.sig[i] = sb.sig[i]])
+      |    AS DOUBLE) / 64 AS est_jaccard
+      | FROM lshcand
+      | JOIN lsig sa ON sa.doc_id = ca
+      | JOIN lsig sb ON sb.doc_id = cb)
+      |SELECT doc_a, doc_b, est_jaccard FROM vp
+      |WHERE est_jaccard >= 0.5""".stripMargin
+
   /** LSH-verified near-dup pair CTEs over `rel`, ending in
     * `high(doc_a, doc_b)` — the blocked analogue of
     * `sortedNeighborHighCtes`, mirroring
@@ -3288,6 +3310,7 @@ object LlmOps {
     "i6_curation_v5" -> curationV5 _,
     "i2_fuzzy_dedup_e2e" -> fuzzyDedupE2e _,
     "i2_minhash_lsh_candidates" -> minhashCandidates _,
+    "i2_sig_verified_pairs" -> sigVerifiedPairs _,
     "i2_minhash_containment" -> minhashContainmentGate _,
     "i2_simhash_pairs" -> simhashPairs _,
     "i2_simhash_containment" -> simhashContainmentGate _,
@@ -3378,6 +3401,7 @@ object LlmOps {
     "i2_fuzzy_dedup_e2e" -> fuzzyDedupE2eSql,
     "i2_minhash_containment" -> minhashContainmentSql,
     "i2_minhash_lsh_candidates" -> minhashCandidatesSql,
+    "i2_sig_verified_pairs" -> sigVerifiedPairsSql,
     "i2_simhash_pairs" -> simhashPairsSql,
     "i2_simhash_containment" -> simhashContainmentSql,
     "i2_embedding_neardup" -> embeddingNearDupsSql,

@@ -9,6 +9,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * batch `i2_minhash_lsh_candidates` / `i1_bloom_reference_dedup` flow —
   * an ingest pipeline flags a new document's near-duplicates the moment
   * it arrives, instead of re-running batch dedup over the full corpus).
+  * H13 ([[verifiedStream]]) upgrades the candidates to VERIFIED pairs by
+  * holding signatures in state and scoring the MinHash-estimated Jaccard
+  * at ingest.
   *
   * Plan shape: the signature + band hashes are computed IN the streaming
   * plan (same expressions as the batch candidate generator, so the two
@@ -67,6 +70,94 @@ object StreamDedup {
         if (stateTtlMinutes > 0) GroupStateTimeout.ProcessingTimeTimeout()
         else GroupStateTimeout.NoTimeout())(
         updateBucket(bucketCap, stateTtlMinutes * 60000L))
+  }
+
+  case class SigBandRow(doc_id: Long, band_idx: Int, band_key: String,
+      sig: Seq[Long])
+  case class VerifiedPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
+  case class SigBucketState(docs: List[(Long, Seq[Long])]) // oldest first
+
+  /** H13 — streaming VERIFIED near-dups: the live variant of the batch
+    * signature-only tier ([[graft.llm.Dedup.signatureVerifiedPairs]], row
+    * `i2_sig_verified_pairs`). Where [[candidateStream]] emits raw band
+    * collisions for a downstream exact-verify, this verifies AT INGEST
+    * from state: each band bucket holds the stored docs' k-int md5-MinHash
+    * signatures (k·4 bytes per doc per band — bounded by `bucketCap`), and
+    * an arrival emits a pair only when the signature-estimated Jaccard
+    * meets `threshold`. No batch backstop needed for precision — the
+    * estimate IS the verdict, same as the batch tier's.
+    *
+    * md5 family + signature-slice band keys, so the emitted pairs agree
+    * with the batch tier bit-for-bit on any prefix of the feed where no
+    * eviction/TTL fired (StreamDedupSpec pins the parity). Same bound
+    * semantics as [[candidateStream]]: eviction misses pairs (oldest
+    * first), a pair sharing several bands re-emits per band (downstream
+    * keeps max-by-pair; estimates are identical anyway), redelivery is
+    * at-least-once. */
+  def verifiedStream(
+      docs: DataFrame,
+      shingleN: Int = 5,
+      k: Int = 64,
+      nBands: Int = 16,
+      threshold: Double = 0.5,
+      bucketCap: Int = 32,
+      stateTtlMinutes: Long = 60): Dataset[VerifiedPair] = {
+    require(k % nBands == 0, s"k=$k must divide into nBands=$nBands")
+    require(bucketCap >= 1, s"bad bucketCap: $bucketCap")
+    require(stateTtlMinutes >= 0, s"bad stateTtlMinutes: $stateTtlMinutes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = k / nBands
+    val sig = graft.functions.HashExprs.md5MinHashSig(
+      graft.llm.Dedup.charShingles(col("text"), shingleN), k)
+    docs
+      .filter(length(col("text")) >= shingleN)
+      .select(col("doc_id").cast("long").as("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+          j => concat_ws(",", transform(slice(col("sig"), j * r + 1, lit(r)),
+            x => x.cast("string")))))
+          .as(Seq("band_idx", "band_key")))
+      .select(col("doc_id"), col("band_idx"), col("band_key"), col("sig"))
+      .as[SigBandRow]
+      .groupByKey(b => (b.band_idx, b.band_key))
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        if (stateTtlMinutes > 0) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(
+        updateSigBucket(bucketCap, stateTtlMinutes * 60000L, threshold))
+  }
+
+  private[streaming] def updateSigBucket(
+      cap: Int, ttlMs: Long, threshold: Double)(
+      key: (Int, String),
+      rows: Iterator[SigBandRow],
+      state: GroupState[SigBucketState]): Iterator[VerifiedPair] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    var stored = state.getOption.map(_.docs).getOrElse(Nil)
+    val newDocs = rows.map(b => (b.doc_id, b.sig)).toArray
+      .distinctBy(_._1).sortBy(_._1)
+    val out = Vector.newBuilder[VerifiedPair]
+    newDocs.foreach { case (d, dSig) =>
+      if (!stored.exists(_._1 == d)) {
+        stored.foreach { case (s, sSig) =>
+          val matches = sSig.iterator.zip(dSig.iterator).count {
+            case (a, b) => a == b
+          }
+          val est = matches.toDouble / sSig.length
+          if (est >= threshold)
+            out += VerifiedPair(math.min(s, d), math.max(s, d), est)
+        }
+        stored = stored :+ ((d, dSig))
+      }
+    }
+    if (stored.length > cap) stored = stored.takeRight(cap)
+    state.update(SigBucketState(stored))
+    if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+    out.result().iterator
   }
 
   private[streaming] def updateBucket(cap: Int, ttlMs: Long)(

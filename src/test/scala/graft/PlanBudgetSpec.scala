@@ -65,6 +65,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i2_fuzzy_dedup_e2e" -> 0, "i2_minhash_containment" -> 11,
     "i2_simhash_containment" -> 12,
     "i2_minhash_lsh_candidates" -> 4, "i2_neardup_blocked_gate" -> 11,
+    // candidate substrate (4) + the signature re-attach joins, which plan
+    // one extra exchange beyond it (the sigs branches reuse the by-doc
+    // exchange; AQE shares the pair-side shuffle across the two keys)
+    "i2_sig_verified_pairs" -> 5,
     "i2_ngram_jaccard" -> 3, "i2_simhash_pairs" -> 3,
     // ngram substrate (3) + the per-batch-doc verdict aggregate; the
     // batch-side left join broadcasts (excluded)

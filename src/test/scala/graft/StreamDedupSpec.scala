@@ -66,4 +66,55 @@ class StreamDedupSpec extends AnyFunSuite {
       Seq(Seq((1L, t)), Seq((2L, t)), Seq((2L, t), (1L, t))))
     assert(streamed == Set((1L, 2L)))
   }
+
+  private def runVerified(name: String, batches: Seq[Seq[(Long, String)]],
+      threshold: Double = 0.5): Set[(Long, Long, Double)] = {
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamDedup.verifiedStream(
+      mem.toDF().toDF("doc_id", "text"), threshold = threshold,
+      stateTtlMinutes = 0)
+    val q = out.writeStream.format("memory").outputMode("append")
+      .queryName(name).start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    } finally q.stop()
+  }
+
+  // doc 1 is a WORD-level near-dup (not the "!"-variant of `corpus`, whose
+  // md5 signature is identical to doc 0's on all 64 components): its
+  // deterministic signature estimate vs docs 0/3 is 35/64 = 0.546875 —
+  // above the 0.5 threshold, visibly below 1.0
+  private val vCorpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox leaps over the sleepy cat again and again"),
+    (2L, "completely different content about spark query engines at scale"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again"),
+    (4L, "le chat noir dort dans la maison pres de la fenetre tranquille"))
+
+  test("H13 verified stream matches the batch signature-verified tier") {
+    val streamed = runVerified("sd_verified",
+      Seq(vCorpus.take(2), vCorpus.drop(2)))
+    val batch = graft.llm.Dedup.signatureVerifiedPairs(
+      vCorpus.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // per-band re-emission collapses under Set; estimates are the SAME
+    // md5 signatures on both sides, so the parity is bit-for-bit
+    assert(streamed == batch)
+    // exact copies estimate 1.0; the word-level near-dup scores below 1
+    // but above threshold; the unrelated docs never verify
+    assert(streamed.contains((0L, 3L, 1.0)))
+    assert(streamed.exists(p => p._1 == 0L && p._2 == 1L &&
+      p._3 < 1.0 && p._3 >= 0.5))
+    assert(!streamed.exists(p => p._1 == 2L || p._2 == 2L ||
+      p._1 == 4L || p._2 == 4L))
+  }
+
+  test("H13 verified stream drops sub-threshold collisions at ingest") {
+    // same family as above but a high threshold: only exact copies verify
+    val streamed = runVerified("sd_verified_thresh",
+      Seq(vCorpus.take(2), vCorpus.drop(2)), threshold = 0.999)
+    assert(streamed.map(p => (p._1, p._2)) == Set((0L, 3L)))
+  }
 }
