@@ -42,7 +42,10 @@ def ensure_dataset(src: str, work: str, scale: int,
         if not os.path.exists(dest):
             os.symlink(os.path.abspath(src), dest)
         return dest
-    dest = os.path.join(work, f"sf{base_sf * scale:g}")
+    # doc_mode is part of the cache key: a shuffle-mode and a translate-mode
+    # fixture at the same sf are DIFFERENT datasets (dup-density vs volume),
+    # and silently reusing one for the other corrupts exponent comparisons
+    dest = os.path.join(work, f"sf{base_sf * scale:g}-{doc_mode}")
     if not os.path.exists(os.path.join(dest, "documents.parquet")):
         subprocess.run(
             [sys.executable, os.path.join(HERE, "scaleup.py"), src, dest,

@@ -77,7 +77,11 @@ def translate_words_sql():
                 out.append(w)
                 continue
             h = hashlib.md5(f"{seed}:{w}".encode()).hexdigest()
-            out.append(h[:max(3, min(len(w), 12))])
+            # floor 6 hex chars (16^6 ≈ 16.7M token space): a 3-char floor
+            # put short words in a 4096-token space where birthday collisions
+            # merged distinct words across copies, weakening the fixture's
+            # "copies share no tokens" disjointness premise
+            out.append(h[:max(6, min(len(w), 12))])
         return " ".join(out)
     return translate_text
 

@@ -179,6 +179,19 @@ final class MlflowFtpServer(
       try l.close() catch { case _: java.io.IOException => })
   }
 
+  /** True once [[stop]] has run: the accept socket and every tracked
+    * session socket and PASV/EPSV data listener are closed. Specs assert
+    * teardown on THIS state rather than by connecting to the freed ports —
+    * the OS can re-issue a just-freed ephemeral port to another process
+    * between `stop()` and the probe, making a connect-refused assertion
+    * nondeterministic under a concurrent test JVM. */
+  def stopped: Boolean = {
+    import scala.jdk.CollectionConverters._
+    server.isClosed &&
+      sessions.asScala.forall(_.isClosed) &&
+      dataListeners.asScala.forall(_.isClosed)
+  }
+
   // ---- per-connection session ----
 
   private def session(sock: Socket): Unit = {

@@ -561,21 +561,29 @@ object LlmOps {
     * dedup where the exact word-n-gram tier is the audit pass. Full hash
     * oracle: md5 family signatures are engine-recomputable and the
     * estimate m/64 is exact in binary floating point. */
+  /** Constants shared by the engine call and the oracle SQL below, so a
+    * default change on either side cannot silently desynchronize them.
+    * `SigVerifyK` must equal the signature length baked into
+    * [[md5LshCandCtesOver]] (its `lsig` CTE emits k=64 components). */
+  private val SigVerifyK = 64
+  private val SigVerifyThreshold = 0.5
+
   def sigVerifiedPairs(s: SparkSession, d: String): DataFrame =
     Dedup.signatureVerifiedPairs(Tables.documents(s, d), "doc_id", "text",
-      threshold = 0.5)
+      k = SigVerifyK, threshold = SigVerifyThreshold)
 
   private val sigVerifiedPairsSql =
     s"""WITH ${md5LshCandCtesOver("documents")},
       |vp AS (
       | SELECT ca AS doc_a, cb AS doc_b,
-      |  CAST(len([i for i in range(1, 65) if sa.sig[i] = sb.sig[i]])
-      |    AS DOUBLE) / 64 AS est_jaccard
+      |  CAST(len([i for i in range(1, ${SigVerifyK + 1})
+      |    if sa.sig[i] = sb.sig[i]])
+      |    AS DOUBLE) / $SigVerifyK AS est_jaccard
       | FROM lshcand
       | JOIN lsig sa ON sa.doc_id = ca
       | JOIN lsig sb ON sb.doc_id = cb)
       |SELECT doc_a, doc_b, est_jaccard FROM vp
-      |WHERE est_jaccard >= 0.5""".stripMargin
+      |WHERE est_jaccard >= $SigVerifyThreshold""".stripMargin
 
   /** LSH-verified near-dup pair CTEs over `rel`, ending in
     * `high(doc_a, doc_b)` — the blocked analogue of

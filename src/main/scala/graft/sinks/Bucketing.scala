@@ -25,31 +25,62 @@ object Bucketing {
     * executor core's memory at target scale. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
-    val spark = df.sparkSession
-    // unqualified names only: the orphan-cleanup path below derives the
-    // managed location as <warehouse>/<name> — a qualified db.table name
-    // would resolve to the wrong directory (<wh>/<db>.db/<table>) and the
-    // delete could hit another table's data
-    require(!table.contains("."),
-      s"writeBucketed: unqualified table name required, got '$table'")
-    // an in-memory catalog forgets tables across sessions but their
-    // managed directories survive; saveAsTable refuses to adopt an orphan
-    // location, so clear it when the catalog has no entry (a CATALOGED
-    // table is left for mode(overwrite) to replace atomically). This
-    // assumes ONE live session owns the warehouse dir — with a shared
-    // warehouse another session's cataloged table looks like an orphan
-    // here; callers sharing a warehouse must pre-create the catalog entry.
-    if (!spark.catalog.tableExists(table)) {
-      val wh = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(wh)) fs.delete(wh, true)
-    }
+    clearOrphan(df, table)
     df.write
       .format("parquet") // managed: lives under spark.sql.warehouse.dir
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode("overwrite")
       .saveAsTable(table)
+  }
+
+  /** Append to a table written by [[writeBucketed]] with the SAME key and
+    * bucket count — the incremental-state write path: each appended batch
+    * adds one bucketed file set, so downstream same-key joins stay
+    * exchange-free while writes stay proportional to the BATCH, not the
+    * table (the LSM-style alternative to rewriting corpus-sized state per
+    * increment; compact occasionally via a fresh [[writeBucketed]]). */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = {
+    require(df.sparkSession.catalog.tableExists(table),
+      s"appendBucketed: table '$table' must be created by writeBucketed first")
+    df.write
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("append")
+      .saveAsTable(table)
+  }
+
+  /** Overwrite a SMALL unbucketed catalog table (per-source stats,
+    * tombstone id lists — state whose size is bounded by metadata, not
+    * data). Same orphan-directory discipline as [[writeBucketed]]. */
+  def writeSmallTable(df: DataFrame, table: String): Unit = {
+    clearOrphan(df, table)
+    df.write.format("parquet").mode("overwrite").saveAsTable(table)
+  }
+
+  /** Clear a stale managed directory for `table` when the catalog has no
+    * entry. An in-memory catalog forgets tables across sessions but their
+    * managed directories survive; saveAsTable refuses to adopt an orphan
+    * location, so clear it when the catalog has no entry (a CATALOGED
+    * table is left for mode(overwrite) to replace atomically). This
+    * assumes ONE live session owns the warehouse dir — with a shared
+    * warehouse another session's cataloged table looks like an orphan
+    * here; callers sharing a warehouse must pre-create the catalog entry.
+    * Unqualified names only: the managed location is derived as
+    * <warehouse>/<name> — a qualified db.table name would resolve to the
+    * wrong directory (<wh>/<db>.db/<table>) and the delete could hit
+    * another table's data. */
+  private def clearOrphan(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    require(!table.contains("."),
+      s"bucketing sink: unqualified table name required, got '$table'")
+    if (!spark.catalog.tableExists(table)) {
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.delete(wh, true)
+    }
   }
 }

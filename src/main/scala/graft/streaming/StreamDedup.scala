@@ -82,7 +82,9 @@ object StreamDedup {
     * `i2_sig_verified_pairs`). Where [[candidateStream]] emits raw band
     * collisions for a downstream exact-verify, this verifies AT INGEST
     * from state: each band bucket holds the stored docs' k-int md5-MinHash
-    * signatures (k·4 bytes per doc per band — bounded by `bucketCap`), and
+    * signatures (k Long components ≈ k·8 bytes per doc per band before
+    * encoder overhead — bounded by `bucketCap`; the md5MinHash components
+    * are < 2^31 and would pack into Ints if state size ever binds), and
     * an arrival emits a pair only when the signature-estimated Jaccard
     * meets `threshold`. No batch backstop needed for precision — the
     * estimate IS the verdict, same as the batch tier's.
