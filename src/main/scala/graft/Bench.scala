@@ -87,7 +87,23 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":3,"agg":"median","warmup":"$warmDir"}""")
+    // Box state goes into the record because it has MOVED benchmarks: the
+    // round-12 closing bench ran with ~10 GB of scale-audit shards resident
+    // in page cache, drifting the common-query median 1.16× with no code
+    // change. A reader comparing two BENCH_r{N}.json files can now see
+    // whether the cache state was comparable before blaming the code.
+    val box = {
+      val mi = scala.util.Try(
+        scala.io.Source.fromFile("/proc/meminfo").getLines()
+          .flatMap { l => l.split("\\s+") match {
+            case Array(k, v, _*) => Some(k.stripSuffix(":") -> v)
+            case _ => None
+          }}.toMap).getOrElse(Map.empty[String, String])
+      def kb(k: String) = mi.getOrElse(k, "0")
+      s""""box":{"mem_available_kb":${kb("MemAvailable")},""" +
+        s""""cached_kb":${kb("Cached")},"dirty_kb":${kb("Dirty")}}"""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":3,"agg":"median","warmup":"$warmDir",$box}""")
     graft.llm.Similarity.releaseBroadcasts()
     spark.stop()
   }

@@ -481,7 +481,17 @@ object Multimodal {
       * the `movi` LIST (the two-char suffix selects `db` raw frames or
       * `dc` compressed frames). ALL size arithmetic in Long: a hostile
       * chunk size near 2^31 would wrap Int bounds checks true and the
-      * chunk advance negative — an AIOOBE instead of the stub fallback. */
+      * chunk advance negative — an AIOOBE instead of the stub fallback.
+  *
+  * DECLARED BOUNDARY (round 13): non-MJPEG compressed video (mpeg4/h264
+  * `dc` streams) is permanently ENVIRONMENT-scoped, not a backlog item.
+  * A pure-JVM MPEG-4 Part 2 intra decoder is public-spec (ISO/IEC
+  * 14496-2) but validating one offline requires also writing the
+  * matching encoder (no sample bitstreams and no JDK codec exist in this
+  * container) — ~1k lines of VLC tables + DCT whose only test would be
+  * its own inverse. In production, bind a real codec (JavaCV/ffmpeg)
+  * behind [[VideoCodec.firstFrame]]'s Option seam: every caller already
+  * handles the None fallback, so the binding is a drop-in. */
     private def firstMoviChunk(p: Array[Byte], c2: Char, c3: Char): Option[(Int, Int)] = {
       var i = 12
       while (i + 12 <= p.length) {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.expressions.Window
-import graft.llm.{Bpe, Chunking, Decontamination, Dedup, KMeans, Multimodal, Privacy, QualityClassifier, Retrieval, Sampling, Similarity, Snapshots, TextAnalysis}
+import graft.llm.{Bpe, Chunking, Decontamination, Dedup, IncrementalCuration, KMeans, Multimodal, Privacy, QualityClassifier, Retrieval, Sampling, Similarity, Snapshots, TextAnalysis}
 
 /** SURVEY §2 Group I — LLM-data-pipeline operators as oracle-checked
   * queries over `documents` / `embeddings`.
@@ -2066,6 +2066,194 @@ object LlmOps {
       |${temperatureCtesOver("surv")}
       |$temperatureSelectSql""".stripMargin
 
+  /** Measured persisted-LR accuracy on the v7 INCREMENT (loaded model
+    * scoring the diff's added+changed docs; `tools/MeasureV7Serve`,
+    * 2026-08-16): 0.950 / 0.949 / 0.947 at sf 0.001/0.01/0.1 (increment
+    * sizes 40/59/509). The conservative floor also covers fuzz corpora
+    * (unknown sf tag): increments are small samples, so it sits well
+    * under the measured ~5% per-doc error rate's worst plausible draw. */
+  private[graft] val V7AccFloors =
+    Map("0.001" -> 0.85, "0.01" -> 0.85, "0.1" -> 0.85)
+
+  /** I6r — curation v7, the INCREMENTAL composition
+    * ([[graft.llm.IncrementalCuration]]): increment N+1 flows
+    * snapshot-diff → near-dedup against the PERSISTED band index
+    * (first-seen-wins; retired old versions excluded from the probe) →
+    * within-batch exact dedup → persisted-model LR quality gate
+    * ([[graft.llm.ModelStore]] round-trip) → temperature-mixture/split
+    * membership with rates from the PERSISTED source stats updated at
+    * increment cost. One row per increment doc with the full verdict.
+    *
+    * Snapshot B derives deterministically from the fixture corpus so both
+    * engines construct it bit-identically: content-bucket < 5 docs get
+    * " rev2" appended (changed), buckets [5,10) drop (removed), buckets
+    * [95,97) re-key verbatim (added exact near-dups — must flag `is_dup`
+    * against the index), buckets ≥ 97 re-key with fresh hash-derived text
+    * (genuinely new docs — must survive). Every column is oracle-exact
+    * except `quality_gate_met`, pinned true like `i5_lr_quality_gate`
+    * (the oracle cannot re-run 200 GD iterations; a diverged model or a
+    * broken ModelStore round-trip flips the column and breaks the hash).
+    *
+    * Scale: the per-increment path is increment-sized end to end — band
+    * probe and verify read the bucketed stored side exchange-free, stats
+    * update probes docToks by broadcast id set, the gate scores only the
+    * increment. The corpus-sized steps (state build, snapshot diff) are
+    * the amortized/one-off legs, measured separately
+    * (`tools/MeasureV7Serve`). */
+  /** The deterministic v7 snapshot-B derivation over snapshot A (the raw
+    * fixture corpus) — shared with `tools/MeasureV7Serve` so measured gate
+    * accuracy reflects exactly the battery's increment. */
+  private[graft] def v7SnapshotB(a: DataFrame): DataFrame = {
+    def bucket = Sampling.hashBucket(col("text"))
+    val freshText = concat(lit("fresh doc "), md5(col("text")), lit(" "),
+      reverse(md5(col("text"))))
+    a.filter(bucket < 5)
+      .select(col("doc_id"), concat(col("text"), lit(" rev2")).as("text"),
+        col("source"))
+      .unionByName(a.filter(bucket >= 10)
+        .select(col("doc_id"), col("text"), col("source")))
+      .unionByName(a.filter(bucket >= 95 && bucket < 97)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("source")))
+      .unionByName(a.filter(bucket >= 97)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          freshText.as("text"), col("source")))
+  }
+
+  def curationV7Incremental(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+    val b = v7SnapshotB(a)
+    val st = IncrementalCuration.StateTables(
+      "graft_i6_v7_bands", "graft_i6_v7_feats", "graft_i6_v7_doctoks",
+      "graft_i6_v7_srcstats", "graft_i6_v7_tombstones",
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_i6_v7_lr")
+        .toString)
+    IncrementalCuration.buildState(a, "doc_id", "text", "source", st)
+    val state = IncrementalCuration.loadState(s, st)
+    // materialize the diff products once: increment and retired set are
+    // batch-sized, and every downstream stage (probe, verify, batch-exact
+    // window, stats delta, gate) consumes them — unpinned, the full-outer
+    // diff and the four-branch snapshot derivation re-expand under each
+    // consumer (measured 46 planned shuffles vs 13 pinned). In production
+    // these ARE materialized: the crawler delivers the increment.
+    val diff = Snapshots.diff(a, b, "doc_id", "text")
+    val inc = graft.operators.Checkpoints.supersede(s,
+      "i6_curation_v7.inc",
+      b.join(diff.filter(col("change_type").isin("added", "changed")),
+        Seq("doc_id")).localCheckpoint())
+    val retired = graft.operators.Checkpoints.supersede(s,
+      "i6_curation_v7.retired",
+      diff.filter(col("change_type").isin("removed", "changed"))
+        .select("doc_id").localCheckpoint())
+    IncrementalCuration.processIncrement(state, inc, retired,
+      "doc_id", "text", "source",
+      accFloor = floorFor(V7AccFloors, d, conservative = 0.8))
+      .join(inc.select(col("doc_id"), col("change_type")), Seq("doc_id"))
+      .select(col("doc_id"), col("change_type"), col("is_batch_exact_dup"),
+        col("n_matches"), col("best_match"), col("best_jaccard"),
+        col("is_dup"), col("split"), col("keep_threshold"), col("mix_keep"),
+        col("quality_gate_met"), col("curated_in"))
+  }
+
+  private lazy val curationV7Sql = {
+    def bandCtes(p: String, rel: String) =
+      s"""${p}csh AS (SELECT doc_id,
+        |  list_distinct([substr(text, i, 5) for i in range(1, len(text) - 3)]) AS sh
+        | FROM $rel WHERE len(text) >= 5),
+        |${p}hv AS (SELECT doc_id, [${mhHex("s", 1)} % 2147483647 for s in sh] AS hv
+        | FROM ${p}csh),
+        |${p}sig AS (SELECT doc_id,
+        |  [list_min([((2*j + 1) * h + (j * 2654435761) % 2147483647)
+        |     % 2147483647 for h in hv]) for j in range(0, 64)] AS sig
+        | FROM ${p}hv),
+        |${p}bands AS (SELECT doc_id, j AS band_idx,
+        |  array_to_string(list_slice(sig, j*4 + 1, j*4 + 4), ',') AS band
+        | FROM ${p}sig, range(16) t(j))""".stripMargin
+    def wshCtes(p: String, rel: String) =
+      s"""${p}w AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS w
+        | FROM $rel WHERE text IS NOT NULL),
+        |${p}wsh AS (
+        | SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |   for i in range(1, len(w) - 1)]) AS s
+        | FROM ${p}w WHERE len(w) >= 3)""".stripMargin
+    s"""WITH bkt AS (
+      | SELECT doc_id, text, source, ${bucketSql("text")} AS bucket
+      | FROM documents),
+      |b AS (
+      | SELECT doc_id, text || ' rev2' AS text, source FROM bkt
+      |  WHERE bucket < 5
+      | UNION ALL SELECT doc_id, text, source FROM bkt WHERE bucket >= 10
+      | UNION ALL SELECT doc_id + 1000000, text, source FROM bkt
+      |  WHERE bucket >= 95 AND bucket < 97
+      | UNION ALL SELECT doc_id + 1000000,
+      |   'fresh doc ' || md5(text) || ' ' || reverse(md5(text)), source
+      |  FROM bkt WHERE bucket >= 97),
+      |dif AS (
+      | SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |  CASE WHEN a.doc_id IS NULL THEN 'added'
+      |       WHEN b.doc_id IS NULL THEN 'removed'
+      |       WHEN md5(a.text) IS DISTINCT FROM md5(b.text) THEN 'changed'
+      |       ELSE 'unchanged' END AS change_type
+      | FROM documents a FULL OUTER JOIN b ON b.doc_id = a.doc_id),
+      |inc AS (SELECT b.doc_id, b.text, b.source, dif.change_type
+      | FROM b JOIN dif ON dif.doc_id = b.doc_id
+      | WHERE dif.change_type IN ('added', 'changed')),
+      |live AS (SELECT doc_id, text FROM documents
+      | WHERE doc_id NOT IN (SELECT doc_id FROM dif
+      |   WHERE change_type IN ('removed', 'changed'))),
+      |${bandCtes("a", "live")},
+      |${bandCtes("i", "inc")},
+      |cand AS (
+      | SELECT DISTINCT q.doc_id AS doc_q, t.doc_id AS doc_b
+      | FROM ibands q JOIN abands t ON q.band_idx = t.band_idx
+      |  AND q.band = t.band),
+      |${wshCtes("a", "live")},
+      |${wshCtes("i", "inc")},
+      |j AS (
+      | SELECT doc_q, doc_b,
+      |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
+      | FROM cand
+      | JOIN iwsh sa ON sa.doc_id = doc_q
+      | JOIN awsh sb ON sb.doc_id = doc_b
+      | WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5),
+      |v AS (SELECT doc_q, COUNT(*) AS n_matches, MAX(jac) AS best_jaccard
+      | FROM j GROUP BY 1),
+      |bm AS (SELECT j.doc_q, MIN(j.doc_b) AS best_match
+      | FROM j JOIN v ON j.doc_q = v.doc_q AND j.jac = v.best_jaccard
+      | GROUP BY 1),
+      |bed AS (SELECT doc_id, text IS NOT NULL
+      |  AND doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text))
+      |  AS is_batch_exact_dup FROM inc),
+      |s2 AS (SELECT * FROM (
+      | SELECT source,
+      |  CAST(SUM(CAST(COALESCE(LEN(regexp_split_to_array(text, ' +')), 0)
+      |   AS BIGINT)) AS BIGINT) AS ns
+      | FROM b GROUP BY 1) WHERE ns > 0),
+      |m2 AS (SELECT MIN(ns) AS nmin FROM s2),
+      |r2 AS (SELECT source,
+      |  CAST(FLOOR(SQRT(CAST(nmin AS DOUBLE) / CAST(ns AS DOUBLE)) * 10000)
+      |   AS INT) AS keep_threshold
+      | FROM s2, m2)
+      |SELECT i.doc_id, i.change_type, bed.is_batch_exact_dup,
+      | CAST(COALESCE(v.n_matches, 0) AS BIGINT) AS n_matches,
+      | bm.best_match, v.best_jaccard,
+      | v.doc_q IS NOT NULL AS is_dup,
+      | ${splitSql("i.text")} AS split,
+      | r2.keep_threshold,
+      | ${bucketSql("i.text", 10000)} < r2.keep_threshold AS mix_keep,
+      | true AS quality_gate_met,
+      | (NOT bed.is_batch_exact_dup AND v.doc_q IS NULL
+      |   AND ${bucketSql("i.text", 10000)} < r2.keep_threshold) AS curated_in
+      |FROM inc i
+      |JOIN bed ON bed.doc_id = i.doc_id
+      |LEFT JOIN v ON v.doc_q = i.doc_id
+      |LEFT JOIN bm ON bm.doc_q = i.doc_id
+      |JOIN r2 ON r2.source = i.source""".stripMargin
+  }
+
   /** I6g — expectation audit (the Deequ-style pre-training data-quality
     * gate): named integrity checks over the fixture star schema, each one
     * exact-integer — primary-key uniqueness, referential containment
@@ -3312,6 +3500,7 @@ object LlmOps {
     "i2_canonical_keep_blocked" -> canonicalKeepBlocked _,
     "i2_canonical_keep_lsh" -> canonicalKeepLsh _,
     "i6_curation_v6" -> curationV6 _,
+    "i6_curation_v7_incremental" -> curationV7Incremental _,
     "i6_temperature_mixture" -> temperatureMixture _,
     "i4_image_ahash" -> imageAhash _,
     "i6_curation_v4" -> curationV4 _,
@@ -3402,6 +3591,7 @@ object LlmOps {
     "i2_canonical_keep_blocked" -> canonicalKeepBlockedSql,
     "i2_canonical_keep_lsh" -> canonicalKeepLshSql,
     "i6_curation_v6" -> curationV6Sql,
+    "i6_curation_v7_incremental" -> curationV7Sql,
     "i6_temperature_mixture" -> temperatureMixtureSql,
     "i4_image_ahash" -> imageAhashSql,
     "i6_curation_v4" -> curationV4Sql,

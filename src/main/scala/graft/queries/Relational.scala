@@ -455,7 +455,7 @@ object Relational {
     val li = Tables.lineitem(s, d).filter(col("l_orderkey") <= 1000)
     val o = Tables.orders(s, d).filter(col("o_orderkey") <= 1000)
       .select(col("o_orderkey"), col("o_orderdate"))
-    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(
         col("l_orderkey"), col("l_linenumber"),
         graft.model.TimeFns.isoToEpochUsCol(col("l_shipdate").cast("string")).as("ship_us"),
@@ -1321,7 +1321,7 @@ object Relational {
       .filter(col("o_orderdate") < cutoff)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
         col("o_orderpriority"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") > cutoff)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
@@ -1455,8 +1455,8 @@ object Relational {
         .select(col("l_orderkey"), col("l_suppkey"),
           col("l_extendedprice"), col("l_discount")),
         col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
@@ -1507,10 +1507,10 @@ object Relational {
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
         col("l_extendedprice"), col("l_discount"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
         (col("supp_nation") === n2 && col("cust_nation") === n1))
       .groupBy(col("supp_nation"), col("cust_nation"),
@@ -1564,12 +1564,12 @@ object Relational {
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_extendedprice"), col("l_discount"))
-      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .join(promo, col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
         sum(when(col("supp_nation") === "NATION_1", vol)).cast("double")
@@ -1622,8 +1622,8 @@ object Relational {
         .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
     perCust
-      .join(broadcast(Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))),
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
         col("revenue"), col("n_items"))
@@ -1663,7 +1663,7 @@ object Relational {
       .filter(col("l_quantity").between(1, 40)) // derived envelope
       .select(col("l_partkey"), col("l_quantity"),
         col("l_extendedprice"), col("l_discount"))
-      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(pt, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
           col("l_quantity").between(1, 20)) ||

@@ -98,7 +98,7 @@ object TpchShapes {
       .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
       .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
-      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
         col("l_partkey") === col("p_partkey"))
       .agg(
         (lit(100.0) * sum(when(col("p_type") === "PROMO", discPrice)
@@ -127,10 +127,10 @@ object TpchShapes {
     */
   def partSupplierCounts(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
-      .join(broadcast(Tables.part(s, d)
+      .join(Tables.part(s, d)
         .filter(col("p_brand") =!= "Brand#13" &&
           col("p_size").isin(1, 9, 17, 25, 33, 41, 49))
-        .select(col("p_partkey"), col("p_brand"), col("p_type"))),
+        .select(col("p_partkey"), col("p_brand"), col("p_type")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -152,8 +152,8 @@ object TpchShapes {
     * borderline row between engines. (D7)
     */
   def smallQtyRevenue(s: SparkSession, d: String): DataFrame = {
-    val brandParts = broadcast(Tables.part(s, d)
-      .filter(col("p_brand") === "Brand#13").select(col("p_partkey")))
+    val brandParts = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#13").select(col("p_partkey"))
     val li = Tables.lineitem(s, d)
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
       .join(brandParts, col("l_partkey") === col("p_partkey"))
@@ -219,8 +219,8 @@ object TpchShapes {
       .filter(col("l_shipdate") >= col("others_max"))
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
-      .join(broadcast(Tables.supplier(s, d)
-        .select(col("s_suppkey"), col("s_name"))),
+      .join(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
@@ -339,8 +339,8 @@ object TpchShapes {
         .localCheckpoint())
     val best = rev.agg(max(col("total_rev")).as("best_rev"))
     rev.join(broadcast(best), col("total_rev") === col("best_rev"))
-      .join(broadcast(Tables.supplier(s, d)
-        .select(col("s_suppkey"), col("s_name"))),
+      .join(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("total_rev").cast("double").as("total_revenue"))

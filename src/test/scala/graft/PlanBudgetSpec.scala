@@ -139,12 +139,19 @@ class PlanBudgetSpec extends AnyFunSuite {
     // bucketed prefix sum: per-bucket window + bucket-totals agg + the
     // tiny bucket-offset window (broadcast join back is excluded)
     "i7_token_shards" -> 3,
-    "d03_local_supplier_volume" -> 1, "d03_volume_shipping" -> 1,
+    // 3 since round 13: the forced broadcasts of the customer-join-asia
+    // and supplier subtrees were removed (a joined dim subtree cannot be
+    // PROVEN small — at 100 TB the hint would OOM the driver); the static
+    // plan shuffles them, and AQE re-converts to broadcast at runtime
+    // when the actual build side is small
+    "d03_local_supplier_volume" -> 3, "d03_volume_shipping" -> 1,
     // d08_heavy_hitters' budget covers the RECOUNT plan only: the
     // Misra-Gries candidate sweep is an eager treeAggregate action at
     // DataFrame-construction time (it moves ≤k-entry summaries, not rows)
     // and is invisible to any plan inspection — see HeavyHitters.exact.
-    "d07_market_share" -> 1, "d08_heavy_hitters" -> 1,
+    // 3 since round 13: same de-hinting as d03_local_supplier_volume
+    // (nation-joined cust/supp sides + the filtered part side)
+    "d07_market_share" -> 3, "d08_heavy_hitters" -> 1,
     "i5_inverted_index" -> 2, "i6_table_fingerprint" -> 1,
     "d03_returned_top_customers" -> 1, "d03_disjunctive_parts" -> 1,
     // 0: the frontier arrives as a PrefixScan LogicalRDD (its range
@@ -217,7 +224,19 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i8_communities" -> 5,
     // i6_cluster_balance: k-means assignment is kernel-only; the cap
     // window on cluster, total/kept aggregates, and the ordered join-back
-    "i6_cluster_balance" -> 3)
+    "i6_cluster_balance" -> 3,
+    // v7 incremental: the counted plan starts at the CHECKPOINTED
+    // increment (batch-sized LogicalRDD — the corpus-sized snapshot diff
+    // and state build run eagerly behind it), so every one of these
+    // exchanges moves increment-sized data: the band-probe substrate
+    // (md5BandKeys spread+align repartitions, candidate distinct, verify
+    // attach joins, verdict aggregate + join-back), the batch-exact md5
+    // window, the stats-delta aggregates (retired lookup is a broadcast
+    // semi against bucketed docToks — zero stored-side exchanges), the
+    // source-keyed full-outer rate derivation, and the two 1-row
+    // aggregates (nmin, gate). The STORED band/feats/docToks sides
+    // contribute zero (bucketed scans)
+    "i6_curation_v7_incremental" -> 22)
 
   // anchored to the tree-prefix start of a line so the exchange embedded in
   // a ReusedExchange node's description (", Exchange hashpartitioning(...)")
@@ -265,5 +284,84 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"unattributed empty-key window(s): $emptyKeyWindows — prove the " +
         "input is bounded (|buckets|/|partitions|, never |rows|) or " +
         "re-plan via GlobalRank/PrefixScan")
+  }
+
+  /** Queries allowed to carry a FORCED broadcast of a subtree the lint
+    * cannot prove bounded, each with the proof the lint can't see.
+    * (Size-based auto-broadcasts are exempt by design: Catalyst re-plans
+    * them as shuffle joins when the side outgrows the threshold, so they
+    * carry no 100 TB risk. A `broadcast(...)` HINT overrides that at every
+    * scale — it must point at provably bounded data.) */
+  private val forcedBroadcastAllow: Map[String, String] = Map(
+    // mining batch: TakeOrdered collect of 50 query rows, rebuilt as a
+    // local relation before the hint — bounded upstream of the plan
+    "i3_hard_negatives" -> "50-row mined query batch (local relation)",
+    // Bloom reference dedup: the broadcast side is the REFERENCE list's
+    // md5 digests — the operator's contract (a curated blocklist, not a
+    // second corpus); Dedup.bloomReferenceDedup documents the corpus-sized
+    // alternative (shuffle semi-join) for references past broadcast size
+    "i1_bloom_reference_dedup" -> "reference-list digests (contract-small)",
+    // declared all-pairs exact baseline (SURVEY: brute-force cosine is the
+    // correctness anchor; the LSH-blocked variant is the scale path)
+    "i2_embedding_neardup" -> "exact all-pairs baseline by declaration",
+    // the recall gate recomputes that exact baseline internally to grade
+    // the blocked variant against it — inherits the baseline's broadcast
+    "i2_neardup_blocked_gate" -> "exact-baseline recall reference",
+    // vector-serve rows: the broadcast side is the QUERY BATCH (and, in
+    // the gates, the exact-serve reference over it) — |Q| rows by the
+    // serving contract; Similarity.requireBroadcastable guards the one
+    // API that broadcasts a CORPUS side
+    "i3_filtered_topk" -> "query batch (serving contract, |Q| rows)",
+    "i3_query_batch_topk" -> "query batch (serving contract, |Q| rows)",
+    "i3_ivf_serve_gate" -> "query batch + exact-serve reference",
+    "i3_ivfpq_serve_gate" -> "query batch + exact-serve reference")
+
+  test("forced broadcasts are bounded; no driver collect on a data path") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalRelation, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.catalyst.optimizer.BuildSide
+    // a hinted side is structurally bounded when something in its subtree
+    // caps its row count independent of input volume: an aggregate (rows
+    // bounded by group-key cardinality — every battery use groups on a
+    // bounded domain), a limit, a local relation, a checkpointed
+    // LogicalRDD (the eager-stage pattern: PrefixScan carries, bounded
+    // walks), or a scan of the bounded dimension tables
+    def bounded(p: LogicalPlan): Boolean = p.exists {
+      case _: logical.Aggregate => true
+      case _: GlobalLimit => true
+      case _: LocalRelation => true
+      case r if r.getClass.getSimpleName == "LogicalRDD" => true
+      case lr: LogicalRelation =>
+        val loc = lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.mkString(",").toLowerCase
+          case other => other.toString.toLowerCase
+        }
+        loc.contains("region") || loc.contains("nation")
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !forcedBroadcastAllow.contains(name) =>
+        val qe = fn(spark, sf).queryExecution
+        val badHints = qe.optimizedPlan.collect { case j: logical.Join =>
+          Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right)
+            .collect { case (Some(h), side)
+                if h.strategy.exists(_.toString.contains("broadcast"))
+                  && !bounded(side) => side.nodeName }
+        }.flatten
+        // CollectLimit funnels the data path through the driver; the
+        // battery's distributed top-k shapes use TakeOrderedAndProject
+        val collects = qe.sparkPlan.collect {
+          case c: org.apache.spark.sql.execution.CollectLimitExec => c
+        }
+        (if (badHints.nonEmpty) Seq(name -> s"unbounded broadcast hint over ${badHints.mkString(",")}") else Nil) ++
+          (if (collects.nonEmpty) Seq(name -> "CollectLimit on the data path") else Nil)
+      case _ => Nil
+    }
+    assert(offenders.isEmpty,
+      s"driver/broadcast budget violations: $offenders — bound the " +
+        "subtree (aggregate/limit/local relation) or add a justified " +
+        "allowlist entry")
   }
 }
