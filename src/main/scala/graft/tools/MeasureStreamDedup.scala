@@ -20,18 +20,28 @@ import org.apache.spark.sql.functions._
   * ingested volume.
   *
   * Usage:
-  *   sbt "runMain graft.tools.MeasureStreamDedup <sfDir> [batchDocs]"
+  *   sbt "runMain graft.tools.MeasureStreamDedup <sfDir> [batchDocs] [rocksdb]"
+  *
+  * The optional third arg switches the state store to the RocksDB
+  * provider — the production choice once total state outgrows what the
+  * default in-memory HDFS-backed provider can snapshot per batch (its
+  * maintenance cost grows with the number of distinct band buckets, i.e.
+  * linearly with ingested volume; RocksDB pays per-CHANGE instead).
   */
 object MeasureStreamDedup {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val batchDocs = args.lift(1).map(_.toInt).getOrElse(500)
-    val spark = SparkSession.builder()
+    val rocksdb = args.lift(2).contains("rocksdb")
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.driver.memory", "8g")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (rocksdb) builder.config(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -57,7 +67,8 @@ object MeasureStreamDedup {
       val secs = (System.nanoTime() - t0) / 1e9
       val fed = batches.tail.map(_.length.toLong).sum
       val pairs = spark.table("msd_pairs").count()
-      println(f"$dir docs=${docs.length}%d batch=$batchDocs%d " +
+      val store = if (rocksdb) "rocksdb" else "memory"
+      println(f"$dir store=$store docs=${docs.length}%d batch=$batchDocs%d " +
         f"timed_docs=$fed%d secs=$secs%.2f docs_per_s=${fed / secs}%.0f " +
         f"pairs=$pairs%d")
     } finally q.stop()
