@@ -2126,7 +2126,7 @@ object LlmOps {
     val b = v7SnapshotB(a)
     val st = IncrementalCuration.StateTables(
       "graft_i6_v7_bands", "graft_i6_v7_feats", "graft_i6_v7_doctoks",
-      "graft_i6_v7_srcstats", "graft_i6_v7_tombstones",
+      "graft_i6_v7_srcstats", "graft_i6_v7_tombstones", "graft_i6_v7_meta",
       new java.io.File(sys.props("java.io.tmpdir"), "graft_i6_v7_lr")
         .toString)
     IncrementalCuration.buildState(a, "doc_id", "text", "source", st)
@@ -2243,15 +2243,17 @@ object LlmOps {
       | v.doc_q IS NOT NULL AS is_dup,
       | ${splitSql("i.text")} AS split,
       | r2.keep_threshold,
-      | ${bucketSql("i.text", 10000)} < r2.keep_threshold AS mix_keep,
+      | COALESCE(${bucketSql("i.text", 10000)} < r2.keep_threshold, false)
+      |  AS mix_keep,
       | true AS quality_gate_met,
       | (NOT bed.is_batch_exact_dup AND v.doc_q IS NULL
-      |   AND ${bucketSql("i.text", 10000)} < r2.keep_threshold) AS curated_in
+      |   AND COALESCE(${bucketSql("i.text", 10000)} < r2.keep_threshold,
+      |    false)) AS curated_in
       |FROM inc i
       |JOIN bed ON bed.doc_id = i.doc_id
       |LEFT JOIN v ON v.doc_q = i.doc_id
       |LEFT JOIN bm ON bm.doc_q = i.doc_id
-      |JOIN r2 ON r2.source = i.source""".stripMargin
+      |LEFT JOIN r2 ON r2.source = i.source""".stripMargin
   }
 
   /** I6g — expectation audit (the Deequ-style pre-training data-quality

@@ -58,7 +58,7 @@ object MeasureV7Serve {
     val retired = corpus.filter(col("doc_id") % 100 === lit(1))
       .select(col("doc_id")).localCheckpoint()
     val st = StateTables("msv7_bands", "msv7_feats", "msv7_doctoks",
-      "msv7_srcstats", "msv7_tombstones",
+      "msv7_srcstats", "msv7_tombstones", "msv7_meta",
       new java.io.File(sys.props("java.io.tmpdir"), "msv7_lr").toString)
     val tBuild = time {
       IncrementalCuration.buildState(corpus, "doc_id", "text", "source", st)

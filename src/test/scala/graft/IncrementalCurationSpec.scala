@@ -21,7 +21,7 @@ class IncrementalCurationSpec extends AnyFunSuite {
 
   private def st(tag: String) = StateTables(
     s"ics_${tag}_bands", s"ics_${tag}_feats", s"ics_${tag}_doctoks",
-    s"ics_${tag}_srcstats", s"ics_${tag}_tombstones",
+    s"ics_${tag}_srcstats", s"ics_${tag}_tombstones", s"ics_${tag}_meta",
     new java.io.File(sys.props("java.io.tmpdir"), s"ics_${tag}_lr").toString)
 
   // ≥50 repeated-but-distinct words so docs clear the quality label and
@@ -102,6 +102,186 @@ class IncrementalCurationSpec extends AnyFunSuite {
     assert(!v3(31L), "retired content must stay forgotten after compaction")
     assert(v3(32L),
       "content re-added by a later survivor must match (first-seen-wins)")
+  }
+
+  test("a CHANGED doc (retired ∩ increment) keeps its NEW version live") {
+    // the round-13 id-only tombstone killed the new version's state rows:
+    // a changed doc arrived in both `retired` and the increment, updateState
+    // tombstoned the id, and the next increment's probe excluded the NEW
+    // rows — later near-dups of changed content silently passed as fresh.
+    // Versioned tombstones (doc_id, dead_lt) fix it; this test pins that.
+    val standing = docsDF(Seq(
+      (1L, longText(1), "wiki"),
+      (2L, longText(2), "wiki"),
+      (4L, longText(4), "crawl")))
+    val t = st("changed")
+    IncrementalCuration.buildState(standing, "doc_id", "text", "source", t)
+
+    // ---- increment N+1: doc 4 CHANGES to completely fresh content
+    // (seed 44), arriving under its own id in BOTH retired and increment
+    val inc1 = docsDF(Seq((4L, longText(44), "crawl")))
+    val ret1 = Seq(4L).toDF("doc_id")
+    val state1 = IncrementalCuration.loadState(spark, t)
+    val v1 = IncrementalCuration.processIncrement(state1, inc1, ret1,
+      "doc_id", "text", "source").localCheckpoint()
+    assert(!v1.filter(col("doc_id") === 4L).head().getAs[Boolean]("is_dup"),
+      "the changed doc must not match its own retired old version")
+    IncrementalCuration.updateState(t, state1, inc1, v1, ret1,
+      "doc_id", "text", "source")
+
+    // ---- increment N+2: a near-dup of the NEW version must be flagged
+    // (the round-13 bug let it through); a near-dup of the OLD version
+    // must NOT match (old rows are dead)
+    val inc2 = docsDF(Seq(
+      (20L, longText(44, "tail tweak"), "crawl"), // near-dups NEW v of 4
+      (21L, longText(4, "tail tweak"), "crawl"))) // near-dups OLD v of 4
+    val state2 = IncrementalCuration.loadState(spark, t)
+    val v2 = IncrementalCuration.processIncrement(state2, inc2,
+      spark.range(0).select(col("id").as("doc_id")),
+      "doc_id", "text", "source").localCheckpoint()
+    val byId = v2.select("doc_id", "is_dup", "best_match").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(byId(20L).getBoolean(1),
+      "a near-dup of a changed doc's NEW version must be flagged")
+    assert(byId(20L).getLong(2) == 4L)
+    assert(!byId(21L).getBoolean(1),
+      "a near-dup of a changed doc's OLD version must not match dead rows")
+    IncrementalCuration.updateState(t, state2, inc2, v2,
+      spark.range(0).select(col("id").as("doc_id")),
+      "doc_id", "text", "source")
+
+    // ---- retiring the changed doc later subtracts only the NEW
+    // version's live tokens (the old row is already dead — the round-13
+    // newlyRetired skip drifted srcStats here)
+    val inc3 = docsDF(Seq((30L, longText(77), "news")))
+    val ret3 = Seq(4L).toDF("doc_id")
+    val state3 = IncrementalCuration.loadState(spark, t)
+    val v3 = IncrementalCuration.processIncrement(state3, inc3, ret3,
+      "doc_id", "text", "source").localCheckpoint()
+    IncrementalCuration.updateState(t, state3, inc3, v3, ret3,
+      "doc_id", "text", "source")
+    val got = spark.table(t.srcStats).as[(String, Long)].collect().toMap
+    // expected = fresh aggregate over the final snapshot:
+    // wiki {1,2}, crawl {20,21} (4 retired), news {30}
+    val want = docsDF(Seq(
+      (1L, longText(1), "wiki"), (2L, longText(2), "wiki"),
+      (20L, longText(44, "tail tweak"), "crawl"),
+      (21L, longText(4, "tail tweak"), "crawl"),
+      (30L, longText(77), "news")))
+      .groupBy(col("source"))
+      .agg(sum(graft.llm.TextAnalysis.tokenCount(col("text")).cast("long"))
+        .as("ns"))
+      .as[(String, Long)].collect().toMap
+    assert(got == want, s"got $got want $want")
+
+    // ---- compaction after the changed-doc history must keep the live
+    // rows of survivors and drop every dead version
+    IncrementalCuration.compactState(spark, t)
+    val liveIds = spark.table(t.docToks).select("doc_id")
+      .distinct().as[Long].collect().toSet
+    assert(liveIds == Set(1L, 2L, 20L, 21L, 30L), liveIds)
+  }
+
+  test("updateState auto-compacts when tombstones cross the bound") {
+    val standing = docsDF(Seq(
+      (1L, longText(1), "wiki"), (2L, longText(2), "wiki"),
+      (3L, longText(3), "crawl"), (4L, longText(4), "crawl")))
+    val t = st("autocompact")
+    IncrementalCuration.buildState(standing, "doc_id", "text", "source", t)
+    val state1 = IncrementalCuration.loadState(spark, t)
+    val inc1 = docsDF(Seq((10L, longText(10), "wiki")))
+    val ret1 = Seq(1L).toDF("doc_id")
+    val v1 = IncrementalCuration.processIncrement(state1, inc1, ret1,
+      "doc_id", "text", "source").localCheckpoint()
+    // 1 tombstone, nLive 4: 1 > 0.5*4 is false → no compaction
+    val c1 = IncrementalCuration.updateState(t, state1, inc1, v1, ret1,
+      "doc_id", "text", "source",
+      compactFrac = 0.5, compactMinTombstones = 1L)
+    assert(!c1, "below the bound, no compaction")
+    assert(spark.table(t.tombstones).count() == 1)
+    // retire two more: 3 tombstones > 0.5 * nLive(3) → auto-compacts
+    val state2 = IncrementalCuration.loadState(spark, t)
+    val inc2 = docsDF(Seq((11L, longText(11), "wiki")))
+    val ret2 = Seq(2L, 3L).toDF("doc_id")
+    val v2 = IncrementalCuration.processIncrement(state2, inc2, ret2,
+      "doc_id", "text", "source").localCheckpoint()
+    val preBands = spark.table(t.bands).count()
+    val c2 = IncrementalCuration.updateState(t, state2, inc2, v2, ret2,
+      "doc_id", "text", "source",
+      compactFrac = 0.5, compactMinTombstones = 1L)
+    assert(c2, "crossing the bound must trigger compaction")
+    assert(spark.table(t.tombstones).count() == 0,
+      "compaction folds the tombstones in")
+    assert(spark.table(t.bands).count() < preBands)
+    val liveIds = spark.table(t.docToks).select("doc_id")
+      .distinct().as[Long].collect().toSet
+    assert(liveIds == Set(4L, 10L, 11L), liveIds)
+  }
+
+  test("N increments + compaction ≡ from-scratch build on the final " +
+      "snapshot (LSM equivalence, 2 seeds)") {
+    // drive 3 increments with add/change/remove interleaved (content all
+    // pairwise non-dup, so every doc survives and the index-side
+    // equivalence is exact), compact mid-way on one seed, then check the
+    // LIVE state rows equal a fresh buildState over the final snapshot.
+    for (seed <- Seq(7, 13)) {
+      val rnd = new scala.util.Random(seed)
+      var nextSeed = seed * 1000
+      def fresh(): String = { nextSeed += 1; longText(nextSeed) }
+      var snap = (1 to 8).map(i => i.toLong ->
+        (fresh(), if (i % 2 == 0) "wiki" else "crawl")).toMap
+      val t = st(s"equiv$seed")
+      IncrementalCuration.buildState(
+        docsDF(snap.toSeq.map { case (id, (tx, src)) => (id, tx, src) }),
+        "doc_id", "text", "source", t, lrIters = 5)
+      var nextId = 100L * seed
+      for (step <- 1 to 3) {
+        val ids = snap.keys.toSeq.sorted
+        val removed = Seq(ids(rnd.nextInt(ids.size)))
+        val changed = Seq(ids.filterNot(removed.contains)
+          .apply(rnd.nextInt(ids.size - 1)))
+        val added = (1 to 2).map { _ => nextId += 1; nextId }
+        val incRows = changed.map(id => (id, fresh(), snap(id)._2)) ++
+          added.map(id => (id, fresh(), if (rnd.nextBoolean()) "wiki"
+            else "news"))
+        val retired = (removed ++ changed).toDF("doc_id")
+        val inc = docsDF(incRows)
+        val state = IncrementalCuration.loadState(spark, t)
+        val v = IncrementalCuration.processIncrement(state, inc, retired,
+          "doc_id", "text", "source").localCheckpoint()
+        assert(v.filter(col("is_dup") || col("is_batch_exact_dup"))
+          .count() == 0, "fuzz content is pairwise non-dup by construction")
+        IncrementalCuration.updateState(t, state, inc, v, retired,
+          "doc_id", "text", "source")
+        snap = (snap -- removed) ++ incRows.map { case (id, tx, src) =>
+          id -> (tx, src) }
+        if (seed == 7 && step == 2)
+          IncrementalCuration.compactState(spark, t)
+      }
+      // from-scratch reference state over the final snapshot
+      val rt = st(s"equivref$seed")
+      IncrementalCuration.buildState(
+        docsDF(snap.toSeq.map { case (id, (tx, src)) => (id, tx, src) }),
+        "doc_id", "text", "source", rt, lrIters = 5)
+      def liveRows(tables: StateTables): (Set[(String, Long)],
+          Set[(Long, Long)], Set[(Long, String, Long)], Map[String, Long]) = {
+        IncrementalCuration.compactState(spark, tables)
+        (spark.table(tables.bands).select("band_key", "doc_b")
+          .as[(String, Long)].collect().toSet,
+         spark.table(tables.feats)
+           .select(col("doc_b"), xxhash64(col("sh")).as("h"))
+           .as[(Long, Long)].collect().toSet,
+         spark.table(tables.docToks).select("doc_id", "source", "tok")
+           .as[(Long, String, Long)].collect().toSet,
+         spark.table(tables.srcStats).as[(String, Long)].collect().toMap)
+      }
+      val (gb, gf, gd, gs) = liveRows(t)
+      val (wb, wf, wd, ws) = liveRows(rt)
+      assert(gb == wb, s"seed $seed: band index diverged from batch build")
+      assert(gf == wf, s"seed $seed: feature table diverged")
+      assert(gd == wd, s"seed $seed: docToks diverged")
+      assert(gs == ws, s"seed $seed: srcStats diverged")
+    }
   }
 
   test("source stats update equals a fresh aggregate over the new corpus") {
