@@ -46,9 +46,12 @@ object Relational {
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
-  /** Star join: fact×fact shuffle join on orderkey, then the whole dimension
-    * chain (customer⋈nation⋈region) broadcast to every executor — at 100 TB
-    * the fact tables shuffle once, dimensions never do. (D3)
+  /** Star join: fact×fact shuffle join on orderkey, then the dimension
+    * chain (customer⋈nation⋈region) joined UNHINTED — customer scales
+    * with SF, so a forced broadcast would OOM the build side at 100 TB;
+    * at test scale AQE picks the same broadcast on its own, and at scale
+    * it correctly degrades to a shuffle join (the round-13 de-hinting
+    * rule; nation/region stay auto-broadcast inside the chain). (D3)
     */
   def revenueByNation(s: SparkSession, d: String): DataFrame = {
     val dims = Tables.customer(s, d)
@@ -57,7 +60,7 @@ object Relational {
       .select(col("c_custkey"), col("n_name"), col("r_name"))
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))

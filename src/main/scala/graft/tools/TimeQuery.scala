@@ -19,10 +19,12 @@ object TimeQuery {
     // session config mirrors graft.Bench EXACTLY — the adjudication is
     // only valid if the solo number is comparable to the bench tails
     // (the InferFiltersFromGenerate exclusion alone is a >5x swing on
-    // generate-heavy rows)
+    // generate-heavy rows), so thread count and shuffle partitions come
+    // from the SAME env var with the SAME default as Bench
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
