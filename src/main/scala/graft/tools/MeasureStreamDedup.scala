@@ -38,9 +38,20 @@ object MeasureStreamDedup {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.driver.memory", "8g")
       .config("spark.ui.enabled", "false")
-    if (rocksdb) builder.config(
-      "spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    if (rocksdb) {
+      builder.config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing is the half of the pairing that makes
+      // per-commit cost track the BATCH, not total state: without it every
+      // commit uploads the changed SST files (grows with store size via
+      // compaction — measured 138 docs/s at 64×, BELOW the in-memory
+      // provider's 165); with it commits write only the batch's changed
+      // entries and snapshot uploads move to async maintenance
+      builder.config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

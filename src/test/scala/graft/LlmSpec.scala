@@ -889,7 +889,10 @@ class LlmSpec extends AnyFunSuite {
     val j = ex.join(bl, Seq("doc_id")).localCheckpoint()
     val total = j.count()
     val agree = j.filter(col("k1") === col("k2")).count()
-    assert(total == 500L, "one verdict per document on both tiers")
+    // both battery tiers run the round-14 verification-anchor slice
+    // (doc_id % 2 = 0 → 250 of sf0.01's 500 docs); the agreement floor
+    // below is what this test exists to pin
+    assert(total == 250L, "one verdict per sliced document on both tiers")
     assert(agree * 10 >= total * 9,
       s"keep-flag agreement $agree/$total below the 0.9 floor")
     // hand-built: a prefix-sharing near-dup cluster keeps its highest-
