@@ -223,6 +223,22 @@ object IncrementalCuration {
       .select(col("doc_id")).distinct().count()
   }
 
+  /** The subset of `ids` (column `idCol`) LIVE in the loaded state — some
+    * row version of the doc survives the tombstone spec. Increment-sized
+    * output via a broadcast semi-probe of docToks (the same cost class as
+    * the stats update; docToks carries rows for EVERY ingested doc, dup or
+    * not, so liveness here means "this id's standing version would leave
+    * the snapshot if retired"). The streaming wrapper
+    * ([[graft.streaming.StreamCuration]]) uses it to detect CHANGED docs
+    * implicitly: an upsert of a live id must retire the standing version. */
+  def liveDocIds(state: State, ids: DataFrame, idCol: String): DataFrame = {
+    val want = broadcast(
+      ids.select(col(idCol).cast("long").as("doc_id")).distinct())
+    dropDead(state.docToks, col("doc_id"), col("seq"), state.tombstones)
+      .join(want, Seq("doc_id"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
+
   /** Temperature-mixture (α=0.5) keep thresholds from per-source totals —
     * the same exact-integer N_min formulation as the batch
     * `i6_temperature_mixture` row (pairwise vs MIN, one correctly-rounded

@@ -60,6 +60,37 @@ object Bucketing {
     df.write.format("parquet").mode("overwrite").saveAsTable(table)
   }
 
+  /** Create-or-overwrite exactly the partitions present in `df` of a
+    * `partCol`-partitioned catalog table — the IDEMPOTENT per-batch sink:
+    * re-writing the same batch replaces its partition instead of
+    * double-appending, so a streaming `foreachBatch` writer that re-runs a
+    * batch after restart (Spark commits its checkpoint AFTER the batch
+    * function returns, so the last batch always re-runs) converges to
+    * exactly-once output. Dynamic partition overwrite is the write-side
+    * option, honored per-write — untouched partitions stay. */
+  def overwritePartition(df: DataFrame, table: String,
+      partCol: String): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      clearOrphan(df, table)
+      df.write.format("parquet").partitionBy(partCol)
+        .mode("overwrite").saveAsTable(table)
+    } else {
+      // insertInto matches columns BY POSITION (partition column last in
+      // a partitioned table's schema) — reorder to the table's layout.
+      // Dynamic mode must be set on the SESSION conf: the per-write
+      // option is not honored on this path and a static overwrite with
+      // no partition spec truncates the whole table.
+      import org.apache.spark.sql.functions.col
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "dynamic")
+      try df.select(spark.table(table).columns.map(col).toIndexedSeq: _*)
+        .write.format("parquet").mode("overwrite").insertInto(table)
+      finally spark.conf.set(key, prev)
+    }
+  }
+
   /** Clear a stale managed directory for `table` when the catalog has no
     * entry. An in-memory catalog forgets tables across sessions but their
     * managed directories survive; saveAsTable refuses to adopt an orphan
