@@ -117,4 +117,46 @@ class StreamDedupSpec extends AnyFunSuite {
       Seq(vCorpus.take(2), vCorpus.drop(2)), threshold = 0.999)
     assert(streamed.map(p => (p._1, p._2)) == Set((0L, 3L)))
   }
+
+  test("RocksDB + changelog checkpointing (the production state store) " +
+      "emits identical pairs to the in-memory provider") {
+    // BASELINE Session-16 measured this config's throughput (the 64×
+    // maintenance dip recovers only with changelog checkpointing ON);
+    // this pins its CORRECTNESS: the store swap changes no results, for
+    // both the H11 candidate stream and the H13 verified stream.
+    // providerClass is read from the session conf at query start, so the
+    // shared test session can switch per-query; restored in finally.
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val cKey = "spark.sql.streaming.stateStore.rocksdb" +
+      ".changelogCheckpointing.enabled"
+    val prev = spark.conf.getOption(pKey)
+    spark.conf.set(pKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    spark.conf.set(cKey, "true")
+    try {
+      val cand = runBatches("sd_rocks_cand",
+        Seq(corpus.take(2), corpus.drop(2)))
+      val candMem = graft.llm.Dedup.minHashCandidates(
+        corpus.toDF("doc_id", "text"), "doc_id", "text")
+        .select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cand == candMem,
+        "RocksDB candidate pairs diverged from the batch generator")
+      val verified = runVerified("sd_rocks_ver",
+        Seq(vCorpus.take(2), vCorpus.drop(2)))
+      val verMem = graft.llm.Dedup.signatureVerifiedPairs(
+        vCorpus.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(verified == verMem,
+        "RocksDB verified pairs diverged from the batch tier")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(pKey, v)
+        case None => spark.conf.unset(pKey)
+      }
+      spark.conf.unset(cKey)
+    }
+  }
 }
