@@ -513,6 +513,12 @@ object Dedup {
   private[graft] def verifyPairsJaccard(
       base: DataFrame, idCol: String, textCol: String, cand: DataFrame,
       n: Int, threshold: Double): DataFrame = {
+    // NOT localCheckpoint-pinned (round-14 measured): pinning `sh` here
+    // took i2_canonical_keep_lsh from 6.2 s to 24.3 s — the checkpointed
+    // LogicalRDD loses size statistics, so both attach joins degrade from
+    // broadcast to sort-merge, and the eager materialization serializes a
+    // DAG whose duplicated branches otherwise run concurrently on idle
+    // cores. The exchange barrier + ReuseExchange shape stays.
     val sh = base
       .select(col(idCol).as("doc"),
         transform(wordShingles(col(textCol), n), g => xxhash64(g)).as("sh"))
@@ -679,11 +685,19 @@ object Dedup {
     // band branch and the two verify attachments reuse one exchange
     val sigExpr = graft.functions.HashExprs.md5MinHashSig(
       charShingles(col("text"), shingleN), k)
+    // localCheckpoint, not just an exchange barrier: the round-14 plan
+    // audit showed the intended ReuseExchange never fired — the band
+    // branch and BOTH verify attachments each re-ran the md5 signature
+    // kernel (3 parquet scans + 3 kernel projections in the executed
+    // plan). Pinning the signatures materializes the ~10×-per-shingle md5
+    // family exactly once; the frame is one k-int array per doc, the same
+    // bytes the old exchange already spilled.
     val sigs = df.select(col(idCol).as("doc"), col(textCol).as("text"))
       .filter(length(col("text")) >= shingleN)
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc"), sigExpr.as("sig"))
       .repartition(Par.of(df), col("doc"))
+      .localCheckpoint()
     def bandKey(j: Column): Column =
       concat_ws(",", transform(slice(col("sig"), j * r + 1, lit(r)),
         x => x.cast("string")))
@@ -971,17 +985,34 @@ object Dedup {
       k: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = col(textCol)
-    // every k-char shingle with its position: |rows| = total chars, the
-    // linear-in-corpus cost this method trades against a suffix array
-    val sh = df.filter(length(t) >= k)
+    // every k-char shingle POSITION with the shingle's 64-bit hash:
+    // |rows| = total chars, the linear-in-corpus cost this method trades
+    // against a suffix array. The raw k-char substring never crosses the
+    // exchange — the dup decision shuffles an 8-byte proxy per position
+    // instead of the k-byte payload (guide §8 / §2.3: decide with small
+    // rows, re-attach the heavy bytes only for the survivors), which cuts
+    // the match shuffle ~3× at k=50.
+    val hashed = df.filter(length(t) >= k)
       .select(col(idCol).as("doc"), t.as("t"),
         explode(sequence(lit(1), length(t) - (k - 1))).as("pos"))
-      .select(col("doc"), col("pos"), substr(col("t"), col("pos"), lit(k)).as("s"))
+      .select(col("doc"), col("pos"),
+        xxhash64(substr(col("t"), col("pos"), lit(k))).as("h"))
     // an occurrence is "duplicated" when its shingle appears anywhere else
-    // (another doc OR another offset of the same doc); the count-over-s
-    // window is the same single shuffle a groupBy(s) would cost but keeps
-    // every occurrence row alive for the island merge below
-    val marked = sh
+    // (another doc OR another offset of the same doc). Stage 1 decides on
+    // the HASH — a superset of the true dup set (collisions only ever ADD
+    // candidates, never drop one), so stage 2 re-attaches the real
+    // substring for the output-sized candidate set and re-counts exactly:
+    // every occurrence of a candidate's shingle is itself a candidate
+    // (same hash), so the within-candidate count equals the global count
+    // and the result is bit-identical to counting raw strings.
+    val candPos = hashed
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("cnt") > 1)
+      .select(col("doc"), col("pos"))
+    val cand = candPos
+      .join(df.select(col(idCol).as("doc"), t.as("t")), Seq("doc"))
+      .select(col("doc"), col("pos"), substr(col("t"), col("pos"), lit(k)).as("s"))
+    val marked = cand
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("cnt") > 1)
       .select(col("doc"), col("pos"))

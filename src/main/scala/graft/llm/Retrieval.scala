@@ -43,9 +43,13 @@ object Retrieval {
     val qterms = queries.flatMap { case (q, ts) => ts.map(q -> _) }
       .toDF("query_id", "term")
 
+    // pinned: the per-term tf aggregate and the corpus stats aggregate
+    // both read the tokenized frame — unpinned, each branch re-scanned
+    // and re-split the corpus (round-14 plan audit)
     val tokenized = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         split(trim(col(textCol)), " +").as("ws"))
+      .localCheckpoint()
     val words = tokenized
       .select(col("doc_id"), size(col("ws")).as("dl"), explode(col("ws")).as("term"))
     val tf = words.groupBy(col("doc_id"), col("term"))

@@ -473,6 +473,11 @@ object Similarity {
       .withColumn("nrm", sqrt(
         graft.functions.ArrayOps.longArrayDot(col("r"), col("r"))
           .cast("double")))
+      // pinned: the query slice and the scan side both read the
+      // reconstructed vectors, and unpinned each re-ran the per-dimension
+      // min/max stats aggregate AND the dequantize kernel (round-14 plan
+      // audit: the stats explode+aggregate subtree appeared twice)
+      .localCheckpoint()
     val q = recon.filter(col("vid") < nQueries)
       .select(col("vid").as("query_id"), col("r").as("qr"),
         col("nrm").as("qn"))

@@ -24,11 +24,17 @@ object ConnectedComponents {
     // localCheckpoint everywhere: an iterative fixpoint otherwise grows
     // the logical plan by one join+aggregate per round, so analysis time
     // (and recovery lineage) compounds — the checkpoint pins each round to
-    // a cached RDD scan. It also materializes the (possibly expensive)
-    // pair-generation upstream exactly once.
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .localCheckpoint()
+    // a cached RDD scan. The (possibly expensive) pair-generation upstream
+    // is checkpointed BEFORE the symmetric union: the union's two branches
+    // are separate physical subtrees, so an un-materialized `pairs` would
+    // run the whole candidate+verify substrate twice (ReuseExchange does
+    // not dedupe across AQE's per-branch replanning — round-14 plan audit:
+    // the keep/e2e family paid its LSH-or-all-pairs substrate 2×). The
+    // symmetric union itself then reads the checkpointed blocks twice,
+    // which costs nothing by comparison.
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
     // seed with nodes ∪ edge endpoints: an endpoint missing from `nodes`
     // would otherwise never contribute its own id as a label candidate AND
     // would enter a round with a null prev, silently ending the fixpoint

@@ -26,9 +26,16 @@ object LabelPropagation {
   /** Final (node, community) labeling after `rounds` synchronous votes
     * over the undirected graph `edges` (columns `a`, `b`; deduped). */
   def communities(edges: DataFrame, rounds: Int): DataFrame = {
-    val e2 = edges.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint() // static across rounds; rescanned each round
+    // pin the incoming edges BEFORE the symmetric union: its two branches
+    // are separate physical subtrees, so an expensive upstream generator
+    // would run twice (round-14 plan audit — same fix as
+    // ConnectedComponents.minLabel). e2 stays checkpointed as well: the
+    // vote rounds re-read it, and keeping it a materialized scan preserves
+    // the per-round plan shape the rounds were tuned on.
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    val e2 = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
     var labels = e2.select(col("v").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (r <- 1 to rounds) {

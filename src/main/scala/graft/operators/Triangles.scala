@@ -34,7 +34,11 @@ object Triangles {
     * deduped, `a < b`). Returns one row per triangle with corners
     * `(w, x, y)` — no meaningful corner order beyond "distinct". */
   def triangles(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b"))
+    // pin the incoming edge set: it feeds the degree union (2 branches)
+    // and the degree-attach join — an expensive upstream generator (e.g.
+    // the basket self-join behind the co-purchase graph) would otherwise
+    // run 3× (round-14 plan audit). Edge-sized, id pairs only.
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))

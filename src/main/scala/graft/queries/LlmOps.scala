@@ -524,6 +524,11 @@ object LlmOps {
     * pins misses at 0. */
   def minhashContainmentGate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // NOT checkpoint-pinned (round-14 measured: pinning `high` here ran
+    // 1.2–1.3× SLOWER — the twice-evaluated substrate's branches run
+    // concurrently on idle cores, while the eager pin serializes them;
+    // contrast simhashContainmentGate, whose far heavier duplication
+    // dominates and IS pinned)
     val high = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
       threshold = 0.7, maxShingleFreq = Some(1000),
       shingler = Dedup.wordShingles)
@@ -691,10 +696,15 @@ object LlmOps {
     * a ≥90% recall floor in integer arithmetic, both engine-exact. */
   def simhashContainmentGate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // same pinning rationale as minhashContainmentGate: `high` is read by
+    // the count branch AND the anti-join; unpinned, the executed plan ran
+    // the word-3-gram all-pairs substrate twice (10 parquet scans, 28
+    // exchanges — the worst gate of the round-14 baseline at 6.6 s).
     val high = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
       threshold = 0.7, maxShingleFreq = Some(1000),
       shingler = Dedup.wordShingles)
       .select("doc_a", "doc_b")
+      .localCheckpoint()
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 10)
       .select("doc_a", "doc_b")
     val missed = high.join(pairs, Seq("doc_a", "doc_b"), "left_anti")
@@ -741,11 +751,17 @@ object LlmOps {
   def neardupBlockedGate(s: SparkSession, d: String): DataFrame = {
     val floor = floorFor(BlockedRecallFloors, d, conservative = 0.2)
     val e = Tables.embeddings(s, d)
+    // pin both pair sets: `exact` (the O(n²) dot-product pass) feeds three
+    // branches (count, anti-join build, semi-join probe) and `blocked`
+    // feeds two — unpinned, each branch re-ran its generator (guide §7.2
+    // duplicated-subtree audit, round 14). Both frames are id pairs only.
     val exact = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.35)
       .select("doc_a", "doc_b")
+      .localCheckpoint()
     val blocked = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.35,
       blocked = true, nPlanes = 4, nTables = 8)
       .select("doc_a", "doc_b")
+      .localCheckpoint()
     val falsePos = blocked.join(exact, Seq("doc_a", "doc_b"), "left_anti")
     val found = exact.join(blocked, Seq("doc_a", "doc_b"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact_pairs"))
@@ -771,6 +787,9 @@ object LlmOps {
     * (see the calibration table above). */
   private def rank1RecallGate(
       exact: DataFrame, ann: DataFrame, floor: Double): DataFrame = {
+    // NOT checkpoint-pinned (round-14 measured ~1.5× slower pinned on the
+    // IVF gate): the duplicated exact-top-k branches overlap on idle
+    // cores; pinning serializes them and strips broadcast stats
     val exact1 = exact.filter(col("rank") === 1)
       .select(col("query_id"), col("neighbor_id"))
     val hits = exact1.join(

@@ -390,6 +390,9 @@ object SpanAlgebra {
     * join), success flags, and durations, all recomputed by the oracle
     * straight from `orders`. */
   def taskRuns(s: SparkSession, d: String): DataFrame =
+    // NOT checkpoint-pinned (round-14 measured 2.04× slower pinned): the
+    // double-derived span union is cheaper than serializing the DAG and
+    // losing broadcast stats on the ownership join
     SpanParser.taskRunsDF(spansFromOrders(s, d))
       .select(col("task_span_id"), col("task_id"), col("n_exceptions"),
         col("is_success"), col("duration_s"))

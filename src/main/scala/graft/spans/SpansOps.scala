@@ -99,8 +99,16 @@ object SpansOps {
         case Some(ps) =>
           entries.filter(ps.map(p => col("k").startsWith(p)).reduce(_ || _))
       }
-      filtered.groupBy(col("grp"), col("k"))
-        .agg(countDistinct(col("v")).as("n_vals"), min(col("v")).as("v_min"))
+      // two-stage distinct-then-aggregate instead of countDistinct: the
+      // single-aggregate form planned a 4-level SortAggregate chain (3
+      // sorts over the exploded attribute entries — round-14 plan audit);
+      // de-duplicating (grp, k, v) with a hash aggregate first and then
+      // hash-aggregating the distinct rows computes the identical result
+      // (count(v) skips nulls exactly as countDistinct does) with
+      // whole-stage-codegen hash aggregates and no sorts.
+      filtered.select(col("grp"), col("k"), col("v")).distinct()
+        .groupBy(col("grp"), col("k"))
+        .agg(count(col("v")).as("n_vals"), min(col("v")).as("v_min"))
     }
 
     /** A5 — all `exception` events across the collection, exploded

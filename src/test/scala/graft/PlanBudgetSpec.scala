@@ -64,15 +64,21 @@ class PlanBudgetSpec extends AnyFunSuite {
     "d13_string_fns" -> 0, "d14_date_fns" -> 1,
     "d15_math_fns" -> 0, "d16_array_fns" -> 0,
     "d17_json_fns" -> 1, "d17_variant_shred" -> 1, "i1_bloom_reference_dedup" -> 0,
-    "i1_dedup_exact" -> 1, "i2_dup_spans" -> 2,
+    // dup_spans/span_cut/curation_v2 +1 in round 14: duplicatedSpans now
+    // shuffles an 8-byte hash proxy per position and re-attaches the real
+    // substring for the candidate set only (one extra candidate-sized
+    // join) — the match shuffle no longer carries 50-char payloads
+    "i1_dedup_exact" -> 1, "i2_dup_spans" -> 3,
     "i2_editdist_blocked" -> 0, "i2_embedding_neardup" -> 0,
     "i2_fuzzy_dedup_e2e" -> 0, "i2_minhash_containment" -> 11,
-    "i2_simhash_containment" -> 12,
-    "i2_minhash_lsh_candidates" -> 4, "i2_neardup_blocked_gate" -> 11,
+    // banked down in round 14: the twice-evaluated all-pairs `high`
+    // substrate is now localCheckpoint-pinned (12 -> 7)
+    "i2_simhash_containment" -> 7,
+    "i2_minhash_lsh_candidates" -> 4, "i2_neardup_blocked_gate" -> 7, // r14: exact+blocked pair sets pinned
     // candidate substrate (4) + the signature re-attach joins, which plan
     // one extra exchange beyond it (the sigs branches reuse the by-doc
     // exchange; AQE shares the pair-side shuffle across the two keys)
-    "i2_sig_verified_pairs" -> 5,
+    "i2_sig_verified_pairs" -> 2, // r14: md5 signatures pinned (ran 3x)
     "i2_ngram_jaccard" -> 3, "i2_simhash_pairs" -> 3,
     // ngram substrate (3) + the per-batch-doc verdict aggregate; the
     // batch-side left join broadcasts (excluded)
@@ -96,7 +102,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     // lsh tier: candidate generation (minhash bands) also runs inside the
     // eager component walk, leaving the same component/argmax tail
     "i2_canonical_keep_lsh" -> 2,
-    "i2_span_cut" -> 2, "i3_cosine_topk" -> 0,
+    "i2_span_cut" -> 4, "i3_cosine_topk" -> 0,
     "i3_query_batch_topk" -> 1, "i3_filtered_topk" -> 1,
     "i3_ivf_serve_gate" -> 7, "i3_ivfpq_serve_gate" -> 7,
     "i3_ivf_ann_topk" -> 2, "i3_ivf_recall_gate" -> 6,
@@ -112,7 +118,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i3_lsh_auto_topk" -> 4,
     "i3_pq_ann_topk" -> 0, "i3_pq_recall_gate" -> 2,
     // stats pass + stats-row agg on both coded branches + heap top-k
-    "i3_sq8_topk" -> 5,
+    "i3_sq8_topk" -> 1, // r14: reconstructed vectors pinned (stats agg ran 2x)
     "i5_lr_quality_gate" -> 1, "i6_dsir_weights" -> 0,
     "i5_bpe_stats" -> 1, "i5_bpe_train" -> 0,
     "i5_bpe_encode_gate" -> 1,
@@ -135,7 +141,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i5_quality_quantile_gate" -> 1, "i5_quality_score" -> 0,
     "i5_repetition" -> 0, "i5_salient_terms" -> 4,
     "i5_token_counts" -> 0, "i5_vocab_stats" -> 2,
-    "i6_corpus_curation" -> 1, "i6_curation_v2" -> 3,
+    "i6_corpus_curation" -> 1, "i6_curation_v2" -> 5,
     "i6_data_card" -> 2, "i6_dataset_split" -> 0, "i6_mixture_sample" -> 0,
     "i6_stratified_cap" -> 1, "i7_chunk_windows" -> 0,
     "i7_decontam_spans" -> 2, "i7_decontamination" -> 2,
