@@ -17,6 +17,53 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Edge-count ceiling for the driver-local union-find: below it, the
+    * per-round scheduling overhead of the distributed fixpoint (a
+    * join + aggregate + checkpoint + convergence-count JOB per round)
+    * dwarfs the actual work — the same jobs-vs-bytes call behind
+    * `Closure.LocalWalkMaxEdges` and `KCore.LocalPeelMaxEdges`. ~100k
+    * edges is a few MB of id pairs; larger graphs take the distributed
+    * fixpoint. Mutable ONLY so tests can force the distributed path;
+    * env-overridable so a bench can measure the at-scale path on
+    * fixture data (`GRAFT_LOCAL_CC_MAX_EDGES=0`). */
+  private[graft] var LocalUnionFindMaxEdges: Long =
+    sys.env.get("GRAFT_LOCAL_CC_MAX_EDGES").map(s =>
+      s.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"GRAFT_LOCAL_CC_MAX_EDGES must be a long, got: '$s'")))
+      .getOrElse(100000L)
+
+  /** Driver-local min-id components over a collected edge array:
+    * union-find with path compression, then one pass assigning every
+    * endpoint the MINIMUM id of its set — exactly the distributed
+    * fixpoint's labels, restricted to ids that appear in an edge
+    * (isolated nodes label themselves at the caller's join). */
+  private def localMinLabels(es: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val next = parent.getOrElse(c, c); parent(c) = r; c = next
+      }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+      else { parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b); () }
+    }
+    val minOf = scala.collection.mutable.LongMap.empty[Long]
+    val ids = scala.collection.mutable.LongMap.empty[Unit]
+    es.foreach { case (a, b) => ids(a) = (); ids(b) = () }
+    ids.foreachKey { id =>
+      val r = find(id)
+      val cur = minOf.getOrElse(r, Long.MaxValue)
+      if (id < cur) minOf(r) = id
+    }
+    ids.keys.map(id => id -> minOf(find(id))).toSeq
+  }
+
   /** Labels every node (single `id` column) with the minimum node id
     * reachable through `pairs` (columns `doc_a`, `doc_b`). Returns
     * (id, component). */
@@ -33,6 +80,38 @@ object ConnectedComponents {
     // symmetric union itself then reads the checkpointed blocks twice,
     // which costs nothing by comparison.
     val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    // budget-guarded driver-local path (the Closure/KCore discipline):
+    // near-dup pair sets are output-sensitive — usually a few hundred
+    // rows per corpus — and the distributed fixpoint costs a join +
+    // aggregate + checkpoint + count JOB per round regardless of size.
+    // Below the edge budget, collect the pinned pairs once, run min-id
+    // union-find on the driver, and attach the (budget-bounded) labels
+    // back with a broadcast join; isolated nodes label themselves via
+    // coalesce. Long-id graphs only (every battery caller); anything
+    // else, or anything over budget, takes the distributed fixpoint.
+    val longIds = Seq("doc_a", "doc_b").forall(c =>
+      p.schema(c).dataType == org.apache.spark.sql.types.LongType) &&
+      nodes.schema("id").dataType == org.apache.spark.sql.types.LongType
+    if (longIds && p.count() <= LocalUnionFindMaxEdges) {
+      val es = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val spark = nodes.sparkSession
+      val lblRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      localMinLabels(es).foreach { case (id, comp) =>
+        lblRows.add(org.apache.spark.sql.Row(id, comp))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("lbl",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val lbl = spark.createDataFrame(lblRows, schema)
+      val endpointIds = lbl.select(col("id"))
+      return nodes.select(col("id"))
+        .unionByName(endpointIds)
+        .distinct()
+        .join(broadcast(lbl), Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("id")).as("component"))
+    }
     val edges = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
     // seed with nodes ∪ edge endpoints: an endpoint missing from `nodes`

@@ -72,15 +72,49 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("I2 min-label local union-find equals the distributed fixpoint") {
+    // round 14: below LocalUnionFindMaxEdges the labels come from a
+    // driver-local union-find; this pins bit-identical labels against the
+    // forced-distributed fixpoint on random graphs (the Closure/KCore
+    // local-vs-distributed parity discipline)
+    import graft.operators.ConnectedComponents
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 4) {
+      val n = 5 + rnd.nextInt(60)
+      val edges = Seq.fill(rnd.nextInt(2 * n))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val nodes = (0L until n.toLong).toDF("id")
+      val pairs = (if (edges.isEmpty) Seq((0L, 0L)) else edges)
+        .toDF("doc_a", "doc_b")
+      val local = ConnectedComponents.minLabel(nodes, pairs, maxIters = 100)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val saved = ConnectedComponents.LocalUnionFindMaxEdges
+      val dist =
+        try {
+          ConnectedComponents.LocalUnionFindMaxEdges = 0L
+          ConnectedComponents.minLabel(nodes, pairs, maxIters = 100)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        } finally ConnectedComponents.LocalUnionFindMaxEdges = saved
+      assert(local == dist, s"trial $trial (n=$n, edges=$edges)")
+    }
+  }
+
   test("I2 star contraction handles a long chain in O(log n) rounds") {
     import graft.operators.ConnectedComponents
-    // path graph 0-1-...-199: diameter 199, so min-label's default
-    // 25-round cap trips (that failure mode is WHY starContraction exists)
+    // path graph 0-1-...-199: diameter 199, so the DISTRIBUTED min-label
+    // fixpoint's default 25-round cap trips (that failure mode is WHY
+    // starContraction exists; the budget var forces past the round-14
+    // driver-local union-find, which handles any diameter)
     val nodes = (0L until 200L).toDF("id")
     val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val ex = intercept[IllegalStateException] {
-      ConnectedComponents.minLabel(nodes, pairs)
-    }
+    val saved = ConnectedComponents.LocalUnionFindMaxEdges
+    val ex =
+      try {
+        ConnectedComponents.LocalUnionFindMaxEdges = 0L
+        intercept[IllegalStateException] {
+          ConnectedComponents.minLabel(nodes, pairs)
+        }
+      } finally ConnectedComponents.LocalUnionFindMaxEdges = saved
     assert(ex.getMessage.contains("starContraction"))
     val labels = ConnectedComponents.starContraction(nodes, pairs).collect()
     assert(labels.length == 200 && labels.forall(_.getLong(1) == 0L))

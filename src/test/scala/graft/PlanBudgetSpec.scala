@@ -70,7 +70,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     // join) — the match shuffle no longer carries 50-char payloads
     "i1_dedup_exact" -> 1, "i2_dup_spans" -> 3,
     "i2_editdist_blocked" -> 0, "i2_embedding_neardup" -> 0,
-    "i2_fuzzy_dedup_e2e" -> 0, "i2_minhash_containment" -> 11,
+    "i2_fuzzy_dedup_e2e" -> 1, // r14: local-CC distinct visible
+    "i2_minhash_containment" -> 11,
     // banked down in round 14: the twice-evaluated all-pairs `high`
     // substrate is now localCheckpoint-pinned (12 -> 7)
     "i2_simhash_containment" -> 7,
@@ -83,10 +84,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     // ngram substrate (3) + the per-batch-doc verdict aggregate; the
     // batch-side left join broadcasts (excluded)
     "i2_incremental_dedup" -> 4,
-    // components resolve eagerly (local walk, like i2_fuzzy_dedup_e2e's
-    // 0-budget); counted: the per-component argmax + its join-back (the
-    // quality join broadcasts)
-    "i2_canonical_keep" -> 2,
+    // +2 in round 14: components now resolve via the budget-guarded
+    // driver-local union-find, so the nodes∪endpoints distinct union
+    // (previously hidden inside the fixpoint's eager checkpoint jobs) is
+    // structurally visible — 1 distinct exchange + the argmax tail, all
+    // over id-sized frames; the label attach broadcasts (excluded)
+    "i2_canonical_keep" -> 4,
     // indexed incremental: batch explode window + the sh-join probe-side
     // exchange + pair/verdict aggregates; the STORED side contributes
     // zero (bucketed scan — the LlmSpec exchange-free pin)
@@ -97,11 +100,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i2_incremental_band_index" -> 4,
     // blocked tier: the sorted-neighborhood candidate generation runs
     // behind its own checkpoint jobs, so only the component/argmax tail
-    // is structurally visible — same 2 as the exact row
-    "i2_canonical_keep_blocked" -> 2,
+    // is structurally visible — same 4 as the exact row
+    "i2_canonical_keep_blocked" -> 4,
     // lsh tier: candidate generation (minhash bands) also runs inside the
     // eager component walk, leaving the same component/argmax tail
-    "i2_canonical_keep_lsh" -> 2,
+    "i2_canonical_keep_lsh" -> 4,
     "i2_span_cut" -> 4, "i3_cosine_topk" -> 0,
     "i3_query_batch_topk" -> 1, "i3_filtered_topk" -> 1,
     "i3_ivf_serve_gate" -> 7, "i3_ivfpq_serve_gate" -> 7,
