@@ -250,6 +250,11 @@ object SpanAlgebra {
     * difference is pinned at 0 and the pair count is recomputed by the
     * oracle. The sets are driver-sized by the reference's contract. */
   def depFormsAgree(s: SparkSession, d: String): DataFrame = {
+    // NOT cached (round-14 measured both ways): persist won a filtered
+    // re-bench (2.84 -> 1.91 s — the two extraction walks are sequential
+    // actions) but LOST the full-battery bench (-> 5.04 s, 1.77×) where
+    // the cache competes with every other query's storage; checkpoint
+    // lost everywhere. The double derivation stands.
     val spans = spansFromOrders(s, d)
     val b1 = SpanParser.extractTaskDependencies(spans)
     val b2 = SpanParser.extractTaskDependenciesFromLinks(spans)
@@ -390,9 +395,11 @@ object SpanAlgebra {
     * join), success flags, and durations, all recomputed by the oracle
     * straight from `orders`. */
   def taskRuns(s: SparkSession, d: String): DataFrame =
-    // NOT checkpoint-pinned (round-14 measured 2.04× slower pinned): the
-    // double-derived span union is cheaper than serializing the DAG and
-    // losing broadcast stats on the ownership join
+    // NOT pinned (round-14 measured both ways: localCheckpoint 2.04×
+    // slower — stats loss degrades the ownership join; persist 1.57×
+    // slower — cache write + racy population inside ONE action beats the
+    // doubly-derived union only when the consumers are sequential
+    // actions, which b1b2 is and this is not)
     SpanParser.taskRunsDF(spansFromOrders(s, d))
       .select(col("task_span_id"), col("task_id"), col("n_exceptions"),
         col("is_success"), col("duration_s"))
