@@ -524,20 +524,25 @@ object LlmOps {
     * pins misses at 0. */
   def minhashContainmentGate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // NOT checkpoint-pinned (round-14 measured: pinning `high` here ran
-    // 1.2–1.3× SLOWER — the twice-evaluated substrate's branches run
-    // concurrently on idle cores, while the eager pin serializes them;
-    // contrast simhashContainmentGate, whose far heavier duplication
-    // dominates and IS pinned)
+    // single-pass rewrite (round 14): the old shape referenced `high` from
+    // two branches (a count and an anti-join probe), re-running the
+    // all-pairs substrate per branch — and checkpoint-pinning it measured
+    // 1.2–1.3× SLOWER (serialized branches, stats loss). Instead, both
+    // outputs fold into ONE aggregate over ONE left join: `cands` ends in
+    // distinct(), so the join preserves high's row count and a null hit
+    // marker IS the anti-join predicate. Same result, one substrate pass,
+    // no pin.
     val high = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
       threshold = 0.7, maxShingleFreq = Some(1000),
       shingler = Dedup.wordShingles)
       .select("doc_a", "doc_b")
     val cands = Dedup.minHashCandidates(docs, "doc_id", "text", shingleN = 3,
       shingler = Dedup.wordShingles)
-    val missed = high.join(cands, Seq("doc_a", "doc_b"), "left_anti")
-    high.agg(count(lit(1)).as("n_high_pairs"))
-      .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+    high
+      .join(cands.withColumn("__hit", lit(true)), Seq("doc_a", "doc_b"),
+        "left")
+      .agg(count(lit(1)).as("n_high_pairs"),
+        count(when(col("__hit").isNull, 1)).as("n_missed"))
   }
 
   private val minhashContainmentSql =
@@ -696,20 +701,25 @@ object LlmOps {
     * a ≥90% recall floor in integer arithmetic, both engine-exact. */
   def simhashContainmentGate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // same pinning rationale as minhashContainmentGate: `high` is read by
-    // the count branch AND the anti-join; unpinned, the executed plan ran
-    // the word-3-gram all-pairs substrate twice (10 parquet scans, 28
-    // exchanges — the worst gate of the round-14 baseline at 6.6 s).
+    // single-pass shape (round 14, second iteration): the baseline ran
+    // the all-pairs `high` substrate twice (count branch + anti-join;
+    // 6.6 s); a localCheckpoint pin cut it to ~4.3 s; folding both
+    // outputs into ONE aggregate over ONE left join evaluates `high`
+    // exactly once WITHOUT the pin's serialization. The sketch-pair side
+    // is defensively distinct'd (unique already under unique doc ids) so
+    // the left join preserves high's row count; a null hit marker is the
+    // anti-join predicate.
     val high = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
       threshold = 0.7, maxShingleFreq = Some(1000),
       shingler = Dedup.wordShingles)
       .select("doc_a", "doc_b")
-      .localCheckpoint()
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 10)
-      .select("doc_a", "doc_b")
-    val missed = high.join(pairs, Seq("doc_a", "doc_b"), "left_anti")
-    high.agg(count(lit(1)).as("n_high_pairs"))
-      .crossJoin(missed.agg(count(lit(1)).as("m")))
+      .select("doc_a", "doc_b").distinct()
+    high
+      .join(pairs.withColumn("__hit", lit(true)), Seq("doc_a", "doc_b"),
+        "left")
+      .agg(count(lit(1)).as("n_high_pairs"),
+        count(when(col("__hit").isNull, 1)).as("m"))
       .select(col("n_high_pairs"),
         (col("m") * 10 <= col("n_high_pairs")).as("recall_floor_met"))
   }
@@ -751,22 +761,23 @@ object LlmOps {
   def neardupBlockedGate(s: SparkSession, d: String): DataFrame = {
     val floor = floorFor(BlockedRecallFloors, d, conservative = 0.2)
     val e = Tables.embeddings(s, d)
-    // pin both pair sets: `exact` (the O(n²) dot-product pass) feeds three
-    // branches (count, anti-join build, semi-join probe) and `blocked`
-    // feeds two — unpinned, each branch re-ran its generator (guide §7.2
-    // duplicated-subtree audit, round 14). Both frames are id pairs only.
+    // single-pass fold (round 14, second iteration): the baseline ran
+    // `exact` (the O(n²) dot-product pass) for three branches and
+    // `blocked` for two; checkpoint-pinning both helped (0.92×), but ONE
+    // full-outer join of the two unique pair sets yields all three counts
+    // from one aggregate with each generator evaluated exactly once and
+    // no pin. exact is unique by construction (a < b groupBy), blocked
+    // ends in distinct().
     val exact = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.35)
-      .select("doc_a", "doc_b")
-      .localCheckpoint()
+      .select(col("doc_a"), col("doc_b")).withColumn("__ex", lit(true))
     val blocked = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.35,
       blocked = true, nPlanes = 4, nTables = 8)
-      .select("doc_a", "doc_b")
-      .localCheckpoint()
-    val falsePos = blocked.join(exact, Seq("doc_a", "doc_b"), "left_anti")
-    val found = exact.join(blocked, Seq("doc_a", "doc_b"), "left_semi")
-    exact.agg(count(lit(1)).as("n_exact_pairs"))
-      .crossJoin(falsePos.agg(count(lit(1)).as("n_false_positives")))
-      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .select(col("doc_a"), col("doc_b")).withColumn("__bl", lit(true))
+    exact.join(blocked, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(count(col("__ex")).as("n_exact_pairs"),
+        count(when(col("__ex").isNull, 1)).as("n_false_positives"),
+        count(when(col("__ex").isNotNull && col("__bl").isNotNull, 1))
+          .as("n_found"))
       .select(col("n_exact_pairs"), col("n_false_positives"),
         (col("n_exact_pairs") > 0 &&
           col("n_found").cast("double") / col("n_exact_pairs") >= floor)
@@ -787,16 +798,19 @@ object LlmOps {
     * (see the calibration table above). */
   private def rank1RecallGate(
       exact: DataFrame, ann: DataFrame, floor: Double): DataFrame = {
-    // NOT checkpoint-pinned (round-14 measured ~1.5× slower pinned on the
-    // IVF gate): the duplicated exact-top-k branches overlap on idle
-    // cores; pinning serializes them and strips broadcast stats
+    // single-pass fold (round 14): the old count-branch + semi-join shape
+    // evaluated the exact top-k substrate twice (and checkpoint-pinning it
+    // measured ~1.5× slower on the IVF gate — serialized branches, stats
+    // loss). One left join against the distinct'd ANN pairs preserves the
+    // rank-1 row count, so one aggregate yields both outputs with each
+    // substrate evaluated exactly once.
     val exact1 = exact.filter(col("rank") === 1)
       .select(col("query_id"), col("neighbor_id"))
-    val hits = exact1.join(
-      ann.select(col("query_id"), col("neighbor_id")),
-      Seq("query_id", "neighbor_id"), "left_semi")
-    exact1.agg(count(lit(1)).as("n_queries"))
-      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+    exact1
+      .join(ann.select(col("query_id"), col("neighbor_id")).distinct()
+        .withColumn("__hit", lit(true)),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_queries"), count(col("__hit")).as("n_hits"))
       .select(col("n_queries"),
         (col("n_queries") > 0 &&
           col("n_hits").cast("double") / col("n_queries") >= floor)

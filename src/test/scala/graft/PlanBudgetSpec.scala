@@ -71,11 +71,14 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i1_dedup_exact" -> 1, "i2_dup_spans" -> 3,
     "i2_editdist_blocked" -> 0, "i2_embedding_neardup" -> 0,
     "i2_fuzzy_dedup_e2e" -> 1, // r14: local-CC distinct visible
-    "i2_minhash_containment" -> 11,
-    // banked down in round 14: the twice-evaluated all-pairs `high`
-    // substrate is now localCheckpoint-pinned (12 -> 7)
-    "i2_simhash_containment" -> 7,
-    "i2_minhash_lsh_candidates" -> 4, "i2_neardup_blocked_gate" -> 7, // r14: exact+blocked pair sets pinned
+    "i2_minhash_containment" -> 7, // r14: single-pass left-join fold
+    // re-banked twice in round 14: the twice-evaluated all-pairs `high`
+    // substrate was first localCheckpoint-pinned (12 -> 7), then the gate
+    // folded into a single-pass left-join aggregate — no pin, one `high`
+    // evaluation, both sketch-pair subtrees structurally visible (7 -> 8
+    // counted exchanges but ~half the executed substrate work)
+    "i2_simhash_containment" -> 8,
+    "i2_minhash_lsh_candidates" -> 4, "i2_neardup_blocked_gate" -> 5, // r14: single-pass full-outer fold
     // candidate substrate (4) + the signature re-attach joins, which plan
     // one extra exchange beyond it (the sigs branches reuse the by-doc
     // exchange; AQE shares the pair-side shuffle across the two keys)
@@ -107,15 +110,15 @@ class PlanBudgetSpec extends AnyFunSuite {
     "i2_canonical_keep_lsh" -> 4,
     "i2_span_cut" -> 4, "i3_cosine_topk" -> 0,
     "i3_query_batch_topk" -> 1, "i3_filtered_topk" -> 1,
-    "i3_ivf_serve_gate" -> 7, "i3_ivfpq_serve_gate" -> 7,
-    "i3_ivf_ann_topk" -> 2, "i3_ivf_recall_gate" -> 6,
+    "i3_ivf_serve_gate" -> 5, "i3_ivfpq_serve_gate" -> 5, // r14: recall-gate fold
+    "i3_ivf_ann_topk" -> 2, "i3_ivf_recall_gate" -> 5, // r14: fold
     "i3_ivfpq_topk" -> 2,
     // lsh: +2 session 13 — the id-pair dedup shape trades two extra
     // id-keyed exchanges (feature re-attach joins) for never shipping the
     // quantized vectors through the collision join + distinct (measured:
     // 0.58→0.44 s at sf0.1, 56→19 s at the 64× shard, and the 16× OOM on
     // an 8 GiB heap is gone)
-    "i3_lsh_ann_topk" -> 4, "i3_lsh_recall_gate" -> 8,
+    "i3_lsh_ann_topk" -> 4, "i3_lsh_recall_gate" -> 7, // r14: fold
     // auto-planes: the corpus count that sizes the family is an eager
     // bounded aggregate — the final plan keeps the fixed row's shape
     "i3_lsh_auto_topk" -> 4,
