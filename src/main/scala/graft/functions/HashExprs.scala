@@ -115,6 +115,116 @@ case class Md5MinHashSigExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** [[Md5MinHashSigExpr]] fused with the char-shingler: computes the k-int
+  * signature STRAIGHT from the text, never materializing the shingle
+  * array (`charShingles` built one UTF8String per position, then
+  * `array_distinct` re-hashed and re-compared them all, then the sig
+  * kernel walked the array again). One pass over the text's bytes:
+  * char→byte offsets once, each n-char window deduped exactly via an
+  * xx64-keyed open-addressing table with byte-compare verification (a
+  * false "duplicate" is impossible — equal bytes are compared — and
+  * duplicates can't change a min-fold anyway, so the table is purely a
+  * work-saver on bounded-vocabulary corpora where distinct ≪ occurrences),
+  * and md5 runs once per DISTINCT shingle with no per-shingle byte[]
+  * input allocation (`MessageDigest.update(bytes, off, len)` on the
+  * text's own buffer, digest into a reused 16-byte scratch).
+  *
+  * Bit-parity contract: result ≡ `Md5MinHashSigExpr(charShingles(text, n),
+  * k)` for every NON-NULL input — same empty-array result below n chars,
+  * same affine fold `(a_j·H + b_j) mod P` — pinned by the golden-parity
+  * spec (HashExprsSpec) over random multibyte strings. On a null text the
+  * composed form yields an empty array (charShingles' `when` falls through
+  * to `otherwise` on a null condition) while this expression propagates
+  * null, the standard Catalyst contract; every call site filters
+  * `length(text) >= n` upstream, which drops nulls before either form. */
+case class Md5MinHashFromTextExpr(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"shingle length must be >= 1: $n")
+  require(k >= 1, s"signature size must be >= 1: $k")
+
+  private val P = 2147483647L // 2^31 - 1
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_minhash_text"
+
+  // the affine family's per-component constants, computed once per instance
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(k)(j => (j * 2654435761L) % P)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String]
+    val numChars = text.numChars()
+    if (numChars < n) return new GenericArrayData(Array.empty[Long])
+    val bytes = text.getBytes
+    // char-start byte offsets (one linear pass; ASCII keeps offs(i) = i)
+    val offs = new Array[Int](numChars + 1)
+    var bi = 0
+    var ci = 0
+    while (ci < numChars) {
+      offs(ci) = bi
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+      ci += 1
+    }
+    offs(numChars) = bytes.length
+    val nSh = numChars - n + 1
+    // open-addressing dedup table: slot -> shingle position, keyed by
+    // xx64 of the byte slice, verified by exact byte compare
+    var cap = java.lang.Integer.highestOneBit(nSh * 2 - 1) << 1
+    if (cap < 8) cap = 8
+    val mask = cap - 1
+    val slots = new Array[Int](cap)
+    java.util.Arrays.fill(slots, -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = new Array[Byte](16)
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val bsl = bs
+    var p = 0
+    while (p < nSh) {
+      val off = offs(p)
+      val len = offs(p + n) - off
+      val h64 = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off, len, 42L)
+      var slot = (h64 ^ (h64 >>> 32)).toInt & mask
+      var dup = false
+      var filled = slots(slot)
+      while (filled >= 0 && !dup) {
+        // candidate match: verify byte-for-byte (lengths may differ for
+        // multibyte text even at equal char count)
+        val fOff = offs(filled)
+        val fLen = offs(filled + n) - fOff
+        if (fLen == len) {
+          var q = 0
+          while (q < len && bytes(fOff + q) == bytes(off + q)) q += 1
+          dup = q == len
+        }
+        if (!dup) { slot = (slot + 1) & mask; filled = slots(slot) }
+      }
+      if (!dup) {
+        slots(slot) = p
+        md.reset()
+        md.update(bytes, off, len)
+        md.digest(dig, 0, 16)
+        // first 4 bytes big-endian = first 8 hex chars, in [0, 2^32)
+        val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+          ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+        val hm = h % P
+        var j = 0
+        while (j < k) {
+          val v = ((2L * j + 1) * hm + bsl(j)) % P
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      p += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** [[SimHash64Expr]] with md5-derived token hashes (derandomized, oracle-
   * recomputable): token hash = the digest's first 16 hex chars as two
   * unsigned 32-bit halves `hi`/`lo` (bit b of the fingerprint votes on
@@ -323,6 +433,11 @@ object HashExprs {
 
   def md5MinHashSig(shingles: Column, k: Int): Column =
     Bridge.column(Md5MinHashSigExpr(Bridge.expression(shingles), k))
+
+  /** Fused `md5MinHashSig(charShingles(text, n), k)` — one expression,
+    * no shingle-array materialization; bit-parity pinned by spec. */
+  def md5MinHashSigText(text: Column, n: Int, k: Int): Column =
+    Bridge.column(Md5MinHashFromTextExpr(Bridge.expression(text), n, k))
 
   def simHash64(tokens: Column): Column =
     Bridge.column(SimHash64Expr(Bridge.expression(tokens)))

@@ -96,6 +96,12 @@ object Dedup {
         i => text.substr(i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Stable reference to the char-shingle default so [[minHashCandidates]]
+    * can recognize "caller kept the default" by identity and take the
+    * fused shingle+md5 kernel (an eta-expanded `charShingles` passed
+    * explicitly is a fresh function value and keeps the composed path). */
+  private[graft] val defaultShingler: (Column, Int) => Column = charShingles
+
   /** Distinct word n-gram shingles: far more selective than char shingles
     * on natural text (frequency ~ vocab^-n), which keeps the Jaccard
     * blocking join linear without an aggressive frequency cap.
@@ -359,8 +365,11 @@ object Dedup {
     val sigs = df.select(col(idCol).as("doc"), col(textCol).as("text"))
       .filter(length(col("text")) >= shingleN)
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      // fused shingle+md5 kernel (round-15): signature straight from the
+      // text, no shingle-array materialization — bit-parity with
+      // md5MinHashSig(charShingles(text, n), k) pinned by HashExprsSpec
       .select(col("doc"), graft.functions.HashExprs
-        .md5MinHashSig(charShingles(col("text"), shingleN), k).as("sig"))
+        .md5MinHashSigText(col("text"), shingleN, k).as("sig"))
       .repartition(Par.of(df), col("doc"))
     def bandKey(j: Column): Column =
       concat_ws(",", transform(slice(col("sig"), j * r + 1, lit(r)),
@@ -560,7 +569,7 @@ object Dedup {
       nBands: Int = 16): DataFrame = {
     val base = df.filter(col(textCol).isNotNull)
     val cand = minHashCandidates(df, idCol, textCol, shingleN, k, nBands,
-      charShingles, hashFamily = "md5")
+      hashFamily = "md5")
       .select(col("doc_a").as("ca"), col("doc_b").as("cb"))
     verifyPairsJaccard(base, idCol, textCol, cand, n, threshold)
   }
@@ -592,7 +601,7 @@ object Dedup {
       shingleN: Int = 5,
       k: Int = 64,
       nBands: Int = 16,
-      shingler: (Column, Int) => Column = charShingles,
+      shingler: (Column, Int) => Column = defaultShingler,
       hashFamily: String = "xx64"): DataFrame = {
     val r = k / nBands
     require(hashFamily == "xx64" || hashFamily == "md5",
@@ -614,7 +623,14 @@ object Dedup {
     // (round-robin then hash: two IDENTICAL repartitions would be merged
     // by CollapseRepartition, collapsing the sandwich)
     val sigExpr =
-      if (hashFamily == "md5")
+      if (hashFamily == "md5" && (shingler eq defaultShingler))
+        // fused shingle+md5 kernel (round-15): bit-parity with the
+        // composed form pinned by HashExprsSpec; only the char-shingle
+        // default fuses — an explicit custom shingler keeps the
+        // composed path
+        graft.functions.HashExprs.md5MinHashSigText(
+          col("text"), shingleN, k)
+      else if (hashFamily == "md5")
         graft.functions.HashExprs.md5MinHashSig(
           shingler(col("text"), shingleN), k)
       else minHashSignature(shingler(col("text"), shingleN), k)
@@ -648,6 +664,10 @@ object Dedup {
       .select(explode(col("ds")).as("doc_a"), col("ds"))
       .select(col("doc_a"), explode(col("ds")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
+      // CONTRACT: this terminal distinct() is load-bearing for the
+      // single-pass containment-gate folds (minhashContainmentGate counts
+      // left-join hits 1:1) — removing it would silently inflate
+      // n_high_pairs and undercount n_missed downstream (r14 ADVICE)
       .distinct()
   }
 
@@ -1009,6 +1029,9 @@ object Dedup {
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("cnt") > 1)
       .select(col("doc"), col("pos"))
+    // CONTRACT: `idCol` must be unique per document (every caller passes a
+    // primary key) — a duplicated id would multiply candidate rows through
+    // this re-attach join (r14 ADVICE)
     val cand = candPos
       .join(df.select(col(idCol).as("doc"), t.as("t")), Seq("doc"))
       .select(col("doc"), col("pos"), substr(col("t"), col("pos"), lit(k)).as("s"))
@@ -1047,7 +1070,8 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 50): DataFrame = {
+      k: Int = 50,
+      keepOriginal: Boolean = false): DataFrame = {
     val perDoc = duplicatedSpans(df, idCol, textCol, k)
       .groupBy(col(idCol).as("doc"))
       .agg(sort_array(collect_list(
@@ -1068,7 +1092,12 @@ object Dedup {
           length(col("t")) - acc.getField("p") + 1)))
     joined
       .withColumn("clean", when(col("sp").isNull, col("t")).otherwise(folded))
-      .select(col("doc").as(idCol), col("clean"))
+      // keepOriginal carries the pre-cut text through, so a composition
+      // that also scores the ORIGINAL (curation v2's language gate)
+      // doesn't need a second documents join — it's already here
+      .select(Seq(col("doc").as(idCol)) ++
+        (if (keepOriginal) Seq(col("t").as(textCol)) else Nil) :+
+        col("clean"): _*)
   }
 
   /** I2f — edit-distance (Levenshtein) near-dup pairs inside a blocking

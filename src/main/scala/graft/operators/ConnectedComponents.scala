@@ -93,7 +93,11 @@ object ConnectedComponents {
       p.schema(c).dataType == org.apache.spark.sql.types.LongType) &&
       nodes.schema("id").dataType == org.apache.spark.sql.types.LongType
     if (longIds && p.count() <= LocalUnionFindMaxEdges) {
-      val es = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // null endpoints contribute nothing in the distributed fixpoint
+      // (they never match the label join) — drop them here too instead of
+      // NPE-ing on getLong (r14 ADVICE)
+      val es = p.filter(col("doc_a").isNotNull && col("doc_b").isNotNull)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
       val spark = nodes.sparkSession
       val lblRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
       localMinLabels(es).foreach { case (id, comp) =>

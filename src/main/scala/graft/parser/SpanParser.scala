@@ -426,8 +426,52 @@ object SpanParser {
         col("start_time"), col("attributes"))
 
   /** B9-style flat task-run DataFrame (for sinks/relational queries over
-    * many runs) — everything driver-sized stripped of artifact payloads. */
+    * many runs) — everything driver-sized stripped of artifact payloads.
+    *
+    * Single-pass shape (round-15, guide §7.2): the previous formulation
+    * derived the spans collection THREE times — once under [[taggedSpans]],
+    * once for the exception branch's spans⋈pairs join, once for the
+    * `execute-task` filter — and paid two shuffle joins plus an aggregate
+    * to glue them back together (for the b3 battery row that meant three
+    * lag-window derivations of the orders base; both pin flavors measured
+    * SLOWER in round 14, so the fix is structural, like the gate folds).
+    * Now ONE narrow per-span projection is grouped by trace once and
+    * [[TaskRunsGen]] does the ownership walk AND the exception
+    * attribution in the same in-memory pass that [[taggedSpans]] already
+    * does for the pairs view. Parity with the old three-branch shape is
+    * pinned by ParserSpec ("fused == unfused on nested tasks/cycles"). */
   def taskRunsDF(spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val isTask = coalesce(col("name") === "execute-task", lit(false))
+    val perSpan = spans.select(
+      col("context.trace_id").as("trace"),
+      struct(
+        col("context.span_id").as("sid"),
+        col("parent_id"),
+        isTask.as("is_task"),
+        coalesce(size(filter(col("events"),
+          e => e.getField("name") === lit("exception"))), lit(0))
+          .cast("long").as("n_exc"),
+        when(isTask, col("start_time")).as("start_time"),
+        when(isTask, col("end_time")).as("end_time"),
+        // attribute values are JSON-rendered; "$" unquotes the string value
+        when(isTask,
+          get_json_object(col("attributes").getItem("task.id"), "$"))
+          .as("task_id"))
+        .as("s"))
+    perSpan
+      .groupBy(col("trace"))
+      .agg(collect_list(col("s")).as("ss"))
+      .select(Bridge.column(TaskRunsGen(Bridge.expression(col("ss")))))
+      .withColumn("is_success", col("n_exceptions") === 0)
+      .withColumn("duration_s",
+        graft.model.TimeFns.durationSCol(col("start_time"), col("end_time")))
+  }
+
+  /** Reference three-branch formulation of [[taskRunsDF]], kept ONLY as
+    * the parity oracle for the fused generator path (ParserSpec) — not on
+    * any query path. */
+  private[graft] def taskRunsDFUnfused(spans: DataFrame): DataFrame = {
     val pairs = taggedSpans(spans)
     val exc = spans
       .join(pairs, col("context.span_id") === col("id"))
@@ -437,13 +481,102 @@ object SpanParser {
     spans.filterNested(Seq("name"), "execute-task")
       .select(col("context.span_id").as("task_span_id"),
         col("start_time"), col("end_time"),
-        // attribute values are JSON-rendered; "$" unquotes the string value
         get_json_object(col("attributes").getItem("task.id"), "$").as("task_id"))
       .join(exc, Seq("task_span_id"), "left")
       .withColumn("n_exceptions", coalesce(col("n_exceptions"), lit(0L)))
       .withColumn("is_success", col("n_exceptions") === 0)
       .withColumn("duration_s",
         graft.model.TimeFns.durationSCol(col("start_time"), col("end_time")))
+  }
+
+  /** Generator emitting one task-run row per `execute-task` span of one
+    * trace, with exception events attributed through the SAME inclusive
+    * ancestor walk as [[OwnershipGen]] — including its edge semantics:
+    * null span ids own and are owned by nothing (a null-sid task still
+    * emits its row, with 0 exceptions), cycles terminate via the visited
+    * set, and a duplicated sid multiplies pair occurrences exactly like
+    * the old pairs⋈events join did (per-occurrence walk × per-sid event
+    * total). Input: `array<struct<sid, parent_id, is_task, n_exc,
+    * start_time, end_time, task_id>>`. */
+  case class TaskRunsGen(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.Generator
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+
+    override def elementSchema: StructType = StructType(Seq(
+      StructField("task_span_id", StringType, nullable = true),
+      StructField("start_time", StringType, nullable = true),
+      StructField("end_time", StringType, nullable = true),
+      StructField("task_id", StringType, nullable = true),
+      StructField("n_exceptions", LongType, nullable = false)))
+
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val arr = child.eval(input)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = arr.numElements()
+      val parentOf = new java.util.HashMap[String, String](n * 2)
+      val isTask = new java.util.HashSet[String]()
+      val totalExc = new java.util.HashMap[String, Long]()
+      var i = 0
+      while (i < n) {
+        val e = arr.getStruct(i, 7)
+        if (!e.isNullAt(0)) {
+          val sid = e.getUTF8String(0).toString
+          if (!e.isNullAt(1)) parentOf.put(sid, e.getUTF8String(1).toString)
+          if (!e.isNullAt(2) && e.getBoolean(2)) isTask.add(sid)
+          val ne = e.getLong(3)
+          if (ne > 0)
+            totalExc.merge(sid, ne, (a: Long, b: Long) => a + b)
+        }
+        i += 1
+      }
+      // per-task exception totals: every span OCCURRENCE with events walks
+      // its inclusive ancestors (occurrences × per-sid totals = exactly
+      // the old join's multiplicity)
+      val taskExc = new java.util.HashMap[String, Long]()
+      i = 0
+      while (i < n) {
+        val e = arr.getStruct(i, 7)
+        if (!e.isNullAt(0)) {
+          val sid = e.getUTF8String(0).toString
+          val tot = totalExc.getOrDefault(sid, 0L)
+          if (tot > 0) {
+            val visited = new java.util.HashSet[String]()
+            var cur: String = sid
+            while (cur != null && visited.add(cur)) {
+              if (isTask.contains(cur))
+                taskExc.merge(cur, tot, (a: Long, b: Long) => a + b)
+              cur = parentOf.get(cur)
+            }
+          }
+        }
+        i += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      i = 0
+      while (i < n) {
+        val e = arr.getStruct(i, 7)
+        if (!e.isNullAt(2) && e.getBoolean(2)) {
+          val sid = if (e.isNullAt(0)) null else e.getUTF8String(0).toString
+          def s(idx: Int): UTF8String =
+            if (e.isNullAt(idx)) null
+            else UTF8String.fromString(e.getUTF8String(idx).toString)
+          out += InternalRow(
+            if (sid == null) null else UTF8String.fromString(sid),
+            s(4), s(5), s(6),
+            if (sid == null) 0L else taskExc.getOrDefault(sid, 0L))
+        }
+        i += 1
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(
+        newChild: org.apache.spark.sql.catalyst.expressions.Expression) =
+      copy(child = newChild)
   }
 }
 

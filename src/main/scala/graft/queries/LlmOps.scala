@@ -1902,21 +1902,42 @@ object LlmOps {
     * split stability under the surgery. */
   def curationV2(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val cleaned = Dedup.cleanedText(docs, "doc_id", "text", k = 50)
-    // same pushdown fence as corpusCuration: keep the lang/quality regex
-    // trees evaluated once in the projection, not re-inlined into the
-    // filter below the repartition
-    val scored = docs.join(cleaned, Seq("doc_id"))
+    // keepOriginal: the language gate scores the PRE-cut text, which the
+    // span-surgery join already carries — the old second documents join
+    // (and its broadcast exchange) added a 4th scan of the corpus for a
+    // column that was one projection away (round-15 plan audit)
+    val cleaned = Dedup.cleanedText(docs, "doc_id", "text", k = 50,
+      keepOriginal = true)
+    val scored = cleaned
       .repartition(graft.llm.Par.of(docs))
       .select(col("doc_id"), col("clean"),
         TextAnalysis.langId(col("text")).as("lang"),
         TextAnalysis.qualityScore(col("clean")).as("quality"))
-      .withColumn("__fence", monotonically_increasing_id())
-    val kept = scored.filter(col("lang") === "en" && col("quality") >= 0.5)
-      .drop("__fence")
-    Dedup.exactDedup(kept, "doc_id", "clean")
+    // NONDETERMINISTIC filter fence, not a fence COLUMN: the round-15 plan
+    // audit caught the executed plan re-inlining the whole clean-text
+    // aggregate fold ~8x inside a pushed-down quality predicate — the
+    // `__fence` column pattern fences nothing here because nothing
+    // downstream consumes the column, so ColumnPruning drops it before
+    // PushDownPredicates runs. A nondeterministic predicate cannot be
+    // pushed through anything, so the fold and both kernels evaluate
+    // exactly once in the projection above.
+    val kept = scored.filter(
+      KeepNoPushdown(col("lang") === "en" && col("quality") >= 0.5))
+    Dedup.exactDedup(kept.select(col("doc_id"), col("clean"), col("quality")),
+      "doc_id", "clean")
       .select(col("doc_id"), length(col("clean")).as("clean_len"),
         col("quality"), Sampling.splitLabel(col("clean")).as("split"))
+  }
+
+  /** Boolean-identity filter fence (the `NonNegativeNoPushdown` pattern):
+    * nondeterministic, so `PushDownPredicates` can never substitute the
+    * fenced predicate's expensive alias trees below the projection that
+    * computes them. Null-safe: null keeps nothing, exactly like a plain
+    * filter. */
+  private val KeepNoPushdown: Column => Column = {
+    val keep = udf((b: java.lang.Boolean) => b != null && b.booleanValue())
+      .asNondeterministic()
+    c => keep(c)
   }
 
   private val curationV2Sql =

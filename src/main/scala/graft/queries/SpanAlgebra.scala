@@ -293,12 +293,41 @@ object SpanAlgebra {
     // released) by the time this returns.
     val base = ordersBase(s, d, None).persist()
     try {
-      spansFrom(base).sortByStartTime()
+      // Rank = global position in the range-partitioned sort, computed
+      // WITHOUT leaving Dataset land (round-15; the old `.rdd.zipWithIndex`
+      // deserialized every row to external objects and re-entered through
+      // an RDD→DF conversion): monotonically_increasing_id() on the pinned
+      // sorted frame encodes (partition id << 33) + a consecutive
+      // per-partition counter — its documented implementation — so
+      // rank = (rows in earlier partitions) + in-partition position + 1.
+      // The per-partition counts are a numPartitions-row aggregate, their
+      // running sum a single-partition window over that tiny frame, and
+      // the re-attach a broadcast join: same two extra jobs zipWithIndex
+      // ran (partition-size pass + zip), minus the row round-trip.
+      // (A partition over 2^33 rows would overflow the counter field; the
+      // range sort bounds partitions far below that at any target scale.)
+      val sorted = spansFrom(base).sortByStartTime()
         .select(col("context.span_id").as("span_id"))
+        .withColumn("mid", monotonically_increasing_id())
         .localCheckpoint()
-        .rdd.zipWithIndex
-        .map { case (r, i) => (i + 1, r.getString(0)) }
-        .toDF("rank", "span_id")
+      // per-partition counts collected to the driver: ≤ numPartitions
+      // rows, the same budget-bounded collect the Closure/KCore local
+      // paths use — exactly the job zipWithIndex ran internally, minus
+      // its per-row external-Row conversion on the main pass
+      val cnts = sorted
+        .groupBy(shiftright(col("mid"), 33).as("pid"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      val offs: Map[Long, Long] = cnts.map { case (pid, c) =>
+        val o = acc; acc += c; pid -> o
+      }.toMap
+      val pid = shiftright(col("mid"), 33)
+      if (offs.isEmpty) sorted.select(lit(0L).as("rank"), col("span_id")).limit(0)
+      else sorted.select(
+        (element_at(typedlit(offs), pid)
+          + (col("mid") - shiftleft(pid, 33)) + 1).as("rank"),
+        col("span_id"))
     } finally base.unpersist(blocking = false)
   }
 

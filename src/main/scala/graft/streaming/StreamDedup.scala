@@ -110,8 +110,10 @@ object StreamDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val r = k / nBands
-    val sig = graft.functions.HashExprs.md5MinHashSig(
-      graft.llm.Dedup.charShingles(col("text"), shingleN), k)
+    // fused shingle+md5 kernel (round-15) — bit-parity with the composed
+    // md5MinHashSig(charShingles(...)) form pinned by HashExprsSpec
+    val sig = graft.functions.HashExprs.md5MinHashSigText(
+      col("text"), shingleN, k)
     docs
       .filter(length(col("text")) >= shingleN)
       .select(col("doc_id").cast("long").as("doc_id"), sig.as("sig"))

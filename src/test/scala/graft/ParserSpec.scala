@@ -240,4 +240,39 @@ class ParserSpec extends AnyFunSuite {
     assert(!rows(1).getAs[Boolean]("is_success"))
     assert(rows(1).getAs[Long]("n_exceptions") == 1L)
   }
+
+  test("B9 fused taskRunsDF == three-branch reference on nested tasks, " +
+    "multi-exception children, cycles, null names") {
+    // trace A: nested tasks — t2 under t1; a leaf under t2 with TWO
+    // exception events must count toward BOTH tasks; t1 carries its own
+    // exception; a null-name child; trace B: clean task; trace C: cycle.
+    val nested = Seq(
+      span("execute-task", "0xt1", None, traceId = "0xA",
+        attrs = Map("task.id" -> "outer"),
+        events = Seq(exceptionEvent("own failure"))),
+      span("execute-task", "0xt2", Some("0xt1"), traceId = "0xA",
+        attrs = Map("task.id" -> "inner")),
+      span("call-function", "0xleaf", Some("0xt2"), traceId = "0xA",
+        events = Seq(exceptionEvent("boom 1"), exceptionEvent("boom 2"))),
+      span("noname", "0xnull", Some("0xt1"), traceId = "0xA")
+        .copy(name = null),
+      span("execute-task", "0xt3", None, traceId = "0xB",
+        attrs = Map("task.id" -> "clean")),
+      span("a", "0xc1", Some("0xc2"), traceId = "0xC",
+        events = Seq(exceptionEvent("cyclic"))),
+      span("b", "0xc2", Some("0xc1"), traceId = "0xC"))
+    val df = SpanModel.toDF(spark, nested)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getAs[String]("task_span_id"),
+        r.getAs[String]("start_time"), r.getAs[String]("end_time"),
+        r.getAs[String]("task_id"), r.getAs[Long]("n_exceptions"),
+        r.getAs[Boolean]("is_success"), r.getAs[Double]("duration_s"))).toSet
+    val fused = rows(SpanParser.taskRunsDF(df))
+    val ref = rows(SpanParser.taskRunsDFUnfused(df))
+    assert(fused == ref)
+    val byId = fused.map(t => t._1 -> t._5).toMap
+    assert(byId("0xt1") == 3L) // own + both leaf events through t2's chain
+    assert(byId("0xt2") == 2L)
+    assert(byId("0xt3") == 0L)
+  }
 }
