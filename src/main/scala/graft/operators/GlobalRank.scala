@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, Column}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Scalable total-order ranking (dense 1..n over an arbitrary sort key).
   *
@@ -9,10 +9,20 @@ import org.apache.spark.sql.types.LongType
   * empty-key window: Spark funnels the ENTIRE dataset through one task,
   * which is the definition of not surviving a 100× scale-up. This
   * operator instead range-partitions on the sort key (each partition owns
-  * a contiguous key interval), sorts within partitions, and assigns
-  * global indices with `zipWithIndex` — whose one extra job counts rows
-  * per partition so every task can offset its local indices. Total cost:
-  * one range exchange + one count job, no serial stage anywhere.
+  * a contiguous key interval), sorts within partitions, pins the sorted
+  * frame, and assigns global indices from `monotonically_increasing_id()`
+  * — (partition id << 33) + a consecutive per-partition counter, its
+  * documented implementation — plus per-partition offsets from a
+  * ≤-numPartitions-row count aggregate collected to the driver. Total
+  * cost: one range exchange + one tiny count job, no serial stage, and
+  * (round-15) no `.rdd.zipWithIndex` round-trip: the old formulation
+  * deserialized every row to an external `Row`, re-entered through
+  * `createDataFrame`, and re-executed the sorted RDD once per consumer;
+  * the pin materializes it exactly once. (Stats behavior is unchanged —
+  * an RDD-backed frame already reported default sizeInBytes.) The pin is
+  * also what makes the offsets SOUND: counts and the final projection
+  * must see the same physical partitioning, and two separate executions
+  * of a range exchange may re-sample different partition bounds.
   *
   * The caller's `sortCols` must form a TOTAL order (append a unique
   * tiebreak column) — otherwise equal-key rows get nondeterministic
@@ -23,15 +33,27 @@ object GlobalRank {
   /** `df` plus a `rankCol` long column holding the 1-based global rank in
     * `sortCols` order. */
   def withGlobalRank(df: DataFrame, rankCol: String, sortCols: Column*): DataFrame = {
-    val spark = df.sparkSession
-    val parts = df.repartitionByRange(sortCols: _*)
+    val mid = "__global_rank_mid"
+    val pinned = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-    val schema = org.apache.spark.sql.types.StructType(
-      df.schema.fields :+
-        org.apache.spark.sql.types.StructField(rankCol, LongType, nullable = false))
-    val ranked = parts.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(ranked, schema)
+      .withColumn(mid, monotonically_increasing_id())
+      .localCheckpoint()
+    val cnts = pinned
+      .groupBy(shiftright(col(mid), 33).as("pid"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    if (cnts.isEmpty)
+      return df.limit(0).withColumn(rankCol, lit(1L))
+    var acc = 0L
+    val offs: Map[Long, Long] = cnts.map { case (pid, c) =>
+      val o = acc; acc += c; pid -> o
+    }.toMap
+    val pid = shiftright(col(mid), 33)
+    // coalesce keeps the rank column non-nullable (element_at alone would
+    // mark it nullable; the map covers every pid by construction)
+    pinned.select(df.columns.map(col) :+
+      coalesce(
+        element_at(typedlit(offs), pid) + (col(mid) - shiftleft(pid, 33)) + 1,
+        lit(0L)).as(rankCol): _*)
   }
 }

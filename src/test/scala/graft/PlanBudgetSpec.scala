@@ -32,7 +32,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "a8_path_recursive_sql" -> 1,
     "a10_bound_by_recursive_sql" -> 1,
     "a8_path_containment" -> 0, "a9_anti_join_roots" -> 0,
-    "b1b2_dep_forms_agree" -> 0, "b3_task_runs" -> 5,
+    // b3_task_runs: single-pass fold (round-15) — one spans derivation,
+    // one per-trace aggregate, no exception/pairs joins: 5 -> 3
+    "b1b2_dep_forms_agree" -> 0, "b3_task_runs" -> 3,
     "b4_workflow_timing" -> 0, "b5_artifact_rows" -> 0,
     "b6_dup_reject" -> 0, "b7_last_write_wins" -> 1,
     "c1c2_codec_roundtrip" -> 0, "c3_time_epoch_fns" -> 0,
@@ -225,12 +227,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     // pruned postings, per-(query,doc) sum, rank window, 1-row stats agg
     "i3_bm25_topk" -> 6,
     "d08_quantile_gate" -> 0,
-    // i2_sorted_neighbors: post-checkpoint plan (range exchange +
-    // zipWithIndex ranking run eagerly behind the localCheckpoint) —
-    // block equi-join both sides, the shared shingle barrier (ReusedExchange
-    // feeds both verify-join sides from one materialization), and the two
-    // verify-join exchanges on the w·N candidate set
-    "i2_sorted_neighbors" -> 4,
+    // i2_sorted_neighbors: post-checkpoint plan (range exchange + rank
+    // projection run eagerly behind GlobalRank's pin — round-15 removed
+    // the zipWithIndex round-trip, which also dropped an exchange the
+    // RDD re-entry used to plan: 4 -> 2) — block equi-join both sides
+    // riding the pinned scan, the shared shingle barrier, and the verify
+    // join on the w·N candidate set
+    "i2_sorted_neighbors" -> 2,
     // i6_expectations: five independent column-pruned aggregates (pk-dupe
     // group, anti-join orphan probe + its 1-row counts) unioned
     "i6_expectations" -> 6,
