@@ -229,15 +229,27 @@ case class PqAdcExpr(
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(vecAny: Any, codesAny: Any): Any = {
-    val xs = PqExprs.toDoubles(vecAny.asInstanceOf[ArrayData], elemIsFloat)
-    PqExprs.requireDim(xs.length, books, prettyName)
+    // reads the query vector straight off the ArrayData (round-15): this
+    // expression runs once per candidate PAIR of the quadratic ADC join
+    // stage, and the previous toDoubles copy allocated a dim-sized
+    // double[] per pair — pure GC churn at scale (§4.2: keep the per-row
+    // hot loop allocation-free). Element reads and arithmetic order are
+    // unchanged, so scores stay bit-identical.
+    val xs = vecAny.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    PqExprs.requireDim(n, books, prettyName)
+    val isF = elemIsFloat
     val cs = codesAny.asInstanceOf[ArrayData]
     val nb = books.nBlocks
     require(cs.numElements() == nb,
       s"$prettyName: ${cs.numElements()} codes for $nb blocks")
     var qn2 = 0.0
     var i = 0
-    while (i < xs.length) { qn2 += xs(i) * xs(i); i += 1 }
+    while (i < n) {
+      val v = if (isF) xs.getFloat(i).toDouble else xs.getDouble(i)
+      qn2 += v * v
+      i += 1
+    }
     if (qn2 == 0) return null
     var dot = 0.0
     var rn2 = 0.0
@@ -247,7 +259,12 @@ case class PqAdcExpr(
       val cent = books.blocks(b)(c)
       val from = b * books.blockSize
       var j = 0
-      while (j < cent.length) { dot += xs(from + j) * cent(j); j += 1 }
+      while (j < cent.length) {
+        val v = if (isF) xs.getFloat(from + j).toDouble
+          else xs.getDouble(from + j)
+        dot += v * cent(j)
+        j += 1
+      }
       rn2 += books.n2(b * books.nCodes + c)
       b += 1
     }

@@ -689,7 +689,18 @@ object Similarity {
         graft.functions.KMeansExprs
           .assign(KMeans.quantize(col(vecCol)), cents)("cluster").as("cell"),
         PqOps.pqEncode(quantD, books).as("codes"))
-      .repartition(Par.of(df), col("cell")) // barrier: cell + codes computed once
+      // barrier: cell + codes computed once. Keyed by ID, not cell
+      // (round-15): the probe side broadcasts, so the join never needed
+      // cell co-partitioning, and hashing nList=16 cell values into the
+      // partition space left ~40% of cores idle (plus per-cell skew) for
+      // the quadratic ADC stage downstream — the §2.5 low-cardinality-key
+      // trap. The id key spreads the scoring stage perfectly evenly at
+      // any scale; a bounded (cell, salt-4) middle ground measured 1.8×
+      // SLOWER here at the 10× shard (cell-slice skew tails the
+      // interpreted ADC stage), and the id spread's cost — partial top-k
+      // heaps fan out to every partition a query's candidates touch — is
+      // an O(P·|Q|) term against the O(|Q|·n/nProbe) scoring win.
+      .repartition(Par.of(df), col("neighbor_id"))
     val queryProbes = df0.select(col(idCol).cast("long").as("query_id"),
       quantD.as("qv"),
       explode(graft.functions.KMeansExprs
@@ -1003,7 +1014,11 @@ object Similarity {
       graft.functions.KMeansExprs
         .assign(KMeans.quantize(col(vecCol)), cents)("cluster").as("cell"))
       .withColumn("cn", sqrt(dotQ(col("cv"), col("cv")).cast("double")))
-      .repartition(Par.of(df), col("cell")) // barrier: features + cell computed once
+      // barrier: features + cell computed once. Keyed by ID, not cell
+      // (round-15) — see ivfPqTopKExact: 16 cell values cap + skew the
+      // scoring stage's parallelism (§2.5); the probe join broadcasts
+      // either way.
+      .repartition(Par.of(df), col("neighbor_id"))
     val queryProbes = df0.select(col(idCol).cast("long").as("query_id"),
       quantize(col(vecCol)).as("qv"),
       explode(graft.functions.KMeansExprs
@@ -1053,7 +1068,10 @@ object Similarity {
       quantize(col(vecCol)).as("cv"),
       element_at(nearestCells(col(vecCol), centroids, 1), 1).as("cell"))
       .withColumn("cn", sqrt(dotQ(col("cv"), col("cv")).cast("double")))
-      .repartition(Par.of(df), col("cell")) // barrier: features + cell computed once
+      // barrier: features + cell computed once. Keyed by ID, not cell
+      // (round-15) — see ivfPqTopKExact: 16 cell values cap + skew the
+      // scoring stage (§2.5); the probe join broadcasts either way.
+      .repartition(Par.of(df), col("neighbor_id"))
     val queryProbes = df0.select(col(idCol).cast("long").as("query_id"),
       quantize(col(vecCol)).as("qv"),
       explode(nearestCells(col(vecCol), centroids, nProbe)).as("cell"))
